@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every query key has matching registry coverage and runs") {
+    assert(SparkEntry.queries.nonEmpty)
+    // every oracle key must exist in the registry
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q1_agg returns the 6 (returnflag, linestatus) groups") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flags.contains(("A", "F")) && flags.contains(("N", "O")))
+  }
+
+  test("entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
