@@ -63,15 +63,305 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q2 — comparator surface: eq / gte / in / like / between on one scan.
+    * Mirrors ftmq `Query.where(prop=..., comparator=...)`
+    * (tests/test_store.py:120-123). All predicates reach the parquet scan
+    * as PushedFilters.
+    */
+  def q2FilterComparators(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderstatus".isin("F", "O") &&
+        $"o_totalprice" >= 100000.0 &&
+        $"o_orderpriority".like("%URGENT%") &&
+        $"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_custkey".between(10, 10000))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+  }
+
+  val q2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('F','O') AND o_totalprice >= 100000.0
+      |  AND o_orderpriority LIKE '%URGENT%'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_custkey BETWEEN 10 AND 10000""".stripMargin
+
+  /** q3 — multiway join with broadcast dims: revenue per nation.
+    * The statement store joins statements↔statements on ids; dims
+    * (nation here) are broadcast — no shuffle for the small side.
+    */
+  def q3JoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val nation = t(s, dir, "nation")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q3Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** q4 — order_by + slice: ftmq `q.order_by("amountEur")[:10]`
+    * (tests/test_store.py:147-162). Top-k with deterministic tiebreak;
+    * Spark plans this as TakeOrderedAndProject (no full sort shuffle).
+    */
+  def q4TopkOrderSlice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .offset(5).limit(15)
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 15 OFFSET 5""".stripMargin
+
+  /** q5 — search: case-insensitive substring over text, the Spark twin of
+    * ftmq `Query.search("agency")` (tests/test_store.py:252-255).
+    */
+  def q5Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(lower($"text").contains("merge fast"))
+      .select($"doc_id", $"lang", $"n_chars")
+  }
+
+  val q5Sql: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE lower(text) LIKE '%merge fast%'""".stripMargin
+
+  /** q6 — grouped aggregation by key:
+    * `aggregate("sum", "amountEur", groups="beneficiary")`
+    * (tests/test_store.py:171-200).
+    */
+  def q6AggGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(dsum($"value").as("sum_value"), count(lit(1)).as("n"))
+  }
+
+  val q6Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q7 — aggregation grouped by year(date): ftmq `groups="year"`
+    * (tests/test_store.py:215-236).
+    */
+  def q7AggYear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy(year($"o_orderdate").cast("bigint").as("year"))
+      .agg(dsum($"o_totalprice").as("sum_total"), count(lit(1)).as("n"))
+  }
+
+  val q7Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q8 — count distinct: the stats view's
+    * `countState(distinct canonical_id)` (engine.py:204-220).
+    */
+  def q8CountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n"))
+  }
+
+  val q8Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q9 — window rank: top-2 lineitems per order by price. The reference
+    * serves per-entity ordered access via projections (engine.py:249-267);
+    * on Spark it's a window over the join key.
+    */
+  def q9WindowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_extendedprice".desc, $"l_linenumber".asc)
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 2)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"rn")
+  }
+
+  val q9Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
+      |  FROM lineitem) WHERE rn <= 2""".stripMargin
+
+  /** q10 — running aggregate per customer over order date. */
+  def q10WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"running")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+      |FROM orders""".stripMargin
+
+  /** q11 — semi join (EXISTS): ftmq reverse lookup
+    * `Query.where(reverse=entity_id)` (tests/test_store.py:238-249) is an
+    * existence probe against referencing statements.
+    */
+  def q11SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+    t(s, dir, "customer")
+      .join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** q12 — anti join (NOT EXISTS): dataset difference — customers with no
+    * pending ('P') order.
+    */
+  def q12AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pending = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+    t(s, dir, "customer")
+      .join(pending, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  /** q13 — JSON field extraction from a string payload column (regex —
+    * portable across engines, no extension dependency).
+    */
+  def q13JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k",
+        regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("bigint"))
+      .select($"event_id", $"event_type", $"k")
+  }
+
+  val q13Sql: String =
+    """SELECT event_id, event_type,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  /** q14 — event-time tumbling window (batch twin of st1_stream_window).
+    * Bucket emitted as epoch seconds: raw timestamp formatting is not
+    * portable across engines.
+    */
+  def q14EventsTimeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", $"ts")).as("bucket"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+  }
+
+  val q14Sql: String =
+    """SELECT CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT) AS bucket,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q15 — HAVING: post-aggregation filter, the shape of the fpx blocking
+    * query `HAVING entities > 2` (tests/test_fingerprints.py).
+    */
+  def q15Having(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), countDistinct($"p_type").as("n_types"))
+      .filter($"n" > 3)
+  }
+
+  val q15Sql: String =
+    """SELECT p_brand, COUNT(*) AS n, COUNT(DISTINCT p_type) AS n_types
+      |FROM part GROUP BY p_brand HAVING COUNT(*) > 3""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_comparators" -> (q2FilterComparators _),
+    "q3_join_multiway" -> (q3JoinMultiway _),
+    "q4_topk_order_slice" -> (q4TopkOrderSlice _),
+    "q5_search" -> (q5Search _),
+    "q6_agg_groups" -> (q6AggGroups _),
+    "q7_agg_year" -> (q7AggYear _),
+    "q8_count_distinct" -> (q8CountDistinct _),
+    "q9_window_rank" -> (q9WindowRank _),
+    "q10_window_running" -> (q10WindowRunning _),
+    "q11_semi_join" -> (q11SemiJoin _),
+    "q12_anti_join" -> (q12AntiJoin _),
+    "q13_json_extract" -> (q13JsonExtract _),
+    "q14_events_time_bucket" -> (q14EventsTimeBucket _),
+    "q15_having" -> (q15Having _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q2_filter_comparators" -> q2Sql,
+    "q3_join_multiway" -> q3Sql,
+    "q4_topk_order_slice" -> q4Sql,
+    "q5_search" -> q5Sql,
+    "q6_agg_groups" -> q6Sql,
+    "q7_agg_year" -> q7Sql,
+    "q8_count_distinct" -> q8Sql,
+    "q9_window_rank" -> q9Sql,
+    "q10_window_running" -> q10Sql,
+    "q11_semi_join" -> q11Sql,
+    "q12_anti_join" -> q12Sql,
+    "q13_json_extract" -> q13Sql,
+    "q14_events_time_bucket" -> q14Sql,
+    "q15_having" -> q15Sql
   )
 }

@@ -18,7 +18,18 @@ object Tables {
 
   /** Load one testdata table. `dir` is an sf directory like
     * /root/testdata/sf0.01.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
+    * a nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by GraftSession/Verify/Bench); we normalize it back to a
+    * microsecond TIMESTAMP here so operators see a real time column.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 }
