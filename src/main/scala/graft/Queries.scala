@@ -326,6 +326,224 @@ object Queries {
       |FROM part GROUP BY p_brand HAVING COUNT(*) > 3""".stripMargin
 
   // ===========================================================
+  // FTM statement-store semantics (SURVEY.md §2, f-block)
+  // ===========================================================
+
+  import graft.model.Statements
+  import graft.model.Statements.PropSpec
+  import graft.operators.{Fpx, ReplacingMerge}
+  import graft.functions.Phonetics
+
+  /** Statements derived from customer + part — the shared input of the
+    * f-block. Write path of the store: entities decompose into
+    * statement rows (store.py:54-60).
+    */
+  def statements(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Statements.unpivot(
+      t(s, dir, "customer"),
+      concat(lit("customer-"), $"c_custkey"),
+      schema = "Customer", dataset = "tpch_customers",
+      Seq(
+        PropSpec("name", "name", $"c_name"),
+        PropSpec("mktsegment", "string", $"c_mktsegment"),
+        PropSpec("nationkey", "number", $"c_nationkey"),
+        PropSpec("acctbal", "number", $"c_acctbal")))
+    val part = Statements.unpivot(
+      t(s, dir, "part"),
+      concat(lit("part-"), $"p_partkey"),
+      schema = "Part", dataset = "tpch_parts",
+      Seq(
+        PropSpec("name", "name", $"p_name"),
+        PropSpec("brand", "string", $"p_brand"),
+        PropSpec("type", "string", $"p_type"),
+        PropSpec("size", "number", $"p_size"),
+        PropSpec("retailprice", "number", $"p_retailprice")))
+    cust.unionAll(part)
+  }
+
+  /** DuckDB twin of [[statements]] as a WITH clause. */
+  private val stmtsCte: String = {
+    def sel(eid: String, schema: String, dataset: String,
+        prop: String, ptype: String, value: String, from: String) =
+      s"""SELECT $eid AS entity_id, $eid AS canonical_id, '$schema' AS "schema",
+         |  '$dataset' AS dataset, '$prop' AS prop, '$ptype' AS prop_type,
+         |  CAST($value AS VARCHAR) AS value FROM $from""".stripMargin
+    val cust = Seq(
+      ("name", "name", "c_name"),
+      ("mktsegment", "string", "c_mktsegment"),
+      ("nationkey", "number", "c_nationkey"),
+      ("acctbal", "number", "c_acctbal")).map { case (p, pt, v) =>
+      sel("'customer-' || c_custkey", "Customer", "tpch_customers", p, pt, v, "customer")
+    }
+    val part = Seq(
+      ("name", "name", "p_name"),
+      ("brand", "string", "p_brand"),
+      ("type", "string", "p_type"),
+      ("size", "number", "p_size"),
+      ("retailprice", "number", "p_retailprice")).map { case (p, pt, v) =>
+      sel("'part-' || p_partkey", "Part", "tpch_parts", p, pt, v, "part")
+    }
+    s"""WITH statements AS (
+       |${(cust ++ part).mkString("\nUNION ALL\n")}
+       |)""".stripMargin
+  }
+
+  /** DuckDB expression: name fingerprint of column `c`. */
+  private def duckFp(c: String): String =
+    s"array_to_string(list_sort(list_distinct(list_filter(" +
+      s"string_split_regex(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g')," +
+      s" ' '), x -> x <> ''))), ' ')"
+
+  /** DuckDB CTE deriving the fpx table from `statements`. */
+  private val fpxCte: String =
+    s"""fpx AS (
+       |  SELECT 'fingerprint' AS algorithm, tok.value AS value, dataset,
+       |    entity_id, "schema", prop, prop_type
+       |  FROM (
+       |    SELECT *, ${duckFp("value")} AS fp FROM statements
+       |    WHERE prop_type = 'name'
+       |  ), LATERAL (
+       |    SELECT unnest(list_distinct(list_concat([fp],
+       |      list_filter(string_split(fp, ' '), t -> length(t) > 5)))) AS value
+       |  ) AS tok
+       |  WHERE length(tok.value) > 0
+       |)""".stripMargin
+
+  /** f1 — the statement unpivot itself (write path). */
+  def f1StatementsUnpivot(s: SparkSession, dir: String): DataFrame =
+    statements(s, dir)
+
+  val f1Sql: String = s"$stmtsCte SELECT * FROM statements"
+
+  /** f2 — entity assembly (read path): statements → one row per entity
+    * with a deterministic prop=value fold.
+    */
+  def f2EntityAssembly(s: SparkSession, dir: String): DataFrame =
+    Statements.assemble(statements(s, dir))
+
+  val f2Sql: String =
+    s"""$stmtsCte
+       |SELECT canonical_id, "schema", dataset,
+       |  string_agg(prop || '=' || value, '|' ORDER BY prop || '=' || value) AS entity,
+       |  COUNT(*) AS n_statements
+       |FROM statements GROUP BY canonical_id, "schema", dataset""".stripMargin
+
+  /** f3 — ReplacingMergeTree(last_seen) FINAL: latest row per key.
+    * Keyed on customer; version = (orderdate, orderkey).
+    */
+  def f3ReplacingMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ReplacingMerge.latestByKey(
+      t(s, dir, "orders"),
+      keys = Seq($"o_custkey"),
+      version = Seq($"o_orderdate", $"o_orderkey"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+  }
+
+  val f3Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin
+
+  /** f4 — the stats materialized view: per (dataset, schema) distinct
+    * entities + statement counts.
+    */
+  def f4StatsView(s: SparkSession, dir: String): DataFrame =
+    Statements.stats(statements(s, dir))
+
+  val f4Sql: String =
+    s"""$stmtsCte
+       |SELECT dataset, "schema", COUNT(DISTINCT canonical_id) AS entities,
+       |  COUNT(*) AS statements
+       |FROM statements GROUP BY dataset, "schema"""".stripMargin
+
+  /** f5 — the name fingerprint function itself. */
+  def f5Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        $"p_name".as("name"),
+        Phonetics.fingerprint($"p_name").as("fp"))
+  }
+
+  val f5Sql: String =
+    s"""SELECT p_partkey, p_name AS name, ${duckFp("p_name")} AS fp
+       |FROM part""".stripMargin
+
+  /** f6 — fingerprint statements (fpx table feed). */
+  def f6FpxTable(s: SparkSession, dir: String): DataFrame =
+    Fpx.fromStatements(statements(s, dir))
+
+  val f6Sql: String = s"$stmtsCte, $fpxCte SELECT * FROM fpx"
+
+  /** f7 — fpx value frequency view. */
+  def f7FpxFreq(s: SparkSession, dir: String): DataFrame =
+    Fpx.freq(f6FpxTable(s, dir))
+
+  val f7Sql: String =
+    s"""$stmtsCte, $fpxCte
+       |SELECT value, COUNT(*) AS freq, CAST(length(value) AS BIGINT) AS len
+       |FROM fpx GROUP BY value""".stripMargin
+
+  /** f8 — xref blocking pairs over shared fingerprint values. */
+  def f8XrefBlock(s: SparkSession, dir: String): DataFrame =
+    Fpx.xrefBlocks(f6FpxTable(s, dir), minEntities = 2, maxEntities = 1000)
+
+  val f8Sql: String =
+    s"""$stmtsCte, $fpxCte,
+       |blocks AS (SELECT DISTINCT value, entity_id FROM fpx),
+       |sizes AS (
+       |  SELECT value FROM blocks GROUP BY value
+       |  HAVING COUNT(DISTINCT entity_id) BETWEEN 2 AND 1000
+       |)
+       |SELECT DISTINCT l.entity_id AS left_id, r.entity_id AS right_id
+       |FROM blocks l JOIN sizes USING (value) JOIN blocks r USING (value)
+       |WHERE l.entity_id < r.entity_id""".stripMargin
+
+  /** f11 — entity_id → canonical_id resolution by identical name
+    * fingerprint.
+    */
+  def f11CanonicalLookup(s: SparkSession, dir: String): DataFrame =
+    Fpx.canonicalizeByName(statements(s, dir))
+
+  val f11Sql: String =
+    s"""$stmtsCte,
+       |named AS (
+       |  SELECT DISTINCT entity_id, ${duckFp("value")} AS fp
+       |  FROM statements WHERE prop_type = 'name'
+       |)
+       |SELECT DISTINCT n.entity_id,
+       |  min(n.entity_id) OVER (PARTITION BY n.fp) AS canonical_id
+       |FROM named n""".stripMargin
+
+  /** f9 — soundex codes of name-fingerprint tokens (phonetic.py:48-50).
+    * Rows-only at the driver (DuckDB lacks soundex); exact values are
+    * spec-tested in PhoneticsSpec.
+    */
+  def f9Soundex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey", Phonetics.fingerprint($"p_name").as("fp"))
+      .select($"p_partkey",
+        explode(Phonetics.soundexTokens($"fp")).as("soundex"))
+  }
+
+  /** f10 — metaphone codes of name-fingerprint tokens (phonetic.py:43).
+    * Rows-only at the driver; exact values spec-tested.
+    */
+  def f10Metaphone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey", Phonetics.fingerprint($"p_name").as("fp"))
+      .select($"p_partkey",
+        explode(split($"fp", " ")).as("tok"))
+      .select($"p_partkey", Phonetics.metaphoneUdf($"tok").as("metaphone"))
+  }
+
+  // ===========================================================
   // Registry
   // ===========================================================
 
@@ -344,7 +562,18 @@ object Queries {
     "q12_anti_join" -> (q12AntiJoin _),
     "q13_json_extract" -> (q13JsonExtract _),
     "q14_events_time_bucket" -> (q14EventsTimeBucket _),
-    "q15_having" -> (q15Having _)
+    "q15_having" -> (q15Having _),
+    "f1_statements_unpivot" -> (f1StatementsUnpivot _),
+    "f2_entity_assembly" -> (f2EntityAssembly _),
+    "f3_replacing_merge" -> (f3ReplacingMerge _),
+    "f4_stats_view" -> (f4StatsView _),
+    "f5_fingerprint" -> (f5Fingerprint _),
+    "f6_fpx_table" -> (f6FpxTable _),
+    "f7_fpx_freq" -> (f7FpxFreq _),
+    "f8_xref_block" -> (f8XrefBlock _),
+    "f9_soundex" -> (f9Soundex _),
+    "f10_metaphone" -> (f10Metaphone _),
+    "f11_canonical_lookup" -> (f11CanonicalLookup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +591,15 @@ object Queries {
     "q12_anti_join" -> q12Sql,
     "q13_json_extract" -> q13Sql,
     "q14_events_time_bucket" -> q14Sql,
-    "q15_having" -> q15Sql
+    "q15_having" -> q15Sql,
+    "f1_statements_unpivot" -> f1Sql,
+    "f2_entity_assembly" -> f2Sql,
+    "f3_replacing_merge" -> f3Sql,
+    "f4_stats_view" -> f4Sql,
+    "f5_fingerprint" -> f5Sql,
+    "f6_fpx_table" -> f6Sql,
+    "f7_fpx_freq" -> f7Sql,
+    "f8_xref_block" -> f8Sql,
+    "f11_canonical_lookup" -> f11Sql
   )
 }

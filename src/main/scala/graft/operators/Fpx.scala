@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.Phonetics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fingerprint (fpx) derivation, frequency view, xref blocking and
+  * canonical resolution — the reference's pre-matching machinery.
+  *
+  * Reference anchors:
+  *  - fpx table + feed: engine.py:162-180,
+  *    statements.py:63-82 (`fingerprints_from_statements`)
+  *  - fpx_freq materialized view: engine.py:222-236
+  *  - blocking query: tests/test_fingerprints.py
+  *  - entity→canonical lookup projection: engine.py:259
+  */
+object Fpx {
+
+  /** Derive fingerprint statements from name-type statements
+    * (statements.py:51-57 restricts to name-typed props; the reference
+    * further restricts to LegalEntity/Mention schemas — callers filter
+    * schemas before this).
+    *
+    * One row per (entity, blocking token): the full name fingerprint
+    * plus every token longer than 5 chars (phonetic.py:32-37).
+    */
+  def fromStatements(statements: DataFrame): DataFrame = {
+    val named = statements
+      .filter(col("prop_type") === "name")
+      .withColumn("fp", Phonetics.fingerprint(col("value")))
+    named
+      .select(
+        lit("fingerprint").as("algorithm"),
+        explode(Phonetics.fpxTokens(col("fp"))).as("value"),
+        col("dataset"), col("entity_id"), col("schema"),
+        col("prop"), col("prop_type"))
+      .filter(length(col("value")) > 0)
+  }
+
+  /** The `..._fpx_freq` view: how often each blocking value occurs.
+    * Used to drop hyper-frequent blocks before pair generation — the
+    * skew guard that keeps xref linear at scale.
+    */
+  def freq(fpx: DataFrame): DataFrame =
+    fpx.groupBy(col("value"))
+      .agg(count(lit(1)).as("freq"),
+        length(col("value")).cast("bigint").as("len"))
+
+  /** Blocking pairs: distinct (left_id, right_id) entity pairs sharing
+    * a fingerprint value held by between `minEntities` and
+    * `maxEntities` distinct entities (tests/test_fingerprints.py uses
+    * `HAVING entities > 2`; the upper cutoff bounds the quadratic
+    * per-block pair blow-up, which is what makes this safe at 100 TB —
+    * pair generation is an equi-join on the block value, never a cross
+    * join).
+    */
+  def xrefBlocks(
+      fpx: DataFrame,
+      minEntities: Long = 2,
+      maxEntities: Long = 1000): DataFrame = {
+    val blocks = fpx.select(col("value"), col("entity_id")).distinct()
+    val sizes = blocks.groupBy(col("value"))
+      .agg(countDistinct(col("entity_id")).as("entities"))
+      .filter(col("entities") >= minEntities && col("entities") <= maxEntities)
+    val b = blocks.join(sizes.select("value"), Seq("value"))
+    val l = b.select(col("value"), col("entity_id").as("left_id"))
+    val r = b.select(col("value"), col("entity_id").as("right_id"))
+    l.join(r, Seq("value"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+  }
+
+  /** Canonical resolution by identical name fingerprint: every entity
+    * sharing a full-name fingerprint resolves to the lexicographically
+    * smallest member (the reference keeps this mapping as the
+    * `canonical_lookup` projection, engine.py:259). Returns
+    * (entity_id, canonical_id).
+    */
+  def canonicalizeByName(statements: DataFrame): DataFrame = {
+    val named = statements
+      .filter(col("prop_type") === "name")
+      .select(col("entity_id"),
+        Phonetics.fingerprint(col("value")).as("fp"))
+      .distinct()
+    named
+      .groupBy(col("fp"))
+      .agg(min(col("entity_id")).as("canonical_id"),
+        collect_set(col("entity_id")).as("members"))
+      .select(explode(col("members")).as("entity_id"), col("canonical_id"))
+      .distinct()
+  }
+}
