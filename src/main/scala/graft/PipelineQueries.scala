@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2 d/s/t/m blocks):
+  * deduplication, similarity search, text analysis, multimodal columns.
+  * Same oracle discipline as [[Queries]] — every SQL-expressible
+  * operator has a DuckDB twin with identical column aliases; hash-based
+  * operators use md5-derived hashes so both engines compute identical
+  * values (see Dedup.md5Hash60).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // -- DuckDB SQL fragments shared across oracles ---------------------
+
+  /** DuckDB: non-empty lowercase word list of `c`. */
+  private def duckWords(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), w -> w <> '')"
+
+  /** DuckDB: distinct word 3-shingle list of word-list column `ws`. */
+  private val duckShingles: String =
+    "CASE WHEN len(ws) >= 3 THEN list_distinct([array_to_string(ws[i:i+2], ' ') " +
+      "for i in range(1, len(ws)-1)]) ELSE [] END"
+
+  /** DuckDB twin of Dedup.md5Hash60. */
+  private def duckHash60(seed: String, x: String): String =
+    s"CAST(concat('0x', substr(md5(concat($seed, ':', $x)), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of Dedup.cosine over DOUBLE[] columns `a`, `b`. */
+  private def duckCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  // ===========================================================
+  // d-block: deduplication
+  // ===========================================================
+
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir))
+
+  val d1Sql: String =
+    """WITH h AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      |  FROM documents),
+      |c AS (SELECT content_hash, min(doc_id) AS canonical_doc_id,
+      |    COUNT(*) AS n_dups FROM h GROUP BY content_hash)
+      |SELECT doc_id, canonical_doc_id, content_hash, n_dups
+      |FROM h JOIN c USING (content_hash)""".stripMargin
+
+  def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), minJaccard = 0.9)
+
+  val d2Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, list_distinct(${duckWords("text")}) AS ws
+       |  FROM documents),
+       |sized AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n, ws FROM toks),
+       |ex AS (SELECT doc_id, source, n, unnest(ws) AS w FROM sized),
+       |pairs AS (
+       |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       |    l.n AS ln, r.n AS rn, COUNT(*) AS inter
+       |  FROM ex l JOIN ex r
+       |    ON l.source = r.source AND l.w = r.w AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT left_id, right_id,
+       |  round(CAST(inter AS DOUBLE) / CAST(ln + rn - inter AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(ln + rn - inter AS DOUBLE) >= 0.9""".stripMargin
+
+  def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), numHashes = 12, rowsPerBand = 2)
+
+  val d3Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |ok AS (SELECT * FROM toks WHERE len(ws) >= 3),
+       |sh AS (SELECT doc_id, $duckShingles AS shingles FROM ok),
+       |mh AS (
+       |  SELECT doc_id, s.seed AS seed,
+       |    min(${duckHash60("s.seed", "sg.s")}) AS h
+       |  FROM sh, UNNEST(shingles) AS sg(s),
+       |    (SELECT unnest(range(0, 12)) AS seed) s
+       |  GROUP BY doc_id, s.seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |    string_agg(CAST(h AS VARCHAR), '-' ORDER BY seed) AS key
+       |  FROM mh GROUP BY doc_id, seed // 2)
+       |SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin
+
+  /** d4 — rows-only at the driver (hamming/simhash spec-tested). */
+  def d4DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir))
+
+  def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(emb(s, dir), minCos = 0.30)
+
+  val d5Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+       |  round(${duckCos("l.v", "r.v")}, 4) AS cos
+       |FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+       |WHERE round(${duckCos("l.v", "r.v")}, 4) >= 0.30""".stripMargin
+
+  // ===========================================================
+  // s-block: similarity search
+  // ===========================================================
+
+  def s1AnnBruteTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val s1Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${duckCos("qv", "v")} AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** s2 — rows-only at the driver (recall vs s1 spec-tested). */
+  def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, numPlanes = 8)
+  }
+
+  // ===========================================================
+  // t-block: text analysis
+  // ===========================================================
+
+  def t1LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir))
+
+  private def duckStopHits(lang: String): String = {
+    val list = TextAnalysis.stopwords.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"CAST(len(list_filter(ws, w -> list_contains($list, w))) AS BIGINT)"
+  }
+
+  val t1Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${duckWords("text")} AS ws FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    ${duckStopHits("en")} AS en_hits,
+       |    ${duckStopHits("de")} AS de_hits,
+       |    ${duckStopHits("es")} AS es_hits,
+       |    ${duckStopHits("fr")} AS fr_hits
+       |  FROM toks)
+       |SELECT doc_id, lang,
+       |  CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'und'
+       |       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS pred_lang,
+       |  en_hits, de_hits, es_hits, fr_hits
+       |FROM h""".stripMargin
+
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir))
+
+  val t2Sql: String = {
+    val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(ws, w -> list_contains($allStops, w))) AS BIGINT) AS stop_hits,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS char_sum
+       |  FROM toks)
+       |SELECT doc_id, n_chars_m, n_words, n_punct,
+       |  round(CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END, 6) AS punct_ratio,
+       |  round(CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END, 6) AS stopword_ratio,
+       |  round(CASE WHEN n_words > 0 THEN CAST(char_sum AS DOUBLE) / n_words ELSE 0.0 END, 6) AS avg_word_len
+       |FROM m""".stripMargin
+  }
+
+  def t3TokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCount(docs(s, dir))
+
+  val t3Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${duckWords("text")}) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  def t4DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docFingerprint(docs(s, dir))
+
+  val t4Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents),
+       |sh AS (SELECT doc_id, text, $duckShingles AS shingles FROM toks)
+       |SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       |  CASE WHEN len(shingles) > 0
+       |    THEN list_min(list_transform(shingles, s -> md5(s)))
+       |    ELSE NULL END AS min_shingle_hash
+       |FROM sh""".stripMargin
+
+  // ===========================================================
+  // m-block: multimodal columns
+  // ===========================================================
+
+  def m1BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryMeta(docs(s, dir))
+
+  val m1Sql: String =
+    """SELECT doc_id, source AS media_type,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_hash,
+      |  lower(hex(substr(text, 1, 8))) AS head_hex
+      |FROM documents""".stripMargin
+
+  /** m2 — rows-only at the driver (chunk geometry spec-tested). */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(docs(s, dir), frameBytes = 64, stride = 4)
+
+  // ===========================================================
+  // Registry
+  // ===========================================================
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_dedup_ngram_jaccard" -> (d2DedupNgramJaccard _),
+    "d3_dedup_minhash_lsh" -> (d3DedupMinhashLsh _),
+    "d4_dedup_simhash" -> (d4DedupSimhash _),
+    "d5_dedup_embedding" -> (d5DedupEmbedding _),
+    "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "t1_lang_id" -> (t1LangId _),
+    "t2_quality_score" -> (t2QualityScore _),
+    "t3_token_count" -> (t3TokenCount _),
+    "t4_doc_fingerprint" -> (t4DocFingerprint _),
+    "m1_binary_meta" -> (m1BinaryMeta _),
+    "m2_frame_sample" -> (m2FrameSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" -> d1Sql,
+    "d2_dedup_ngram_jaccard" -> d2Sql,
+    "d3_dedup_minhash_lsh" -> d3Sql,
+    "d5_dedup_embedding" -> d5Sql,
+    "s1_ann_brute_topk" -> s1Sql,
+    "t1_lang_id" -> t1Sql,
+    "t2_quality_score" -> t2Sql,
+    "t3_token_count" -> t3Sql,
+    "t4_doc_fingerprint" -> t4Sql,
+    "m1_binary_meta" -> m1Sql
+  )
+}

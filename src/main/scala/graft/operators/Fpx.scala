@@ -58,16 +58,22 @@ object Fpx {
       fpx: DataFrame,
       minEntities: Long = 2,
       maxEntities: Long = 1000): DataFrame = {
-    val blocks = fpx.select(col("value"), col("entity_id")).distinct()
-    val sizes = blocks.groupBy(col("value"))
-      .agg(countDistinct(col("entity_id")).as("entities"))
-      .filter(col("entities") >= minEntities && col("entities") <= maxEntities)
-    val b = blocks.join(sizes.select("value"), Seq("value"))
-    val l = b.select(col("value"), col("entity_id").as("left_id"))
-    val r = b.select(col("value"), col("entity_id").as("right_id"))
-    l.join(r, Seq("value"))
-      .filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"))
+    // One hash-aggregate builds the sorted distinct member set per block
+    // (map-side combine keeps the shuffle narrow), then the pair
+    // expansion is a pure expression — no self-join, no second pass over
+    // the fpx table. The maxEntities cutoff bounds the quadratic
+    // per-block expansion (worst row = maxEntities²/2 structs), which is
+    // the skew guard that keeps this linear-ish at 100 TB.
+    val blocks = fpx.groupBy(col("value"))
+      .agg(sort_array(collect_set(col("entity_id"))).as("ids"))
+      .filter(size(col("ids")).between(minEntities, maxEntities))
+    blocks
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS left_id, y AS right_id))))""".stripMargin
+      )).as("p"))
+      .select(col("p.left_id"), col("p.right_id"))
       .distinct()
   }
 

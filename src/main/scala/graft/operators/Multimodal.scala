@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the pipeline
+  * as opaque `binary` columns with typed metadata beside them.
+  *
+  * The container has no image/audio codecs, so DECODE IS STUBBED: the
+  * "decode" of a frame is a deterministic fake (its md5). Everything
+  * Spark-side — schema, batch shape, partition-parallel frame
+  * explosion, metadata extraction — is real and tested. In production
+  * the stub body is replaced by a Pandas-UDF (`mapInPandas`) or JNI
+  * decoder with the SAME (doc_id, frame_idx, frame_bytes) → feature
+  * row contract.
+  */
+object Multimodal {
+
+  /** m1 — binary metadata extraction: payload length, content hash and
+    * a hex head — the cheap typed metadata a pipeline keeps next to an
+    * opaque media column. Input text is cast to binary to model the
+    * payload (testdata ships no real media).
+    */
+  def binaryMeta(documents: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    documents.select(
+      col("doc_id"),
+      col("source").as("media_type"),
+      octet_length(bin).cast("long").as("n_bytes"),
+      md5(bin).as("content_hash"),
+      lower(hex(substring(bin, 1, 8))).as("head_hex"))
+  }
+
+  /** m2 — deterministic frame sampling: the payload splits into
+    * fixed-size chunks ("frames"), every `stride`-th frame is kept, and
+    * each kept frame yields (frame_idx, frame_bytes, fake-decode
+    * features). The explode happens inside the scan partition — frames
+    * of one payload never shuffle.
+    */
+  def frameSample(
+      documents: DataFrame,
+      frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val bin = col("text").cast("binary")
+    val nFrames = ceil(octet_length(bin).cast("double") / frameBytes)
+      .cast("int")
+    documents
+      .select(col("doc_id"), bin.as("payload"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        // step the sequence by `stride` directly — never materializes
+        // the skipped frame indices
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        // STUB decode: a real pipeline maps frame -> features via
+        // mapInPandas/JNI; here the "feature" is the frame's md5.
+        md5(col("frame")).as("frame_feature"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteTopK` is the exact baseline: broadcast the (small) query set
+  * against the corpus, one window per query for top-k — the corpus is
+  * never shuffled by pair. `lshTopK` is the scale path: random-
+  * hyperplane signatures bucket the corpus so each query only scores
+  * its own bucket's candidates; recall vs the exact baseline is
+  * spec-tested.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component: a value in
+    * [-0.5, 0.5) derived from md5(plane:dim) — reproducible across
+    * runs and engines, no RNG state.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (Dedup.md5Hash60(concat(lit("plane-"), plane.cast("string")), dim.cast("string"))
+      .cast("double") / lit((1L << 60).toDouble)) - lit(0.5)
+
+  /** Sign-bit signature of a vector against `numPlanes` hyperplanes,
+    * packed into a long. Pure expression — computed in the scan.
+    */
+  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dotP = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1),
+            d => planeComponent(lit(p), d)),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotP >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }.reduce(_ + _)
+
+  /** s1 — exact brute-force cosine top-k. `queries` is expected to be
+    * small (broadcast); the corpus side streams through one scan and a
+    * per-query top-k window. At 100 TB the corpus never shuffles: the
+    * broadcast-nested-loop scores in the scan and the window reduces
+    * k·|queries| rows.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** s2 — LSH-bucketed ANN: corpus and queries are both signed against
+    * the same hyperplanes; each query scores only candidates sharing
+    * its bucket. Recall is tunable via numPlanes (fewer planes → bigger
+    * buckets → higher recall, more work). Multi-probe (hamming-1
+    * neighbors of the query signature) lifts recall without growing
+    * buckets.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"),
+      hyperplaneSignature(col("embedding"), numPlanes).as("bucket"))
+    // multi-probe: query probes its own bucket plus all hamming-1 buckets
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      hyperplaneSignature(col("embedding"), numPlanes).as("sig"))
+      .select(col("query_id"), col("qv"),
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(numPlanes - 1)),
+            p => Similarity.flipBit(col("sig"), p)))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** sig with bit `bit` flipped; 2^bit via pow (exact for bit < 53). */
+  private[operators] def flipBit(sig: Column, bit: Column): Column =
+    sig.bitwiseXOR(pow(lit(2.0), bit).cast("long"))
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch operators: the reference's
+  * materialized views (stats, fpx_freq — engine.py:204-236) update
+  * incrementally on insert; on Spark the same incremental semantics are
+  * watermarked streaming aggregations over the statement/event stream.
+  *
+  * st1 is the streaming twin of q14_events_time_bucket; st2 is the
+  * streaming face of ReplacingMerge (upsert dedup inside the watermark
+  * horizon); st3 is custom state: gap-based sessionization via
+  * flatMapGroupsWithState.
+  */
+object Streams {
+
+  /** st1 — event-time tumbling window aggregation with a watermark.
+    * State is bounded by the watermark: late events beyond it are
+    * dropped, closed windows are evicted — the property that keeps a
+    * 100 TB/day stream's state finite.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** st2 — streaming dedup on event_id within the watermark: the
+    * streaming face of ReplacingMergeTree upserts (duplicate deliveries
+    * collapse; state for ids older than the watermark is evicted).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+  /** st3 — gap-based sessionization: per-user sessions close after
+    * `gapMs` of event-time silence and are emitted exactly once (on
+    * event-time timeout). Custom state via flatMapGroupsWithState —
+    * state is one small record per active user, evicted at timeout.
+    */
+  def sessionize(events: Dataset[Evt], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.end, s.n, s.sum))
+          } else {
+            val evts = it.toSeq
+            val mn = evts.map(_.ts.getTime).min
+            val mx = evts.map(_.ts.getTime).max
+            val sm = evts.map(_.value).sum
+            val merged = state.getOption
+              .map(s => SessionState(math.min(s.start, mn),
+                math.max(s.end, mx), s.n + evts.size, s.sum + sm))
+              .getOrElse(SessionState(mn, mx, evts.size.toLong, sm))
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the LLM-pipeline operator blocks (SURVEY.md §2 d/s/t/m)
+  * on sf0.001 plus targeted synthetic cases for the semantics the
+  * driver's rows-only gate doesn't hash-check.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("d1 exact dedup: identical normalized texts share a canonical id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World", "s"), (2L, "hello world", "s"), (3L, "other", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.exact(df).collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 3L)
+  }
+
+  test("d2 jaccard: identical docs score 1.0, disjoint docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y z", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.ngramJaccard(df, 0.5).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+    assert(rows(0).getDouble(2) == 1.0)
+  }
+
+  test("d3 minhash-lsh: exact duplicates always collide; has candidates on sf") {
+    import spark.implicits._
+    val dup = Seq(
+      (1L, "one two three four five six", "s"),
+      (2L, "one two three four five six", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.minhashLsh(dup).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(Dedup.minhashLsh(docs).count() >= 0) // runs end-to-end on sf
+  }
+
+  test("d4 simhash: equal texts equal signatures; near texts near hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) == sig(2L))
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("d5 embedding near-dup: identical vectors cos=1, orthogonal absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Dedup.embeddingNearDup(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0))) // label blocks 1-4 pairing
+  }
+
+  test("s1 brute top-k: self excluded, ranks contiguous, cos descending") {
+    val out = PipelineQueries.s1AnnBruteTopk(spark, sf)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).toSeq == (1L to rs.length))
+      assert(rs.forall(_.getLong(1) != q))
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("s2 lsh ann: recall@5 vs s1 is sane and output shape matches") {
+    val exact = PipelineQueries.s1AnnBruteTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = PipelineQueries.s2AnnLsh(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.0, s"LSH found none of the exact top-k ($recall)")
+  }
+
+  test("t1 lang-id is deterministic and covers every doc") {
+    val out = TextAnalysis.langId(docs).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => Set("en", "de", "es", "fr", "und")(r.getString(2))))
+  }
+
+  test("t2 quality ratios bounded") {
+    val bad = TextAnalysis.qualityScore(docs)
+      .filter(col("punct_ratio") < 0 || col("punct_ratio") > 1 ||
+        col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("avg_word_len") < 0)
+    assert(bad.count() == 0)
+  }
+
+  test("t3 token counts: known sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(df).collect()(0)
+    assert(r.getLong(1) == 4) // ws tokens
+    assert(r.getLong(2) == 7) // Hello , world ! 4 2 times
+  }
+
+  test("t4 fingerprint stable under whitespace changes") {
+    import spark.implicits._
+    val df = Seq((1L, "a b  c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.docFingerprint(df).collect()
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(2) == out(1).getString(2))
+  }
+
+  test("m1 binary meta: byte length equals char length for ascii") {
+    val out = Multimodal.binaryMeta(docs)
+      .join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")))
+    assert(out.count() == 0)
+  }
+
+  test("m2 frame sampling: geometry is exact") {
+    import spark.implicits._
+    val text = "x" * 300 // 300 bytes → frames 0..4 of 64B; kept: 0, 4
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(df, frameBytes = 64, stride = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 4L))
+    assert(out(0).getLong(2) == 64) // full frame
+    assert(out(1).getLong(2) == 300 - 4 * 64) // tail frame = 44 bytes
+  }
+}

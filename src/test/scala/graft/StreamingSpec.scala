@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Structured-Streaming specs (SURVEY.md §2 st-block) driven through
+  * MemoryStream micro-batches: watermarked tumbling aggregation,
+  * within-watermark dedup, and stateful sessionization.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("st1 windowed counts aggregate by tumbling event-time window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedCounts(df, watermark = "5 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("st1_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(3), "b", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the 10:00 window
+      in.addData((ts(30), "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("st1_out")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("st2 duplicate event ids collapse within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val q = Streams.dedupStream(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("st2_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, ts(1), "a"), (1L, ts(2), "a"), (2L, ts(3), "b"))
+      q.processAllAvailable()
+      in.addData((1L, ts(4), "a"), (3L, ts(5), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("st2_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("st3 sessionization closes a session after the gap and emits once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streams.Evt]
+    val q = Streams.sessionize(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("st3_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Streams.Evt(7L, ts(1), 1.0), Streams.Evt(7L, ts(3), 2.0))
+      q.processAllAvailable()
+      // event far past the gap + watermark closes user 7's session
+      in.addData(Streams.Evt(8L, ts(40), 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.Evt(8L, ts(59), 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("st3_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      assert(sessions.contains((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
