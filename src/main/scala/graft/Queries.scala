@@ -544,6 +544,158 @@ object Queries {
   }
 
   // ===========================================================
+  // ftmq Query surface: EntityQuery / adjacency / country stats
+  // ===========================================================
+
+  import graft.operators.{Adjacency, EntityQuery}
+
+  /** Statement set with entity-type edges: nations are entities,
+    * customer/supplier statements include a `nation` prop of
+    * prop_type='entity' pointing at them — the FTM graph shape
+    * (interval/edge props in the reference's data model).
+    */
+  def graphStatements(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = Statements.unpivot(
+      t(s, dir, "nation"),
+      concat(lit("nation-"), $"n_nationkey"),
+      schema = "Nation", dataset = "tpch_graph",
+      Seq(PropSpec("name", "name", $"n_name")))
+    val cust = Statements.unpivot(
+      t(s, dir, "customer"),
+      concat(lit("customer-"), $"c_custkey"),
+      schema = "Customer", dataset = "tpch_graph",
+      Seq(
+        PropSpec("name", "name", $"c_name"),
+        PropSpec("mktsegment", "string", $"c_mktsegment"),
+        PropSpec("acctbal", "number", $"c_acctbal"),
+        PropSpec("nation", "entity", concat(lit("nation-"), $"c_nationkey"))))
+    val supp = Statements.unpivot(
+      t(s, dir, "supplier"),
+      concat(lit("supplier-"), $"s_suppkey"),
+      schema = "Supplier", dataset = "tpch_graph",
+      Seq(
+        PropSpec("name", "name", $"s_name"),
+        PropSpec("acctbal", "number", $"s_acctbal"),
+        PropSpec("nation", "entity", concat(lit("nation-"), $"s_nationkey"))))
+    nation.unionAll(cust).unionAll(supp)
+  }
+
+  /** DuckDB twin of [[graphStatements]]. */
+  private val graphCte: String = {
+    def sel(eid: String, schema: String, prop: String, ptype: String,
+        value: String, from: String) =
+      s"""SELECT $eid AS entity_id, $eid AS canonical_id, '$schema' AS "schema",
+         |  'tpch_graph' AS dataset, '$prop' AS prop, '$ptype' AS prop_type,
+         |  CAST($value AS VARCHAR) AS value FROM $from""".stripMargin
+    val parts = Seq(
+      sel("'nation-' || n_nationkey", "Nation", "name", "name", "n_name", "nation"),
+      sel("'customer-' || c_custkey", "Customer", "name", "name", "c_name", "customer"),
+      sel("'customer-' || c_custkey", "Customer", "mktsegment", "string", "c_mktsegment", "customer"),
+      sel("'customer-' || c_custkey", "Customer", "acctbal", "number", "c_acctbal", "customer"),
+      sel("'customer-' || c_custkey", "Customer", "nation", "entity", "'nation-' || c_nationkey", "customer"),
+      sel("'supplier-' || s_suppkey", "Supplier", "name", "name", "s_name", "supplier"),
+      sel("'supplier-' || s_suppkey", "Supplier", "acctbal", "number", "s_acctbal", "supplier"),
+      sel("'supplier-' || s_suppkey", "Supplier", "nation", "entity", "'nation-' || s_nationkey", "supplier"))
+    s"""WITH gs AS (
+       |${parts.mkString("\nUNION ALL\n")}
+       |)""".stripMargin
+  }
+
+  /** f12 — the fluent ftmq-style query: dataset+schema filter, two
+    * where-comparators (string semantics, as in the reference's
+    * `value String` column), order_by a prop, slice. One conditional
+    * aggregation computes all clause flags + the sort key.
+    */
+  def f12EntityQuery(s: SparkSession, dir: String): DataFrame =
+    EntityQuery(graphStatements(s, dir))
+      .dataset("tpch_graph").schema("Customer")
+      .where("mktsegment", "eq", "BUILDING")
+      .where("acctbal", "gte", "5000")
+      .orderByProp("acctbal", desc = true)
+      .slice(5, 20)
+      .entities()
+
+  val f12Sql: String =
+    s"""$graphCte,
+       |sel AS (
+       |  SELECT canonical_id,
+       |    min(CASE WHEN prop = 'acctbal' THEN value END) AS ord
+       |  FROM gs WHERE dataset = 'tpch_graph' AND "schema" = 'Customer'
+       |  GROUP BY canonical_id
+       |  HAVING max(CASE WHEN prop = 'mktsegment' AND value = 'BUILDING' THEN 1 ELSE 0 END) = 1
+       |     AND max(CASE WHEN prop = 'acctbal' AND value >= '5000' THEN 1 ELSE 0 END) = 1),
+       |asm AS (
+       |  SELECT g.canonical_id, "schema", dataset,
+       |    string_agg(prop || '=' || value, '|' ORDER BY prop || '=' || value) AS entity,
+       |    COUNT(*) AS n_statements
+       |  FROM gs g JOIN sel USING (canonical_id)
+       |  WHERE dataset = 'tpch_graph' AND "schema" = 'Customer'
+       |  GROUP BY g.canonical_id, "schema", dataset)
+       |SELECT canonical_id, "schema", dataset, entity, n_statements
+       |FROM asm JOIN sel USING (canonical_id)
+       |ORDER BY ord DESC, canonical_id LIMIT 20 OFFSET 5""".stripMargin
+
+  /** f13 — adjacency (get_adjacent/get_inverted): all edges touching
+    * Nation entities, both directions.
+    */
+  def f13Adjacent(s: SparkSession, dir: String): DataFrame =
+    Adjacency.adjacent(graphStatements(s, dir), "Nation")
+
+  val f13Sql: String =
+    s"""$graphCte,
+       |edges AS (SELECT * FROM gs WHERE prop_type = 'entity'),
+       |targets AS (SELECT DISTINCT entity_id FROM gs WHERE "schema" = 'Nation')
+       |SELECT entity_id, prop, value AS adjacent_id, 'out' AS direction
+       |FROM edges WHERE entity_id IN (SELECT entity_id FROM targets)
+       |UNION ALL
+       |SELECT value AS entity_id, prop, entity_id AS adjacent_id, 'in' AS direction
+       |FROM edges WHERE value IN (SELECT entity_id FROM targets)""".stripMargin
+
+  /** f14 — country stats (reference dataset stats expose per-country
+    * entity counts): entities + statements per referenced nation.
+    */
+  def f14CountryStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graphStatements(s, dir)
+      .filter($"prop" === "nation")
+      .groupBy($"value".as("country"))
+      .agg(countDistinct($"canonical_id").as("entities"),
+        count(lit(1)).as("statements"))
+  }
+
+  val f14Sql: String =
+    s"""$graphCte
+       |SELECT value AS country, COUNT(DISTINCT canonical_id) AS entities,
+       |  COUNT(*) AS statements
+       |FROM gs WHERE prop = 'nation' GROUP BY value""".stripMargin
+
+  /** f15 — query-scoped aggregation: ftmq
+    * `aggregate("sum", "acctbal", groups="nation")` over a filtered
+    * entity set (test_store.py:171-236).
+    */
+  def f15QueryAgg(s: SparkSession, dir: String): DataFrame =
+    EntityQuery(graphStatements(s, dir))
+      .dataset("tpch_graph").schema("Customer")
+      .where("mktsegment", "eq", "BUILDING")
+      .aggregateProp("sum", "acctbal", groupByProp = Some("nation"))
+
+  val f15Sql: String =
+    s"""$graphCte,
+       |sel AS (
+       |  SELECT canonical_id
+       |  FROM gs WHERE dataset = 'tpch_graph' AND "schema" = 'Customer'
+       |  GROUP BY canonical_id
+       |  HAVING max(CASE WHEN prop = 'mktsegment' AND value = 'BUILDING' THEN 1 ELSE 0 END) = 1),
+       |scoped AS (SELECT g.* FROM gs g JOIN sel USING (canonical_id)
+       |  WHERE dataset = 'tpch_graph' AND "schema" = 'Customer'),
+       |vals AS (SELECT canonical_id, CAST(value AS DOUBLE) AS v
+       |  FROM scoped WHERE prop = 'acctbal'),
+       |gv AS (SELECT canonical_id, value AS g FROM scoped WHERE prop = 'nation')
+       |SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum
+       |FROM vals JOIN gv USING (canonical_id) GROUP BY g""".stripMargin
+
+  // ===========================================================
   // Registry
   // ===========================================================
 
@@ -573,7 +725,11 @@ object Queries {
     "f8_xref_block" -> (f8XrefBlock _),
     "f9_soundex" -> (f9Soundex _),
     "f10_metaphone" -> (f10Metaphone _),
-    "f11_canonical_lookup" -> (f11CanonicalLookup _)
+    "f11_canonical_lookup" -> (f11CanonicalLookup _),
+    "f12_entity_query" -> (f12EntityQuery _),
+    "f13_adjacent" -> (f13Adjacent _),
+    "f14_country_stats" -> (f14CountryStats _),
+    "f15_query_agg" -> (f15QueryAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,6 +756,10 @@ object Queries {
     "f6_fpx_table" -> f6Sql,
     "f7_fpx_freq" -> f7Sql,
     "f8_xref_block" -> f8Sql,
-    "f11_canonical_lookup" -> f11Sql
+    "f11_canonical_lookup" -> f11Sql,
+    "f12_entity_query" -> f12Sql,
+    "f13_adjacent" -> f13Sql,
+    "f14_country_stats" -> f14Sql,
+    "f15_query_agg" -> f15Sql
   )
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Adjacency, EntityQuery}
+
+/** Specs for the fluent ftmq-style query surface (f12-f15). */
+class EntityQuerySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def stmts = {
+    import spark.implicits._
+    Seq(
+      // (entity, canonical, schema, dataset, prop, prop_type, value)
+      ("e1", "e1", "Person", "ds", "name", "name", "Alice Smith"),
+      ("e1", "e1", "Person", "ds", "country", "string", "de"),
+      ("e1", "e1", "Person", "ds", "amount", "number", "300"),
+      ("e2", "e2", "Person", "ds", "name", "name", "Bob Jones"),
+      ("e2", "e2", "Person", "ds", "country", "string", "fr"),
+      ("e2", "e2", "Person", "ds", "amount", "number", "500"),
+      ("e3", "e3", "Company", "ds", "name", "name", "Acme Agency"),
+      ("e3", "e3", "Company", "ds", "owner", "entity", "e1"))
+      .toDF("entity_id", "canonical_id", "schema", "dataset", "prop",
+        "prop_type", "value")
+  }
+
+  test("where clauses AND; comparators filter entities not statements") {
+    val out = EntityQuery(stmts).schema("Person")
+      .where("country", "in", "de", "fr")
+      .where("amount", "gte", "400")
+      .entities().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("e2"))
+    // the assembled entity still carries ALL props of e2
+    assert(out(0).getString(3).contains("name=Bob Jones"))
+  }
+
+  test("search matches any value, case-insensitive") {
+    val out = EntityQuery(stmts).search("AGENCY").entities().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("e3"))
+  }
+
+  test("orderByProp desc with slice") {
+    val out = EntityQuery(stmts).schema("Person")
+      .orderByProp("amount", desc = true).slice(0, 1).entities().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("e2"))
+  }
+
+  test("aggregateProp sums over the selected entity set") {
+    val out = EntityQuery(stmts).schema("Person")
+      .aggregateProp("sum", "amount").collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 800.0)
+  }
+
+  test("adjacency emits both directions") {
+    val out = Adjacency.adjacent(stmts, "Person").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(out == Set(("e1", "e3", "in"))) // e3's owner edge points at e1
+    val outC = Adjacency.adjacent(stmts, "Company").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(outC == Set(("e3", "e1", "out")))
+  }
+}
