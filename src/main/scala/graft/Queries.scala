@@ -695,6 +695,39 @@ object Queries {
        |SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum
        |FROM vals JOIN gv USING (canonical_id) GROUP BY g""".stripMargin
 
+  /** f16 — FTM entity JSONL ingest round-trip: customer rows rendered
+    * as FTM entity JSON, re-read through the schema-first JSON scan +
+    * double explode, must reproduce the exact statement rows the
+    * oracle derives relationally. Exercises the reference's actual
+    * write path format (store.py:54-60).
+    */
+  def f16FtmJsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.FtmJson
+    val path = "/tmp/graft_ftm_ingest_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val entities = t(s, dir, "customer").select(
+      concat(lit("customer-"), $"c_custkey").as("id"),
+      lit("Customer").as("schema"),
+      array(lit("tpch_customers")).as("datasets"),
+      map(
+        lit("name"), array($"c_name".cast("string")),
+        lit("mktsegment"), array($"c_mktsegment".cast("string")),
+        lit("nationkey"), array($"c_nationkey".cast("string")),
+        lit("acctbal"), array($"c_acctbal".cast("string"))).as("properties"))
+    FtmJson.writeEntities(entities, path)
+    FtmJson.statements(s, path, Map(
+      "name" -> "name", "mktsegment" -> "string",
+      "nationkey" -> "number", "acctbal" -> "number"))
+      .select($"entity_id", $"canonical_id", $"schema", $"dataset",
+        $"prop", $"prop_type", $"value")
+  }
+
+  val f16Sql: String =
+    s"""$stmtsCte
+       |SELECT entity_id, canonical_id, "schema", dataset, prop, prop_type, value
+       |FROM statements WHERE dataset = 'tpch_customers'""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
@@ -729,7 +762,8 @@ object Queries {
     "f12_entity_query" -> (f12EntityQuery _),
     "f13_adjacent" -> (f13Adjacent _),
     "f14_country_stats" -> (f14CountryStats _),
-    "f15_query_agg" -> (f15QueryAgg _)
+    "f15_query_agg" -> (f15QueryAgg _),
+    "f16_ftm_json_ingest" -> (f16FtmJsonIngest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -760,6 +794,7 @@ object Queries {
     "f12_entity_query" -> f12Sql,
     "f13_adjacent" -> f13Sql,
     "f14_country_stats" -> f14Sql,
-    "f15_query_agg" -> f15Sql
+    "f15_query_agg" -> f15Sql,
+    "f16_ftm_json_ingest" -> f16Sql
   )
 }

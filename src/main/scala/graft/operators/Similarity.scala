@@ -45,12 +45,15 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"))
+      col("embedding").as("qv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"))
+      col("embedding").as("cv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -75,18 +78,21 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"),
       hyperplaneSignature(col("embedding"), numPlanes).as("bucket"))
     // multi-probe: query probes its own bucket plus all hamming-1 buckets
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"),
       hyperplaneSignature(col("embedding"), numPlanes).as("sig"))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("qn"),
         explode(concat(array(col("sig")),
           transform(sequence(lit(0), lit(numPlanes - 1)),
             p => Similarity.flipBit(col("sig"), p)))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Statements
+import graft.sources.{FtmJson, StatementStore}
+
+/** Specs for the storage layer: bucketed statement store with FINAL
+  * semantics (shuffle-free by construction) and FTM JSONL ingest.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Drop from the catalog AND the filesystem: the in-memory catalog
+    * forgets tables between JVMs but their warehouse dirs persist.
+    */
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Seq(name, name + "_compacted").foreach { n =>
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$n")
+      if (dir.exists()) {
+        dir.listFiles().foreach { f =>
+          if (f.isDirectory) f.listFiles().foreach(_.delete())
+          f.delete()
+        }
+        dir.delete()
+      }
+    }
+  }
+
+  private def sampleStatements = {
+    import spark.implicits._
+    Seq(
+      // id, entity_id, canonical_id, prop, prop_type, schema, value, dataset, last_seen
+      ("s1", "e1", "e1", "name", "name", "Person", "Alice", "ds1", ts("2026-01-01 00:00:00")),
+      // superseded then updated value for the same key ⇒ FINAL keeps s2's row
+      ("s2", "e1", "e1", "country", "string", "Person", "de", "ds1", ts("2026-01-01 00:00:00")),
+      ("s2", "e1", "e1", "country", "string", "Person", "de", "ds1", ts("2026-02-01 00:00:00")),
+      ("s3", "e2", "e2", "name", "name", "Person", "Bob", "ds1", ts("2026-01-01 00:00:00")))
+      .toDF("id", "entity_id", "canonical_id", "prop", "prop_type",
+        "schema", "value", "dataset", "last_seen")
+  }
+
+  test("statement store: FINAL collapses duplicate keys to max last_seen") {
+    dropTable("stmt_spec")
+    StatementStore.append(sampleStatements, "stmt_spec", buckets = 4)
+    val raw = StatementStore.read(spark, "stmt_spec")
+    assert(raw.count() == 4)
+    val fin = StatementStore.readFinal(spark, "stmt_spec")
+    assert(fin.count() == 3)
+    val country = fin.filter(col("prop") === "country").collect()(0)
+    assert(country.getAs[Timestamp]("last_seen") == ts("2026-02-01 00:00:00"))
+  }
+
+  test("bucketed store: FINAL + entity assembly run without any Exchange") {
+    dropTable("stmt_spec2")
+    StatementStore.append(sampleStatements, "stmt_spec2", buckets = 4)
+    val plan = Statements.assemble(StatementStore.readFinal(spark, "stmt_spec2"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketing should elide every shuffle, got:\n$plan")
+  }
+
+  test("compact rewrites the table deduplicated") {
+    dropTable("stmt_spec3")
+    StatementStore.append(sampleStatements, "stmt_spec3", buckets = 4)
+    StatementStore.compact(spark, "stmt_spec3", buckets = 4)
+    assert(StatementStore.read(spark, "stmt_spec3").count() == 3)
+  }
+
+  test("ftm jsonl round-trip preserves statement rows") {
+    import spark.implicits._
+    val entities = Seq(
+      ("p1", "Person", Seq("dsx"), Map("name" -> Seq("Ann", "Annie"), "country" -> Seq("fr"))))
+      .toDF("id", "schema", "datasets", "properties")
+    FtmJson.writeEntities(entities, "/tmp/graft_ftm_spec")
+    val stmts = FtmJson.statements(spark, "/tmp/graft_ftm_spec",
+      Map("name" -> "name")).collect()
+    assert(stmts.length == 3)
+    val byProp = stmts.groupBy(_.getAs[String]("prop"))
+    assert(byProp("name").map(_.getAs[String]("value")).toSet == Set("Ann", "Annie"))
+    assert(byProp("name").head.getAs[String]("prop_type") == "name")
+    assert(byProp("country").head.getAs[String]("prop_type") == "string")
+  }
+}
