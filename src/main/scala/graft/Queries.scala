@@ -532,15 +532,18 @@ object Queries {
   }
 
   /** f10 — metaphone codes of name-fingerprint tokens (phonetic.py:43).
-    * Rows-only at the driver; exact values spec-tested.
+    * Rows-only at the driver; exact values spec-tested. Uses the native
+    * codegen'd [[graft.functions.MetaphoneExpression]] (not a UDF) so
+    * the whole projection stays in whole-stage codegen.
     */
   def f10Metaphone(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.MetaphoneExpression
     t(s, dir, "part")
       .select($"p_partkey", Phonetics.fingerprint($"p_name").as("fp"))
       .select($"p_partkey",
         explode(split($"fp", " ")).as("tok"))
-      .select($"p_partkey", Phonetics.metaphoneUdf($"tok").as("metaphone"))
+      .select($"p_partkey", MetaphoneExpression.metaphone($"tok").as("metaphone"))
   }
 
   // ===========================================================
