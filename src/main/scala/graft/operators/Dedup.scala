@@ -97,14 +97,29 @@ object Dedup {
     * (lambda-captured subtrees aren't CSE'd across evaluations), which
     * measured ~20× slower.
     */
+  /** Mersenne prime 2^61-1: the affine-rehash modulus. */
+  val MinhashP: Long = 2305843009213693951L
+
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     aggregate(
       shingles,
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, sh) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => md5Hash60(i, sh)),
-        (a, h) => least(a, h)))
+      (acc, sh) => {
+        // ONE md5 per shingle; per-seed values come from an affine
+        // rehash (a_i·h32 + b_i mod 2^61-1, a universal-family member)
+        // of its low 32 bits — numHashes× less hashing on the scan
+        // path. a_i < 2^29 and odd keeps a·h < 2^61 inside BIGINT.
+        val h32 = md5Hash60(lit(0), sh) % lit(4294967296L)
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(numHashes - 1)), i => {
+            val a = ((i.cast("long") * lit(2654435761L) + lit(1L)) %
+              lit(536870912L)).bitwiseOR(lit(1L))
+            val b = i.cast("long") * lit(1000003L) + lit(12345L)
+            (a * h32 + b) % lit(MinhashP)
+          }),
+          (a, h) => least(a, h))
+      })
 
   /** Word 3-shingles (distinct, first-occurrence order).
     *
