@@ -84,9 +84,7 @@ object PipelineQueries {
        |sh AS (SELECT doc_id, $duckShingles AS shingles FROM ok),
        |mh AS (
        |  SELECT doc_id, s.seed AS seed,
-       |    min(((((s.seed * 2654435761 + 1) % 536870912) | 1)
-       |         * (${duckHash60("0", "sg.s")} % 4294967296)
-       |         + (s.seed * 1000003 + 12345)) % 2305843009213693951) AS h
+       |    min(${duckHash60("s.seed", "sg.s")}) AS h
        |  FROM sh, UNNEST(shingles) AS sg(s),
        |    (SELECT unnest(range(0, 12)) AS seed) s
        |  GROUP BY doc_id, s.seed),

@@ -97,29 +97,22 @@ object Dedup {
     * (lambda-captured subtrees aren't CSE'd across evaluations), which
     * measured ~20× slower.
     */
-  /** Mersenne prime 2^61-1: the affine-rehash modulus. */
-  val MinhashP: Long = 2305843009213693951L
-
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     aggregate(
       shingles,
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, sh) => {
-        // ONE md5 per shingle; per-seed values come from an affine
-        // rehash (a_i·h32 + b_i mod 2^61-1, a universal-family member)
-        // of its low 32 bits — numHashes× less hashing on the scan
-        // path. a_i < 2^29 and odd keeps a·h < 2^61 inside BIGINT.
-        val h32 = md5Hash60(lit(0), sh) % lit(4294967296L)
+      (acc, sh) =>
+        // Independent md5 per (seed, shingle). Cheaper double-hashing
+        // variants (h1 + s_i·h2 from digest slices) were measured to
+        // correlate per-seed argmins — a doc's jointly-small shingle
+        // wins every seed — which 3-4×'d the candidate set. Scan-side
+        // hashing is embarrassingly parallel; candidate inflation hits
+        // the shuffle/verify stages, so independence wins at scale.
         zip_with(
           acc,
-          transform(sequence(lit(0), lit(numHashes - 1)), i => {
-            val a = ((i.cast("long") * lit(2654435761L) + lit(1L)) %
-              lit(536870912L)).bitwiseOR(lit(1L))
-            val b = i.cast("long") * lit(1000003L) + lit(12345L)
-            (a * h32 + b) % lit(MinhashP)
-          }),
-          (a, h) => least(a, h))
-      })
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            i => md5Hash60(i, sh)),
+          (a, h) => least(a, h)))
 
   /** Word 3-shingles (distinct, first-occurrence order).
     *
