@@ -85,6 +85,26 @@ object Statements {
           "|").as("entity"),
         count(lit(1)).as("n_statements"))
 
+  /** Entity assembly returning the prop→sorted-values MAP (the API
+    * shape of `view.get_entity`); [[assemble]] is its hash-stable
+    * string twin for oracle gating.
+    */
+  def assembleMap(statements: DataFrame): DataFrame =
+    statements
+      .groupBy(col("canonical_id"), col("schema"), col("dataset"))
+      .agg(
+        array_sort(collect_list(struct(col("prop"), col("value"))))
+          .as("__e"),
+        count(lit(1)).as("n_statements"))
+      .select(col("canonical_id"), col("schema"), col("dataset"),
+        // prop → sorted values array; built from the aggregated entry
+        // array (an attribute, so the nested lambdas stay cheap)
+        expr("""map_from_entries(transform(
+          |  array_distinct(transform(__e, e -> e.prop)),
+          |  p -> struct(p, transform(filter(__e, e -> e.prop = p),
+          |              e -> e.value))))""".stripMargin).as("properties"),
+        col("n_statements"))
+
   /** Per (dataset, schema) statistics — the `..._stats` materialized
     * view (engine.py:204-220): distinct canonical entities + statement
     * counts. Partial aggregation (map-side combine) makes this one
@@ -95,5 +115,19 @@ object Statements {
       .groupBy(col("dataset"), col("schema"))
       .agg(
         countDistinct(col("canonical_id")).as("entities"),
+        count(lit(1)).as("statements"))
+
+  /** Sketch-based stats for the 100 TB path: exact countDistinct is a
+    * two-shuffle expansion (dataset, schema, canonical_id) before the
+    * merge; approx_count_distinct carries one HLL sketch per group
+    * through a single map-side-combined shuffle and is mergeable
+    * incrementally (the way the reference's stats MV accumulates
+    * countState).
+    */
+  def statsApprox(statements: DataFrame, rsd: Double = 0.02): DataFrame =
+    statements
+      .groupBy(col("dataset"), col("schema"))
+      .agg(
+        approx_count_distinct(col("canonical_id"), rsd).as("entities"),
         count(lit(1)).as("statements"))
 }

@@ -32,6 +32,7 @@ final case class EntityQuery(
     datasetF: Option[String] = None,
     schemaF: Option[String] = None,
     wheres: Seq[(String, String, Seq[String])] = Nil,
+    ids: Seq[(String, String)] = Nil,
     searchQ: Option[String] = None,
     order: Option[(String, Boolean)] = None,
     off: Int = 0,
@@ -39,6 +40,14 @@ final case class EntityQuery(
 
   def dataset(d: String): EntityQuery = copy(datasetF = Some(d))
   def schema(s: String): EntityQuery = copy(schemaF = Some(s))
+
+  /** Point filters — statement-level predicates, pushed to the scan
+    * (bucket-prunable when the store is bucketed by canonical_id).
+    */
+  def entityId(id: String): EntityQuery =
+    copy(ids = ids :+ ("entity_id" -> id))
+  def canonicalId(id: String): EntityQuery =
+    copy(ids = ids :+ ("canonical_id" -> id))
 
   /** comparator ∈ eq, gt, gte, lt, lte, in, startswith, like, ilike. */
   def where(prop: String, comparator: String, values: String*): EntityQuery =
@@ -71,6 +80,7 @@ final case class EntityQuery(
     var df = statements
     datasetF.foreach(d => df = df.filter(col("dataset") === d))
     schemaF.foreach(s => df = df.filter(col("schema") === s))
+    ids.foreach { case (c, v) => df = df.filter(col(c) === v) }
     df
   }
 

@@ -58,6 +58,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st4 streaming stats view updates incrementally (materialized-view twin)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // statements stream → per (dataset, schema) stats in update mode —
+    // the streaming face of the reference's stats MV (engine.py:204)
+    val in = MemoryStream[(String, String, String)]
+    val df = in.toDF().toDF("dataset", "schema", "canonical_id")
+    val agg = df.groupBy($"dataset", $"schema")
+      .agg(org.apache.spark.sql.functions.approx_count_distinct($"canonical_id")
+        .as("entities"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("statements"))
+    val q = agg.writeStream.format("memory").queryName("st4_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(("ds", "Person", "e1"), ("ds", "Person", "e1"),
+        ("ds", "Person", "e2"))
+      q.processAllAvailable()
+      in.addData(("ds", "Person", "e3"), ("ds", "Company", "c1"))
+      q.processAllAvailable()
+      val rows = spark.table("st4_out").collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(rows("Person") == ((3L, 4L))) // 3 entities, 4 statements
+      assert(rows("Company") == ((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("st3 sessionization closes a session after the gap and emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
