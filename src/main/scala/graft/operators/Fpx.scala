@@ -77,6 +77,18 @@ object Fpx {
       .distinct()
   }
 
+  /** The xref judgement store semantics (engine.py:181-203): candidate
+    * pairs carry (judgement, score, ts, user); re-judging a pair
+    * supersedes the old row — ReplacingMergeTree(ts) keyed on the pair.
+    * One window inside the (left_id, right_id) clustering; bucketed by
+    * pair key the shuffle is elided like the statement store's.
+    */
+  def latestJudgements(xref: DataFrame): DataFrame =
+    ReplacingMerge.latestByKey(
+      xref,
+      keys = Seq(col("left_id"), col("right_id")),
+      version = Seq(col("ts")))
+
   /** Canonical resolution by identical name fingerprint: every entity
     * sharing a full-name fingerprint resolves to the lexicographically
     * smallest member (the reference keeps this mapping as the

@@ -51,6 +51,19 @@ class EntityQuerySpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(1) == 800.0)
   }
 
+  test("xref judgements: latest ts wins per pair") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val xref = Seq(
+      ("a", "b", "no_judgement", 0.5, Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("a", "b", "positive", 0.9, Timestamp.valueOf("2026-02-01 00:00:00")),
+      ("a", "c", "negative", 0.1, Timestamp.valueOf("2026-01-15 00:00:00")))
+      .toDF("left_id", "right_id", "judgement", "score", "ts")
+    val out = graft.operators.Fpx.latestJudgements(xref).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("a", "b", "positive"), ("a", "c", "negative")))
+  }
+
   test("adjacency emits both directions") {
     val out = Adjacency.adjacent(stmts, "Person").collect()
       .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
