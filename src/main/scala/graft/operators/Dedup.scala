@@ -45,12 +45,14 @@ object Dedup {
     * materialization at all.
     */
   def exact(documents: DataFrame): DataFrame = {
-    val hashed = documents
+    // Windows over the hash instead of agg + join-back: ONE shuffle on
+    // content_hash and the scan is read once.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash"))
+    documents
       .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
-    val canon = hashed.groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("canonical_doc_id"),
-        count(lit(1)).cast("bigint").as("n_dups"))
-    hashed.join(canon, Seq("content_hash"))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .withColumn("n_dups", count(lit(1)).over(w))
       .select(col("doc_id"), col("canonical_doc_id"), col("content_hash"),
         col("n_dups"))
   }

@@ -57,6 +57,13 @@ object StatementStore {
       version = Seq(col("last_seen")))
   }
 
+  /** Drop one dataset — a partition-level metadata delete, the
+    * analogue of the reference's dataset drop (`engine.py` DROP of the
+    * dataset scope). No data rewrite for the surviving datasets.
+    */
+  def dropDataset(spark: SparkSession, table: String, dataset: String): Unit =
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (dataset = '$dataset')")
+
   /** Durable dedup — the OPTIMIZE TABLE ... FINAL DEDUPLICATE twin:
     * rewrite the table with FINAL applied.
     */

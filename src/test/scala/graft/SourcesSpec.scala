@@ -73,6 +73,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(StatementStore.read(spark, "stmt_spec3").count() == 3)
   }
 
+  test("dropDataset removes one partition, leaves the rest") {
+    import spark.implicits._
+    dropTable("stmt_spec4")
+    val two = sampleStatements.unionByName(
+      sampleStatements.withColumn("dataset", org.apache.spark.sql
+        .functions.lit("ds2")))
+    StatementStore.append(two, "stmt_spec4", buckets = 4)
+    assert(StatementStore.read(spark, "stmt_spec4").count() == 8)
+    StatementStore.dropDataset(spark, "stmt_spec4", "ds2")
+    val left = StatementStore.read(spark, "stmt_spec4")
+    assert(left.count() == 4)
+    assert(left.select("dataset").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ds1"))
+  }
+
   test("ftm jsonl round-trip preserves statement rows") {
     import spark.implicits._
     val entities = Seq(
