@@ -62,4 +62,23 @@ object Multimodal {
         // mapInPandas/JNI; here the "feature" is the frame's md5.
         md5(col("frame")).as("frame_feature"))
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+  final case class FrameFeature(
+      doc_id: Long, frame_idx: Long, feature: Array[Float])
+
+  /** The decoder extension point: batch-iterator over frames inside
+    * each partition — the exact contract a `mapInPandas` decoder or a
+    * JNI codec binding plugs into ((doc_id, frame_idx, bytes) batches
+    * in, feature rows out; frames of one payload never leave their
+    * partition). `decoder` is the STUB — the container ships no codecs;
+    * production swaps in the real decode without touching the plan.
+    */
+  def decodeFrames(frames: org.apache.spark.sql.Dataset[Frame])(
+      decoder: Array[Byte] => Array[Float]):
+      org.apache.spark.sql.Dataset[FrameFeature] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(it =>
+      it.map(f => FrameFeature(f.doc_id, f.frame_idx, decoder(f.frame))))
+  }
 }

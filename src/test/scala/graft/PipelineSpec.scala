@@ -132,6 +132,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("m2 decodeFrames: partition-local decode contract with stub decoder") {
+    import spark.implicits._
+    val frames = Seq(
+      Multimodal.Frame(1L, 0L, Array[Byte](1, 2, 3)),
+      Multimodal.Frame(1L, 4L, Array[Byte](4, 5)))
+      .toDS()
+    // deterministic fake decoder: byte histogram head
+    val out = Multimodal.decodeFrames(frames)(bs =>
+      Array(bs.length.toFloat, bs.headOption.getOrElse(0: Byte).toFloat))
+      .collect().sortBy(_.frame_idx)
+    assert(out(0).feature.toSeq == Seq(3f, 1f))
+    assert(out(1).feature.toSeq == Seq(2f, 4f))
+  }
+
   test("m2 frame sampling: geometry is exact") {
     import spark.implicits._
     val text = "x" * 300 // 300 bytes → frames 0..4 of 64B; kept: 0, 4

@@ -85,6 +85,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st5 streaming statement ingest lands in a table; FINAL dedups at read") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS st5_stmts")
+    val dir = new java.io.File("/tmp/graft_warehouse/st5_stmts")
+    if (dir.exists()) { dir.listFiles().foreach { f =>
+      if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() }
+      dir.delete() }
+    // (id, entity_id, canonical_id, prop, prop_type, schema, value, dataset, last_seen)
+    val in = MemoryStream[(String, String, String, String, String, String,
+      String, String, Timestamp)]
+    val df = in.toDF().toDF("id", "entity_id", "canonical_id", "prop",
+      "prop_type", "schema", "value", "dataset", "last_seen")
+    val q = df.writeStream.format("parquet")
+      .option("checkpointLocation", "/tmp/graft_warehouse/st5_ckpt_" +
+        System.nanoTime())
+      .toTable("st5_stmts")
+    try {
+      in.addData(
+        ("s1", "e1", "e1", "name", "name", "P", "Ann", "ds", ts(1)),
+        ("s1", "e1", "e1", "name", "name", "P", "Ann", "ds", ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("st5_stmts").count() == 2)
+      // FINAL on the streamed table: duplicate key collapses to max ts
+      val fin = graft.operators.ReplacingMerge.latestByKey(
+        spark.table("st5_stmts"),
+        keys = graft.sources.StatementStore.keyCols.map(
+          org.apache.spark.sql.functions.col),
+        version = Seq(org.apache.spark.sql.functions.col("last_seen")))
+      assert(fin.count() == 1)
+      assert(fin.collect()(0).getAs[Timestamp]("last_seen") == ts(2))
+    } finally q.stop()
+  }
+
   test("st3 sessionization closes a session after the gap and emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
