@@ -136,6 +136,16 @@ object PipelineQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, numPlanes = 8)
   }
 
+  /** s3 — IVF ANN with label-keyed coarse quantizer; rows-only at the
+    * driver (recall vs s1 spec-tested).
+    */
+  def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.centroids(e, col("label"))
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents,
+      k = 5, nProbe = 3)
+  }
+
   // ===========================================================
   // t-block: text analysis
   // ===========================================================
@@ -243,6 +253,7 @@ object PipelineQueries {
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_ann_ivf" -> (s3AnnIvf _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),

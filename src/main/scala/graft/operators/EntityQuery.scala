@@ -127,6 +127,14 @@ final case class EntityQuery(
     sliced.drop("__ord")
   }
 
+  /** Raw statements of the selected entities — the reference's
+    * `iterate`/statement export path: same selection plan, no
+    * assembly fold.
+    */
+  def statementsOut(): DataFrame =
+    base.join(selected.select("canonical_id"), Seq("canonical_id"),
+      "left_semi")
+
   /** Aggregate a numeric prop over the selected entities:
     * func ∈ sum, min, max, avg, count; optional grouping by another
     * prop's value (ftmq `aggregate(func, prop, groups=...)`,

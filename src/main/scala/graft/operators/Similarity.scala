@@ -106,4 +106,65 @@ object Similarity {
   /** sig with bit `bit` flipped; 2^bit via pow (exact for bit < 53). */
   private[operators] def flipBit(sig: Column, bit: Column): Column =
     sig.bitwiseXOR(pow(lit(2.0), bit).cast("long"))
+
+  /** Centroid builder for IVF: elementwise mean per partition key (a
+    * batch job, like training a coarse quantizer). posexplode →
+    * per-(key, dim) mean → re-assemble ordered arrays.
+    */
+  def centroids(embeddings: DataFrame, key: Column): DataFrame =
+    embeddings
+      .select(key.as("list_id"), posexplode(col("embedding")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+
+  /** s3 — IVF ANN: corpus vectors assign to their nearest centroid
+    * (one scan against the broadcast centroid table — the inverted
+    * lists); each query probes the `nProbe` nearest lists and scores
+    * only those lists' members. The 100 TB shape: the corpus is
+    * range-free — no global structure beyond the list id, assignment
+    * and search are both broadcast joins + one top-k window.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def best(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("d").desc, col("list_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("d", Dedup.cosine(col("embedding"), col("centroid")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+        .drop("centroid", "d", "r")
+    }
+    val assigned = best(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "neighbor_id", 1)
+      .select(col("list_id"), col("neighbor_id"),
+        col("embedding").as("cv"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
+    val probes = best(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", nProbe)
+      .select(col("list_id"), col("query_id"),
+        col("embedding").as("qv"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
 }

@@ -45,6 +45,13 @@ class EntityQuerySpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("e2"))
   }
 
+  test("statementsOut returns raw statements of the selection") {
+    val out = EntityQuery(stmts).schema("Person")
+      .where("country", "eq", "de").statementsOut().collect()
+    assert(out.length == 3) // all of e1's statements
+    assert(out.forall(_.getString(0) == "e1"))
+  }
+
   test("aggregateProp sums over the selected entity set") {
     val out = EntityQuery(stmts).schema("Person")
       .aggregateProp("sum", "amount").collect()

@@ -95,6 +95,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.0, s"LSH found none of the exact top-k ($recall)")
   }
 
+  test("s3 ivf ann: centroid count matches labels; recall vs s1 is sane") {
+    val cents = graft.operators.Similarity.centroids(emb, col("label"))
+    assert(cents.count() == emb.select("label").distinct().count())
+    val exact = PipelineQueries.s1AnnBruteTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = PipelineQueries.s3AnnIvf(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.0, s"IVF found none of the exact top-k ($recall)")
+  }
+
   test("t1 lang-id is deterministic and covers every doc") {
     val out = TextAnalysis.langId(docs).collect()
     assert(out.length == docs.count())
