@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Phonetics
+import graft.operators.{Dedup, ReplacingMerge}
+
+/** Property-based invariants (scalacheck). Spark-backed properties
+  * batch all generated rows into a single job per trial; pure-function
+  * properties run at full trial counts.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def check(p: Prop, minTests: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(wordGen, Gen.const(" "), Gen.const("-")))
+      .map(_.mkString(" "))
+
+  test("metaphone: deterministic, bounded, uppercase-alphabet output") {
+    check(Prop.forAll(textGen) { s =>
+      val m = Phonetics.metaphone(s)
+      m == Phonetics.metaphone(s) &&
+        m.length <= 9 && // 8 cap + possible final KS expansion
+        m.forall(c => (c >= 'A' && c <= 'Z') || c == '0')
+    })
+  }
+
+  test("fingerprint: idempotent, sorted, deduplicated (one batched job)") {
+    import spark.implicits._
+    val samples = Gen.listOfN(300, textGen).sample.get
+    val df = samples.toDF("s")
+      .select(Phonetics.fingerprint(col("s")).as("fp"))
+      .select(col("fp"), Phonetics.fingerprint(col("fp")).as("fp2"))
+    df.collect().foreach { r =>
+      val (fp, fp2) = (r.getString(0), r.getString(1))
+      assert(fp == fp2, s"not idempotent: '$fp' -> '$fp2'")
+      val toks = fp.split(" ").filter(_.nonEmpty)
+      assert(toks.sorted.sameElements(toks), s"not sorted: $fp")
+      assert(toks.distinct.length == toks.length, s"dupes: $fp")
+    }
+  }
+
+  test("replacing merge: exactly one survivor per key, with max version") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(200,
+      Gen.zip(Gen.choose(0, 20), Gen.choose(0, 50), Gen.choose(0L, 1000L)))
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.map { case (k, v, ver) => (k, v, ver) }
+        .toDF("k", "v", "ver")
+      val out = ReplacingMerge.latestByKey(df,
+        keys = Seq(col("k")), version = Seq(col("ver"), col("v")))
+        .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+      val expect = rows.groupBy(_._1)
+        .map { case (k, g) => k -> g.map(_._3).max }
+      out.keySet == expect.keySet &&
+        expect.forall { case (k, maxVer) => out(k) == maxVer }
+    }, minTests = 10)
+  }
+
+  test("exact dedup partitions docs by normalized text (one batched job)") {
+    import spark.implicits._
+    val texts = Gen.listOfN(100, Gen.oneOf(
+      "a b", "a  b", " a b ", "c", "c ", "d e f")).sample.get
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Dedup.exact(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // same hash ⇔ same canonical; canonical is the min doc_id of the group
+    rows.groupBy(_._3).foreach { case (_, g) =>
+      assert(g.map(_._2).distinct.length == 1)
+      assert(g.map(_._2).head == g.map(_._1).min)
+    }
+  }
+}

@@ -119,6 +119,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st6 incremental fpx_freq view over a statement stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the fpx derivation is stateless (filter + explode), so it lifts
+    // to streaming unchanged; freq is an update-mode aggregation —
+    // the incremental twin of the reference's fpx_freq MV
+    val in = MemoryStream[(String, String, String, String, String, String, String)]
+    val stmts = in.toDF().toDF("entity_id", "canonical_id", "schema",
+      "dataset", "prop", "prop_type", "value")
+    val freq = graft.operators.Fpx.freq(
+      graft.operators.Fpx.fromStatements(stmts))
+    val q = freq.writeStream.format("memory").queryName("st6_out")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        ("e1", "e1", "P", "ds", "name", "name", "Tchibo Holding"),
+        ("e2", "e2", "P", "ds", "name", "name", "Tchibo Holding AG"))
+      q.processAllAvailable()
+      val rows = spark.table("st6_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // shared long token blocks both entities
+      assert(rows("tchibo") == 2L)
+      assert(rows("holding") == 2L)
+      assert(rows("holding tchibo") == 1L)
+      assert(rows("ag holding tchibo") == 1L)
+    } finally q.stop()
+  }
+
   test("st3 sessionization closes a session after the gap and emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
