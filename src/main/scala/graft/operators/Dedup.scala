@@ -170,13 +170,11 @@ object Dedup {
     val buckets = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
+    // chained Generates — same rationale as Fpx.xrefBlocks
     buckets
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(x AS left_id, y AS right_id))))""".stripMargin
-      )).as("p"))
-      .select(col("p.left_id"), col("p.right_id"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "left_id")))
+      .select(col("left_id"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("right_id"))
       .distinct()
   }
 

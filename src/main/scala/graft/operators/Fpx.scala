@@ -67,13 +67,14 @@ object Fpx {
     val blocks = fpx.groupBy(col("value"))
       .agg(sort_array(collect_set(col("entity_id"))).as("ids"))
       .filter(size(col("ids")).between(minEntities, maxEntities))
+    // Two chained Generates instead of one interpreted
+    // flatten-of-nested-transforms: each explode streams pair rows out
+    // without materializing the block's full O(n²) pair array in one
+    // row, and Generate stays inside codegen.
     blocks
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(x AS left_id, y AS right_id))))""".stripMargin
-      )).as("p"))
-      .select(col("p.left_id"), col("p.right_id"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "left_id")))
+      .select(col("left_id"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("right_id"))
       .distinct()
   }
 
