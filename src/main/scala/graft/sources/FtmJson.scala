@@ -54,4 +54,18 @@ object FtmJson {
   def writeEntities(entities: DataFrame, path: String): Unit =
     entities.select(to_json(struct(entities.columns.map(col): _*)).as("j"))
       .write.mode("overwrite").text(path)
+
+  /** Export a statement table as FTM entity JSONL — assembly to the
+    * prop→values map shape, then one JSON object per canonical entity
+    * (the reference's entity iteration/export surface).
+    */
+  def exportEntities(statements: DataFrame, path: String): Unit = {
+    val entities = graft.model.Statements.assembleMap(statements)
+      .select(
+        col("canonical_id").as("id"),
+        col("schema"),
+        array(col("dataset")).as("datasets"),
+        col("properties"))
+    writeEntities(entities, path)
+  }
 }

@@ -20,7 +20,11 @@ import graft.operators.ReplacingMerge
   *
   * At 100 TB: one statement table is ~10^11 rows; with 4096 buckets a
   * per-entity operation touches one bucket file per partition, and
-  * bucket-pruned point lookups (canonical_id = X) read a single file.
+  * bucket-pruned point lookups (canonical_id = X) read a single file
+  * (for filter-only point lookups set
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` —
+  * the planner otherwise drops bucketed reading when no join/agg
+  * wants the partitioning).
   */
 object StatementStore {
 

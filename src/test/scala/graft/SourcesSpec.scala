@@ -73,6 +73,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(StatementStore.read(spark, "stmt_spec3").count() == 3)
   }
 
+  test("bucket pruning: a canonical_id point lookup reads one bucket") {
+    dropTable("stmt_spec5")
+    StatementStore.append(sampleStatements, "stmt_spec5", buckets = 4)
+    // filter-only plans need autoBucketedScan off, or the planner
+    // drops bucketed reading (and with it bucket pruning)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = StatementStore.read(spark, "stmt_spec5")
+        .filter(col("canonical_id") === "e1")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"expected single-bucket scan, got:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("dropDataset removes one partition, leaves the rest") {
     import spark.implicits._
     dropTable("stmt_spec4")
@@ -86,6 +103,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(left.count() == 4)
     assert(left.select("dataset").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("ds1"))
+  }
+
+  test("export → ingest round-trip preserves the entity") {
+    import spark.implicits._
+    val stmts = Seq(
+      ("e1", "e1", "Person", "ds", "name", "name", "Ann"),
+      ("e1", "e1", "Person", "ds", "name", "name", "Annie"),
+      ("e1", "e1", "Person", "ds", "country", "string", "fr"))
+      .toDF("entity_id", "canonical_id", "schema", "dataset", "prop",
+        "prop_type", "value")
+    FtmJson.exportEntities(stmts, "/tmp/graft_export_spec")
+    val back = FtmJson.statements(spark, "/tmp/graft_export_spec",
+      Map("name" -> "name"))
+    val rows = back.collect()
+      .map(r => (r.getAs[String]("prop"), r.getAs[String]("value"))).toSet
+    assert(rows == Set(("name", "Ann"), ("name", "Annie"), ("country", "fr")))
+    assert(back.select("schema").distinct().collect()(0).getString(0) == "Person")
   }
 
   test("ftm jsonl round-trip preserves statement rows") {
