@@ -325,6 +325,44 @@ object Queries {
     """SELECT p_brand, COUNT(*) AS n, COUNT(DISTINCT p_type) AS n_types
       |FROM part GROUP BY p_brand HAVING COUNT(*) > 3""".stripMargin
 
+  /** q16 — percentiles: exact linear-interpolation quantiles per group
+    * (the ClickHouse quantile* OLAP surface). Spark `percentile` and
+    * DuckDB `quantile_cont` share the (n-1)·p definition; rounded to
+    * absorb any last-bit interpolation drift.
+    */
+  def q16Percentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+  }
+
+  val q16Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q17 — rollup: subtotal hierarchy over (status, priority) — the
+    * multi-level aggregation shape of OLAP reporting.
+    */
+  def q17Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
   // ===========================================================
   // FTM statement-store semantics (SURVEY.md §2, f-block)
   // ===========================================================
@@ -751,6 +789,8 @@ object Queries {
     "q13_json_extract" -> (q13JsonExtract _),
     "q14_events_time_bucket" -> (q14EventsTimeBucket _),
     "q15_having" -> (q15Having _),
+    "q16_percentile" -> (q16Percentile _),
+    "q17_rollup" -> (q17Rollup _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -785,6 +825,8 @@ object Queries {
     "q13_json_extract" -> q13Sql,
     "q14_events_time_bucket" -> q14Sql,
     "q15_having" -> q15Sql,
+    "q16_percentile" -> q16Sql,
+    "q17_rollup" -> q17Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,
