@@ -363,6 +363,31 @@ object Queries {
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** q18 — RANGE-framed window: per-user rolling event-value sum over
+    * the trailing hour (event-time sliding aggregate, the batch face
+    * of a sliding-window stream).
+    */
+  def q18RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_timestamp($"ts"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .withColumn("rolling_1h",
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"event_id", $"user_id",
+        unix_timestamp($"ts").as("ts_sec"), $"rolling_1h")
+  }
+
+  val q18Sql: String =
+    """SELECT event_id, user_id,
+      |  epoch_ms(ts) // 1000 AS ts_sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+      |FROM events""".stripMargin
+
   // ===========================================================
   // FTM statement-store semantics (SURVEY.md §2, f-block)
   // ===========================================================
@@ -791,6 +816,7 @@ object Queries {
     "q15_having" -> (q15Having _),
     "q16_percentile" -> (q16Percentile _),
     "q17_rollup" -> (q17Rollup _),
+    "q18_range_window" -> (q18RangeWindow _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -827,6 +853,7 @@ object Queries {
     "q15_having" -> q15Sql,
     "q16_percentile" -> q16Sql,
     "q17_rollup" -> q17Sql,
+    "q18_range_window" -> q18Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,
