@@ -40,4 +40,21 @@ class QueriesSpec extends AnyFunSuite {
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every registry query executes deterministically on sf0.001") {
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val c1 = fn(spark, sf).count()
+        val c2 = fn(spark, sf).count()
+        assert(c1 == c2, s"$name: non-deterministic count $c1 vs $c2")
+        name -> c1
+    }.toMap
+    // every query yields rows on the smallest sf except genuinely
+    // selective ones
+    val mayBeEmpty = Set("q12_anti_join", "d2_dedup_ngram_jaccard",
+      "d3_dedup_minhash_lsh", "d5_dedup_embedding", "q5_search")
+    counts.foreach { case (name, c) =>
+      if (!mayBeEmpty(name)) assert(c > 0, s"$name returned 0 rows")
+    }
+  }
 }
