@@ -32,7 +32,8 @@ final case class EntityQuery(
     datasetF: Option[String] = None,
     schemaF: Option[String] = None,
     wheres: Seq[(String, String, Seq[String])] = Nil,
-    ids: Seq[(String, String)] = Nil,
+    ids: Seq[(String, String, String)] = Nil,
+    reverses: Seq[String] = Nil,
     searchQ: Option[String] = None,
     order: Option[(String, Boolean)] = None,
     off: Int = 0,
@@ -41,17 +42,25 @@ final case class EntityQuery(
   def dataset(d: String): EntityQuery = copy(datasetF = Some(d))
   def schema(s: String): EntityQuery = copy(schemaF = Some(s))
 
-  /** Point filters — statement-level predicates, pushed to the scan
-    * (bucket-prunable when the store is bucketed by canonical_id).
+  /** Point/prefix filters on the id columns — statement-level
+    * predicates, pushed to the scan (bucket-prunable on canonical_id
+    * when the store is bucketed). Mirrors ftmq `entity_id=`,
+    * `entity_id__startswith=` etc. (test_store.py:264-279).
     */
-  def entityId(id: String): EntityQuery =
-    copy(ids = ids :+ ("entity_id" -> id))
-  def canonicalId(id: String): EntityQuery =
-    copy(ids = ids :+ ("canonical_id" -> id))
+  def entityId(id: String, comparator: String = "eq"): EntityQuery =
+    copy(ids = ids :+ (("entity_id", comparator, id)))
+  def canonicalId(id: String, comparator: String = "eq"): EntityQuery =
+    copy(ids = ids :+ (("canonical_id", comparator, id)))
 
   /** comparator ∈ eq, gt, gte, lt, lte, in, startswith, like, ilike. */
   def where(prop: String, comparator: String, values: String*): EntityQuery =
     copy(wheres = wheres :+ ((prop, comparator, values.toSeq)))
+
+  /** Reverse lookup (`Query.where(reverse=id)`,
+    * test_store.py:241-255): entities having an entity-type prop
+    * pointing at `id`. Composes with every other clause.
+    */
+  def reverse(id: String): EntityQuery = copy(reverses = reverses :+ id)
 
   def search(needle: String): EntityQuery = copy(searchQ = Some(needle))
 
@@ -80,7 +89,7 @@ final case class EntityQuery(
     var df = statements
     datasetF.foreach(d => df = df.filter(col("dataset") === d))
     schemaF.foreach(s => df = df.filter(col("schema") === s))
-    ids.foreach { case (c, v) => df = df.filter(col(c) === v) }
+    ids.foreach { case (c, op, v) => df = df.filter(cmp(op, col(c), Seq(v))) }
     df
   }
 
@@ -95,15 +104,20 @@ final case class EntityQuery(
     val searchCol = searchQ.map(q =>
       max(when(lower(col("value")).contains(q.toLowerCase), 1)
         .otherwise(0)).as("__fs")).toSeq
+    val revCols = reverses.zipWithIndex.map { case (id, i) =>
+      max(when(col("prop_type") === "entity" && col("value") === id, 1)
+        .otherwise(0)).as(s"__r$i")
+    }
     val ordCol = order.map { case (prop, _) =>
       min(when(col("prop") === prop, col("value"))).as("__ord")
     }.toSeq
-    val aggs = flagCols ++ searchCol ++ ordCol
+    val aggs = flagCols ++ searchCol ++ revCols ++ ordCol
     val grouped =
       if (aggs.isEmpty) base.groupBy(col("canonical_id")).agg(count(lit(1)))
       else base.groupBy(col("canonical_id")).agg(aggs.head, aggs.tail: _*)
     val passed = (0 until wheres.size).map(i => col(s"__f$i") === 1) ++
-      searchQ.map(_ => col("__fs") === 1).toSeq
+      searchQ.map(_ => col("__fs") === 1).toSeq ++
+      (0 until reverses.size).map(i => col(s"__r$i") === 1)
     passed.foldLeft(grouped)((df, c) => df.filter(c))
   }
 
@@ -134,6 +148,35 @@ final case class EntityQuery(
   def statementsOut(): DataFrame =
     base.join(selected.select("canonical_id"), Seq("canonical_id"),
       "left_semi")
+
+  /** Stats over the query selection (`view.stats(q)`,
+    * test_store.py:128-143): per dataset/schema entity + statement
+    * counts of the selected entities.
+    */
+  def stats(): DataFrame = Statements.stats(statementsOut())
+
+  /** Multiple aggregates in one pass — ftmq
+    * `.aggregate("max", "date").aggregate("min", "date")`
+    * (test_store.py:169-171). Each (func, prop) becomes one
+    * conditional aggregate column in a single shuffle.
+    */
+  def aggregateProps(aggsIn: Seq[(String, String)]): DataFrame = {
+    val stmts = statementsOut()
+    val cols = aggsIn.map { case (func, prop) =>
+      val v = when(col("prop") === prop, col("value").cast("double"))
+      val c = func match {
+        case "sum" => sum(v.cast("decimal(18,2)")).cast("double")
+        case "min" => min(v)
+        case "max" => max(v)
+        case "avg" => sum(v.cast("decimal(18,2)")).cast("double") /
+          count(when(v.isNotNull, 1))
+        case "count" => count(when(v.isNotNull, 1)).cast("double")
+        case other => throw new IllegalArgumentException(s"func: $other")
+      }
+      c.as(s"${func}_$prop")
+    }
+    stmts.agg(cols.head, cols.tail: _*)
+  }
 
   /** Aggregate a numeric prop over the selected entities:
     * func ∈ sum, min, max, avg, count; optional grouping by another

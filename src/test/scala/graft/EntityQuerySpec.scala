@@ -58,6 +58,37 @@ class EntityQuerySpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(1) == 800.0)
   }
 
+  test("reverse lookup composes with schema and prop clauses") {
+    // e3 (Company) has owner -> e1, so reverse(e1) selects e3
+    val out = EntityQuery(stmts).reverse("e1").entities().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("e3"))
+    val none = EntityQuery(stmts).schema("Person").reverse("e1")
+      .entities().collect()
+    assert(none.isEmpty)
+  }
+
+  test("id prefix comparators (entity_id__startswith)") {
+    val out = EntityQuery(stmts).entityId("e", "startswith")
+      .where("country", "eq", "fr").entities().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("e2"))
+  }
+
+  test("query-scoped stats") {
+    val st = EntityQuery(stmts).schema("Person").stats().collect()(0)
+    // dataset, schema, entities, statements
+    assert(st.getString(1) == "Person")
+    assert(st.getLong(2) == 2 && st.getLong(3) == 6)
+  }
+
+  test("multiple aggregates in one pass") {
+    val r = EntityQuery(stmts).schema("Person")
+      .aggregateProps(Seq(("max", "amount"), ("min", "amount"),
+        ("count", "amount"))).collect()(0)
+    assert(r.getDouble(0) == 500.0)
+    assert(r.getDouble(1) == 300.0)
+    assert(r.getDouble(2) == 2.0)
+  }
+
   test("xref judgements: latest ts wins per pair") {
     import spark.implicits._
     import java.sql.Timestamp
