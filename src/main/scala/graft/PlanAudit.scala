@@ -12,7 +12,9 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_agg", "q2_filter_comparators", "q3_join_multiway",
-        "f8_xref_block", "d3_dedup_minhash_lsh", "f12_entity_query")
+        "f8_xref_block", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
+        "d5_dedup_embedding", "s1_ann_brute_topk", "f12_entity_query",
+        "q16_percentile")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
