@@ -67,6 +67,51 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 10)
   }
 
+  test("EntityQuery matches a brute-force in-memory model on random data") {
+    import spark.implicits._
+    // (entity_id, canonical_id, schema, dataset, prop, prop_type, value)
+    val stmtGen = for {
+      e <- Gen.choose(1, 12)
+      sch <- Gen.oneOf("Person", "Company")
+      p <- Gen.oneOf("name", "country", "amount")
+      v <- Gen.oneOf("10", "20", "250", "de", "fr", "ann", "bob")
+    } yield (s"e$e", s"e$e", sch, "ds", p,
+      if (p == "name") "name" else "string", v)
+
+    val qGen = for {
+      sch <- Gen.option(Gen.oneOf("Person", "Company"))
+      prop <- Gen.oneOf("country", "amount")
+      op <- Gen.oneOf("eq", "gte", "lt", "startswith")
+      v <- Gen.oneOf("10", "20", "de", "f")
+    } yield (sch, prop, op, v)
+
+    val prop = Prop.forAll(Gen.listOfN(60, stmtGen), qGen) {
+      case (rows, (sch, p, op, v)) =>
+        val distinctRows = rows.distinct
+        // brute-force model: entity passes if schema matches and SOME
+        // statement of prop p satisfies the string comparator
+        def cmpS(a: String): Boolean = op match {
+          case "eq" => a == v
+          case "gte" => a >= v
+          case "lt" => a < v
+          case "startswith" => a.startsWith(v)
+        }
+        val bySchema = distinctRows.filter(r => sch.forall(_ == r._3))
+        val expect = bySchema.groupBy(_._2).collect {
+          case (id, g) if g.exists(r => r._5 == p && cmpS(r._7)) => id
+        }.toSet
+
+        var q = graft.operators.EntityQuery(distinctRows.toDF(
+          "entity_id", "canonical_id", "schema", "dataset", "prop",
+          "prop_type", "value"))
+          .where(p, op, v)
+        sch.foreach(s => q = q.schema(s))
+        val got = q.entities().collect().map(_.getString(0)).toSet
+        got == expect
+    }
+    check(prop, minTests = 8)
+  }
+
   test("exact dedup partitions docs by normalized text (one batched job)") {
     import spark.implicits._
     val texts = Gen.listOfN(100, Gen.oneOf(
