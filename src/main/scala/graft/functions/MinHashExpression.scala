@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native MinHash signature: for seed i in [0, numHashes), the minimum
+  * over the input string array of the 60-bit md5-derived hash of
+  * "i:element" — value-identical to the `aggregate`/`zip_with`
+  * expression form (and therefore to the DuckDB oracle), but evaluated
+  * as ONE compiled call per row with a reused MessageDigest instead of
+  * an interpreted lambda tree doing per-element reflective evaluation.
+  * The hot scan of LSH dedup at 100 TB runs here.
+  */
+case class MinHashSignatureExpression(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash requires ARRAY<STRING>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpression.signature(
+      input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.functions.MinHashSignatureExpression.signature" +
+        s"($c, $numHashes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignatureExpression =
+    copy(child = newChild)
+}
+
+object MinHashSignatureExpression {
+
+  /** Column form. */
+  def minhash(c: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      MinHashSignatureExpression(GraftSqlBridge.expression(c), numHashes))
+
+  /** Compute all seed-minima in one pass; value-identical to
+    * conv(substr(md5(seed:element),1,15),16,10) per (seed, element).
+    */
+  def signature(elements: ArrayData, numHashes: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = elements.numElements()
+    var j = 0
+    while (j < n) {
+      val bytes = elements.getUTF8String(j).getBytes
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        md.update(java.lang.Integer.toString(i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(':'.toByte)
+        md.update(bytes)
+        val d = md.digest()
+        // first 15 hex chars = high 60 bits of the first 8 digest bytes
+        // (7.5 bytes); build the value directly instead of via strings
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -106,16 +106,22 @@ object Dedup {
     * measured ~20× slower.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.MinHashSignatureExpression.minhash(shingles, numHashes)
+
+  /** Pure-`functions._` twin of [[minhashSignature]] — value-identical;
+    * kept for the parity spec. Independent md5 per (seed, shingle):
+    * cheaper double-hashing variants (h1 + s_i·h2 from digest slices)
+    * were measured to correlate per-seed argmins — a doc's
+    * jointly-small shingle wins every seed — which 3-4×'d the
+    * candidate set. Scan-side hashing is embarrassingly parallel;
+    * candidate inflation hits the shuffle/verify stages, so
+    * independence wins at scale.
+    */
+  def minhashSignatureExpr(shingles: Column, numHashes: Int): Column =
     aggregate(
       shingles,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, sh) =>
-        // Independent md5 per (seed, shingle). Cheaper double-hashing
-        // variants (h1 + s_i·h2 from digest slices) were measured to
-        // correlate per-seed argmins — a doc's jointly-small shingle
-        // wins every seed — which 3-4×'d the candidate set. Scan-side
-        // hashing is embarrassingly parallel; candidate inflation hits
-        // the shuffle/verify stages, so independence wins at scale.
         zip_with(
           acc,
           transform(sequence(lit(0), lit(numHashes - 1)),

@@ -47,6 +47,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.minhashLsh(docs).count() >= 0) // runs end-to-end on sf
   }
 
+  test("d3 native minhash expression == functions._ form on sf docs") {
+    import graft.operators.Dedup
+    val sh = Dedup.shingles3(col("text"))
+    val diff = docs.filter(size(Dedup.words(col("text"))) >= 3)
+      .select(
+        Dedup.minhashSignature(sh, 12).as("native"),
+        Dedup.minhashSignatureExpr(sh, 12).as("expr"))
+      .filter(col("native") =!= col("expr"))
+    assert(diff.count() == 0)
+  }
+
   test("d4 simhash: equal texts equal signatures; near texts near hamming") {
     import spark.implicits._
     val df = Seq(
