@@ -391,6 +391,51 @@ object Queries {
       |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
       |FROM events""".stripMargin
 
+  /** q19 — batch sessionization (the batch twin of st3): lag detects
+    * gaps > 30 min, a running sum of gap flags numbers the sessions,
+    * then one aggregation per (user, session). Two windows + one agg,
+    * all clustered on user_id — a single shuffle with the store
+    * bucketed by user.
+    */
+  def q19Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .withColumn("prev", lag(unix_timestamp($"ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev".isNull ||
+          unix_timestamp($"ts") - $"prev" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        min(unix_timestamp($"ts")).as("session_start_sec"),
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"))
+  }
+
+  val q19Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value,
+      |    epoch_ms(ts) // 1000 AS ts_sec,
+      |    LAG(epoch_ms(ts) // 1000) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR ts_sec - prev > 1800
+      |      THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY user_id ORDER BY ts_sec, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |  min(ts_sec) AS session_start_sec,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   // ===========================================================
   // FTM statement-store semantics (SURVEY.md §2, f-block)
   // ===========================================================
@@ -820,6 +865,7 @@ object Queries {
     "q16_percentile" -> (q16Percentile _),
     "q17_rollup" -> (q17Rollup _),
     "q18_range_window" -> (q18RangeWindow _),
+    "q19_sessionize" -> (q19Sessionize _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -857,6 +903,7 @@ object Queries {
     "q16_percentile" -> q16Sql,
     "q17_rollup" -> q17Sql,
     "q18_range_window" -> q18Sql,
+    "q19_sessionize" -> q19Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,
