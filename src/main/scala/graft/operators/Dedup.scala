@@ -190,11 +190,19 @@ object Dedup {
     * Emitted as the signature value per doc (pair search is a hamming
     * ball over the signature — spec-tested; driver gate is rows-only).
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    // Single-pass fold: hash each distinct token once, accumulate all
-    // 60 ±1 bit-votes in one traversal (an unrolled per-bit aggregate
-    // would re-evaluate the token-hash tree once per bit). Bit b is
-    // tested with a power-of-two mask — exact as double up to 2^60.
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      graft.functions.SimHashExpression
+        .simhash(array_distinct(words(col("text")))).as("simhash"))
+
+  /** Pure-`functions._` twin of [[simhash]] — value-identical; kept for
+    * the parity spec. Single-pass fold: hash each distinct token once,
+    * accumulate all 60 ±1 bit-votes in one traversal (an unrolled
+    * per-bit aggregate would re-evaluate the token-hash tree once per
+    * bit). Bit b is tested with a power-of-two mask — exact as double
+    * up to 2^60.
+    */
+  def simhashExpr(documents: DataFrame): DataFrame = {
     val hs = transform(array_distinct(words(col("text"))),
       t => md5Hash60(lit(0), t))
     val masks = transform(sequence(lit(0), lit(59)),

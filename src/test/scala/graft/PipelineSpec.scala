@@ -58,6 +58,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("d4 native simhash expression == functions._ form on sf docs") {
+    import graft.operators.Dedup
+    val native = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhashExpr(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == viaExpr)
+  }
+
   test("d4 simhash: equal texts equal signatures; near texts near hamming") {
     import spark.implicits._
     val df = Seq(
