@@ -15,7 +15,10 @@ object Bench {
     def exec(name: String): Unit =
       try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => () }
+    // optional filter for local iteration: SPARK_GRAFT_ONLY=q1_agg,d2_...
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(exec) // untimed warmup pass
     def timed(name: String): Double = {
       val t0 = System.nanoTime()

@@ -59,33 +59,69 @@ object Dedup {
 
   /** d2 — exact n-gram (word-set) Jaccard pairs within a blocking key
     * (`source` mirrors how a production pipeline shards exact-Jaccard
-    * by domain/bucket). Word sets are exploded and pairs accumulate per
-    * shared token (equi-join on the token): cost is Σ_token freq²
-    * within a block, shuffled as NARROW rows.
+    * by domain/bucket), with PREFIX FILTERING (AllPairs/PPJoin,
+    * Bayardo et al. WWW'07) bounding the candidate join.
+    *
+    * Prefix filter: order each doc's tokens by ascending document
+    * frequency (ties by token); a pair with Jaccard ≥ τ must overlap by
+    * at least ⌈τ·n⌉ tokens on each side, so the two docs MUST share a
+    * token inside their first `n − ⌈τ·n⌉ + 1` tokens. The candidate
+    * join therefore touches only those prefix tokens — the globally
+    * rarest ~(1−τ) fraction — instead of every token. This is LOSSLESS
+    * (no false negatives), so results are bit-identical to the naive
+    * all-token join and the DuckDB oracle keeps the naive formulation.
+    * Candidates are then verified exactly with one `array_intersect`
+    * per pair. Measured at sf0.1: 11.2M join rows → 1.05M.
+    *
+    * Unlike a df-cutoff (drop tokens with df > maxDf), prefix filtering
+    * needs no tuning knob and never changes the answer; a ubiquitous
+    * token lands in no doc's prefix, so it vanishes from the join
+    * automatically. The ⌈τ·n⌉ is computed as ceil(τ·n − 1e-9): fp error
+    * can only LENGTHEN the prefix (safe), never shorten it.
     *
     * Measured alternative (rejected): pairing docs on the block key and
-    * intersecting arrays per pair halves the row count but carries two
-    * word arrays through every joined row — 2.4× slower at sf0.1
-    * despite a 22M→600k row reduction. Narrow exploded rows beat fat
-    * array rows.
+    * intersecting arrays per pair carries two word arrays through every
+    * joined row — 2.4× slower at sf0.1 than narrow exploded rows. Here
+    * arrays are joined only onto the verified-candidate set, which the
+    * prefix filter keeps small.
     */
   def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val toks = documents.select(
-      col("doc_id"), col("source"),
-      array_distinct(words(col("text"))).as("ws"))
-    val sized = toks.select(col("doc_id"), col("source"),
-      size(col("ws")).cast("long").as("n"), col("ws"))
-    val exploded = sized.select(col("doc_id"), col("source"), col("n"),
-      explode(col("ws")).as("w"))
-    val l = exploded.select(col("source"), col("w"),
-      col("doc_id").as("left_id"), col("n").as("ln"))
-    val r = exploded.select(col("source"), col("w"),
-      col("doc_id").as("right_id"), col("n").as("rn"))
-    l.join(r, Seq("source", "w"))
+    import org.apache.spark.sql.expressions.Window
+    // Token sets carried as SORTED 60-bit hashes: candidate keys and the
+    // verify merge compare longs instead of strings (measured 2.1× on
+    // verify). `n` stays the exact string-set size; a within-doc hash
+    // collision (~2^-51 per doc) is the only way counts could drift.
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        array_distinct(words(col("text"))).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("hs",
+        array_sort(transform(col("ws"), w => md5Hash60(lit(0), w))))
+    val exploded = toks.select(col("doc_id"), col("source"), col("n"),
+      explode(col("hs")).as("h"))
+    val byDf = Window.partitionBy(col("source"), col("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val prefix = exploded
+      .withColumn("df", count(lit(1)).over(byDf))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard - 1e-9) + 1)
+      .select(col("doc_id"), col("source"), col("h"))
+    val cands = prefix
+      .select(col("source"), col("h"), col("doc_id").as("left_id"))
+      .join(prefix.select(col("source"), col("h"),
+        col("doc_id").as("right_id")), Seq("source", "h"))
       .filter(col("left_id") < col("right_id"))
-      .groupBy(col("source"), col("left_id"), col("right_id"),
-        col("ln"), col("rn"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val lt = toks.select(col("doc_id").as("left_id"),
+      col("hs").as("lhs"), col("n").as("ln"))
+    val rt = toks.select(col("doc_id").as("right_id"),
+      col("hs").as("rhs"), col("n").as("rn"))
+    cands.join(lt, Seq("left_id")).join(rt, Seq("right_id"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSizeExpression
+          .sortedIntersectSize(col("lhs"), col("rhs")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("ln") + col("rn") - col("inter")).cast("double"))

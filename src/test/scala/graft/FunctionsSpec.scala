@@ -51,6 +51,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("sorted_intersect_size == size(array_intersect) on sorted doc hashes") {
+    import graft.functions.SortedIntersectSizeExpression.sortedIntersectSize
+    import graft.operators.Dedup.{md5Hash60, words}
+    // real document token-hash arrays, all pairs within a small sample
+    val hs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(words(col("text"))),
+          w => md5Hash60(lit(0), w))).as("hs"))
+      .filter(col("doc_id") < 40)
+    val pairs = hs.select(col("doc_id").as("lid"), col("hs").as("a"))
+      .crossJoin(hs.select(col("doc_id").as("rid"), col("hs").as("b")))
+    val diff = pairs.select(
+        sortedIntersectSize(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+    // empty-side and null behavior
+    import spark.implicits._
+    val edge = Seq((Seq(1L, 2L), Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(sortedIntersectSize(col("a"), col("b"))).collect()(0)
+    assert(edge.getLong(0) == 0L)
+    val nul = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(sortedIntersectSize(col("a"), col("b"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("native expression handles nulls and registers as SQL function") {
     import spark.implicits._
     val n = Seq(Option.empty[String]).toDF("s")
