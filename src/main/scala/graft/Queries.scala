@@ -584,13 +584,30 @@ object Queries {
     s"""SELECT p_partkey, p_name AS name, ${duckFp("p_name")} AS fp
        |FROM part""".stripMargin
 
-  /** f6 — fingerprint statements (fpx table feed). */
+  /** f6 — fingerprint-algorithm slice of the fpx table feed (the
+    * DuckDB-checkable slice; the full four-algorithm feed is `f17`).
+    * The fpx_freq MV and the blocking tests run on this slice too
+    * (engine.py:233 `WHERE algorithm = 'fingerprint'`).
+    */
   def f6FpxTable(s: SparkSession, dir: String): DataFrame =
-    Fpx.fromStatements(statements(s, dir))
+    Fpx.fromStatements(statements(s, dir), algorithms = Seq("fingerprint"))
 
   val f6Sql: String = s"$stmtsCte, $fpxCte SELECT * FROM fpx"
 
-  /** f7 — fpx value frequency view. */
+  /** f17 — the FULL fpx feed: one row per (entity, token, algorithm)
+    * across fingerprint/metaphone1/metaphone2/soundex
+    * (engine.py:162-180; statements.py:44-48 loops all algorithms).
+    * `.distinct()` models the ReplacingMergeTree FINAL state (key =
+    * algorithm,value,prop,schema,dataset,entity_id). Rows-only at the
+    * driver (DuckDB cannot compute the phonetic codes); exact values
+    * spec-tested.
+    */
+  def f17FpxPhonetic(s: SparkSession, dir: String): DataFrame =
+    Fpx.fromStatements(statements(s, dir)).distinct()
+
+  /** f7 — fpx value frequency view (reference MV filters
+    * algorithm='fingerprint', engine.py:233).
+    */
   def f7FpxFreq(s: SparkSession, dir: String): DataFrame =
     Fpx.freq(f6FpxTable(s, dir))
 
@@ -599,7 +616,12 @@ object Queries {
        |SELECT value, COUNT(*) AS freq, CAST(length(value) AS BIGINT) AS len
        |FROM fpx GROUP BY value""".stripMargin
 
-  /** f8 — xref blocking pairs over shared fingerprint values. */
+  /** f8 — xref blocking pairs over shared fingerprint values
+    * (test_fingerprints.py runs the same query per algorithm; the
+    * phonetic-algorithm blocks are exercised in FpxSpec, where
+    * metaphone blocking pairs entities an exact-fingerprint block
+    * misses).
+    */
   def f8XrefBlock(s: SparkSession, dir: String): DataFrame =
     Fpx.xrefBlocks(f6FpxTable(s, dir), minEntities = 2, maxEntities = 1000)
 
@@ -642,19 +664,27 @@ object Queries {
         explode(Phonetics.soundexTokens($"fp")).as("soundex"))
   }
 
-  /** f10 — metaphone codes of name-fingerprint tokens (phonetic.py:43).
-    * Rows-only at the driver; exact values spec-tested. Uses the native
-    * codegen'd [[graft.functions.MetaphoneExpression]] (not a UDF) so
-    * the whole projection stays in whole-stage codegen.
+  /** f10 — Double Metaphone codes of name-fingerprint tokens
+    * (phonetic.py:47-49 `get_metaphone` → the `metaphone` package's
+    * `doublemetaphone`, feeding fpx algorithms metaphone1/metaphone2).
+    * Rows-only at the driver; exact values spec-tested against
+    * published algorithm vectors. Uses the native codegen'd
+    * [[graft.functions.DoubleMetaphoneExpression]] — one compiled
+    * encode per token yields BOTH codes (secondary = '' when no
+    * alternate pronunciation arises, matching the reference package).
     */
   def f10Metaphone(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.MetaphoneExpression
+    import graft.functions.DoubleMetaphoneExpression
     t(s, dir, "part")
       .select($"p_partkey", Phonetics.fingerprint($"p_name").as("fp"))
       .select($"p_partkey",
         explode(split($"fp", " ")).as("tok"))
-      .select($"p_partkey", MetaphoneExpression.metaphone($"tok").as("metaphone"))
+      .select($"p_partkey",
+        DoubleMetaphoneExpression.doubleMetaphone($"tok").as("dm"))
+      .select($"p_partkey",
+        col("dm").getItem(0).as("metaphone1"),
+        col("dm").getItem(1).as("metaphone2"))
   }
 
   // ===========================================================
@@ -881,7 +911,8 @@ object Queries {
     "f13_adjacent" -> (f13Adjacent _),
     "f14_country_stats" -> (f14CountryStats _),
     "f15_query_agg" -> (f15QueryAgg _),
-    "f16_ftm_json_ingest" -> (f16FtmJsonIngest _)
+    "f16_ftm_json_ingest" -> (f16FtmJsonIngest _),
+    "f17_fpx_phonetic" -> (f17FpxPhonetic _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.Phonetics
-import org.apache.spark.sql.DataFrame
+import graft.functions.{DoubleMetaphoneExpression, Phonetics}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fingerprint (fpx) derivation, frequency view, xref blocking and
@@ -16,22 +16,77 @@ import org.apache.spark.sql.functions._
   */
 object Fpx {
 
+  /** The reference's fpx algorithm enum (engine.py:162 `Enum(
+    * 'fingerprint', 'metaphone1', 'metaphone2', 'soundex')`).
+    */
+  val AllAlgorithms: Seq[String] =
+    Seq("fingerprint", "metaphone1", "metaphone2", "soundex")
+
   /** Derive fingerprint statements from name-type statements
     * (statements.py:51-57 restricts to name-typed props; the reference
     * further restricts to LegalEntity/Mention schemas — callers filter
     * schemas before this).
     *
-    * One row per (entity, blocking token): the full name fingerprint
-    * plus every token longer than 5 chars (phonetic.py:32-37).
+    * Per (entity, blocking token) — the full name fingerprint plus
+    * every token longer than 5 chars (phonetic.py:32-37) — one row per
+    * requested algorithm (statements.py:44-48 loops ALL algorithms per
+    * value):
+    *   - fingerprint: the token itself
+    *   - metaphone1/metaphone2: Double Metaphone primary/secondary
+    *     (one native encode yields both; metaphone2 rows exist only
+    *     where an alternate pronunciation arises, since empty values
+    *     are dropped — statements.py:74)
+    *   - soundex: Spark's codegen'd soundex (4-char uppercase; the
+    *     reference's libindic codes differ in shape, but soundex
+    *     equality — the only thing blocking uses — is preserved)
+    *
+    * Write-path semantics: duplicates within an entity (two tokens
+    * sharing a phonetic code) are emitted as-is, mirroring the insert
+    * stream; the store's ReplacingMergeTree key (algorithm, value,
+    * prop, schema, dataset, entity_id) collapses them at FINAL — read
+    * paths that model FINAL apply `.distinct()`.
+    *
+    * Pass `algorithms = Seq("fingerprint")` to skip the phonetic
+    * encodes entirely (the branch columns are never built, so the scan
+    * stays projection-minimal).
     */
-  def fromStatements(statements: DataFrame): DataFrame = {
+  def fromStatements(
+      statements: DataFrame,
+      algorithms: Seq[String] = AllAlgorithms): DataFrame = {
+    require(algorithms.nonEmpty && algorithms.forall(AllAlgorithms.contains),
+      s"algorithms must be among $AllAlgorithms")
     val named = statements
       .filter(col("prop_type") === "name")
       .withColumn("fp", Phonetics.fingerprint(col("value")))
-    named
-      .select(
-        lit("fingerprint").as("algorithm"),
-        explode(Phonetics.fpxTokens(col("fp"))).as("value"),
+      .filter(length(col("fp")) > 0)
+    val toks = named.select(
+      col("dataset"), col("entity_id"), col("schema"),
+      col("prop"), col("prop_type"),
+      explode(Phonetics.fpxTokens(col("fp"))).as("tok"))
+    val needDm = algorithms.contains("metaphone1") ||
+      algorithms.contains("metaphone2")
+    val withDm =
+      if (needDm)
+        toks.withColumn("dm",
+          DoubleMetaphoneExpression.doubleMetaphone(col("tok")))
+      else toks
+    val branches: Seq[Column] = algorithms.map {
+      case "fingerprint" =>
+        struct(lit("fingerprint").as("algorithm"), col("tok").as("value"))
+      case "metaphone1" =>
+        struct(lit("metaphone1").as("algorithm"),
+          col("dm").getItem(0).as("value"))
+      case "metaphone2" =>
+        struct(lit("metaphone2").as("algorithm"),
+          col("dm").getItem(1).as("value"))
+      case "soundex" =>
+        struct(lit("soundex").as("algorithm"), soundex(col("tok")).as("value"))
+    }
+    withDm
+      .select(explode(array(branches: _*)).as("av"),
+        col("dataset"), col("entity_id"), col("schema"),
+        col("prop"), col("prop_type"))
+      .select(col("av.algorithm").as("algorithm"), col("av.value").as("value"),
         col("dataset"), col("entity_id"), col("schema"),
         col("prop"), col("prop_type"))
       .filter(length(col("value")) > 0)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{MetaphoneExpression, Phonetics}
+import graft.functions.{DoubleMetaphone, DoubleMetaphoneExpression, MetaphoneExpression, Phonetics}
 
 /** Specs for the phonetic/normalization functions, including the
   * native Catalyst metaphone expression (codegen path + SQL
@@ -49,6 +49,55 @@ class FunctionsSpec extends AnyFunSuite {
         Phonetics.metaphoneUdf(col("tok")).as("viaUdf"))
       .filter(col("native") =!= col("viaUdf"))
     assert(diff.count() == 0)
+  }
+
+  test("double metaphone: published algorithm vectors (primary, secondary)") {
+    // canonical examples from Philips' published algorithm; secondary is
+    // "" when identical to the primary (the reference package's contract)
+    val vectors = Seq(
+      "smith" -> ("SM0", "XMT"),
+      "schmidt" -> ("XMT", "SMT"),
+      "snider" -> ("SNTR", "XNTR"),
+      "school" -> ("SKL", ""),
+      "knight" -> ("NT", ""),
+      "gnome" -> ("NM", ""),
+      "wright" -> ("RT", ""),
+      "jose" -> ("HS", ""),
+      "cambrillo" -> ("KMPRL", "KMPR"), // full-length codes, no 4-char cap
+      "otto" -> ("AT", ""),
+      "aubrey" -> ("APR", ""),
+      "maurice" -> ("MRS", ""),
+      "katherine" -> ("K0RN", "KTRN"),
+      "richard" -> ("RXRT", "RKRT"),
+      "xavier" -> ("SF", "SFR"),
+      "" -> ("", ""),
+      "123" -> ("", ""))
+    for ((in, expected) <- vectors)
+      assert(DoubleMetaphone.encode(in) == expected, s"input: '$in'")
+    // case-insensitive
+    assert(DoubleMetaphone.encode("SMITH") == DoubleMetaphone.encode("smith"))
+  }
+
+  test("native double-metaphone expression == scala encoder; SQL + nulls") {
+    import spark.implicits._
+    val toks = Tables.load(spark, sf, "part")
+      .select(explode(split(Phonetics.fingerprint(col("p_name")), " "))
+        .as("tok"))
+    val viaUdf = udf((s: String) => {
+      val (p, sec) = DoubleMetaphone.encode(s); Seq(p, sec)
+    })
+    val diff = toks
+      .select(col("tok"),
+        DoubleMetaphoneExpression.doubleMetaphone(col("tok")).as("native"),
+        viaUdf(col("tok")).as("viaScala"))
+      .filter(to_json(col("native")) =!= to_json(col("viaScala")))
+    assert(diff.count() == 0)
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(DoubleMetaphoneExpression.doubleMetaphone(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+    DoubleMetaphoneExpression.register(spark)
+    val viaSql = spark.sql("SELECT graft_double_metaphone('smith')").collect()(0)
+    assert(viaSql.getSeq[String](0) == Seq("SM0", "XMT"))
   }
 
   test("sorted_intersect_size == size(array_intersect) on sorted doc hashes") {

@@ -129,7 +129,8 @@ class StreamingSpec extends AnyFunSuite {
     val stmts = in.toDF().toDF("entity_id", "canonical_id", "schema",
       "dataset", "prop", "prop_type", "value")
     val freq = graft.operators.Fpx.freq(
-      graft.operators.Fpx.fromStatements(stmts))
+      graft.operators.Fpx.fromStatements(stmts,
+        algorithms = Seq("fingerprint")))
     val q = freq.writeStream.format("memory").queryName("st6_out")
       .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
     try {
