@@ -605,6 +605,100 @@ object Queries {
   def f17FpxPhonetic(s: SparkSession, dir: String): DataFrame =
     Fpx.fromStatements(statements(s, dir)).distinct()
 
+  import graft.operators.Xref
+
+  /** Shared xref build for f18/f19: fingerprint-blocking pairs
+    * (maxEntities=50) enriched to the reference's 14-column xref row
+    * (engine.py:181-203), a base candidate batch at ts=1, a re-judged
+    * batch at ts=2 for every pair whose left id ends in '0', merged
+    * with ReplacingMergeTree(ts) semantics keyed (left_id, right_id).
+    */
+  private def xrefLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stmts = statements(s, dir)
+    val pairs = Fpx.xrefBlocks(
+      Fpx.fromStatements(stmts, algorithms = Seq("fingerprint")),
+      minEntities = 2, maxEntities = 50)
+    val attrs = Xref.entityAttrs(stmts, countryProp = "nationkey")
+    val base = Xref.candidates(pairs, attrs, ts = lit(1L))
+    val judged = base.filter($"left_id".endsWith("0"))
+      .withColumn("judgement", lit("positive"))
+      .withColumn("score", lit(0.9))
+      .withColumn("ts", lit(2L))
+      .withColumn("user", lit("analyst"))
+    Xref.latestJudgements(base.unionByName(judged))
+  }
+
+  /** DuckDB twin of [[xrefLatest]] as CTEs (requires stmtsCte+fpxCte). */
+  private val xrefCte: String =
+    s"""blocks AS (SELECT DISTINCT value, entity_id FROM fpx),
+       |sizes AS (
+       |  SELECT value FROM blocks GROUP BY value
+       |  HAVING COUNT(DISTINCT entity_id) BETWEEN 2 AND 50),
+       |pairs AS (
+       |  SELECT DISTINCT l.entity_id AS left_id, r.entity_id AS right_id
+       |  FROM blocks l JOIN sizes USING (value) JOIN blocks r USING (value)
+       |  WHERE l.entity_id < r.entity_id),
+       |attrs AS (
+       |  SELECT entity_id, min(dataset) AS dataset, min("schema") AS "schema",
+       |    min(CASE WHEN prop = 'nationkey' THEN value END) AS country,
+       |    min(CASE WHEN prop_type = 'name' THEN value END) AS caption
+       |  FROM statements GROUP BY entity_id),
+       |base AS (
+       |  SELECT la.dataset AS left_dataset, p.left_id,
+       |    la."schema" AS left_schema, la.country AS left_country,
+       |    la.caption AS left_caption,
+       |    ra.dataset AS right_dataset, p.right_id,
+       |    ra."schema" AS right_schema, ra.country AS right_country,
+       |    ra.caption AS right_caption,
+       |    'no_judgement' AS judgement, 0.0 AS score,
+       |    CAST(1 AS BIGINT) AS ts, 'graft' AS "user"
+       |  FROM pairs p
+       |  JOIN attrs la ON p.left_id = la.entity_id
+       |  JOIN attrs ra ON p.right_id = ra.entity_id),
+       |judged AS (
+       |  SELECT left_dataset, left_id, left_schema, left_country,
+       |    left_caption, right_dataset, right_id, right_schema,
+       |    right_country, right_caption,
+       |    'positive' AS judgement, 0.9 AS score,
+       |    CAST(2 AS BIGINT) AS ts, 'analyst' AS "user"
+       |  FROM base WHERE left_id LIKE '%0'),
+       |latest AS (
+       |  SELECT * EXCLUDE (rn) FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id, right_id
+       |      ORDER BY ts DESC) AS rn
+       |    FROM (SELECT * FROM base UNION ALL SELECT * FROM judged))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** f18 — the full xref table write path + judgement upsert: candidate
+    * pairs from fingerprint blocking enriched with per-side dataset/
+    * schema/country/caption, re-judged rows superseding their ts=1
+    * candidates per (left_id, right_id) — ReplacingMergeTree(ts) FINAL.
+    */
+  def f18XrefJudgements(s: SparkSession, dir: String): DataFrame =
+    xrefLatest(s, dir)
+
+  val f18Sql: String =
+    s"""$stmtsCte, $fpxCte, $xrefCte
+       |SELECT * FROM latest""".stripMargin
+
+  /** f19 — the `_reverse` projection access path (engine.py:259-261):
+    * latest judgements read right-side-first, filtered by a right-id
+    * prefix (the pushed-down reverse lookup).
+    */
+  def f19XrefReverse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Xref.reverse(xrefLatest(s, dir))
+      .filter($"right_id".startsWith("part-1"))
+  }
+
+  val f19Sql: String =
+    s"""$stmtsCte, $fpxCte, $xrefCte
+       |SELECT right_dataset, right_id, right_schema, right_country,
+       |  right_caption, left_dataset, left_id, left_schema, left_country,
+       |  left_caption, judgement, score, ts, "user"
+       |FROM latest WHERE right_id LIKE 'part-1%'""".stripMargin
+
   /** f7 — fpx value frequency view (reference MV filters
     * algorithm='fingerprint', engine.py:233).
     */
@@ -912,7 +1006,9 @@ object Queries {
     "f14_country_stats" -> (f14CountryStats _),
     "f15_query_agg" -> (f15QueryAgg _),
     "f16_ftm_json_ingest" -> (f16FtmJsonIngest _),
-    "f17_fpx_phonetic" -> (f17FpxPhonetic _)
+    "f17_fpx_phonetic" -> (f17FpxPhonetic _),
+    "f18_xref_judgements" -> (f18XrefJudgements _),
+    "f19_xref_reverse" -> (f19XrefReverse _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -948,6 +1044,8 @@ object Queries {
     "f13_adjacent" -> f13Sql,
     "f14_country_stats" -> f14Sql,
     "f15_query_agg" -> f15Sql,
-    "f16_ftm_json_ingest" -> f16Sql
+    "f16_ftm_json_ingest" -> f16Sql,
+    "f18_xref_judgements" -> f18Sql,
+    "f19_xref_reverse" -> f19Sql
   )
 }

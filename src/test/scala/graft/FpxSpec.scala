@@ -81,6 +81,41 @@ class FpxSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)))
     assert(phonetic.contains(("e1", "e2")))
   }
+  test("xref: candidates carry the 14-col row; re-judging upserts; reverse flips sides") {
+    import spark.implicits._
+    import graft.operators.Xref
+    val in = stmts("e1" -> "Acme Trading Holding",
+      "e2" -> "Acme Holding", "e3" -> "Acme Holding Trading GmbH")
+      .unionByName(
+        Seq(("e1", "de"), ("e2", "fr"), ("e3", "de")).toDF("entity_id", "value")
+          .select(col("entity_id"), col("entity_id").as("canonical_id"),
+            lit("LegalEntity").as("schema"), lit("ds").as("dataset"),
+            lit("country").as("prop"), lit("country").as("prop_type"),
+            col("value")))
+    val pairs = Fpx.xrefBlocks(
+      Fpx.fromStatements(in, algorithms = Seq("fingerprint")))
+    val attrs = Xref.entityAttrs(in)
+    val base = Xref.candidates(pairs, attrs, ts = lit(1L))
+    assert(base.columns.toSeq == Xref.columns)
+    val e12 = base.filter(col("left_id") === "e1" && col("right_id") === "e2")
+      .collect()(0)
+    assert(e12.getAs[String]("left_country") == "de")
+    assert(e12.getAs[String]("right_country") == "fr")
+    assert(e12.getAs[String]("right_caption") == "Acme Holding")
+    // upsert: re-judge (e1, e2) at ts=2; FINAL keeps only the new row
+    val judged = base.filter(col("left_id") === "e1" && col("right_id") === "e2")
+      .withColumn("judgement", lit("positive"))
+      .withColumn("ts", lit(2L))
+    val latest = Xref.latestJudgements(base.unionByName(judged))
+    assert(latest.count() == base.count())
+    assert(latest.filter(col("left_id") === "e1" && col("right_id") === "e2")
+      .collect()(0).getAs[String]("judgement") == "positive")
+    // reverse projection leads with the right side; lookup filters on it
+    val rev = Xref.reverse(latest)
+    assert(rev.columns.take(2).toSeq == Seq("right_dataset", "right_id"))
+    val hits = Xref.lookupByRight(latest, lit("e2")).collect()
+    assert(hits.nonEmpty && hits.forall(_.getAs[String]("right_id") == "e2"))
+  }
 }
 
 /** Shared access to the Scala doublemetaphone for expected values —
