@@ -451,50 +451,80 @@ object Queries {
     */
   def statements(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Full 14-column statement rows (engine.py:133-147): names carry an
+    // original_value (the pre-normalization form) and a lang; customers
+    // are target=true, parts are external=true; parts have no
+    // first_seen (Nullable in the reference DDL). Timestamps are
+    // literals so the oracle twin is deterministic.
     val cust = Statements.unpivot(
       t(s, dir, "customer"),
       concat(lit("customer-"), $"c_custkey"),
       schema = "Customer", dataset = "tpch_customers",
       Seq(
-        PropSpec("name", "name", $"c_name"),
+        PropSpec("name", "name", $"c_name",
+          original = Some(upper($"c_name")), lang = Some(lit("en"))),
         PropSpec("mktsegment", "string", $"c_mktsegment"),
         PropSpec("nationkey", "number", $"c_nationkey"),
-        PropSpec("acctbal", "number", $"c_acctbal")))
+        PropSpec("acctbal", "number", $"c_acctbal")),
+      target = lit(true), external = lit(false),
+      firstSeen = to_timestamp(lit("2024-01-01 00:00:00")),
+      lastSeen = to_timestamp(lit("2024-06-01 00:00:00")))
     val part = Statements.unpivot(
       t(s, dir, "part"),
       concat(lit("part-"), $"p_partkey"),
       schema = "Part", dataset = "tpch_parts",
       Seq(
-        PropSpec("name", "name", $"p_name"),
+        PropSpec("name", "name", $"p_name",
+          original = Some(upper($"p_name")), lang = Some(lit("en"))),
         PropSpec("brand", "string", $"p_brand"),
         PropSpec("type", "string", $"p_type"),
         PropSpec("size", "number", $"p_size"),
-        PropSpec("retailprice", "number", $"p_retailprice")))
+        PropSpec("retailprice", "number", $"p_retailprice")),
+      target = lit(false), external = lit(true),
+      firstSeen = lit(null).cast("timestamp"),
+      lastSeen = to_timestamp(lit("2024-06-02 00:00:00")))
     cust.unionAll(part)
   }
 
   /** DuckDB twin of [[statements]] as a WITH clause. */
   private val stmtsCte: String = {
     def sel(eid: String, schema: String, dataset: String,
-        prop: String, ptype: String, value: String, from: String) =
-      s"""SELECT $eid AS entity_id, $eid AS canonical_id, '$schema' AS "schema",
-         |  '$dataset' AS dataset, '$prop' AS prop, '$ptype' AS prop_type,
-         |  CAST($value AS VARCHAR) AS value FROM $from""".stripMargin
+        prop: String, ptype: String, value: String,
+        original: String, lang: String, target: String, external: String,
+        ext: String, firstSeen: String, lastSeen: String, from: String) =
+      s"""SELECT
+         |  substr(sha256(concat_ws('.', '$dataset', $eid, '$prop',
+         |    CAST($value AS VARCHAR)) || '$ext'), 1, 40) AS id,
+         |  $eid AS entity_id, $eid AS canonical_id,
+         |  '$prop' AS prop, '$ptype' AS prop_type, '$schema' AS "schema",
+         |  CAST($value AS VARCHAR) AS value, $original AS original_value,
+         |  '$dataset' AS dataset, $lang AS lang,
+         |  $target AS target, $external AS external,
+         |  $firstSeen AS first_seen, $lastSeen AS last_seen
+         |FROM $from""".stripMargin
     val cust = Seq(
-      ("name", "name", "c_name"),
-      ("mktsegment", "string", "c_mktsegment"),
-      ("nationkey", "number", "c_nationkey"),
-      ("acctbal", "number", "c_acctbal")).map { case (p, pt, v) =>
-      sel("'customer-' || c_custkey", "Customer", "tpch_customers", p, pt, v, "customer")
-    }
+      ("name", "name", "c_name", "upper(c_name)", "'en'"),
+      ("mktsegment", "string", "c_mktsegment", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+      ("nationkey", "number", "c_nationkey", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+      ("acctbal", "number", "c_acctbal", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"))
+      .map { case (p, pt, v, o, lg) =>
+        sel("'customer-' || c_custkey", "Customer", "tpch_customers",
+          p, pt, v, o, lg, "TRUE", "FALSE", "",
+          "TIMESTAMP '2024-01-01 00:00:00'",
+          "TIMESTAMP '2024-06-01 00:00:00'", "customer")
+      }
     val part = Seq(
-      ("name", "name", "p_name"),
-      ("brand", "string", "p_brand"),
-      ("type", "string", "p_type"),
-      ("size", "number", "p_size"),
-      ("retailprice", "number", "p_retailprice")).map { case (p, pt, v) =>
-      sel("'part-' || p_partkey", "Part", "tpch_parts", p, pt, v, "part")
-    }
+      ("name", "name", "p_name", "upper(p_name)", "'en'"),
+      ("brand", "string", "p_brand", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+      ("type", "string", "p_type", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+      ("size", "number", "p_size", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+      ("retailprice", "number", "p_retailprice", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"))
+      .map { case (p, pt, v, o, lg) =>
+        sel("'part-' || p_partkey", "Part", "tpch_parts",
+          p, pt, v, o, lg, "FALSE", "TRUE", ".ext",
+          "CAST(NULL AS TIMESTAMP)",
+          "TIMESTAMP '2024-06-02 00:00:00'", "part")
+      }
     s"""WITH statements AS (
        |${(cust ++ part).mkString("\nUNION ALL\n")}
        |)""".stripMargin
@@ -521,23 +551,41 @@ object Queries {
        |  WHERE length(tok.value) > 0
        |)""".stripMargin
 
-  /** f1 — the statement unpivot itself (write path). */
-  def f1StatementsUnpivot(s: SparkSession, dir: String): DataFrame =
+  /** f1 — the statement unpivot itself (write path), all 14 reference
+    * columns; timestamps emitted as epoch seconds for the cross-engine
+    * hash compare.
+    */
+  def f1StatementsUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     statements(s, dir)
+      .withColumn("first_seen", unix_timestamp($"first_seen"))
+      .withColumn("last_seen", unix_timestamp($"last_seen"))
+  }
 
-  val f1Sql: String = s"$stmtsCte SELECT * FROM statements"
+  val f1Sql: String =
+    s"""$stmtsCte
+       |SELECT * REPLACE (
+       |  CAST(epoch(first_seen) AS BIGINT) AS first_seen,
+       |  CAST(epoch(last_seen) AS BIGINT) AS last_seen)
+       |FROM statements""".stripMargin
 
   /** f2 — entity assembly (read path): statements → one row per entity
     * with a deterministic prop=value fold.
     */
-  def f2EntityAssembly(s: SparkSession, dir: String): DataFrame =
-    Statements.assemble(statements(s, dir))
+  def f2EntityAssembly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Statements.assemble(statements(s, dir), seenRange = true)
+      .withColumn("first_seen", unix_timestamp($"first_seen"))
+      .withColumn("last_seen", unix_timestamp($"last_seen"))
+  }
 
   val f2Sql: String =
     s"""$stmtsCte
        |SELECT canonical_id, "schema", dataset,
        |  string_agg(prop || '=' || value, '|' ORDER BY prop || '=' || value) AS entity,
-       |  COUNT(*) AS n_statements
+       |  COUNT(*) AS n_statements,
+       |  CAST(epoch(min(first_seen)) AS BIGINT) AS first_seen,
+       |  CAST(epoch(max(last_seen)) AS BIGINT) AS last_seen
        |FROM statements GROUP BY canonical_id, "schema", dataset""".stripMargin
 
   /** f3 — ReplacingMergeTree(last_seen) FINAL: latest row per key.

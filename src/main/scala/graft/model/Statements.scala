@@ -30,41 +30,89 @@ final case class Statement(
 object Statements {
 
   /** One property column of a wide entity table, with its FTM prop
-    * name and type registry name.
+    * name and type registry name; optionally the pre-cleaning
+    * `original_value` and a `lang` column (engine.py:138,140).
     */
-  final case class PropSpec(prop: String, propType: String, col: Column)
+  final case class PropSpec(
+      prop: String,
+      propType: String,
+      col: Column,
+      original: Option[Column] = None,
+      lang: Option[Column] = None)
+
+  /** The statement id: a 40-char hex checksum over the nomenklatura
+    * key string `dataset.entity_id.prop.value` (+ `.ext` for external
+    * statements) — the dedup identity of a statement assertion
+    * (engine.py:133 `id FixedString(40)`). The reference hashes with
+    * sha1; here it is sha256 truncated to the same 40-char width so the
+    * DuckDB oracle (which ships no sha1) can recompute it — the id is
+    * an opaque equality key, so the hash choice is free.
+    */
+  def statementId(
+      dataset: Column,
+      entityId: Column,
+      prop: Column,
+      value: Column,
+      external: Column): Column =
+    substring(
+      sha2(concat(
+        concat_ws(".", dataset, entityId, prop, value),
+        when(external, lit(".ext")).otherwise(lit(""))), 256),
+      1, 40)
 
   /** Decompose a wide entity DataFrame into statement rows (the write
     * path: nomenklatura `Statement.from_entity`, applied by
     * `ClickhouseWriter._upsert_batch` at store.py:54-60).
     *
-    * Emits the slim analytical columns; `canonical_id` starts equal to
-    * `entity_id` (resolution happens later — see `Fpx.canonicalize`).
-    * The unpivot is a per-row explode: narrow, shuffle-free, and fully
-    * codegen'd — it scales linearly to any table size.
+    * Emits the FULL 14-column statement row of the reference DDL
+    * (engine.py:133-147): id, entity_id, canonical_id, prop, prop_type,
+    * schema, value, original_value, dataset, lang, target, external,
+    * first_seen, last_seen. `canonical_id` starts equal to `entity_id`
+    * (resolution happens later — see `Fpx.canonicalizeByName`);
+    * `last_seen` defaults to the ingest time, which is what versions
+    * upserts in the ReplacingMergeTree model. The unpivot is a per-row
+    * explode: narrow, shuffle-free, and fully codegen'd — it scales
+    * linearly to any table size.
     */
   def unpivot(
       df: DataFrame,
       entityId: Column,
       schema: String,
       dataset: String,
-      props: Seq[PropSpec]): DataFrame = {
+      props: Seq[PropSpec],
+      target: Column = lit(false),
+      external: Column = lit(false),
+      firstSeen: Column = lit(null).cast("timestamp"),
+      lastSeen: Column = current_timestamp()): DataFrame = {
     val stmts = array(props.map { p =>
       struct(
         p.col.cast("string").as("value"),
         lit(p.prop).as("prop"),
-        lit(p.propType).as("prop_type"))
+        lit(p.propType).as("prop_type"),
+        p.original.getOrElse(lit(null)).cast("string").as("original_value"),
+        p.lang.getOrElse(lit(null)).cast("string").as("lang"))
     }: _*)
-    df.select(entityId.cast("string").as("entity_id"), explode(stmts).as("s"))
+    df.select(entityId.cast("string").as("entity_id"), explode(stmts).as("s"),
+        target.as("__target"), external.as("__external"),
+        firstSeen.cast("timestamp").as("__first_seen"),
+        lastSeen.cast("timestamp").as("__last_seen"))
+      .filter(col("s.value").isNotNull)
       .select(
+        statementId(lit(dataset), col("entity_id"), col("s.prop"),
+          col("s.value"), col("__external")).as("id"),
         col("entity_id"),
         col("entity_id").as("canonical_id"),
-        lit(schema).as("schema"),
-        lit(dataset).as("dataset"),
         col("s.prop").as("prop"),
         col("s.prop_type").as("prop_type"),
-        col("s.value").as("value"))
-      .filter(col("value").isNotNull)
+        lit(schema).as("schema"),
+        col("s.value").as("value"),
+        col("s.original_value").as("original_value"),
+        lit(dataset).as("dataset"),
+        col("s.lang").as("lang"),
+        col("__target").as("target"),
+        col("__external").as("external"),
+        col("__first_seen").as("first_seen"),
+        col("__last_seen").as("last_seen"))
   }
 
   /** Re-assemble entities from statements (the read path:
@@ -75,15 +123,27 @@ object Statements {
     * for the prop→values map, portable across engines. Grouping key is
     * `canonical_id`: statements of merged entities collapse into one
     * entity, exactly like the reference's canonical view.
+    *
+    * With `seenRange = true`, the entity also carries its statement
+    * lifetime — min(first_seen) / max(last_seen) — surfacing the
+    * temporal statement columns at the entity level (the reference
+    * entity proxy's first_seen/last_seen aggregation).
     */
-  def assemble(statements: DataFrame): DataFrame =
+  def assemble(statements: DataFrame, seenRange: Boolean = false): DataFrame = {
+    val baseAggs = Seq(
+      array_join(
+        array_sort(collect_list(concat_ws("=", col("prop"), col("value")))),
+        "|").as("entity"),
+      count(lit(1)).as("n_statements"))
+    val aggs =
+      if (seenRange) baseAggs ++ Seq(
+        min(col("first_seen")).as("first_seen"),
+        max(col("last_seen")).as("last_seen"))
+      else baseAggs
     statements
       .groupBy(col("canonical_id"), col("schema"), col("dataset"))
-      .agg(
-        array_join(
-          array_sort(collect_list(concat_ws("=", col("prop"), col("value")))),
-          "|").as("entity"),
-        count(lit(1)).as("n_statements"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Entity assembly returning the prop→sorted-values MAP (the API
     * shape of `view.get_entity`); [[assemble]] is its hash-stable
