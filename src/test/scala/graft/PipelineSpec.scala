@@ -104,6 +104,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s1 two-phase salted top-k == single-window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Similarity}
+    // independent single-window reference plan over the same scores
+    val e = emb
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val single = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val twoPhase = Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(twoPhase == single)
+  }
+
+  test("s2 window-lag dedup == distinct + single-window reference plan") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Similarity}
+    // reference formulation: explicit distinct() then one window
+    val numPlanes = 8
+    val e = emb
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      Similarity.hyperplaneSignature(col("embedding"), numPlanes)
+        .as("bucket"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Similarity.hyperplaneSignature(col("embedding"), numPlanes)
+          .as("sig"))
+      .select(col("query_id"), col("qv"),
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(numPlanes - 1)),
+            p => col("sig").bitwiseXOR(pow(lit(2.0), p).cast("long")))))
+          .as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val reference = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val actual = Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+      k = 5, numPlanes = numPlanes).collect().map(_.toSeq).toSet
+    assert(actual == reference)
+  }
+
   test("s2 lsh ann: recall@5 vs s1 is sane and output shape matches") {
     val exact = PipelineQueries.s1AnnBruteTopk(spark, sf)
       .select("query_id", "neighbor_id").collect()
