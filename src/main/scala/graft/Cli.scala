@@ -43,7 +43,8 @@ object Cli {
           s"""CREATE TABLE IF NOT EXISTS $table (
              |  id STRING, entity_id STRING, canonical_id STRING,
              |  prop STRING, prop_type STRING, schema STRING,
-             |  value STRING, last_seen TIMESTAMP, dataset STRING)
+             |  value STRING, last_seen TIMESTAMP, deleted BOOLEAN,
+             |  dataset STRING)
              |USING parquet PARTITIONED BY (dataset)
              |CLUSTERED BY (canonical_id) SORTED BY (canonical_id)
              |INTO 64 BUCKETS""".stripMargin)
@@ -57,8 +58,13 @@ object Cli {
           .withColumn("last_seen", lit(ts).cast("timestamp"))
           .select("id", "entity_id", "canonical_id", "prop", "prop_type",
             "schema", "value", "last_seen", "dataset")
-        StatementStore.append(stmts, table)
-        println(s"ingested ${stmts.count()} statements into $table")
+        // cache so the reported count reuses the batch the write
+        // materialized instead of re-parsing the JSONL a second time
+        stmts.persist()
+        try {
+          StatementStore.append(stmts, table)
+          println(s"ingested ${stmts.count()} statements into $table")
+        } finally stmts.unpersist()
 
       case "optimize" :: table :: Nil =>
         StatementStore.compact(spark, table)

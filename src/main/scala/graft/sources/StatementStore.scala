@@ -35,30 +35,90 @@ object StatementStore {
     * equivalent, store.py:54-60). Duplicate keys are NOT collapsed at
     * write time — FINAL semantics happen at read or compaction, like
     * the reference's async merges.
+    *
+    * Every stored row carries a `deleted` tombstone flag (added as
+    * false when the batch doesn't have one) — the
+    * `ReplacingMergeTree(ver, is_deleted)` pattern that makes
+    * [[pop]]-style deletes append-only.
     */
-  def append(statements: DataFrame, table: String, buckets: Int = 64): Unit =
-    statements.write
-      .mode(SaveMode.Append)
+  def append(statements: DataFrame, table: String, buckets: Int = 64): Unit = {
+    val withDel =
+      if (statements.columns.contains("deleted"))
+        statements.withColumn("deleted", col("deleted").cast("boolean"))
+      else statements.withColumn("deleted", lit(false))
+    write(withDel, table, buckets, SaveMode.Append)
+  }
+
+  /** The one physical layout: dataset partitions, canonical_id buckets,
+    * sorted files. Every write path (append, compact stage) goes
+    * through here so the layout can never diverge.
+    */
+  private def write(
+      df: DataFrame, table: String, buckets: Int, mode: SaveMode): Unit =
+    df.write
+      .mode(mode)
       .partitionBy("dataset")
       .bucketBy(buckets, "canonical_id")
       .sortBy("canonical_id")
       .format("parquet")
       .saveAsTable(table)
 
-  /** Raw read — may contain superseded duplicate keys. */
+  /** Raw read — may contain superseded duplicate keys and tombstones. */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
   /** FINAL read: latest version per statement key (ReplacingMergeTree
-    * semantics). Because the table is bucketed by canonical_id — the
-    * leading key column — the dedup window runs inside each bucket
-    * without an Exchange.
+    * semantics), tombstoned keys dropped. Because the table is bucketed
+    * by canonical_id — the leading key column — the dedup window runs
+    * inside each bucket without an Exchange. The tombstone flag is a
+    * version tiebreaker (a delete at the same last_seen still wins) and
+    * is removed from the output: readFinal returns the LOGICAL
+    * statement table.
     */
   def readFinal(spark: SparkSession, table: String): DataFrame = {
     val df = read(spark, table)
-    ReplacingMerge.latestByKey(df,
-      keys = keyCols.map(col),
-      version = Seq(col("last_seen")))
+    if (!df.columns.contains("deleted"))
+      ReplacingMerge.latestByKey(df,
+        keys = keyCols.map(col), version = Seq(col("last_seen")))
+    else
+      ReplacingMerge.latestByKey(df,
+        keys = keyCols.map(col),
+        version = Seq(col("last_seen"), col("deleted")))
+        .filter(!col("deleted"))
+        .drop("deleted")
+  }
+
+  /** Return-and-remove one entity's statements — the
+    * `ClickhouseWriter.pop` contract (store.py:66-74). The remove is
+    * APPEND-ONLY: a tombstone row (deleted=true, versioned past the
+    * live row) is written per popped statement, so no other entity's
+    * data is rewritten — FINAL reads exclude the entity immediately and
+    * [[compact]] later drops the dead rows physically. Re-inserting the
+    * entity with a newer last_seen resurrects it, exactly like
+    * ReplacingMergeTree's is_deleted handling.
+    *
+    * The popped statements are materialized BEFORE the tombstones are
+    * appended (the reference returns a list, not a cursor) — one
+    * entity's statements are bounded, so the collect is safe.
+    */
+  def pop(
+      spark: SparkSession,
+      table: String,
+      entityId: String,
+      buckets: Int = 64): DataFrame = {
+    val popped = readFinal(spark, table)
+      .filter(col("entity_id") === entityId)
+    val rows = popped.collect()
+    val returned = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), popped.schema)
+    if (rows.nonEmpty) {
+      val tombstones = returned
+        .withColumn("last_seen",
+          expr("greatest(current_timestamp(), last_seen + INTERVAL 1 MILLISECOND)"))
+        .withColumn("deleted", lit(true))
+      append(tombstones, table, buckets)
+    }
+    returned
   }
 
   /** Drop one dataset — a partition-level metadata delete, the
@@ -69,23 +129,34 @@ object StatementStore {
     spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (dataset = '$dataset')")
 
   /** Durable dedup — the OPTIMIZE TABLE ... FINAL DEDUPLICATE twin:
-    * rewrite the table with FINAL applied.
+    * rewrite the table with FINAL applied (superseded versions AND
+    * tombstoned keys physically dropped).
+    *
+    * The FINAL rows are written exactly ONCE, to a stage table, which
+    * is then swapped in with a catalog RENAME (a metadata move — both
+    * the in-memory and Hive catalogs relocate a managed table's
+    * directory on rename, keeping the bucketing spec). Only if the
+    * catalog refuses the rename do we fall back to copying the staged
+    * rows back — the pre-round-3 2×-write path. At 100 TB the rename
+    * path means one write per OPTIMIZE, not two.
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
-    // Catalog-agnostic swap: RENAME of a managed table doesn't reliably
-    // relocate data under every catalog, so stage the FINAL rows in a
-    // sibling table, recreate the original from it, then drop the stage.
     val tmp = table + "_compacted"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    readFinal(spark, table).write
-      .mode(SaveMode.Overwrite)
-      .partitionBy("dataset")
-      .bucketBy(buckets, "canonical_id")
-      .sortBy("canonical_id")
-      .format("parquet")
-      .saveAsTable(tmp)
+    // deleted=false restored so the stage table keeps the physical
+    // schema and later appends line up against the catalog.
+    write(readFinal(spark, table).withColumn("deleted", lit(false)),
+      tmp, buckets, SaveMode.Overwrite)
     spark.sql(s"DROP TABLE $table")
-    append(spark.table(tmp), table, buckets)
-    spark.sql(s"DROP TABLE $tmp")
+    try {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      // the rename moves the table root but partition entries still
+      // name the old dir — recover them (metadata-only, no data move)
+      spark.sql(s"MSCK REPAIR TABLE $table")
+    } catch {
+      case _: Exception =>
+        write(spark.table(tmp), table, buckets, SaveMode.Append)
+        spark.sql(s"DROP TABLE $tmp")
+    }
   }
 }

@@ -105,6 +105,40 @@ class SourcesSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("ds1"))
   }
 
+  test("pop returns the entity's statements and FINAL excludes them") {
+    dropTable("stmt_spec6")
+    StatementStore.append(sampleStatements, "stmt_spec6", buckets = 4)
+
+    val popped = StatementStore.pop(spark, "stmt_spec6", "e1", buckets = 4)
+    // e1 has 2 FINAL statements (s1 name + s2 country, duplicates collapsed)
+    assert(popped.count() == 2)
+    assert(popped.select("entity_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("e1"))
+
+    // append-only delete: raw rows still there plus 2 tombstones …
+    assert(StatementStore.read(spark, "stmt_spec6").count() == 6)
+    // … but FINAL sees only the untouched entity
+    val fin = StatementStore.readFinal(spark, "stmt_spec6")
+    assert(fin.count() == 1)
+    assert(fin.select("entity_id").collect()(0).getString(0) == "e2")
+
+    // popping a missing entity returns empty and writes nothing
+    assert(StatementStore.pop(spark, "stmt_spec6", "zzz", buckets = 4).count() == 0)
+    assert(StatementStore.read(spark, "stmt_spec6").count() == 6)
+
+    // compact drops the dead rows physically
+    StatementStore.compact(spark, "stmt_spec6", buckets = 4)
+    assert(StatementStore.read(spark, "stmt_spec6").count() == 1)
+
+    // re-inserting with a newer version resurrects the entity
+    val resurrect = sampleStatements
+      .filter(col("entity_id") === "e1")
+      .withColumn("last_seen", lit(ts("2031-01-01 00:00:00")))
+    StatementStore.append(resurrect, "stmt_spec6", buckets = 4)
+    assert(StatementStore.readFinal(spark, "stmt_spec6")
+      .filter(col("entity_id") === "e1").count() == 2)
+  }
+
   test("export → ingest round-trip preserves the entity") {
     import spark.implicits._
     val stmts = Seq(
