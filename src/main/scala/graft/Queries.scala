@@ -356,6 +356,28 @@ object Queries {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q16b — the 100 TB twin of [[q16Percentile]]. Exact `percentile`
+    * buffers EVERY group value in its aggregation buffer — fine at
+    * oracle scale and low group cardinality, a per-task OOM at 10^11
+    * rows. `approx_percentile` (Greenwald–Khanna quantile summaries,
+    * rank error ≤ 1/accuracy) is O(accuracy·log n) memory with
+    * map-side partial merge, so it scales in rows AND group count.
+    * Accuracy 10000 → rank error ≤ 0.01%. Spec-gated against the
+    * exact form (no DuckDB oracle: its approx_quantile is a t-digest,
+    * a different sketch with different values).
+    */
+  def q16bPercentileApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .as("ps"))
+      .select($"l_returnflag",
+        round(element_at($"ps", 1), 4).as("p50"),
+        round(element_at($"ps", 2), 4).as("p90"),
+        round(element_at($"ps", 3), 4).as("p99"))
+  }
+
   /** q17 — rollup: subtotal hierarchy over (status, priority) — the
     * multi-level aggregation shape of OLAP reporting.
     */
@@ -1041,6 +1063,7 @@ object Queries {
     "q14_events_time_bucket" -> (q14EventsTimeBucket _),
     "q15_having" -> (q15Having _),
     "q16_percentile" -> (q16Percentile _),
+    "q16b_percentile_approx" -> (q16bPercentileApprox _),
     "q17_rollup" -> (q17Rollup _),
     "q18_range_window" -> (q18RangeWindow _),
     "q19_sessionize" -> (q19Sessionize _),

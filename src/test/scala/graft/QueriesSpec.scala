@@ -41,6 +41,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q16b approx percentiles land within 2% of the exact quantiles") {
+    def byFlag(key: String): Map[String, Seq[Double]] =
+      SparkEntry.queries(key)(spark, sf).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val exact = byFlag("q16_percentile")
+    val approx = byFlag("q16b_percentile_approx")
+    assert(exact.keySet == approx.keySet)
+    for ((flag, es) <- exact; (e, a) <- es.zip(approx(flag)))
+      assert(math.abs(a - e) / e <= 0.02,
+        s"$flag: approx $a vs exact $e drifts ${math.abs(a - e) / e}")
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
