@@ -697,12 +697,24 @@ object Queries {
       minEntities = 2, maxEntities = 50)
     val attrs = Xref.entityAttrs(stmts, countryProp = "nationkey")
     val base = Xref.candidates(pairs, attrs, ts = lit(1L))
-    val judged = base.filter($"left_id".endsWith("0"))
-      .withColumn("judgement", lit("positive"))
-      .withColumn("score", lit(0.9))
-      .withColumn("ts", lit(2L))
-      .withColumn("user", lit("analyst"))
-    Xref.latestJudgements(base.unionByName(judged))
+    // The judged batch derives from base; a base.unionByName(
+    // base.filter...) plan would compute the whole pair+attrs subtree
+    // TWICE (Spark does not share common subtrees across union
+    // branches). One explode pass emits the ts=1 row always and the
+    // superseding ts=2 row where judged — same rows, half the plan.
+    val asBase = struct(base.columns.map(col): _*)
+    val asJudged = struct(base.columns.map {
+      case "judgement" => lit("positive").as("judgement")
+      case "score"     => lit(0.9).as("score")
+      case "ts"        => lit(2L).as("ts")
+      case "user"      => lit("analyst").as("user")
+      case c           => col(c)
+    }: _*)
+    val both = base.select(explode(
+      when($"left_id".endsWith("0"), array(asBase, asJudged))
+        .otherwise(array(asBase))).as("r"))
+      .select("r.*")
+    Xref.latestJudgements(both)
   }
 
   /** DuckDB twin of [[xrefLatest]] as CTEs (requires stmtsCte+fpxCte). */
