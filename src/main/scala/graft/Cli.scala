@@ -4,16 +4,22 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Statements
-import graft.operators.EntityQuery
-import graft.sources.{FtmJson, StatementStore}
+import graft.operators.{EntityQuery, Fpx}
+import graft.sources.{FpxStore, FtmJson, StatementStore}
 
 /** Command-line surface mirroring the reference CLI (cli.py: init /
   * optimize, plus the store write/query paths its ftmq integration
   * exposes).
   *
-  *   init <table>                       create the statement table
+  *   init <table> [--recreate]          create statement + fpx tables
+  *                                      (engine.ensure, cli.py:23-33)
   *   ingest <table> <jsonl> [<ts>]      FTM entity JSONL → statements
-  *   optimize <table>                   compact (FINAL dedup rewrite)
+  *                                      + fpx rows (the writer inserts
+  *                                      BOTH tables, store.py:54-60)
+  *   optimize <table> [--full]          compact the fpx table; --full
+  *                                      also rewrites the statement
+  *                                      table FINAL (engine.optimize,
+  *                                      engine.py:117-125)
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
@@ -38,7 +44,13 @@ object Cli {
 
   private[graft] def run(spark: SparkSession, args: List[String]): Unit =
     args match {
-      case "init" :: table :: Nil =>
+      case "init" :: table :: rest if rest.forall(_ == "--recreate") =>
+        if (rest.contains("--recreate"))
+          // engine.drop_statements (engine.py:275-282): table + fpx +
+          // xref + the projection/view siblings
+          Seq(table, s"${table}_fpx", s"${table}_xref",
+            s"${table}_xref_reverse", s"${table}_compacted")
+            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS $table (
              |  id STRING, entity_id STRING, canonical_id STRING,
@@ -48,26 +60,43 @@ object Cli {
              |USING parquet PARTITIONED BY (dataset)
              |CLUSTERED BY (canonical_id) SORTED BY (canonical_id)
              |INTO 64 BUCKETS""".stripMargin)
-        println(s"created $table")
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS ${table}_fpx (
+             |  value STRING, dataset STRING, entity_id STRING,
+             |  schema STRING, prop STRING, prop_type STRING,
+             |  algorithm STRING)
+             |USING parquet PARTITIONED BY (algorithm)
+             |CLUSTERED BY (value) SORTED BY (value)
+             |INTO 64 BUCKETS""".stripMargin)
+        println(s"created $table, ${table}_fpx")
 
       case "ingest" :: table :: path :: rest =>
         val ts = rest.headOption.getOrElse("2026-01-01 00:00:00")
-        val stmts = FtmJson.statements(spark, path)
+        // name props carry prop_type=name (the FTM schema model's
+        // typing, which the fpx feed filters on — statements.py:51-57)
+        val stmts = FtmJson.statements(spark, path, Map("name" -> "name"))
           .withColumn("id",
             md5(concat_ws("|", col("entity_id"), col("prop"), col("value"))))
           .withColumn("last_seen", lit(ts).cast("timestamp"))
           .select("id", "entity_id", "canonical_id", "prop", "prop_type",
             "schema", "value", "last_seen", "dataset")
-        // cache so the reported count reuses the batch the write
-        // materialized instead of re-parsing the JSONL a second time
+        // cache so the fpx derivation and the reported count reuse the
+        // batch the write materialized instead of re-parsing the JSONL
         stmts.persist()
         try {
           StatementStore.append(stmts, table)
+          // the writer maintains the fpx table alongside the statement
+          // table (ClickhouseWriter._upsert_batch, store.py:56-60)
+          FpxStore.append(Fpx.fromStatements(stmts), s"${table}_fpx")
           println(s"ingested ${stmts.count()} statements into $table")
         } finally stmts.unpersist()
 
-      case "optimize" :: table :: Nil =>
-        StatementStore.compact(spark, table)
+      case "optimize" :: table :: rest if rest.forall(_ == "--full") =>
+        // engine.optimize (engine.py:117-125): the derived tables
+        // always, the statement table only on --full
+        if (spark.catalog.tableExists(s"${table}_fpx"))
+          FpxStore.compact(spark, s"${table}_fpx")
+        if (rest.contains("--full")) StatementStore.compact(spark, table)
         println(s"optimized $table")
 
       case "stats" :: table :: Nil =>

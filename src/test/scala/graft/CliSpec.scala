@@ -1,15 +1,18 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** End-to-end CLI spec: ingest JSONL → stats → query → optimize. */
+/** End-to-end CLI spec: init → ingest (statements + fpx) → stats →
+  * query → optimize, mirroring the reference writer's double insert
+  * (store.py:54-60) and engine.optimize's full flag.
+  */
 class CliSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("cli: ingest, stats, query, optimize round-trip") {
-    import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS cli_spec")
-    val dir = new java.io.File("/tmp/graft_warehouse/cli_spec")
+  private def clean(tables: String*): Unit = tables.foreach { name =>
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val dir = new java.io.File(s"/tmp/graft_warehouse/$name")
     if (dir.exists()) {
       dir.listFiles().foreach { f =>
         if (f.isDirectory) f.listFiles().foreach(_.delete())
@@ -17,24 +20,50 @@ class CliSpec extends AnyFunSuite {
       }
       dir.delete()
     }
+  }
+
+  test("cli: ingest, stats, query, optimize round-trip") {
+    import spark.implicits._
+    clean("cli_spec", "cli_spec_fpx", "cli_spec_compacted",
+      "cli_spec_fpx_compacted")
     val entities = Seq(
       ("p1", "Person", Seq("ds"), Map("name" -> Seq("Ann"), "amount" -> Seq("500"))),
       ("p2", "Person", Seq("ds"), Map("name" -> Seq("Bob"), "amount" -> Seq("100"))))
       .toDF("id", "schema", "datasets", "properties")
     graft.sources.FtmJson.writeEntities(entities, "/tmp/graft_cli_in")
 
+    Cli.run(spark, List("init", "cli_spec"))
     Cli.run(spark, List("ingest", "cli_spec", "/tmp/graft_cli_in"))
     // duplicate delivery at a later timestamp — optimize must collapse it
     Cli.run(spark, List("ingest", "cli_spec", "/tmp/graft_cli_in",
       "2026-02-01 00:00:00"))
     assert(spark.table("cli_spec").count() == 8)
 
+    // the writer maintained the fpx table: fingerprint rows for each
+    // entity's name across the 4 algorithms, doubled by re-delivery
+    val fpx = spark.table("cli_spec_fpx")
+    assert(fpx.filter(col("algorithm") === "fingerprint")
+      .select("value").distinct().collect().map(_.getString(0)).toSet ==
+      Set("ann", "bob"))
+    assert(fpx.select("algorithm").distinct().count() >= 3)
+
+    // non-full optimize compacts the fpx table only
+    val rawFpx = fpx.count()
     Cli.run(spark, List("optimize", "cli_spec"))
+    assert(spark.table("cli_spec").count() == 8)
+    assert(spark.table("cli_spec_fpx").count() == rawFpx / 2)
+
+    Cli.run(spark, List("optimize", "cli_spec", "--full"))
     assert(spark.table("cli_spec").count() == 4)
 
     val q = graft.operators.EntityQuery(
       graft.sources.StatementStore.readFinal(spark, "cli_spec"))
       .dataset("ds").where("amount", "gte", "200").entities().collect()
     assert(q.map(_.getString(0)).toSeq == Seq("p1"))
+
+    // --recreate drops the whole table family
+    Cli.run(spark, List("init", "cli_spec", "--recreate"))
+    assert(spark.table("cli_spec").count() == 0)
+    assert(spark.table("cli_spec_fpx").count() == 0)
   }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.Statements
-import graft.sources.{FtmJson, StatementStore}
+import graft.operators.{Fpx, Xref}
+import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
 
 /** Specs for the storage layer: bucketed statement store with FINAL
   * semantics (shuffle-free by construction) and FTM JSONL ingest.
@@ -137,6 +138,79 @@ class SourcesSpec extends AnyFunSuite {
     StatementStore.append(resurrect, "stmt_spec6", buckets = 4)
     assert(StatementStore.readFinal(spark, "stmt_spec6")
       .filter(col("entity_id") === "e1").count() == 2)
+  }
+
+  test("fpx store: FINAL dedups re-ingests; freq and blocks run without Exchange") {
+    import spark.implicits._
+    dropTable("fpx_spec")
+    val stmts = Seq(
+      ("e1", "Person", "ds1", "name", "name", "Tchibo Holding AG"),
+      ("e2", "Person", "ds1", "name", "name", "Holding Tchibo"),
+      ("e3", "Person", "ds2", "name", "name", "Unrelated Corp"))
+      .toDF("entity_id", "schema", "dataset", "prop", "prop_type", "value")
+    val fpx = Fpx.fromStatements(stmts)
+    FpxStore.append(fpx, "fpx_spec", buckets = 4)
+    FpxStore.append(fpx, "fpx_spec", buckets = 4) // re-delivery
+    assert(FpxStore.read(spark, "fpx_spec").count() == fpx.count() * 2)
+    // FINAL = one row per ReplacingMergeTree key (re-delivery AND
+    // within-batch phonetic-code collisions collapse)
+    assert(FpxStore.readFinal(spark, "fpx_spec").count() ==
+      fpx.dropDuplicates(FpxStore.keyCols).count())
+
+    // algorithm slice prunes partitions; value-bucketing elides the
+    // groupBy shuffles for both derived views
+    val freqPlan = FpxStore.freq(spark, "fpx_spec")
+      .queryExecution.executedPlan.toString
+    assert(!freqPlan.contains("Exchange"),
+      s"freq over the bucketed fpx store should not shuffle:\n$freqPlan")
+    // blocks: the only allowed Exchange is the final pair-distinct;
+    // everything from the scan through the member-set aggregate must
+    // stay in-bucket (plans print top-down, so that means no Exchange
+    // BELOW the first ObjectHashAggregate)
+    val blocksPlan = FpxStore.blocks(spark, "fpx_spec")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(blocksPlan).length <= 1,
+      s"only the pair-distinct may shuffle:\n$blocksPlan")
+    val belowAgg = blocksPlan.substring(
+      blocksPlan.indexOf("ObjectHashAggregate"))
+    assert(!belowAgg.contains("Exchange"),
+      s"block membership agg should aggregate in-bucket:\n$blocksPlan")
+
+    // the shared-token block pairs e1/e2 ("tchibo" + "holding")
+    val pairs = FpxStore.blocks(spark, "fpx_spec").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("e1", "e2")))
+  }
+
+  test("xref store: upsert without Exchange; reverse projection point lookup") {
+    import spark.implicits._
+    dropTable("xref_spec")
+    dropTable("xref_spec_reverse")
+    val mk = (l: String, r: String, j: String, ts: Long) =>
+      ("ds", l, "Person", "de", s"cap-$l", "ds", r, "Person", "fr",
+        s"cap-$r", j, 0.5, ts, "graft")
+    val base = Seq(
+      mk("a", "b", "no_judgement", 1L),
+      mk("a", "c", "no_judgement", 1L))
+      .toDF(Xref.columns: _*)
+    XrefStore.append(base, "xref_spec", buckets = 4)
+    // re-judge one pair at a later ts — FINAL must supersede
+    XrefStore.append(Seq(mk("a", "b", "positive", 2L)).toDF(Xref.columns: _*),
+      "xref_spec", buckets = 4)
+
+    val latest = XrefStore.readLatest(spark, "xref_spec")
+    assert(latest.count() == 2)
+    assert(latest.filter($"right_id" === "b")
+      .select("judgement").collect()(0).getString(0) == "positive")
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"latest-judgement window should run in-bucket:\n$plan")
+
+    // the reverse projection: right-side-first point lookup
+    val rev = XrefStore.lookupByRight(spark, "xref_spec", "b").collect()
+    assert(rev.length == 1)
+    assert(rev(0).getString(1) == "b" && rev(0).getString(6) == "a")
+    assert(rev(0).getString(10) == "positive")
   }
 
   test("export → ingest round-trip preserves the entity") {
