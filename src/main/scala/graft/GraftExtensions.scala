@@ -1,27 +1,77 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DoubleMetaphoneExpression, MetaphoneExpression}
+import graft.functions.{DoubleMetaphoneExpression, MetaphoneExpression,
+  MinHashSignatureExpression, Phonetics, SimHashExpression}
+
+/** The SQL-function surface: every graft function a pure-SQL user
+  * needs, as (identifier, info, builder) triples — injected at
+  * config time by [[GraftExtensions]] or registered into a live
+  * session with [[GraftFunctionRegistry.registerAll]].
+  *
+  *   - native expressions: `graft_metaphone`, `graft_double_metaphone`,
+  *     `graft_minhash(arr[, numHashes])`, `graft_simhash(arr)`
+  *   - composed codegen'd `functions._` trees: `graft_fingerprint`,
+  *     `graft_fpx_tokens`
+  */
+object GraftFunctionRegistry {
+
+  private def composed(name: String)(f: Column => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(Phonetics.getClass.getName, name),
+    { children: Seq[Expression] =>
+      require(children.size == 1, s"$name takes one argument")
+      GraftSqlBridge.catalystExpression(f(GraftSqlBridge.column(children.head)))
+    })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (MetaphoneExpression.identifier, MetaphoneExpression.info,
+      MetaphoneExpression.builder),
+    (DoubleMetaphoneExpression.identifier, DoubleMetaphoneExpression.info,
+      DoubleMetaphoneExpression.builder),
+    composed("graft_fingerprint")(Phonetics.fingerprint),
+    composed("graft_fpx_tokens")(Phonetics.fpxTokens),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[MinHashSignatureExpression].getName, "graft_minhash"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(arr) => MinHashSignatureExpression(arr, 64)
+          case Seq(arr, Literal(n: Int, IntegerType)) =>
+            MinHashSignatureExpression(arr, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash(arr[, numHashes: int literal])")
+        }
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[SimHashExpression].getName, "graft_simhash"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_simhash takes one argument")
+        SimHashExpression(children.head)
+      }))
+
+  /** Register into an already-running session (tests, notebooks). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
 
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
-  * Registers graft's native expressions as SQL functions
-  * (`graft_metaphone`, `graft_double_metaphone`). Custom
-  * LogicalPlans/Strategies are deliberately NOT injected: every graft
-  * operator is expressible as a declarative DataFrame plan, which keeps
-  * Catalyst free to optimize — see SURVEY.md §4.
+  * Injects [[GraftFunctionRegistry.all]]. Custom LogicalPlans/
+  * Strategies are deliberately NOT injected: every graft operator is
+  * expressible as a declarative DataFrame plan, which keeps Catalyst
+  * free to optimize — see SURVEY.md §4.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      MetaphoneExpression.identifier,
-      MetaphoneExpression.info,
-      MetaphoneExpression.builder))
-    ext.injectFunction((
-      DoubleMetaphoneExpression.identifier,
-      DoubleMetaphoneExpression.info,
-      DoubleMetaphoneExpression.builder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.all.foreach(ext.injectFunction)
 }

@@ -42,6 +42,45 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** st7 — continuous xref candidate generation: a statement STREAM
+    * joined against the STORED fpx table. Each incoming name statement
+    * yields its blocking tokens (the same stateless fpx derivation as
+    * the batch feed), which equi-join the static store to emit (new
+    * entity, known entity, shared block) candidates as the data
+    * arrives — the push-maintained face of f8.
+    *
+    * Scale shape: stream-static equi-join on the block value; the
+    * static side is the value-bucketed [[graft.sources.FpxStore]]
+    * table, so each micro-batch's probe reads only matching buckets
+    * and NO state accumulates in the stream (stateless join — the
+    * store IS the state). The `maxEntities` guard reuses the store's
+    * freq view semantics: hyper-frequent blocks are dropped from the
+    * static side before the join, bounding per-token fan-out exactly
+    * like the batch blocker's cutoff.
+    */
+  def xrefCandidates(
+      statements: DataFrame,
+      storedFpx: DataFrame,
+      maxEntities: Long = 1000): DataFrame = {
+    val known = storedFpx
+      .filter(col("algorithm") === "fingerprint")
+      .select(col("value"), col("entity_id").as("known_id"))
+      .distinct()
+    val bounded = known
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("value"))))
+      .filter(col("__n") <= maxEntities)
+      .drop("__n")
+    val incoming = graft.operators.Fpx
+      .fromStatements(statements, Seq("fingerprint"))
+      .select(col("value"), col("entity_id").as("new_id"))
+    incoming
+      .join(bounded, Seq("value"))
+      .filter(col("new_id") =!= col("known_id"))
+      .select(col("new_id"), col("known_id"), col("value").as("block_value"))
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Convert a composed Column into a real (possibly unresolved)
+    * catalyst Expression tree. Unlike [[expression]] — which wraps the
+    * column node in a lazy `ColumnNodeExpression` that only plan
+    * builders unwrap — this eagerly runs the node converter, so the
+    * result is usable where a genuine Expression is required (e.g.
+    * returned from a FunctionRegistry builder, where the analyzer
+    * resolves the inner functions but would not unwrap the lazy node).
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

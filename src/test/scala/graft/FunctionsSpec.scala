@@ -127,6 +127,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("function registry exposes the full surface to SQL") {
+    import graft.operators.Dedup.words
+    GraftFunctionRegistry.registerAll(spark)
+    assert(spark.sql("SELECT graft_fingerprint('Tchibo Holding AG') AS fp")
+      .collect()(0).getString(0) == "ag holding tchibo")
+    assert(spark.sql(
+      "SELECT graft_fpx_tokens(graft_fingerprint('Tchibo Holding AG')) AS t")
+      .collect()(0).getSeq[String](0).toSet ==
+      Set("ag holding tchibo", "holding", "tchibo"))
+    // SQL forms match the column forms exactly
+    val doc = "the quick brown fox jumps over the lazy dog"
+    val viaSqlMh = spark.sql(
+      s"SELECT graft_minhash(array('a','b','c'), 16) AS mh")
+      .collect()(0).getSeq[Long](0)
+    val viaColMh = graft.functions.MinHashSignatureExpression
+      .minhash(array(lit("a"), lit("b"), lit("c")), 16)
+    assert(viaSqlMh ==
+      spark.range(1).select(viaColMh).collect()(0).getSeq[Long](0))
+    assert(viaSqlMh.length == 16)
+    val sqlSim = spark.sql(
+      s"SELECT graft_simhash(array('x','y')) AS sh").collect()(0).getLong(0)
+    val colSim = spark.range(1)
+      .select(graft.functions.SimHashExpression.simhash(
+        array(lit("x"), lit("y")))).collect()(0).getLong(0)
+    assert(sqlSim == colSim)
+  }
+
   test("native expression handles nulls and registers as SQL function") {
     import spark.implicits._
     val n = Seq(Option.empty[String]).toDF("s")

@@ -148,6 +148,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st7 continuous xref candidates: stream joins the stored fpx table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the static side: a stored fpx table with two known entities
+    val stored = graft.operators.Fpx.fromStatements(Seq(
+      ("k1", "P", "ds1", "name", "name", "Tchibo Holding AG"),
+      ("k2", "P", "ds1", "name", "name", "Holding Tchibo"),
+      ("k3", "P", "ds2", "name", "name", "Unrelated Corp"))
+      .toDF("entity_id", "schema", "dataset", "prop", "prop_type", "value"))
+    val in = MemoryStream[(String, String, String, String, String, String)]
+    val stmts = in.toDF().toDF("entity_id", "schema", "dataset", "prop",
+      "prop_type", "value")
+    val q = graft.streaming.Streams.xrefCandidates(stmts, stored)
+      .writeStream.format("memory").queryName("st7_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(("n1", "P", "dsx", "name", "name", "Tchibo GmbH"))
+      q.processAllAvailable()
+      val rows = spark.table("st7_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      // "tchibo" blocks against both known Tchibo entities, nothing else
+      assert(rows == Set(("n1", "k1", "tchibo"), ("n1", "k2", "tchibo")))
+      // a second arrival only probes its own tokens
+      in.addData(("n2", "P", "dsx", "name", "name", "Unrelated Inc"))
+      q.processAllAvailable()
+      val rows2 = spark.table("st7_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows2 == rows + (("n2", "k3", "unrelated")))
+    } finally q.stop()
+  }
+
   test("st3 sessionization closes a session after the gap and emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
