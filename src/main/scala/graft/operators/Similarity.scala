@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component: a value in
-    * [-0.5, 0.5) derived from md5(plane:dim) — reproducible across
-    * runs and engines, no RNG state.
+  /** Deterministic pseudo-random hyperplane matrix: component (p, d)
+    * is a value in [-0.5, 0.5) derived from md5("plane-p:d") — the
+    * same derivation as `Dedup.md5Hash60`, but evaluated ONCE on the
+    * driver. The first implementation computed these md5s inside the
+    * row expression: numPlanes × dims digests PER ROW for a matrix
+    * that never changes (≈1M digests over a 2k×64-dim corpus). As
+    * literals the signature is pure multiply-add in codegen.
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (Dedup.md5Hash60(concat(lit("plane-"), plane.cast("string")), dim.cast("string"))
-      .cast("double") / lit((1L << 60).toDouble)) - lit(0.5)
+  private def planeMatrix(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"plane-$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble) - 0.5
+    }
 
   /** Two-phase per-query top-k over scored (query_id, neighbor_id, cos)
     * rows. A single `Window.partitionBy(query_id)` funnels the ENTIRE
@@ -69,18 +77,24 @@ object Similarity {
   }
 
   /** Sign-bit signature of a vector against `numPlanes` hyperplanes,
-    * packed into a long. Pure expression — computed in the scan.
+    * packed into a long. Pure expression — computed in the scan; the
+    * plane matrix is a driver-side literal (see [[planeMatrix]]), so
+    * per row this is numPlanes fused multiply-add folds. `dims` must
+    * be ≥ the embedding length (components beyond it are not probed;
+    * default matches the testdata's 64-dim embeddings).
     */
-  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
+  def hyperplaneSignature(
+      vec: Column, numPlanes: Int, dims: Int = 64): Column = {
+    val planes = planeMatrix(numPlanes, dims)
     (0 until numPlanes).map { p =>
+      val row = typedLit(planes(p).toSeq)
       val dotP = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            d => planeComponent(lit(p), d)),
+        zip_with(vec, slice(row, lit(1), size(vec)),
           (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
       when(dotP >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
+  }
 
   /** s1 — exact brute-force cosine top-k. `queries` is expected to be
     * small (broadcast); the corpus side streams through one scan and a
