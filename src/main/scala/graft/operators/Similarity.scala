@@ -184,27 +184,33 @@ object Similarity {
       k: Int,
       nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms once per centroid (broadcast side) and once per vector
+    // (before the crossJoin) — the assignment scores |rows|·|cents|
+    // pairs, so a norm inside the pair loop is |cents|× wasted folds;
+    // the row norm is then reused as the search-phase cn/qn.
+    val cn = broadcast(cents.select(col("list_id"), col("centroid"),
+      sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
     def best(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("d").desc, col("list_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("d", Dedup.cosine(col("embedding"), col("centroid")))
+      df.withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+        .crossJoin(cn)
+        .withColumn("d", Dedup.cosineWithNorms(
+          col("embedding"), col("centroid"), col("__n"), col("cent_n")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= keep)
-        .drop("centroid", "d", "r")
+        .drop("centroid", "cent_n", "d", "r")
     }
     val assigned = best(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
       "neighbor_id", 1)
       .select(col("list_id"), col("neighbor_id"),
-        col("embedding").as("cv"),
-        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
+        col("embedding").as("cv"), col("__n").as("cn"))
     val probes = best(
       queries.select(col("vec_id").as("query_id"), col("embedding")),
       "query_id", nProbe)
       .select(col("list_id"), col("query_id"),
-        col("embedding").as("qv"),
-        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
+        col("embedding").as("qv"), col("__n").as("qn"))
     // no dedup needed: each neighbor lives in exactly one inverted list
     // (keep=1 assignment), so a (query, neighbor) pair scores once
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
