@@ -4,8 +4,8 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Statements
-import graft.operators.{EntityQuery, Fpx}
-import graft.sources.{FpxStore, FtmJson, StatementStore}
+import graft.operators.{EntityQuery, Fpx, Xref}
+import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
 
 /** Command-line surface mirroring the reference CLI (cli.py: init /
   * optimize, plus the store write/query paths its ftmq integration
@@ -20,6 +20,11 @@ import graft.sources.{FpxStore, FtmJson, StatementStore}
   *                                      also rewrites the statement
   *                                      table FINAL (engine.optimize,
   *                                      engine.py:117-125)
+  *   pop <table> <entity_id>            print-and-remove one entity
+  *                                      (ClickhouseWriter.pop)
+  *   xref <table> [algorithm]           blocking pairs from the stored
+  *                                      fpx → 14-col candidates into
+  *                                      <table>_xref (+ reverse)
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
@@ -99,6 +104,26 @@ object Cli {
         if (rest.contains("--full")) StatementStore.compact(spark, table)
         println(s"optimized $table")
 
+      case "pop" :: table :: entityId :: Nil =>
+        // ClickhouseWriter.pop (store.py:66-74): print-and-remove
+        val popped = StatementStore.pop(spark, table, entityId)
+        popped.collect().foreach(r => println(r.mkString("\t")))
+        println(s"popped ${popped.count()} statements of $entityId")
+
+      case "xref" :: table :: rest =>
+        // candidate generation over the STORED fpx table per algorithm
+        // (test_fingerprints.py runs the blocking query per algorithm),
+        // enriched to 14-col xref rows and upserted into the stored
+        // xref table + its reverse projection.
+        val algorithm = rest.headOption.getOrElse("fingerprint")
+        val pairs = FpxStore.blocks(spark, s"${table}_fpx", algorithm)
+        val attrs = Xref.entityAttrs(StatementStore.readFinal(spark, table))
+        val ts = System.currentTimeMillis()
+        XrefStore.append(
+          Xref.candidates(pairs, attrs, ts = lit(ts)), s"${table}_xref")
+        val n = XrefStore.readLatest(spark, s"${table}_xref").count()
+        println(s"xref $table: $n live candidate pairs")
+
       case "stats" :: table :: Nil =>
         Statements.stats(StatementStore.readFinal(spark, table))
           .orderBy("dataset", "schema")
@@ -123,6 +148,7 @@ object Cli {
         q.entities().collect().foreach(r => println(r.mkString("\t")))
 
       case other =>
-        sys.error(s"usage: init|ingest|optimize|stats|query, got: $other")
+        sys.error(
+          s"usage: init|ingest|optimize|pop|xref|stats|query, got: $other")
     }
 }

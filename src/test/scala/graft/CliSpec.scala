@@ -25,7 +25,7 @@ class CliSpec extends AnyFunSuite {
   test("cli: ingest, stats, query, optimize round-trip") {
     import spark.implicits._
     clean("cli_spec", "cli_spec_fpx", "cli_spec_compacted",
-      "cli_spec_fpx_compacted")
+      "cli_spec_fpx_compacted", "cli_spec_xref", "cli_spec_xref_reverse")
     val entities = Seq(
       ("p1", "Person", Seq("ds"), Map("name" -> Seq("Ann"), "amount" -> Seq("500"))),
       ("p2", "Person", Seq("ds"), Map("name" -> Seq("Bob"), "amount" -> Seq("100"))))
@@ -60,6 +60,19 @@ class CliSpec extends AnyFunSuite {
       graft.sources.StatementStore.readFinal(spark, "cli_spec"))
       .dataset("ds").where("amount", "gte", "200").entities().collect()
     assert(q.map(_.getString(0)).toSeq == Seq("p1"))
+
+    // xref: Ann and Bob share no blocks → 0 candidates, but the xref
+    // tables exist and are empty (the workflow runs end to end);
+    // soundex blocking pairs nothing here either
+    Cli.run(spark, List("xref", "cli_spec"))
+    assert(spark.catalog.tableExists("cli_spec_xref"))
+    assert(spark.catalog.tableExists("cli_spec_xref_reverse"))
+
+    // pop removes p2; p1 survives
+    Cli.run(spark, List("pop", "cli_spec", "p2"))
+    val after = graft.sources.StatementStore.readFinal(spark, "cli_spec")
+    assert(after.filter(col("entity_id") === "p2").count() == 0)
+    assert(after.filter(col("entity_id") === "p1").count() == 2)
 
     // --recreate drops the whole table family
     Cli.run(spark, List("init", "cli_spec", "--recreate"))
