@@ -96,9 +96,34 @@ object PipelineQueries {
        |FROM bands l JOIN bands r
        |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin
 
-  /** d4 — rows-only at the driver (hamming/simhash spec-tested). */
   def d4DedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir))
+
+  /** d4's DuckDB twin — the SimHash vote is pure integer arithmetic
+    * over md5-derived 60-bit token hashes, so DuckDB reproduces the
+    * signature exactly: explode distinct tokens × bits, sum ±1 votes,
+    * pack sign bits. A doc with no tokens has all-zero votes → every
+    * sign test passes → all 60 bits set (the LEFT JOIN default).
+    */
+  val d4Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(${duckWords("text")}) AS ws
+       |  FROM documents),
+       |ex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+       |hs AS (SELECT doc_id, ${duckHash60("'0'", "w")} AS h FROM ex),
+       |votes AS (
+       |  SELECT doc_id, b.bit AS bit,
+       |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs, (SELECT unnest(range(0, 60)) AS bit) b
+       |  GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit)
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(s.simhash, 1152921504606846975) AS simhash
+       |FROM documents d LEFT JOIN sigs s USING (doc_id)""".stripMargin
 
   def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, dir), minCos = 0.30)
@@ -130,21 +155,101 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
-  /** s2 — rows-only at the driver (recall vs s1 spec-tested). */
   def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, numPlanes = 8)
   }
 
-  /** s3 — IVF ANN with label-keyed coarse quantizer; rows-only at the
-    * driver (recall vs s1 spec-tested).
+  /** s2's DuckDB twin. The hyperplane matrix is md5-derived (the same
+    * "plane-p:d" hash the Spark literal matrix is built from), so
+    * DuckDB recomputes identical components; the bucket signature is a
+    * sign-bit sum; multi-probe explodes the query signature plus its 8
+    * hamming-1 neighbors. Sign flips from double-addition order are the
+    * only cross-engine risk — dots here are O(1)-magnitude with ~1e-15
+    * accumulation drift, far from the sign boundary in this data.
     */
+  val s2Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (
+       |  SELECT p.p AS plane, list_transform(range(0, 64), d ->
+       |    CAST(concat('0x', substr(md5(concat('plane-', p.p, ':', d)), 1, 15)) AS BIGINT)
+       |      / 1152921504606846976.0 - 0.5) AS pv
+       |  FROM (SELECT unnest(range(0, 8)) AS p) p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+       |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e, planes GROUP BY vec_id),
+       |corpus AS (
+       |  SELECT e.vec_id AS neighbor_id, v AS cv, sig AS bucket
+       |  FROM e JOIN sigs USING (vec_id)),
+       |qs AS (
+       |  SELECT e.vec_id AS query_id, v AS qv, sig
+       |  FROM e JOIN sigs USING (vec_id) WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv,
+       |    unnest(list_prepend(sig, list_transform(range(0, 8), p ->
+       |      xor(sig, CAST(1 AS BIGINT) << p)))) AS bucket
+       |  FROM qs),
+       |cand AS (
+       |  SELECT DISTINCT query_id, neighbor_id, qv, cv
+       |  FROM probes JOIN corpus USING (bucket)
+       |  WHERE neighbor_id <> query_id),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${duckCos("qv", "cv")} DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** s3 — IVF ANN with label-keyed coarse quantizer. */
   def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents = Similarity.centroids(e, col("label"))
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents,
       k = 5, nProbe = 3)
   }
+
+  /** s3's DuckDB twin: elementwise-mean centroids per label (the 64
+    * dims are explicit — the testdata embedding width), nearest-list
+    * assignment (keep 1) and query probes (keep 3) by centroid cosine,
+    * then exact scoring within the probed lists. Centroid float drift
+    * between engines can only flip a near-tied argmax — the output
+    * cosines are over the ORIGINAL vectors, so list choice is the only
+    * cross-engine surface.
+    */
+  val s3Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  SELECT label, p.pos AS pos, AVG(v[p.pos]) AS m
+       |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+       |  GROUP BY 1, 2),
+       |clist AS (
+       |  SELECT label AS list_id, list(m ORDER BY pos) AS c
+       |  FROM cents GROUP BY label),
+       |assigned AS (
+       |  SELECT neighbor_id, cv, list_id FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.v AS cv, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |    FROM e, clist cl) WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, list_id FROM (
+       |    SELECT e.vec_id AS query_id, e.v AS qv, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |    FROM e, clist cl WHERE e.vec_id < 10) WHERE r <= 3),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cos
+       |  FROM probes JOIN assigned USING (list_id)
+       |  WHERE neighbor_id <> query_id),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
 
   // ===========================================================
   // t-block: text analysis
@@ -237,9 +342,30 @@ object PipelineQueries {
       |  lower(hex(substr(text, 1, 8))) AS head_hex
       |FROM documents""".stripMargin
 
-  /** m2 — rows-only at the driver (chunk geometry spec-tested). */
   def m2FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(docs(s, dir), frameBytes = 64, stride = 4)
+
+  /** m2's DuckDB twin: the stepped frame sequence via range(0, n, 4),
+    * the frame slice via VARCHAR substring — this DuckDB build has no
+    * BLOB substring, but the documents corpus is pure ASCII (checked:
+    * octet_length = length for every row), where character slicing IS
+    * byte slicing and md5(VARCHAR) hashes the same bytes Spark's
+    * binary md5 does. Chunk geometry (ceil, stride, short tail frame)
+    * matches Multimodal.frameSample exactly.
+    */
+  val m2Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx
+      |  FROM f WHERE n_frames > 0)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(length(substring(text, frame_idx * 64 + 1, 64)) AS BIGINT)
+      |    AS frame_bytes,
+      |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_feature
+      |FROM ex""".stripMargin
 
   // ===========================================================
   // Registry
@@ -266,12 +392,16 @@ object PipelineQueries {
     "d1_dedup_exact" -> d1Sql,
     "d2_dedup_ngram_jaccard" -> d2Sql,
     "d3_dedup_minhash_lsh" -> d3Sql,
+    "d4_dedup_simhash" -> d4Sql,
     "d5_dedup_embedding" -> d5Sql,
     "s1_ann_brute_topk" -> s1Sql,
+    "s2_ann_lsh" -> s2Sql,
+    "s3_ann_ivf" -> s3Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
     "t4_doc_fingerprint" -> t4Sql,
-    "m1_binary_meta" -> m1Sql
+    "m1_binary_meta" -> m1Sql,
+    "m2_frame_sample" -> m2Sql
   )
 }
