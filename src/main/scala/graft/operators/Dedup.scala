@@ -212,12 +212,8 @@ object Dedup {
     val buckets = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // chained Generates — same rationale as Fpx.xrefBlocks
-    buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "left_id")))
-      .select(col("left_id"),
-        explode(expr("slice(ids, i + 2, size(ids))")).as("right_id"))
-      .distinct()
+    // balanced chunked expansion — same machinery as xref blocking
+    Fpx.expandSortedSets(buckets.select(col("ids"))).distinct()
   }
 
   /** d4 — SimHash: 64-bit near-dup signature. Bit b of the signature is

@@ -122,15 +122,45 @@ object Fpx {
     val blocks = fpx.groupBy(col("value"))
       .agg(sort_array(collect_set(col("entity_id"))).as("ids"))
       .filter(size(col("ids")).between(minEntities, maxEntities))
-    // Two chained Generates instead of one interpreted
-    // flatten-of-nested-transforms: each explode streams pair rows out
-    // without materializing the block's full O(n²) pair array in one
-    // row, and Generate stays inside codegen.
+    expandSortedSets(blocks).distinct()
+  }
+
+  /** Balanced pair expansion of sorted member-set rows: every `ids`
+    * row yields all (left_id < right_id) member pairs, each exactly
+    * once, with the quadratic work SPREAD across the cluster.
+    *
+    * A plain chained-Generate expansion streams one block's O(n²)
+    * pairs out of a SINGLE task (a 1000-member block = half a million
+    * pairs on one thread while the rest of the stage idles). Instead:
+    * split the sorted set into fixed chunks, emit one row per ordered
+    * chunk PAIR — (n/C)² cheap descriptor rows — rebalance those
+    * across the cluster, then expand each chunk-pair locally. The
+    * shuffle moves descriptors (ids array + two ints), never pairs.
+    * Correctness from sortedness: cross-chunk (ci < cj) left×right are
+    * all ordered pairs; same-chunk is the l < r half.
+    *
+    * Shared by xref blocking and MinHash-LSH bucket expansion; callers
+    * apply `.distinct()` for cross-block repeats.
+    */
+  private[operators] def expandSortedSets(
+      blocks: DataFrame, chunk: Int = 128): DataFrame = {
+    val C = chunk
+    val nChunks = ceil(size(col("ids")).cast("double") / C).cast("int")
     blocks
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "left_id")))
+      .select(col("ids"),
+        explode(sequence(lit(0), nChunks - 1)).as("ci"),
+        (nChunks - 1).as("maxc"))
+      .select(col("ids"), col("ci"),
+        explode(sequence(col("ci"), col("maxc"))).as("cj"))
+      .repartition(col("ids"), col("ci"), col("cj"))
+      .select(col("ids"), col("cj"),
+        posexplode(expr(s"slice(ids, ci * $C + 1, $C)"))
+          .as(Seq("li", "left_id")),
+        col("ci"))
       .select(col("left_id"),
-        explode(expr("slice(ids, i + 2, size(ids))")).as("right_id"))
-      .distinct()
+        explode(when(col("ci") === col("cj"),
+          expr(s"slice(ids, ci * $C + li + 2, $C - li - 1)"))
+          .otherwise(expr(s"slice(ids, cj * $C + 1, $C)"))).as("right_id"))
   }
 
   /** The xref judgement store semantics (engine.py:181-203): candidate

@@ -163,14 +163,15 @@ class SourcesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!freqPlan.contains("Exchange"),
       s"freq over the bucketed fpx store should not shuffle:\n$freqPlan")
-    // blocks: the only allowed Exchange is the final pair-distinct;
-    // everything from the scan through the member-set aggregate must
-    // stay in-bucket (plans print top-down, so that means no Exchange
-    // BELOW the first ObjectHashAggregate)
+    // blocks: the allowed Exchanges are the chunk-descriptor
+    // rebalance and the final pair-distinct; everything from the scan
+    // through the member-set aggregate must stay in-bucket (plans
+    // print top-down, so that means no Exchange BELOW the first
+    // ObjectHashAggregate)
     val blocksPlan = FpxStore.blocks(spark, "fpx_spec")
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(blocksPlan).length <= 1,
-      s"only the pair-distinct may shuffle:\n$blocksPlan")
+    assert("Exchange".r.findAllIn(blocksPlan).length <= 2,
+      s"only chunk rebalance + pair-distinct may shuffle:\n$blocksPlan")
     val belowAgg = blocksPlan.substring(
       blocksPlan.indexOf("ObjectHashAggregate"))
     assert(!belowAgg.contains("Exchange"),
