@@ -66,12 +66,17 @@ object GraftFunctionRegistry {
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
-  * Injects [[GraftFunctionRegistry.all]]. Custom LogicalPlans/
-  * Strategies are deliberately NOT injected: every graft operator is
-  * expressible as a declarative DataFrame plan, which keeps Catalyst
-  * free to optimize — see SURVEY.md §4.
+  * Injects [[GraftFunctionRegistry.all]] and the one optimizer rule
+  * Catalyst genuinely lacks: [[graft.plans.PruneStaticExplodeFilter]]
+  * (filter pushdown through explode-of-literal-tagged-structs, the
+  * statement unpivot's shape). Custom LogicalPlans/Strategies remain
+  * deliberately absent: every graft operator is expressible as a
+  * declarative DataFrame plan, which keeps Catalyst free to optimize —
+  * see SURVEY.md §4.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.PruneStaticExplodeFilter)
+  }
 }

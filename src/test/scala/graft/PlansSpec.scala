@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Statements
+import graft.model.Statements.PropSpec
+
+/** Specs for custom optimizer rules (the test session runs with
+  * GraftExtensions, so PruneStaticExplodeFilter sits inside the
+  * operator-optimization fixed point exactly like production sessions).
+  */
+class PlansSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("PruneStaticExplodeFilter: names-only feed scans one prop column") {
+    val feed = graft.operators.Fpx.fromStatements(
+      Queries.statements(spark, sf), Seq("fingerprint"))
+    val plan = feed.queryExecution.executedPlan.toString
+    // the prop_type='name' filter statically prunes the non-name
+    // unpivot elements; column pruning then drops their inputs — the
+    // scans must read the name columns but NOT the other prop columns
+    // (check the ReadSchema segments: bare names like p_type are
+    // substrings of unrelated tokens like prop_type)
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    val readCols = readSchemas.flatMap(_.split(",")).map(_.split(":")(0)).toSet
+    assert(readCols.contains("c_name") && readCols.contains("p_name"),
+      s"scan lost a name column, read: $readCols\n$plan")
+    for (dead <- Seq("c_mktsegment", "c_acctbal", "c_nationkey", "p_brand",
+        "p_type", "p_size", "p_retailprice"))
+      assert(!readCols.contains(dead),
+        s"$dead should be pruned from the names-only scan, read: $readCols")
+  }
+
+  test("PruneStaticExplodeFilter: pruned feed equals a hand-restricted unpivot") {
+    import spark.implicits._
+    val full = Statements.unpivot(
+      Tables.load(spark, sf, "customer"),
+      concat(lit("customer-"), $"c_custkey"),
+      schema = "Customer", dataset = "ds",
+      Seq(
+        PropSpec("name", "name", $"c_name"),
+        PropSpec("mktsegment", "string", $"c_mktsegment"),
+        PropSpec("acctbal", "number", $"c_acctbal")),
+      lastSeen = to_timestamp(lit("2024-06-01 00:00:00")))
+      .filter($"prop_type" === "name")
+    val restricted = Statements.unpivot(
+      Tables.load(spark, sf, "customer"),
+      concat(lit("customer-"), $"c_custkey"),
+      schema = "Customer", dataset = "ds",
+      Seq(PropSpec("name", "name", $"c_name")),
+      lastSeen = to_timestamp(lit("2024-06-01 00:00:00")))
+    val a = full.collect().map(_.toString).sorted
+    val b = restricted.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("PruneStaticExplodeFilter leaves row-dependent conjuncts alone") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 2), ("b", 3, 4)).toDF("k", "x", "y")
+    val st = df.select(col("k"), explode(array(
+      struct(col("x").cast("long").as("v"), lit("xs").as("tag")),
+      struct(col("y").cast("long").as("v"), lit("ys").as("tag")))).as("s"))
+    // static conjunct prunes elements; dynamic conjunct still filters rows
+    val out = st.filter(col("s.tag") === "ys" && col("s.v") > 2)
+      .select(col("k"), col("s.v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("b", 4L)))
+    // all-false static filter → empty result, not an error
+    assert(st.filter(col("s.tag") === "zs").count() == 0)
+  }
+}
