@@ -113,7 +113,7 @@ object Dedup {
         col("doc_id").as("right_id")), Seq("source", "h"))
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id"), col("right_id"))
-      .distinct()
+      .transform(Fpx.distinctPairs)
     val lt = toks.select(col("doc_id").as("left_id"),
       col("hs").as("lhs"), col("n").as("ln"))
     val rt = toks.select(col("doc_id").as("right_id"),
@@ -209,11 +209,14 @@ object Dedup {
           concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val buckets = bands.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    // balanced chunked expansion — same machinery as xref blocking
-    Fpx.expandSortedSets(buckets.select(col("ids"))).distinct()
+    // sketch-guarded set build (a degenerate corpus — e.g. millions of
+    // near-identical boilerplate docs — lands in ONE bucket; the guard
+    // keeps that bucket's buffer from materializing before the size
+    // filter) + balanced chunked expansion, same machinery as xref
+    // blocking
+    val buckets = Fpx.boundedMemberSets(
+      bands, Seq("band", "key"), "doc_id", 2, maxBucket)
+    Fpx.distinctPairs(Fpx.expandSortedSets(buckets.select(col("ids"))))
   }
 
   /** d4 — SimHash: 64-bit near-dup signature. Bit b of the signature is

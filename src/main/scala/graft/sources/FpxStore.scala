@@ -69,7 +69,10 @@ object FpxStore {
       maxEntities: Long = 1000): DataFrame =
     Fpx.xrefBlocks(
       readFinal(spark, table).filter(col("algorithm") === algorithm),
-      minEntities, maxEntities)
+      minEntities, maxEntities,
+      // value-bucketed store: already clustered, a second scan is a
+      // cheap parquet read — don't inject a repartition
+      inputClustered = true)
 
   /** Durable dedup, same single-write swap as
     * [[StatementStore.compact]].

@@ -116,6 +116,36 @@ class FpxSpec extends AnyFunSuite {
     val hits = Xref.lookupByRight(latest, lit("e2")).collect()
     assert(hits.nonEmpty && hits.forall(_.getAs[String]("right_id") == "e2"))
   }
+
+  test("boundedMemberSets ≡ naive collect_set for any key skew") {
+    import spark.implicits._
+    // keys with membership 1, in-range, at-cutoff, over-cutoff (hyper) —
+    // plus duplicate (key, member) rows, which must not inflate sets
+    val rows = Seq.tabulate(200)(i => ("hyper", s"m$i")) ++
+      Seq.tabulate(5)(i => ("atmax", s"m$i")) ++
+      Seq.tabulate(3)(i => ("mid", s"m$i")) ++
+      Seq(("solo", "m0"), ("mid", "m1"), ("mid", "m1"))
+    val df = rows.toDF("k", "member")
+    val naive = df.groupBy(col("k"))
+      .agg(sort_array(collect_set(col("member"))).as("ids"))
+      .filter(size(col("ids")).between(2, 5))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSet
+    for (clustered <- Seq(true, false)) {
+      val guarded = Fpx.boundedMemberSets(df, Seq("k"), "member", 2, 5,
+          inputClustered = clustered)
+        .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSet
+      assert(guarded == naive, s"inputClustered=$clustered")
+    }
+  }
+
+  test("distinctPairs ≡ distinct on a duplicated pair stream") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "c"), ("b", "c")).toDF("left_id", "right_id")
+    assert(Fpx.distinctPairs(pairs).collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
 }
 
 /** Shared access to the Scala doublemetaphone for expected values —

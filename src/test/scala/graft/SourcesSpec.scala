@@ -163,18 +163,21 @@ class SourcesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!freqPlan.contains("Exchange"),
       s"freq over the bucketed fpx store should not shuffle:\n$freqPlan")
-    // blocks: the allowed Exchanges are the chunk-descriptor
-    // rebalance and the final pair-distinct; everything from the scan
-    // through the member-set aggregate must stay in-bucket (plans
-    // print top-down, so that means no Exchange BELOW the first
-    // ObjectHashAggregate)
+    // blocks: the allowed SHUFFLE Exchanges are the chunk-descriptor
+    // rebalance and the final pair-distinct; the sketch-guard's
+    // survivor-list BroadcastExchange is fine (it moves a tiny value
+    // list, not the table). Everything from the scan through the
+    // member-set aggregate must stay in-bucket (plans print top-down,
+    // so that means no shuffle BELOW the first ObjectHashAggregate)
     val blocksPlan = FpxStore.blocks(spark, "fpx_spec")
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(blocksPlan).length <= 2,
+    def shuffles(p: String): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(shuffles(blocksPlan) <= 2,
       s"only chunk rebalance + pair-distinct may shuffle:\n$blocksPlan")
     val belowAgg = blocksPlan.substring(
       blocksPlan.indexOf("ObjectHashAggregate"))
-    assert(!belowAgg.contains("Exchange"),
+    assert(shuffles(belowAgg) == 0,
       s"block membership agg should aggregate in-bucket:\n$blocksPlan")
 
     // the shared-token block pairs e1/e2 ("tchibo" + "holding")
