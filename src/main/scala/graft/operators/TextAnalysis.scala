@@ -29,14 +29,23 @@ object TextAnalysis {
     * en > de > es > fr on ties.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val ws = Dedup.words(col("text"))
-    val Seq(en, de, es, fr) = stopwords.map { case (_, l) => hits(ws, l) }
+    // staged projections: the tokenization and the four hit counts are
+    // each referenced several times downstream, and codegen's
+    // subexpression elimination can't dedup higher-order-function
+    // trees — hoisting keeps split+filter at once-per-row
+    val withWs = documents.select(col("doc_id"), col("lang"),
+      Dedup.words(col("text")).as("ws"))
+    val withHits = withWs.select(col("doc_id") +: col("lang") +:
+      stopwords.map { case (lang, l) =>
+        hits(col("ws"), l).as(s"${lang}_hits") }: _*)
+    val Seq(en, de, es, fr) =
+      stopwords.map { case (lang, _) => col(s"${lang}_hits") }
     val pred = when(en + de + es + fr === 0, lit("und"))
       .when(en >= de && en >= es && en >= fr, lit("en"))
       .when(de >= es && de >= fr, lit("de"))
       .when(es >= fr, lit("es"))
       .otherwise(lit("fr"))
-    documents.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+    withHits.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
       en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
   }
 
@@ -44,23 +53,31 @@ object TextAnalysis {
     * ratios, the standard cheap pre-filters of a data pipeline.
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val ws = Dedup.words(col("text"))
-    val nWords = size(ws).cast("long")
-    val nChars = length(col("text")).cast("long")
-    val nPunct = (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-      .cast("long")
-    val stopHits = hits(ws, stopwords.flatMap(_._2).distinct)
-    val avgWordLen = when(nWords > 0,
-      aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
-        .cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-    documents.select(
+    // same staging as langId: tokenize once, count once, then derive
+    // the ratios from plain attribute references
+    val withWs = documents.select(col("doc_id"), col("text"),
+      Dedup.words(col("text")).as("ws"))
+    val counted = withWs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(col("ws")).cast("long").as("n_words"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        .cast("long").as("n_punct"),
+      hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .as("word_len_sum"))
+    val nChars = col("n_chars_m"); val nWords = col("n_words")
+    counted.select(
       col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
-      nPunct.as("n_punct"),
-      round(when(nChars > 0, nPunct.cast("double") / nChars.cast("double"))
+      col("n_punct").as("n_punct"),
+      round(when(nChars > 0, col("n_punct").cast("double") / nChars.cast("double"))
         .otherwise(lit(0.0)), 6).as("punct_ratio"),
-      round(when(nWords > 0, stopHits.cast("double") / nWords.cast("double"))
+      round(when(nWords > 0, col("stop_hits").cast("double") / nWords.cast("double"))
         .otherwise(lit(0.0)), 6).as("stopword_ratio"),
-      round(avgWordLen, 6).as("avg_word_len"))
+      round(when(nWords > 0,
+        col("word_len_sum").cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0)), 6).as("avg_word_len"))
   }
 
   /** t3 — token counting: whitespace tokens + a BPE-ish regex token
@@ -80,12 +97,18 @@ object TextAnalysis {
     * plus the minimum shingle hash (content-sketch identity, stable
     * under local edits).
     */
-  def docFingerprint(documents: DataFrame): DataFrame = {
-    val sh = Dedup.shingles3(col("text"))
-    documents.select(
-      col("doc_id"),
-      md5(Dedup.normText(col("text"))).as("content_hash"),
-      when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
-        .otherwise(lit(null).cast("string")).as("min_shingle_hash"))
-  }
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents
+      // hoist the shingle build into its own projection: `sh` is used
+      // twice below, and inlining would re-evaluate the whole
+      // split/concat tree per use (CollapseProject keeps a non-cheap
+      // multi-referenced alias materialized)
+      .select(col("doc_id"), col("text"),
+        Dedup.shingles3(col("text")).as("sh"))
+      .select(
+        col("doc_id"),
+        md5(Dedup.normText(col("text"))).as("content_hash"),
+        when(size(col("sh")) > 0,
+          array_min(transform(col("sh"), s => md5(s))))
+          .otherwise(lit(null).cast("string")).as("min_shingle_hash"))
 }
