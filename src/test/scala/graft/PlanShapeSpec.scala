@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net: the scale-critical properties of each
+  * headline query's physical plan, asserted as hard bounds.
+  *
+  * A query can stay hash-correct while silently regressing into a
+  * scale-killer (a dropped broadcast hint turns a dim join into a
+  * full shuffle; a moved filter stops reaching the scan). These specs
+  * pin the current measured plan shapes on the pinned Spark version:
+  *  - `maxShuffles`: ceiling on materialized shuffle Exchanges (AQE
+  *    additionally dedups identical stages at runtime — the static
+  *    count is the worst case)
+  *  - `minBroadcasts`: joins that must stay broadcast (dims, query
+  *    sets, sketch-guard survivor lists) — never shuffle joins
+  *  - `minPushedScans`: scans that must keep non-empty PushedFilters
+  *  - zero-shuffle queries (pure scan projections, in-scan dedup) must
+  *    stay zero-shuffle
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private case class Shape(
+      name: String, maxShuffles: Int, minBroadcasts: Int = 0,
+      minPushedScans: Int = 0)
+
+  // measured via PlanAudit at Spark 4.1.2 (see SURVEY.md §5)
+  private val shapes = Seq(
+    Shape("q1_agg", maxShuffles = 2, minPushedScans = 1),
+    Shape("q2_filter_comparators", maxShuffles = 0, minPushedScans = 1),
+    Shape("q3_join_multiway", maxShuffles = 2, minBroadcasts = 2,
+      minPushedScans = 3),
+    Shape("q4_topk_order_slice", maxShuffles = 0),
+    Shape("d1_dedup_exact", maxShuffles = 1),
+    Shape("d2_dedup_ngram_jaccard", maxShuffles = 5, minBroadcasts = 2),
+    Shape("d3_dedup_minhash_lsh", maxShuffles = 4, minBroadcasts = 1),
+    Shape("d5_dedup_embedding", maxShuffles = 0, minBroadcasts = 1),
+    Shape("s1_ann_brute_topk", maxShuffles = 2, minBroadcasts = 1),
+    Shape("s2_ann_lsh", maxShuffles = 2, minBroadcasts = 1),
+    Shape("s3_ann_ivf", maxShuffles = 8, minBroadcasts = 2),
+    Shape("f2_entity_assembly", maxShuffles = 1),
+    Shape("f6_fpx_table", maxShuffles = 0),
+    Shape("f8_xref_block", maxShuffles = 4, minBroadcasts = 1),
+    Shape("f11_canonical_lookup", maxShuffles = 3),
+    Shape("f12_entity_query", maxShuffles = 3),
+    Shape("t1_lang_id", maxShuffles = 0),
+    Shape("t4_doc_fingerprint", maxShuffles = 0))
+
+  for (s <- shapes) test(s"plan shape: ${s.name}") {
+    val plan = SparkEntry.queries(s.name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    val shuffles =
+      "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
+    assert(shuffles <= s.maxShuffles,
+      s"${s.name}: $shuffles shuffles (max ${s.maxShuffles}):\n$plan")
+    assert(broadcasts >= s.minBroadcasts,
+      s"${s.name}: $broadcasts broadcasts (need ${s.minBroadcasts}):\n$plan")
+    assert(pushed >= s.minPushedScans,
+      s"${s.name}: $pushed scans with pushed filters " +
+        s"(need ${s.minPushedScans}):\n$plan")
+  }
+}
