@@ -112,9 +112,25 @@ final case class EntityQuery(
       min(when(col("prop") === prop, col("value"))).as("__ord")
     }.toSeq
     val aggs = flagCols ++ searchCol ++ revCols ++ ordCol
+    // With no full-text search, the selection aggregate only consumes
+    // rows whose prop a where/order clause names (plus entity-typed
+    // rows for reverse lookups) — other rows contribute nothing to any
+    // flag. Pre-filtering is semantics-preserving exactly when a where
+    // clause exists (every surviving entity then has at least one
+    // matching row), and it lets PruneStaticExplodeFilter strike the
+    // dead unpivot branches, so the selection's scan reads only the
+    // clause columns instead of every property column.
+    val narrowed =
+      if (searchQ.isEmpty && wheres.nonEmpty) {
+        val props = (wheres.map(_._1) ++ order.map(_._1)).distinct
+        val propF = col("prop").isin(props: _*)
+        base.filter(
+          if (reverses.nonEmpty) propF || col("prop_type") === "entity"
+          else propF)
+      } else base
     val grouped =
       if (aggs.isEmpty) base.groupBy(col("canonical_id")).agg(count(lit(1)))
-      else base.groupBy(col("canonical_id")).agg(aggs.head, aggs.tail: _*)
+      else narrowed.groupBy(col("canonical_id")).agg(aggs.head, aggs.tail: _*)
     val passed = (0 until wheres.size).map(i => col(s"__f$i") === 1) ++
       searchQ.map(_ => col("__fs") === 1).toSeq ++
       (0 until reverses.size).map(i => col(s"__r$i") === 1)
