@@ -191,15 +191,36 @@ object Similarity {
     val cn = broadcast(cents.select(col("list_id"), col("centroid"),
       sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
     def best(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("d").desc, col("list_id").asc)
-      df.withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+      val paired = df
+        .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
         .crossJoin(cn)
         .withColumn("d", Dedup.cosineWithNorms(
           col("embedding"), col("centroid"), col("__n"), col("cent_n")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= keep)
-        .drop("centroid", "cent_n", "d", "r")
+      if (keep == 1) {
+        // corpus assignment: argmax as an aggregate, not a window. The
+        // window form shuffles the full |rows|·|cents| pair expansion
+        // into |rows| partitions just to keep one row each; the
+        // aggregate reduces every row's candidates map-side (they're
+        // co-located after the broadcast crossJoin), so the shuffle
+        // carries one narrow row per vector. min_by over
+        // struct(-d, list_id) = ORDER BY d DESC, list_id ASC, the same
+        // deterministic tie-break as the window (list_id is unique per
+        // candidate, so the comparison key never ties).
+        paired
+          .groupBy(col(idCol))
+          .agg(min_by(
+            struct(col("list_id"), col("embedding"), col("__n")),
+            struct((-col("d")).as("nd"), col("list_id"))).as("b"))
+          .select(col(idCol), col("b.list_id").as("list_id"),
+            col("b.embedding").as("embedding"), col("b.__n").as("__n"))
+      } else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("d").desc, col("list_id").asc)
+        paired
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= keep)
+          .drop("centroid", "cent_n", "d", "r")
+      }
     }
     val assigned = best(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
