@@ -57,6 +57,45 @@ class PlansSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("PruneStaticExplodeFilter: randomized filter/prop-set equivalence") {
+    import spark.implicits._
+    // seeded sweep: random prop subsets × random filters (static tag
+    // conjuncts, row-dependent value conjuncts, mixes). For each case,
+    // the rule-pruned full unpivot must equal the unpivot restricted by
+    // hand to exactly the props the filter admits.
+    val rnd = new scala.util.Random(42)
+    val allProps = Seq(
+      PropSpec("name", "name", $"c_name"),
+      PropSpec("mktsegment", "string", $"c_mktsegment"),
+      PropSpec("acctbal", "number", $"c_acctbal"),
+      PropSpec("nation", "number", $"c_nationkey"))
+    def unpivotOf(props: Seq[PropSpec]) = Statements.unpivot(
+      Tables.load(spark, sf, "customer"),
+      concat(lit("customer-"), $"c_custkey"),
+      schema = "Customer", dataset = "ds", props,
+      lastSeen = to_timestamp(lit("2024-06-01 00:00:00")))
+    for (i <- 1 to 12) {
+      val props = rnd.shuffle(allProps).take(1 + rnd.nextInt(allProps.size))
+      val admitted = props.filter(_ => rnd.nextBoolean())
+      val tagFilter =
+        if (admitted.isEmpty) lit(false)
+        else col("prop").isin(admitted.map(_.prop): _*)
+      val rowFilter = rnd.nextInt(3) match {
+        case 0 => length(col("value")) > 1 // row-dependent, undecidable
+        case 1 => col("value").isNotNull
+        case _ => lit(true)
+      }
+      val full = unpivotOf(props).filter(tagFilter && rowFilter)
+      val hand = (if (admitted.isEmpty) unpivotOf(props).filter(lit(false))
+        else unpivotOf(props.filter(p => admitted.exists(_.prop == p.prop))))
+        .filter(rowFilter)
+      val a = full.collect().map(_.toString).sorted
+      val b = hand.collect().map(_.toString).sorted
+      assert(a.sameElements(b),
+        s"case $i: props=${props.map(_.prop)} admitted=${admitted.map(_.prop)}")
+    }
+  }
+
   test("PruneStaticExplodeFilter leaves row-dependent conjuncts alone") {
     import spark.implicits._
     val df = Seq(("a", 1, 2), ("b", 3, 4)).toDF("k", "x", "y")
