@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{DoubleMetaphoneExpression, MetaphoneExpression,
-  MinHashSignatureExpression, Phonetics, SimHashExpression}
+  MinHashSignatureExpression, Phonetics, SimHashExpression,
+  VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -54,6 +55,13 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_simhash takes one argument")
         SimHashExpression(children.head)
+      }),
+    (FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(
+        classOf[VectorSumAggregate].getName, "graft_vec_sum"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_vec_sum takes one argument")
+        VectorSumAggregate(children.head)
       }))
 
   /** Register into an already-running session (tests, notebooks). */

@@ -160,6 +160,11 @@ object Similarity {
   /** Centroid builder for IVF: elementwise mean per partition key (a
     * batch job, like training a coarse quantizer). posexplode →
     * per-(key, dim) mean → re-assemble ordered arrays.
+    *
+    * This declarative form is the cross-engine-exact one (dim-major
+    * avg matches the DuckDB twin's float semantics); its shuffle
+    * carries |rows|·dim exploded rows. [[centroidsAgg]] is the 100 TB
+    * path — same result within float-drift, one array per partial.
     */
   def centroids(embeddings: DataFrame, key: Column): DataFrame =
     embeddings
@@ -169,6 +174,24 @@ object Similarity {
       .groupBy(col("list_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
+
+  /** The scale twin of [[centroids]]: one native vec_sum aggregate with
+    * map-side combine — the shuffle moves ONE double array per
+    * (task, list) instead of |rows|·dim exploded rows (64× write
+    * amplification at the testdata's width; the dominant cost of
+    * coarse-quantizer training over billions of vectors). Addition
+    * order differs from the dim-major form, so results agree to float
+    * drift, not bitwise (spec-bounded at 1e-9 relative) — the s3
+    * oracle twin therefore keeps [[centroids]].
+    */
+  def centroidsAgg(embeddings: DataFrame, key: Column): DataFrame =
+    embeddings
+      .groupBy(key.as("list_id"))
+      .agg(
+        graft.functions.VectorSumAggregate.vecSum(col("embedding")).as("s"),
+        count(col("embedding")).as("n"))
+      .select(col("list_id"),
+        transform(col("s"), e => e / col("n").cast("double")).as("centroid"))
 
   /** s3 — IVF ANN: corpus vectors assign to their nearest centroid
     * (one scan against the broadcast centroid table — the inverted

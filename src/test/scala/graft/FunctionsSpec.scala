@@ -152,6 +152,15 @@ class FunctionsSpec extends AnyFunSuite {
       .select(graft.functions.SimHashExpression.simhash(
         array(lit("x"), lit("y")))).collect()(0).getLong(0)
     assert(sqlSim == colSim)
+    // aggregate function: sums elementwise, skips nulls, null on empty
+    val vs = spark.sql(
+      "SELECT graft_vec_sum(v) FROM VALUES (array(1.0d, 2.0d)), " +
+        "(array(0.5d, -1.0d)), (CAST(NULL AS ARRAY<DOUBLE>)) AS t(v)")
+      .collect()(0).getSeq[Double](0)
+    assert(vs == Seq(1.5, 1.0))
+    assert(spark.sql(
+      "SELECT graft_vec_sum(v) FROM VALUES (CAST(NULL AS ARRAY<DOUBLE>)) " +
+        "AS t(v)").collect()(0).isNullAt(0))
   }
 
   test("native expression handles nulls and registers as SQL function") {

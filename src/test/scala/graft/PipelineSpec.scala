@@ -185,6 +185,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.0, s"IVF found none of the exact top-k ($recall)")
   }
 
+  test("centroidsAgg: single-shuffle native vec_sum matches posexplode form") {
+    import graft.operators.Similarity
+    def byList(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.get(0).toString -> r.getSeq[Double](1)).toMap
+    val declarative = byList(Similarity.centroids(emb, col("label")))
+    val native = byList(Similarity.centroidsAgg(emb, col("label")))
+    assert(native.keySet == declarative.keySet)
+    for ((k, d) <- declarative; (a, b) <- d.zip(native(k)))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"list $k drifted: $a vs $b")
+    // the point of the native aggregate: ONE shuffle (groupBy with
+    // map-side combine) instead of the exploded form's two, and no
+    // |rows|·dim explode feeding the first one
+    val plan = Similarity.centroidsAgg(emb, col("label"))
+      .queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length == 1,
+      s"centroidsAgg should shuffle once:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
+  }
+
   test("t1 lang-id is deterministic and covers every doc") {
     val out = TextAnalysis.langId(docs).collect()
     assert(out.length == docs.count())
