@@ -97,6 +97,13 @@ object Dedup {
       .withColumn("n", size(col("ws")).cast("long"))
       .withColumn("hs",
         array_sort(transform(col("ws"), w => md5Hash60(lit(0), w))))
+    // Three consumers (the prefix/candidate path and both verify sides)
+    // each recompute this tokenize+hash+sort scan (0.4s/eval at sf0.1).
+    // Measured alternative (rejected): repartition(doc_id) to share one
+    // exchange across all three — end-to-end it's a wash (within run
+    // noise, 3 runs each way), because the saved recomputes are paid
+    // back shuffling the fat hash-array rows. Kept recompute-from-
+    // parquet: same speed, one less exchange to spill at scale.
     val exploded = toks.select(col("doc_id"), col("source"), col("n"),
       explode(col("hs")).as("h"))
     val byDf = Window.partitionBy(col("source"), col("h"))
