@@ -212,6 +212,20 @@ object PipelineQueries {
       k = 5, nProbe = 3)
   }
 
+  /** s3b — s3 with the single-shuffle native `vec_sum` centroid
+    * trainer ([[Similarity.centroidsAgg]]) instead of the posexplode
+    * form. Rows-only gated: centroid addition order differs, so a
+    * vector equidistant from two lists may assign differently — the
+    * recall spec and the 1e-9 centroid-drift bound cover it; the
+    * DuckDB twin stays pinned to the dim-major s3.
+    */
+  def s3bAnnIvfAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.centroidsAgg(e, col("label"))
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents,
+      k = 5, nProbe = 3)
+  }
+
   /** s3's DuckDB twin: elementwise-mean centroids per label (the 64
     * dims are explicit — the testdata embedding width), nearest-list
     * assignment (keep 1) and query probes (keep 3) by centroid cosine,
@@ -380,6 +394,7 @@ object PipelineQueries {
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
+    "s3b_ann_ivf_agg" -> (s3bAnnIvfAgg _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
