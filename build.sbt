@@ -23,8 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Right-size the heap: sf0.1 at local[32] fits comfortably in 16g,
+// and an oversized heap (e.g. 96g) turns old-gen full GCs into
+// multi-second pauses that land on arbitrary bench queries and read
+// as phantom regressions. Cap whatever the environment asks for at
+// 16g; smaller explicit values pass through unchanged.
+val driverMem: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val Mib = "^(\\d+)m$".r
+  val Gib = "^(\\d+)g$".r
+  val mib = req match {
+    case Mib(n) => n.toLong
+    case Gib(n) => n.toLong * 1024
+    case _      => 8 * 1024L
+  }
+  math.min(mib, 16 * 1024L).toString + "m"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
 )

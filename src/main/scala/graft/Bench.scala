@@ -1,13 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Protocol (round 5, noise-robust):
+  *
+  *   - one untimed warmup pass over every query (absorbs JIT, codegen
+  *     compilation, parquet footer reads);
+  *   - N timed passes (default 3, `SPARK_GRAFT_PASSES`) INTERLEAVED
+  *     (A,B,C,A,B,C — not A,A,B,B): a GC/scheduler spike lands on one
+  *     pass of one query instead of both samples of whichever query is
+  *     running, so the per-query median shakes it off;
+  *   - reported per-query number = MEDIAN of the passes (the robust
+  *     statistic); the per-query min is also emitted (`queries_min`)
+  *     for best-case comparisons.
+  *
+  * The old protocol (min of two adjacent in-suite passes on an
+  * oversized heap) let multi-second full-GC pauses land on arbitrary
+  * queries and manufactured phantom >2× "regressions" on unchanged
+  * code in two consecutive rounds. The heap is right-sized in
+  * build.sbt (capped ~16g for sf0.1) for the same reason: a 96g
+  * old-gen full GC is a multi-second pause; a 16g one is not.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val spark = GraftSession.local(cpus)
-    // Steady-state measurement: one untimed warmup pass absorbs JIT,
-    // codegen compilation and parquet footer reads, so per-query numbers
-    // reflect execution cost instead of first-touch session warmup.
     // Force FULL evaluation: df.count() lets Catalyst prune every
     // column, so projection-only queries (fingerprints, scores,
     // signatures) would measure an empty scan. toRdd materializes the
@@ -25,13 +43,27 @@ object Bench {
       exec(name)
       (System.nanoTime() - t0) / 1e9
     }
-    // min of two timed runs: steady-state cost without scheduler noise
-    val results = names.map(n => n -> math.min(timed(n), timed(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Interleaved passes: the full suite runs end-to-end `passes`
+    // times, so adjacent samples of the same query are minutes apart
+    // and a transient spike cannot hit a query's every sample.
+    val samples: Seq[Seq[(String, Double)]] =
+      (1 to passes).map(_ => names.map(n => n -> timed(n)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byQuery: Seq[(String, Seq[Double])] =
+      names.map(n => n -> samples.map(_.toMap.apply(n)))
+    val med = byQuery.map { case (n, xs) => n -> median(xs) }
+    val mins = byQuery.map { case (n, xs) => n -> xs.min }
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""protocol":"median_of_${passes}_interleaved",""" +
+      s""""queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},""" +
+      s""""sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefixing — also drop the bare
     // JSON where tooling can read it unmangled

@@ -54,7 +54,9 @@ object Cli {
           // engine.drop_statements (engine.py:275-282): table + fpx +
           // xref + the projection/view siblings
           Seq(table, s"${table}_fpx", s"${table}_xref",
-            s"${table}_xref_reverse", s"${table}_compacted")
+            s"${table}_xref_reverse", s"${table}_compacted",
+            s"${table}_fpx_compacted", s"${table}_xref_compacted",
+            s"${table}_xref_reverse_compacted")
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS $table (
@@ -79,9 +81,15 @@ object Cli {
         val ts = rest.headOption.getOrElse("2026-01-01 00:00:00")
         // name props carry prop_type=name (the FTM schema model's
         // typing, which the fpx feed filters on — statements.py:51-57)
+        // same id mint as the programmatic write path
+        // (Statements.statementId: sha256-40 over
+        // dataset.entity_id.prop.value) — a CLI-ingested statement and
+        // an unpivot-written one must collapse under the same
+        // ReplacingMergeTree key, or upserts silently duplicate
         val stmts = FtmJson.statements(spark, path, Map("name" -> "name"))
           .withColumn("id",
-            md5(concat_ws("|", col("entity_id"), col("prop"), col("value"))))
+            Statements.statementId(col("dataset"), col("entity_id"),
+              col("prop"), col("value"), lit(false)))
           .withColumn("last_seen", lit(ts).cast("timestamp"))
           .select("id", "entity_id", "canonical_id", "prop", "prop_type",
             "schema", "value", "last_seen", "dataset")
@@ -91,8 +99,12 @@ object Cli {
         try {
           StatementStore.append(stmts, table)
           // the writer maintains the fpx table alongside the statement
-          // table (ClickhouseWriter._upsert_batch, store.py:56-60)
-          FpxStore.append(Fpx.fromStatements(stmts), s"${table}_fpx")
+          // table (ClickhouseWriter._upsert_batch, store.py:56-60),
+          // restricted to the reference's schema allowlist
+          // (should_fingerprint_stmt, statements.py:52-58)
+          FpxStore.append(
+            Fpx.fromStatements(stmts, schemas = Fpx.DefaultSchemas),
+            s"${table}_fpx")
           println(s"ingested ${stmts.count()} statements into $table")
         } finally stmts.unpersist()
 
@@ -101,6 +113,8 @@ object Cli {
         // always, the statement table only on --full
         if (spark.catalog.tableExists(s"${table}_fpx"))
           FpxStore.compact(spark, s"${table}_fpx")
+        if (spark.catalog.tableExists(s"${table}_xref"))
+          XrefStore.compact(spark, s"${table}_xref")
         if (rest.contains("--full")) StatementStore.compact(spark, table)
         println(s"optimized $table")
 

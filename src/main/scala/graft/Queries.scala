@@ -572,6 +572,7 @@ object Queries {
        |  FROM (
        |    SELECT *, ${duckFp("value")} AS fp FROM statements
        |    WHERE prop_type = 'name'
+       |      AND "schema" IN ('Customer', 'Part')
        |  ), LATERAL (
        |    SELECT unnest(list_distinct(list_concat([fp],
        |      list_filter(string_split(fp, ' '), t -> length(t) > 5)))) AS value
@@ -666,7 +667,8 @@ object Queries {
     * (engine.py:233 `WHERE algorithm = 'fingerprint'`).
     */
   def f6FpxTable(s: SparkSession, dir: String): DataFrame =
-    Fpx.fromStatements(statements(s, dir), algorithms = Seq("fingerprint"))
+    Fpx.fromStatements(statements(s, dir), algorithms = Seq("fingerprint"),
+      schemas = Seq("Customer", "Part"))
 
   val f6Sql: String = s"$stmtsCte, $fpxCte SELECT * FROM fpx"
 
@@ -679,7 +681,8 @@ object Queries {
     * spec-tested.
     */
   def f17FpxPhonetic(s: SparkSession, dir: String): DataFrame =
-    Fpx.fromStatements(statements(s, dir)).distinct()
+    Fpx.fromStatements(statements(s, dir), schemas = Seq("Customer", "Part"))
+      .distinct()
 
   import graft.operators.Xref
 
@@ -693,7 +696,8 @@ object Queries {
     import s.implicits._
     val stmts = statements(s, dir)
     val pairs = Fpx.xrefBlocks(
-      Fpx.fromStatements(stmts, algorithms = Seq("fingerprint")),
+      Fpx.fromStatements(stmts, algorithms = Seq("fingerprint"),
+        schemas = Seq("Customer", "Part")),
       minEntities = 2, maxEntities = 50)
     val attrs = Xref.entityAttrs(stmts, countryProp = "nationkey")
     val base = Xref.candidates(pairs, attrs, ts = lit(1L))
@@ -786,6 +790,49 @@ object Queries {
        |  right_caption, left_dataset, left_id, left_schema, left_country,
        |  left_caption, judgement, score, ts, "user"
        |FROM latest WHERE right_id LIKE 'part-1%'""".stripMargin
+
+  /** f20 — the resolver loop closed end-to-end (store.py:26-28,
+    * engine.py:259): positive judgements from the xref store →
+    * connected-component mapping ([[Xref.resolverMapping]]) →
+    * canonical_id rewrite over the statement table
+    * ([[Statements.applyResolver]]) → entity assembly. Entities linked
+    * by a positive-judgement chain collapse into ONE assembled entity
+    * under the cluster-minimum canonical id.
+    */
+  def f20ResolverCanonical(s: SparkSession, dir: String): DataFrame = {
+    val stmts = statements(s, dir)
+    val mapping = Xref.resolverMapping(xrefLatest(s, dir))
+    Statements.assemble(Statements.applyResolver(stmts, mapping))
+  }
+
+  /** DuckDB twin: the component minimum comes from a recursive
+    * transitive closure over the symmetric positive-pair edges —
+    * engine-portable ground truth for the iterative min-propagation.
+    */
+  val f20Sql: String =
+    s"""$stmtsCte, $fpxCte, $xrefCte,
+       |pos AS (SELECT left_id, right_id FROM latest
+       |  WHERE judgement = 'positive'),
+       |cedges AS (
+       |  SELECT left_id AS src, right_id AS dst FROM pos
+       |  UNION SELECT right_id, left_id FROM pos),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM cedges
+       |  UNION
+       |  SELECT e.src, r.r FROM cedges e JOIN reach r ON e.dst = r.id),
+       |mapping AS (
+       |  SELECT id AS entity_id, least(id, min(r)) AS canonical_id
+       |  FROM reach GROUP BY id),
+       |resolved AS (
+       |  SELECT coalesce(m.canonical_id, s.canonical_id) AS canonical_id,
+       |    s."schema", s.dataset, s.prop, s.value
+       |  FROM statements s LEFT JOIN mapping m USING (entity_id))
+       |SELECT canonical_id, "schema", dataset,
+       |  string_agg(prop || '=' || value, '|'
+       |    ORDER BY prop || '=' || value) AS entity,
+       |  COUNT(*) AS n_statements
+       |FROM resolved GROUP BY canonical_id, "schema", dataset"""
+      .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** f7 — fpx value frequency view (reference MV filters
     * algorithm='fingerprint', engine.py:233).
@@ -1097,7 +1144,8 @@ object Queries {
     "f16_ftm_json_ingest" -> (f16FtmJsonIngest _),
     "f17_fpx_phonetic" -> (f17FpxPhonetic _),
     "f18_xref_judgements" -> (f18XrefJudgements _),
-    "f19_xref_reverse" -> (f19XrefReverse _)
+    "f19_xref_reverse" -> (f19XrefReverse _),
+    "f20_resolver_canonical" -> (f20ResolverCanonical _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1135,6 +1183,7 @@ object Queries {
     "f15_query_agg" -> f15Sql,
     "f16_ftm_json_ingest" -> f16Sql,
     "f18_xref_judgements" -> f18Sql,
-    "f19_xref_reverse" -> f19Sql
+    "f19_xref_reverse" -> f19Sql,
+    "f20_resolver_canonical" -> f20Sql
   )
 }

@@ -165,6 +165,28 @@ object Statements {
           |              e -> e.value))))""".stripMargin).as("properties"),
         col("n_statements"))
 
+  /** Apply an external resolver mapping to a statement table — the
+    * reference store is constructed around a nomenklatura `Resolver`
+    * (store.py:26-28 `super().__init__(dataset, linker)`) that rewrites
+    * every statement's `canonical_id` from recorded judgements.
+    *
+    * `mapping` is an (entity_id, canonical_id) table (derive one from
+    * judgements with [[graft.operators.Xref.resolverMapping]]).
+    * Statements of unmapped entities keep their existing canonical_id.
+    * One equi-join on entity_id: the mapping is |resolved entities|-
+    * sized (≪ statements), so AQE broadcasts it when it fits and the
+    * statement table never reshuffles.
+    */
+  def applyResolver(statements: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = mapping.select(col("entity_id").as("__r_entity_id"),
+      col("canonical_id").as("__r_canonical_id"))
+    statements
+      .join(m, statements("entity_id") === m("__r_entity_id"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("__r_canonical_id"), col("canonical_id")))
+      .drop("__r_entity_id", "__r_canonical_id")
+  }
+
   /** Per (dataset, schema) statistics — the `..._stats` materialized
     * view (engine.py:204-220): distinct canonical entities + statement
     * counts. Partial aggregation (map-side combine) makes this one

@@ -281,20 +281,42 @@ object Dedup {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** d5 — embedding-cosine near-dup pairs ≥ τ. Brute-force within-label
-    * blocking (label = cluster/shard key): the join is an equi-join on
-    * the blocking key, so cost is Σ_block n_b² — the same blocked shape
-    * a production pipeline uses (block = KMeans cluster / LSH bucket).
+  /** d5 — embedding-cosine near-dup pairs ≥ τ within a blocking label
+    * (label = cluster/shard key, e.g. a KMeans cluster / LSH bucket).
+    *
+    * Routed through the same bounded-block machinery as xref blocking
+    * and MinHash-LSH (f8/d3): the per-label member sets are built with
+    * the HLL-sketch guard (`Fpx.boundedMemberSets` — a hot label's
+    * buffer never materializes past ~2·maxBlock) and the quadratic pair
+    * expansion is chunk-balanced (`Fpx.expandSortedSets` — a
+    * 10k-member block spreads its 50M pairs across the cluster instead
+    * of streaming out of one task). Only then are embeddings joined
+    * back onto the balanced pair stream — two equi-joins on vec_id, so
+    * the shuffle carries (id, id) descriptors plus each vector once,
+    * never |block|² vector copies.
+    *
+    * Labels larger than `maxBlock` are dropped (the blocking cutoff —
+    * identical semantics to xrefBlocks' maxEntities). At 100 TB one
+    * hot label is otherwise an unbounded O(n²) expansion.
     */
-  def embeddingNearDup(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val normed = embeddings.select(col("label"), col("vec_id"),
-      col("embedding"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val l = normed.select(col("label"), col("vec_id").as("left_id"),
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      minCos: Double,
+      maxBlock: Int = 10000): DataFrame = {
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // vec_id is unique per row, so a pair arises in exactly one label
+    // block and the expansion needs no cross-block distinct (unlike d3,
+    // where a doc pair can share several band buckets).
+    val blocks = Fpx.boundedMemberSets(
+      embeddings.select(col("label"), col("vec_id")),
+      Seq("label"), "vec_id", 2, maxBlock)
+    val pairs = Fpx.expandSortedSets(blocks.select(col("ids")))
+    val l = normed.select(col("vec_id").as("left_id"),
       col("embedding").as("lv"), col("nrm").as("ln"))
-    val r = normed.select(col("label"), col("vec_id").as("right_id"),
+    val r = normed.select(col("vec_id").as("right_id"),
       col("embedding").as("rv"), col("nrm").as("rn"))
-    l.join(r, Seq("label"))
-      .filter(col("left_id") < col("right_id"))
+    pairs.join(l, Seq("left_id")).join(r, Seq("right_id"))
       .withColumn("cos",
         round(cosineWithNorms(col("lv"), col("rv"), col("ln"), col("rn")), 4))
       .filter(col("cos") >= minCos)

@@ -22,10 +22,22 @@ object Fpx {
   val AllAlgorithms: Seq[String] =
     Seq("fingerprint", "metaphone1", "metaphone2", "soundex")
 
+  /** The reference's fingerprint-feed schema allowlist
+    * (`should_fingerprint_stmt`, statements.py:52-58: Mention or
+    * anything `is_a` LegalEntity), flattened over the published FTM
+    * model's LegalEntity descendants.
+    */
+  val DefaultSchemas: Seq[String] = Seq(
+    "Mention", "LegalEntity", "Person", "Company", "Organization",
+    "PublicBody")
+
   /** Derive fingerprint statements from name-type statements
-    * (statements.py:51-57 restricts to name-typed props; the reference
-    * further restricts to LegalEntity/Mention schemas — callers filter
-    * schemas before this).
+    * (`should_fingerprint_stmt`, statements.py:52-58 restricts to
+    * name-typed props of an allowlisted schema — Mention/LegalEntity in
+    * the reference). `schemas` is that allowlist (flattened — Spark has
+    * no FTM hierarchy; [[DefaultSchemas]] is the reference's, empty
+    * means no restriction for non-FTM corpora like the TPC-H test
+    * tables).
     *
     * Per (entity, blocking token) — the full name fingerprint plus
     * every token longer than 5 chars (phonetic.py:32-37) — one row per
@@ -52,11 +64,37 @@ object Fpx {
     */
   def fromStatements(
       statements: DataFrame,
-      algorithms: Seq[String] = AllAlgorithms): DataFrame = {
+      algorithms: Seq[String] = AllAlgorithms,
+      schemas: Seq[String] = Nil): DataFrame = {
+    val allowed =
+      if (schemas.isEmpty) statements
+      else statements.filter(col("schema").isin(schemas: _*))
+    derive(allowed.filter(col("prop_type") === "name"), algorithms)
+  }
+
+  /** The entity-level fingerprint view — `get_entity_fpx`
+    * (phonetic.py:73-82): per entity, the SET of phonetic tokens per
+    * algorithm across its name-type AND label-type values (the
+    * statement feed above covers only names; labels add e.g. company
+    * legal-form or status labels to the blocking vocabulary). Returns
+    * distinct (entity_id, algorithm, value) rows.
+    */
+  def entityFpx(
+      statements: DataFrame,
+      algorithms: Seq[String] = AllAlgorithms): DataFrame =
+    derive(statements.filter(col("prop_type").isin("name", "label")),
+      algorithms)
+      .select(col("entity_id"), col("algorithm"), col("value"))
+      .distinct()
+
+  /** Shared fpx derivation over pre-filtered statements: fingerprint →
+    * blocking tokens → one row per requested algorithm.
+    */
+  private def derive(
+      statements: DataFrame, algorithms: Seq[String]): DataFrame = {
     require(algorithms.nonEmpty && algorithms.forall(AllAlgorithms.contains),
       s"algorithms must be among $AllAlgorithms")
     val named = statements
-      .filter(col("prop_type") === "name")
       .withColumn("fp", Phonetics.fingerprint(col("value")))
       .filter(length(col("fp")) > 0)
     val toks = named.select(
@@ -258,4 +296,20 @@ object Fpx {
           .as("canonical_id"))
       .distinct()
   }
+
+  /** The `canonical_lookup` projection (engine.py:259) in mapping-table
+    * mode: entity_id → canonical_id for EVERY entity in the store,
+    * resolved entities from an external (entity_id, canonical_id)
+    * mapping — e.g. [[Xref.resolverMapping]] over recorded judgements —
+    * and every unmapped entity resolving to itself. The identity side
+    * is the distinct-entity projection of the statement scan; the
+    * mapping joins in broadcast-sized.
+    */
+  def canonicalizeByMapping(
+      statements: DataFrame, mapping: DataFrame): DataFrame =
+    statements.select(col("entity_id")).distinct()
+      .join(mapping.select(col("entity_id"),
+        col("canonical_id").as("__m_canonical")), Seq("entity_id"), "left")
+      .select(col("entity_id"),
+        coalesce(col("__m_canonical"), col("entity_id")).as("canonical_id"))
 }

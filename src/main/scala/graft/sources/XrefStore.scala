@@ -25,23 +25,38 @@ object XrefStore {
 
   def reverseTable(table: String): String = table + "_reverse"
 
+  /** The one physical layout per side; every write path (append,
+    * compact stage, swap fallback) goes through here so main and
+    * reverse bucketing can never diverge.
+    */
+  private def write(
+      df: DataFrame, table: String, bucketCol: String,
+      sortCols: Seq[String], buckets: Int, mode: SaveMode): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  private def writeMain(
+      df: DataFrame, table: String, buckets: Int, mode: SaveMode): Unit =
+    write(df.select(Xref.columns.map(col): _*), table,
+      "left_id", Seq("left_id", "right_id"), buckets, mode)
+
+  private def writeReverse(
+      reversed: DataFrame, table: String, buckets: Int, mode: SaveMode): Unit =
+    write(reversed, table, "right_id", Seq("right_id", "left_id"),
+      buckets, mode)
+
   /** Append judgement rows to the main table AND the reverse
     * projection (one insert maintains both, like ClickHouse does for
     * projections on insert).
     */
   def append(xref: DataFrame, table: String, buckets: Int = 64): Unit = {
-    xref.select(Xref.columns.map(col): _*).write
-      .mode(SaveMode.Append)
-      .bucketBy(buckets, "left_id")
-      .sortBy("left_id", "right_id")
-      .format("parquet")
-      .saveAsTable(table)
-    Xref.reverse(xref).write
-      .mode(SaveMode.Append)
-      .bucketBy(buckets, "right_id")
-      .sortBy("right_id", "left_id")
-      .format("parquet")
-      .saveAsTable(reverseTable(table))
+    writeMain(xref, table, buckets, SaveMode.Append)
+    writeReverse(Xref.reverse(xref), reverseTable(table), buckets,
+      SaveMode.Append)
   }
 
   /** Raw read — may contain superseded judgement rows. */
@@ -64,4 +79,47 @@ object XrefStore {
       spark: SparkSession, table: String, rightId: String): DataFrame =
     Xref.latestJudgements(
       spark.table(reverseTable(table)).filter(col("right_id") === rightId))
+
+  /** Durable judgement dedup — the `OPTIMIZE FINAL` analogue for the
+    * xref family (engine.optimize, engine.py:117-125): rewrite the
+    * main table with [[readLatest]] applied, then rebuild the
+    * `_reverse` projection FROM the compacted main table (so the
+    * projection can never drift from the rows it projects). Each table
+    * is written exactly ONCE to a stage sibling and swapped in with a
+    * catalog RENAME — the same single-write pattern as
+    * [[StatementStore.compact]]; the copy-back is only a fallback if
+    * the catalog refuses the rename.
+    */
+  def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
+    val tmp = table + "_compacted"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writeMain(readLatest(spark, table), tmp, buckets, SaveMode.Overwrite)
+    swapIn(spark, tmp, table)(df => writeMain(df, table, buckets,
+      SaveMode.Append))
+    val rev = reverseTable(table)
+    val rtmp = rev + "_compacted"
+    spark.sql(s"DROP TABLE IF EXISTS $rtmp")
+    // reverse = projection of the already-compacted main: a cheap
+    // bucket-local parquet re-read, no second FINAL computation
+    writeReverse(Xref.reverse(read(spark, table)), rtmp, buckets,
+      SaveMode.Overwrite)
+    swapIn(spark, rtmp, rev)(df => writeReverse(df, rev, buckets,
+      SaveMode.Append))
+  }
+
+  /** RENAME-swap a staged table over the live one; on catalogs that
+    * refuse the rename, copy the staged rows back through the caller's
+    * canonical writer (2× write, correctness preserved). No partitions
+    * on the xref family, so no MSCK step is needed.
+    */
+  private def swapIn(spark: SparkSession, tmp: String, table: String)(
+      appendBack: DataFrame => Unit): Unit = {
+    spark.sql(s"DROP TABLE $table")
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    catch {
+      case _: Exception =>
+        appendBack(spark.table(tmp))
+        spark.sql(s"DROP TABLE $tmp")
+    }
+  }
 }

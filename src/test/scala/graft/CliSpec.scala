@@ -79,4 +79,34 @@ class CliSpec extends AnyFunSuite {
     assert(spark.table("cli_spec").count() == 0)
     assert(spark.table("cli_spec_fpx").count() == 0)
   }
+
+  test("cli ingest mints the model's statement id: cross-path upsert dedups") {
+    import spark.implicits._
+    import graft.model.Statements
+    import graft.model.Statements.PropSpec
+    import graft.sources.StatementStore
+    clean("cli_id_spec", "cli_id_spec_fpx")
+    val entities = Seq(
+      ("p1", "Person", Seq("ds"), Map("name" -> Seq("Ann"))))
+      .toDF("id", "schema", "datasets", "properties")
+    graft.sources.FtmJson.writeEntities(entities, "/tmp/graft_cli_id_in")
+    Cli.run(spark, List("init", "cli_id_spec"))
+    Cli.run(spark, List("ingest", "cli_id_spec", "/tmp/graft_cli_id_in"))
+    // the same assertion re-written programmatically (unpivot path) at
+    // a later version — the ReplacingMergeTree key includes the id, so
+    // both write paths must mint the SAME id for FINAL to collapse them
+    val again = Statements.unpivot(
+      Seq(("p1", "Ann")).toDF("id", "name"),
+      col("id"), schema = "Person", dataset = "ds",
+      Seq(PropSpec("name", "name", col("name"))),
+      lastSeen = to_timestamp(lit("2026-03-01 00:00:00")))
+      .select("id", "entity_id", "canonical_id", "prop", "prop_type",
+        "schema", "value", "last_seen", "dataset")
+    StatementStore.append(again, "cli_id_spec")
+    assert(spark.table("cli_id_spec").count() == 2)
+    val fin = StatementStore.readFinal(spark, "cli_id_spec")
+    assert(fin.count() == 1, "cross-path duplicate keys must collapse")
+    assert(fin.collect()(0).getAs[java.sql.Timestamp]("last_seen")
+      .toString.startsWith("2026-03-01"))
+  }
 }

@@ -138,6 +138,87 @@ class FpxSpec extends AnyFunSuite {
     }
   }
 
+  test("schema allowlist: non-listed schemas feed no fpx rows") {
+    import spark.implicits._
+    // should_fingerprint_stmt (statements.py:52-58): only Mention /
+    // LegalEntity-family schemas fingerprint their name-typed props
+    val in = Seq(
+      ("e1", "Person", "Ann Smith"),
+      ("e2", "Company", "Acme Holding"),
+      ("e3", "Airplane", "Boeing 747"))
+      .toDF("entity_id", "schema", "value")
+      .select(col("entity_id"), col("entity_id").as("canonical_id"),
+        col("schema"), lit("ds").as("dataset"), lit("name").as("prop"),
+        lit("name").as("prop_type"), col("value"))
+    val fed = Fpx.fromStatements(in, schemas = Fpx.DefaultSchemas)
+      .select("entity_id").distinct().collect().map(_.getString(0)).toSet
+    assert(fed == Set("e1", "e2")) // the Airplane's name never feeds fpx
+    // empty allowlist = no restriction (non-FTM corpora)
+    assert(Fpx.fromStatements(in).select("entity_id").distinct().count() == 3)
+  }
+
+  test("entityFpx: union of name-type and label-type token sets") {
+    import spark.implicits._
+    // get_entity_fpx (phonetic.py:73-82) fingerprints label-type values
+    // as well as names; the statement feed covers only names
+    val in = Seq(
+      ("e1", "name", "name", "Tchibo Holding"),
+      ("e1", "legalForm", "label", "Aktiengesellschaft"))
+      .toDF("entity_id", "prop", "prop_type", "value")
+      .select(col("entity_id"), col("entity_id").as("canonical_id"),
+        lit("Company").as("schema"), lit("ds").as("dataset"),
+        col("prop"), col("prop_type"), col("value"))
+    val byAlg = Fpx.entityFpx(in).collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getString(2)).toSet).toMap
+    assert(Fpx.AllAlgorithms.forall(byAlg.contains))
+    // fingerprint tokens: both full fingerprints + all >5-char tokens
+    assert(byAlg("fingerprint") == Set(
+      "holding tchibo", "holding", "tchibo", "aktiengesellschaft"))
+    // the label's token reaches the phonetic algorithms too
+    val (m1, _) = DoubleMetaphoneVectors.of("aktiengesellschaft")
+    assert(byAlg("metaphone1").contains(m1))
+    // name-only feed (fromStatements) misses the label vocabulary
+    val nameOnly = Fpx.fromStatements(in)
+      .filter(col("algorithm") === "fingerprint")
+      .collect().map(_.getString(1)).toSet
+    assert(!nameOnly.contains("aktiengesellschaft"))
+  }
+
+  test("resolver: positive judgements merge entities transitively") {
+    import spark.implicits._
+    import graft.model.Statements
+    import graft.operators.Xref
+    // chain e1-e2, e2-e3 positive; e4-e5 re-judged negative at ts=2 —
+    // the superseded positive must NOT link them after latestJudgements
+    val xref = Seq(
+      ("e1", "e2", "positive", 1L), ("e2", "e3", "positive", 1L),
+      ("e4", "e5", "positive", 1L), ("e4", "e5", "negative", 2L))
+      .toDF("left_id", "right_id", "judgement", "ts")
+    val mapping = Xref.resolverMapping(Xref.latestJudgements(xref))
+    val m = mapping.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("e1" -> "e1", "e2" -> "e1", "e3" -> "e1"))
+    // applyResolver + assemble: the chained entities collapse into ONE
+    // assembled entity under the cluster minimum; e4/e5 stay separate
+    val stmts = Seq(
+      ("e1", "name", "Ann"), ("e2", "name", "Ann B"), ("e3", "name", "A. B."),
+      ("e4", "name", "Zoe"), ("e5", "name", "Zoe Q"))
+      .toDF("entity_id", "prop", "value")
+      .select(col("entity_id"), col("entity_id").as("canonical_id"),
+        lit("Person").as("schema"), lit("ds").as("dataset"),
+        col("prop"), lit("name").as("prop_type"), col("value"))
+    val assembled = Statements.assemble(
+      Statements.applyResolver(stmts, mapping))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(assembled == Map("e1" -> 3L, "e4" -> 1L, "e5" -> 1L))
+    // f11's mapping-table mode: unmapped entities resolve to themselves
+    val lookup = graft.operators.Fpx.canonicalizeByMapping(stmts, mapping)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lookup == Map("e1" -> "e1", "e2" -> "e1", "e3" -> "e1",
+      "e4" -> "e4", "e5" -> "e5"))
+  }
+
   test("distinctPairs ≡ distinct on a duplicated pair stream") {
     import spark.implicits._
     val pairs = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),

@@ -91,6 +91,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 2L, 1.0))) // label blocks 1-4 pairing
   }
 
+  test("d5 maxBlock guard: hot label dropped, in-range labels exact") {
+    import spark.implicits._
+    // label 9 has 20 members > maxBlock=10 — at 100 TB this is the
+    // unbounded O(n²) label; the cutoff drops it entirely (same
+    // blocking semantics as xrefBlocks' maxEntities). label 0 stays.
+    val hot = Seq.tabulate(20)(i => ((100 + i).toLong, Array(1f, 0f), 9))
+    val df = (Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0.8f, 0.6f), 0)) ++ hot)
+      .toDF("vec_id", "embedding", "label")
+    val guarded = Dedup.embeddingNearDup(df, 0.5, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // under the cutoff the guarded path is pair-for-pair the naive join
+    val naive = df.as("l").join(df.as("r"), col("l.label") === col("r.label")
+        && col("l.vec_id") < col("r.vec_id"))
+      .filter(Dedup.cosine(col("l.embedding"), col("r.embedding")) >= 0.5)
+      .select(col("l.vec_id"), col("r.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Dedup.embeddingNearDup(df, 0.5, maxBlock = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == naive)
+  }
+
+  test("d5 worst-task pair bound: expansion is chunk-balanced in the plan") {
+    // the quadratic expansion must go through the chunk-descriptor
+    // rebalance (repartition on (ids, ci, cj)) so no single task
+    // streams a whole block's n² pairs — the same shape f8/d3 pin
+    val plan = PipelineQueries.d5DedupEmbedding(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(ids"),
+      s"d5 must rebalance chunk descriptors before expanding:\n$plan")
+  }
+
   test("s1 brute top-k: self excluded, ranks contiguous, cos descending") {
     val out = PipelineQueries.s1AnnBruteTopk(spark, sf)
       .orderBy(col("query_id"), col("rank")).collect()

@@ -35,7 +35,11 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("d1_dedup_exact", maxShuffles = 1),
     Shape("d2_dedup_ngram_jaccard", maxShuffles = 5, minBroadcasts = 2),
     Shape("d3_dedup_minhash_lsh", maxShuffles = 4, minBroadcasts = 1),
-    Shape("d5_dedup_embedding", maxShuffles = 0, minBroadcasts = 1),
+    // d5 r5: the bounded-block rewrite trades the old 0-shuffle raw
+    // label join (unbounded n² per label) for the guarded shape — the
+    // sketch-guard repartitions on label (reused by both passes at
+    // runtime) and the chunk expansion rebalances descriptors
+    Shape("d5_dedup_embedding", maxShuffles = 3, minBroadcasts = 1),
     Shape("s1_ann_brute_topk", maxShuffles = 2, minBroadcasts = 1),
     Shape("s2_ann_lsh", maxShuffles = 2, minBroadcasts = 1),
     Shape("s3_ann_ivf", maxShuffles = 8, minBroadcasts = 2),

@@ -217,6 +217,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(rev(0).getString(10) == "positive")
   }
 
+  test("xref store compact: superseded rows physically gone, reverse consistent") {
+    import spark.implicits._
+    Seq("xref_cspec", "xref_cspec_reverse", "xref_cspec_compacted",
+      "xref_cspec_reverse_compacted").foreach(dropTable)
+    val mk = (l: String, r: String, j: String, ts: Long) =>
+      ("ds", l, "Person", "de", s"cap-$l", "ds", r, "Person", "fr",
+        s"cap-$r", j, 0.5, ts, "graft")
+    XrefStore.append(Seq(
+      mk("a", "b", "no_judgement", 1L),
+      mk("a", "c", "no_judgement", 1L)).toDF(Xref.columns: _*),
+      "xref_cspec", buckets = 4)
+    XrefStore.append(Seq(mk("a", "b", "positive", 2L))
+      .toDF(Xref.columns: _*), "xref_cspec", buckets = 4)
+    assert(XrefStore.read(spark, "xref_cspec").count() == 3)
+
+    XrefStore.compact(spark, "xref_cspec", buckets = 4)
+    // the OPTIMIZE FINAL analogue: the superseded (a,b,ts=1) row is
+    // physically gone from BOTH tables, the ts=2 judgement survives
+    val main = XrefStore.read(spark, "xref_cspec")
+    assert(main.count() == 2)
+    assert(main.filter($"right_id" === "b").collect()(0)
+      .getAs[String]("judgement") == "positive")
+    val rev = spark.table(XrefStore.reverseTable("xref_cspec"))
+    assert(rev.count() == 2)
+    assert(rev.columns.take(2).toSeq == Seq("right_dataset", "right_id"))
+    // reverse rows = exactly the main rows reordered
+    assert(rev.select("left_id", "right_id", "judgement", "ts")
+      .collect().map(_.toSeq).toSet ==
+      main.select("left_id", "right_id", "judgement", "ts")
+        .collect().map(_.toSeq).toSet)
+    // compacted table keeps the bucketed layout: point lookups and the
+    // FINAL window still run without an Exchange
+    val plan = XrefStore.readLatest(spark, "xref_cspec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"compacted xref table must keep its bucketing:\n$plan")
+  }
+
   test("export → ingest round-trip preserves the entity") {
     import spark.implicits._
     val stmts = Seq(
