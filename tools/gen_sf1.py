@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Generate sf1-scale validation data under testdata-sf1/.
+
+The driver ships sf0.001/0.01/0.1 only; the scale-guard claims
+(sketch-guarded blocking, prefix filtering, chunk-balanced expansion)
+are measured at sf0.1. This generator produces a 10x table set for the
+queries those guards carry (f8 -> customer/part, d2/d3 -> documents,
+s3 -> embeddings), mirroring the sf0.1 distributions with 10x KEYS at
+CONSTANT per-key density — 10x sources, 10x vocabulary variants, 10x
+labels — which is how a real corpus grows (new domains/vocabulary/
+clusters), and keeps per-block candidate density fixed so a healthy
+operator should scale ~linearly in rows. Naive row duplication would
+instead multiply per-block membership and conflate the operator's
+intrinsic quadratic-bound behavior with data-shape drift.
+
+Deterministic (seed 421). Stats mirrored from /root/testdata/sf0.1:
+  documents:  5000 docs, 20 sources x 250, 31-word vocab, 10-100 wpd,
+              lang {en:0.41, de/fr/es/zh: ~0.148 each}, ~0.3% exact dups
+  embeddings: 2000 x dim-64, 10 Gaussian cluster labels
+  part:       20k, p_name = 2 words of a 16-word vocab, 25 brands,
+              6 types, size 1-50, retailprice 900-1000
+  customer:   15k, nationkey 0-24, acctbal -1000..10000, 5 segments
+"""
+import os
+import numpy as np
+import pandas as pd
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "testdata-sf1")
+SCALE = 10
+rng = np.random.default_rng(421)
+
+BASE_VOCAB = [
+    "spark", "column", "store", "query", "table", "scan", "filter",
+    "join", "agg", "sort", "hash", "merge", "batch", "stream", "index",
+    "vector", "value", "order", "line", "part", "fast", "small",
+    "large", "wide", "deep", "cold", "hot", "new", "old", "raw", "big"]
+PART_WORDS = [
+    "large", "small", "blue", "red", "green", "hot", "cold", "ring",
+    "bolt", "screw", "nut", "plate", "rod", "tube", "wire", "gear"]
+SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+LANGS = ["en", "de", "fr", "es", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+
+
+def documents():
+    n = 5000 * SCALE
+    n_sources = 20 * SCALE
+    # 10x vocab: each source group draws from its own suffixed variant
+    # of the base vocab, so token document-frequency stays ~constant
+    vocabs = [[f"{w}{g}" if g else w for w in BASE_VOCAB]
+              for g in range(SCALE)]
+    rows = []
+    for i in range(n):
+        g = (i * n_sources // n) % SCALE  # vocab group tied to source block
+        vocab = vocabs[g]
+        k = int(rng.integers(10, 101))
+        words = rng.choice(vocab, size=k, replace=True)
+        text = " ".join(words)
+        rows.append((i, text, f"src{i % n_sources}"))
+    # exact-duplicate injection at the sf0.1 rate (~0.16% of docs are
+    # copies of an earlier doc)
+    n_dups = int(n * 8 / 5000)
+    for j in range(n_dups):
+        src = int(rng.integers(0, n))
+        dst = int(rng.integers(0, n))
+        if src != dst:
+            rows[dst] = (rows[dst][0], rows[src][1], rows[dst][2])
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["lang"] = rng.choice(LANGS, size=n, p=LANG_P)
+    df["n_chars"] = df["text"].str.len()
+    df = df[["doc_id", "text", "lang", "source", "n_chars"]]
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df
+
+
+def embeddings():
+    n = 2000 * SCALE
+    dim = 64
+    n_labels = 10 * SCALE
+    centers = rng.normal(0, 1, size=(n_labels, dim)).astype(np.float32)
+    labels = rng.integers(0, n_labels, size=n).astype(np.int32)
+    vecs = centers[labels] + rng.normal(0, 0.35, size=(n, dim)).astype(
+        np.float32)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": labels})
+
+
+def part():
+    n = 20000 * SCALE
+    words = [[f"{w}{g}" if g else w for w in PART_WORDS]
+             for g in range(SCALE)]
+    grp = rng.integers(0, SCALE, size=n)
+    w1 = rng.integers(0, len(PART_WORDS), size=n)
+    w2 = rng.integers(0, len(PART_WORDS), size=n)
+    names = [f"{words[g][a]} {words[g][b]}"
+             for g, a, b in zip(grp, w1, w2)]
+    return pd.DataFrame({
+        "p_partkey": np.arange(n, dtype=np.int64),
+        "p_name": names,
+        "p_brand": [f"Brand#{i}" for i in rng.integers(11, 56, size=n)],
+        "p_type": rng.choice(
+            ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"],
+            size=n),
+        "p_size": rng.integers(1, 51, size=n).astype(np.int32),
+        "p_retailprice": np.round(rng.uniform(900, 1000, size=n), 2)})
+
+
+def customer():
+    n = 15000 * SCALE
+    return pd.DataFrame({
+        "c_custkey": np.arange(n, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(n)],
+        "c_nationkey": rng.integers(0, 25, size=n).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, size=n), 2),
+        "c_mktsegment": rng.choice(SEGMENTS, size=n)})
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, fn in [("documents", documents), ("embeddings", embeddings),
+                     ("part", part), ("customer", customer)]:
+        path = os.path.join(OUT, f"{name}.parquet")
+        fn().to_parquet(path, index=False)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
