@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DoubleMetaphoneExpression, MetaphoneExpression,
-  MinHashSignatureExpression, Phonetics, SimHashExpression,
-  VectorSumAggregate}
+import graft.functions.{DotProductExpression, DoubleMetaphoneExpression,
+  MetaphoneExpression, MinHashSignatureExpression, Phonetics,
+  SimHashExpression, VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -62,6 +62,13 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_vec_sum takes one argument")
         VectorSumAggregate(children.head)
+      }),
+    (FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(
+        classOf[DotProductExpression].getName, "graft_vec_dot"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_vec_dot takes two arguments")
+        DotProductExpression(children.head, children(1))
       }))
 
   /** Register into an already-running session (tests, notebooks). */

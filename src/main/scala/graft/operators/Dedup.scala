@@ -260,10 +260,18 @@ object Dedup {
     documents.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Dot product of two float-array columns in double, sequential fold
-    * (deterministic across engines).
+  /** Dot product of two numeric-array columns in double, sequential
+    * left-to-right fold (deterministic across engines). Native
+    * codegen'd expression — no per-row product-array allocation; the
+    * inner loop of every similarity operator.
     */
   def dot(x: Column, y: Column): Column =
+    graft.functions.DotProductExpression.vecDot(x, y)
+
+  /** Pure-`functions._` twin of [[dot]] — value-identical (same element
+    * order, same double adds); kept for the parity spec.
+    */
+  def dotExpr(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

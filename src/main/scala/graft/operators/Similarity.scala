@@ -87,11 +87,10 @@ object Similarity {
       vec: Column, numPlanes: Int, dims: Int = 64): Column = {
     val planes = planeMatrix(numPlanes, dims)
     (0 until numPlanes).map { p =>
-      val row = typedLit(planes(p).toSeq)
-      val dotP = aggregate(
-        zip_with(vec, slice(row, lit(1), size(vec)),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      // native dot folds min(|vec|, |row|) elements — the explicit
+      // slice-to-|vec| of the declarative form is implied
+      val dotP = graft.functions.DotProductExpression.vecDot(
+        vec, typedLit(planes(p).toSeq))
       when(dotP >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
   }

@@ -127,6 +127,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("vec_dot == declarative zip_with fold on real embeddings") {
+    import graft.operators.Dedup
+    // float·float on real vectors: all pairs within a sample — bitwise
+    // equality required (same fold order, same double adds)
+    val e = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 40)
+    val pairs = e.select(col("vec_id").as("l"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("r"), col("embedding").as("b")))
+    val diffFF = pairs.select(
+        Dedup.dot(col("a"), col("b")).as("native"),
+        Dedup.dotExpr(col("a"), col("b")).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diffFF.count() == 0)
+    // float·double (the IVF assignment shape: embedding vs avg centroid)
+    val cents = graft.operators.Similarity.centroids(e, col("vec_id") % 3)
+    val diffFD = e.crossJoin(cents).select(
+        Dedup.dot(col("embedding"), col("centroid")).as("native"),
+        Dedup.dotExpr(col("embedding"), col("centroid")).as("twin"))
+      .filter(col("native") =!= col("twin"))
+    assert(diffFD.count() == 0)
+    // null array propagates null
+    import spark.implicits._
+    val nul = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
+      .select(Dedup.dot(col("a"), col("b"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("function registry exposes the full surface to SQL") {
     import graft.operators.Dedup.words
     GraftFunctionRegistry.registerAll(spark)
@@ -161,6 +187,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT graft_vec_sum(v) FROM VALUES (CAST(NULL AS ARRAY<DOUBLE>)) " +
         "AS t(v)").collect()(0).isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 0.5d)) AS d")
+      .collect()(0).getDouble(0) == 4.0)
   }
 
   test("native expression handles nulls and registers as SQL function") {
