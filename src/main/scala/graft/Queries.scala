@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism rules used throughout (Spark result must
   * hash-match the DuckDB result value-for-value):
-  *   - Money/quantity sums go through DECIMAL(18,2) so parallel
-  *     (non-associative) double addition cannot produce engine-specific
-  *     low bits; the final value is cast back to DOUBLE (identical
-  *     binary64 on both engines).
-  *   - Averages are decimal-sum / count — double division of identical
-  *     operands is bitwise deterministic.
+  *   - Money/quantity sums accumulate integer cents —
+  *     `SUM(CAST(round(x * 100) AS BIGINT)) / 100.0` in both engines —
+  *     so parallel (non-associative) double addition cannot produce
+  *     engine-specific low bits. Integer sums are exact and associative,
+  *     cents/100.0 is one correctly-rounded double (identical binary64
+  *     on both engines), and the LongType aggregate buffer stays
+  *     primitive inside whole-stage codegen where a DECIMAL(18,2)
+  *     buffer boxes a BigDecimal per update (q1 measured 2.9× on the
+  *     switch). Two-decimal factors multiply to 4 — those scale by 1e4.
+  *     Exactness bound: |total cents| < 2^53 (~90 T currency units).
+  *   - Averages are cents-sum / 100.0 / count — double division of
+  *     identical operands is bitwise deterministic.
   *   - Integer aggregates are cast to BIGINT (DuckDB SUM(int) widens to
   *     HUGEINT, Spark to BIGINT).
   *   - No raw timestamps in outputs (formatting differs); buckets are
@@ -24,8 +30,9 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** sum over DECIMAL(18,2) re-cast to double — see class doc. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact money sum as integer cents — see class doc. */
+  private def dsum(c: Column): Column =
+    sum(round(c * 100).cast("long")) / 100.0
 
   // ===========================================================
   // Core relational / OLAP
@@ -33,30 +40,40 @@ object Queries {
 
   /** q1_agg — TPC-H Q1 pricing summary: grouped sum/avg/count.
     * Reference: ftmq aggregations surface (tests/test_store.py:171).
+    *
+    * Money sums accumulate integer cents (`round(x*100) AS BIGINT`,
+    * the q10 pattern, mirrored in the oracle): a LongType hash-agg
+    * buffer stays primitive inside whole-stage codegen, where a
+    * DECIMAL(18,2) buffer boxes a BigDecimal per group update —
+    * measured 2.9× on this query at sf0.1. Integer-cent sums are
+    * exact, and cents/100.0 is the same correctly-rounded double as
+    * CAST(decimal-sum AS DOUBLE), so results are bitwise unchanged.
+    * sum_disc_price scales by 1e4 (two 2-dp factors multiply).
     */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def cents(c: Column): Column = round(c * 100).cast("long")
     t(s, dir, "lineitem")
       .filter($"l_shipdate" < lit("1998-09-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        dsum($"l_quantity").as("sum_qty"),
-        dsum($"l_extendedprice").as("sum_base_price"),
-        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
-          .cast("double").as("sum_disc_price"),
-        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
-        (dsum($"l_discount") / count(lit(1))).as("avg_disc"),
+        (sum(cents($"l_quantity")) / 100.0).as("sum_qty"),
+        (sum(cents($"l_extendedprice")) / 100.0).as("sum_base_price"),
+        (sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long")) / 10000.0).as("sum_disc_price"),
+        (sum(cents($"l_quantity")) / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(cents($"l_discount")) / 100.0 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+      |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+      |  SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+      |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
+      |  SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -103,14 +120,14 @@ object Queries {
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
-          .cast("double").as("revenue"),
+        (sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long")) / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q3Sql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -164,7 +181,7 @@ object Queries {
 
   val q6Sql: String =
     """SELECT event_type,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
@@ -180,7 +197,7 @@ object Queries {
 
   val q7Sql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total,
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
@@ -313,7 +330,7 @@ object Queries {
   val q14Sql: String =
     """SELECT CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT) AS bucket,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** q15 — HAVING: post-aggregation filter, the shape of the fpx blocking
@@ -390,7 +407,7 @@ object Queries {
 
   val q17Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
@@ -406,7 +423,7 @@ object Queries {
       .rangeBetween(-3600L, 0L)
     t(s, dir, "events")
       .withColumn("rolling_1h",
-        sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        sum(round($"value" * 100).cast("long")).over(w) / 100.0)
       .select($"event_id", $"user_id",
         unix_timestamp($"ts").as("ts_sec"), $"rolling_1h")
   }
@@ -414,9 +431,9 @@ object Queries {
   val q18Sql: String =
     """SELECT event_id, user_id,
       |  epoch_ms(ts) // 1000 AS ts_sec,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |  SUM(CAST(round(value * 100) AS BIGINT)) OVER (
       |    PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
-      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0 AS rolling_1h
       |FROM events""".stripMargin
 
   /** q19 — batch sessionization (the batch twin of st3): lag detects
@@ -461,7 +478,7 @@ object Queries {
       |SELECT user_id, session_id,
       |  min(ts_sec) AS session_start_sec,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   // ===========================================================
@@ -1065,7 +1082,7 @@ object Queries {
        |vals AS (SELECT canonical_id, CAST(value AS DOUBLE) AS v
        |  FROM scoped WHERE prop = 'acctbal'),
        |gv AS (SELECT canonical_id, value AS g FROM scoped WHERE prop = 'nation')
-       |SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum
+       |SELECT g, SUM(CAST(round(v * 100) AS BIGINT)) / 100.0 AS sum
        |FROM vals JOIN gv USING (canonical_id) GROUP BY g""".stripMargin
 
   /** f16 — FTM entity JSONL ingest round-trip: customer rows rendered
