@@ -180,11 +180,13 @@ final case class EntityQuery(
     val stmts = statementsOut()
     val cols = aggsIn.map { case (func, prop) =>
       val v = when(col("prop") === prop, col("value").cast("double"))
+      // integer-cent sums: exact, associative, primitive agg buffer —
+      // the engine-wide money-sum recipe (see Queries class doc)
       val c = func match {
-        case "sum" => sum(v.cast("decimal(18,2)")).cast("double")
+        case "sum" => sum(round(v * 100).cast("long")) / 100.0
         case "min" => min(v)
         case "max" => max(v)
-        case "avg" => sum(v.cast("decimal(18,2)")).cast("double") /
+        case "avg" => sum(round(v * 100).cast("long")) / 100.0 /
           count(when(v.isNotNull, 1))
         case "count" => count(when(v.isNotNull, 1)).cast("double")
         case other => throw new IllegalArgumentException(s"func: $other")
@@ -215,10 +217,10 @@ final case class EntityQuery(
       case None => vals.withColumn("g", lit("all"))
     }
     val aggCol = func match {
-      case "sum" => sum(col("v").cast("decimal(18,2)")).cast("double")
+      case "sum" => sum(round(col("v") * 100).cast("long")) / 100.0
       case "min" => min(col("v"))
       case "max" => max(col("v"))
-      case "avg" => (sum(col("v").cast("decimal(18,2)")).cast("double") /
+      case "avg" => (sum(round(col("v") * 100).cast("long")) / 100.0 /
         count(lit(1)))
       case "count" => count(lit(1)).cast("double")
       case other => throw new IllegalArgumentException(s"func: $other")

@@ -29,7 +29,10 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        // integer-cent sum: exact, associative, primitive state buffer
+        // (the engine-wide money-sum recipe — Queries class doc)
+        (sum(round(col("value") * 100).cast("long")) / 100.0)
+          .as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
