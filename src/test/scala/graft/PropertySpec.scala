@@ -112,6 +112,39 @@ class PropertySpec extends AnyFunSuite {
     check(prop, minTests = 8)
   }
 
+  test("resolverMapping == union-find components on random judgement graphs") {
+    import spark.implicits._
+    import graft.operators.Xref
+    // a handful of random graphs, each one Spark job chain; the
+    // reference answer is a driver-side union-find with min-id roots
+    val edgesGen = Gen.listOf(for {
+      a <- Gen.choose(0, 19); b <- Gen.choose(0, 19) if a != b
+    } yield (s"e$a", s"e$b"))
+    for (_ <- 1 to 5) {
+      val edges = edgesGen.sample.getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[String, String]()
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.Ordering[String].max(ra, rb)) = // min root wins
+            math.Ordering[String].min(ra, rb)
+        }
+        val expected = (edges.flatMap(e => Seq(e._1, e._2)).distinct)
+          .map(v => v -> find(v)).toMap
+        val xref = edges.toDF("left_id", "right_id")
+          .withColumn("judgement", lit("positive"))
+          .withColumn("ts", lit(1L))
+        val got = Xref.resolverMapping(xref).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("exact dedup partitions docs by normalized text (one batched job)") {
     import spark.implicits._
     val texts = Gen.listOfN(100, Gen.oneOf(
