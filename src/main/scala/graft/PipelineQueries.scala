@@ -77,8 +77,11 @@ object PipelineQueries {
   def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), numHashes = 12, rowsPerBand = 2)
 
-  val d3Sql: String =
-    s"""WITH toks AS (
+  /** The MinHash-LSH candidate-pair derivation as CTEs (shared by the
+    * d3 and d6 oracles).
+    */
+  private val d3PairsCte: String =
+    s"""toks AS (
        |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
        |ok AS (SELECT * FROM toks WHERE len(ws) >= 3),
        |sh AS (SELECT doc_id, $duckShingles AS shingles FROM ok),
@@ -91,10 +94,37 @@ object PipelineQueries {
        |bands AS (
        |  SELECT doc_id, seed // 2 AS band,
        |    string_agg(CAST(h AS VARCHAR), '-' ORDER BY seed) AS key
-       |  FROM mh GROUP BY doc_id, seed // 2)
-       |SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
-       |FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin
+       |  FROM mh GROUP BY doc_id, seed // 2),
+       |lshpairs AS (
+       |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
+      .stripMargin
+
+  val d3Sql: String =
+    s"WITH $d3PairsCte SELECT left_id, right_id FROM lshpairs"
+
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(docs(s, dir), numHashes = 12, rowsPerBand = 2)
+
+  /** DuckDB twin: recursive transitive closure over the symmetric LSH
+    * pair graph; cluster canonical = min reachable doc_id.
+    */
+  val d6Sql: String =
+    s"""WITH RECURSIVE $d3PairsCte,
+       |cedges AS (
+       |  SELECT left_id AS src, right_id AS dst FROM lshpairs
+       |  UNION SELECT right_id, left_id FROM lshpairs),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM cedges
+       |  UNION
+       |  SELECT e.src, r.r FROM cedges e JOIN reach r ON e.dst = r.id),
+       |mapping AS (
+       |  SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       |  COALESCE(m.label, d.doc_id) AS canonical_doc_id,
+       |  d.doc_id <> COALESCE(m.label, d.doc_id) AS is_duplicate
+       |FROM documents d LEFT JOIN mapping m ON d.doc_id = m.id""".stripMargin
 
   def d4DedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir))
@@ -390,6 +420,7 @@ object PipelineQueries {
     "d2_dedup_ngram_jaccard" -> (d2DedupNgramJaccard _),
     "d3_dedup_minhash_lsh" -> (d3DedupMinhashLsh _),
     "d4_dedup_simhash" -> (d4DedupSimhash _),
+    "d6_dedup_clusters" -> (d6DedupClusters _),
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -408,6 +439,7 @@ object PipelineQueries {
     "d2_dedup_ngram_jaccard" -> d2Sql,
     "d3_dedup_minhash_lsh" -> d3Sql,
     "d4_dedup_simhash" -> d4Sql,
+    "d6_dedup_clusters" -> d6Sql,
     "d5_dedup_embedding" -> d5Sql,
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,

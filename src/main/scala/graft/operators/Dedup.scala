@@ -226,6 +226,31 @@ object Dedup {
     Fpx.distinctPairs(Fpx.expandSortedSets(buckets.select(col("ids"))))
   }
 
+  /** d6 — near-dup CLUSTER map: the operational endpoint of MinHash
+    * dedup. Candidate pairs from [[minhashLsh]] form a similarity
+    * graph; connected components ([[Components.minLabel]]) collapse
+    * transitive near-dup chains, and every document maps to its
+    * cluster's minimum doc_id (itself when unclustered). A training
+    * pipeline keeps `!is_duplicate` rows — one representative per
+    * cluster. Same bounded machinery end to end: bucket cutoffs bound
+    * the pair graph, min-propagation rounds are O(cluster diameter).
+    */
+  def nearDupClusters(
+      documents: DataFrame,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashLsh(documents, numHashes, rowsPerBand, maxBucket)
+    val comp = Components.minLabel(
+      pairs.select(col("left_id").as("src"), col("right_id").as("dst")))
+    documents.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_doc_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
+  }
+
   /** d4 — SimHash: 64-bit near-dup signature. Bit b of the signature is
     * the sign of Σ_token weight·(±1 by token-hash bit b). Computed as a
     * pure expression over the token array; near-dups share most bits.

@@ -85,51 +85,19 @@ object Xref {
     * engine.py:259): entities connected by positive judgements form a
     * cluster, and every member resolves to the cluster's minimum id.
     *
-    * Connected components via bounded iterative min-label propagation:
-    * start each vertex at min(self, neighbors), then repeat
-    * label(v) ← min(label(v), min over neighbors' labels) until no
-    * label changes (or `maxIter`, a runaway bound). Each round is one
-    * equi-join + one map-side-combined aggregation — no collects, no
-    * per-vertex driver work — and converges in O(cluster diameter)
-    * rounds; judgement clusters are near-cliques out of blocking, so
-    * the diameter is small at any data scale. The edge set is
-    * localCheckpoint-ed once up front: the (possibly expensive)
-    * judgement pipeline is computed exactly once, and each round's
-    * labels are checkpointed so the loop's lineage stays flat.
+    * Connected components via [[Components.minLabel]] (bounded
+    * iterative min-propagation); every judged cluster member maps to
+    * the cluster's minimum entity id.
     *
     * Feed it [[latestJudgements]] (or `XrefStore.readLatest`) so a
     * pair re-judged negative no longer links its endpoints.
     */
-  def resolverMapping(judgements: DataFrame, maxIter: Int = 50): DataFrame = {
-    val pos = judgements.filter(col("judgement") === "positive")
-      .select(col("left_id").as("src"), col("right_id").as("dst"))
-    val edges = pos
-      .union(pos.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.groupBy(col("src")).agg(
-        least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("id"), col("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbr = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        .select(col("src").as("id"), col("nlabel"))
-      val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (col("nlabel") < col("label")).as("__chg"))
-        .localCheckpoint()
-      changed = updated.filter(col("__chg")).count()
-      labels = updated.drop("__chg")
-      iter += 1
-    }
-    labels.select(col("id").as("entity_id"), col("label").as("canonical_id"))
-  }
+  def resolverMapping(judgements: DataFrame, maxIter: Int = 50): DataFrame =
+    Components.minLabel(
+      judgements.filter(col("judgement") === "positive")
+        .select(col("left_id").as("src"), col("right_id").as("dst")),
+      maxIter)
+      .select(col("id").as("entity_id"), col("label").as("canonical_id"))
 
   /** The `_reverse` projection: same rows, right side leading — the
     * access path for "who matched against X" (engine.py:259-261).

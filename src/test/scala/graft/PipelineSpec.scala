@@ -58,6 +58,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("d6 near-dup clusters: transitive chain collapses, singleton maps to itself") {
+    import spark.implicits._
+    // doc 1 == doc 2 (exact dup → same signature → same buckets) and
+    // doc 2 == doc 3, so {1,2,3} must form ONE cluster canonicalized
+    // to 1 even if LSH never directly paired (1,3); doc 4 is disjoint
+    val df = Seq(
+      (1L, "one two three four five six", "s"),
+      (2L, "one two three four five six", "s"),
+      (3L, "one two three four five six", "s"),
+      (4L, "alpha beta gamma delta epsilon zeta", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.nearDupClusters(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, false))
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (1L, true))
+    assert(out(4L) == (4L, false))
+    // pipeline contract: exactly one representative per cluster
+    assert(out.values.count(!_._2) == 2)
+  }
+
   test("d4 native simhash expression == functions._ form on sf docs") {
     import graft.operators.Dedup
     val native = Dedup.simhash(docs).collect()
