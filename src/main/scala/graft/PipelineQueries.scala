@@ -135,8 +135,11 @@ object PipelineQueries {
     * pack sign bits. A doc with no tokens has all-zero votes → every
     * sign test passes → all 60 bits set (the LEFT JOIN default).
     */
-  val d4Sql: String =
-    s"""WITH toks AS (
+  /** The SimHash signature derivation as CTEs ending in
+    * `sigsall(doc_id, simhash)` (shared by the d4 and d4b oracles).
+    */
+  private val d4SigsCte: String =
+    s"""toks AS (
        |  SELECT doc_id, list_distinct(${duckWords("text")}) AS ws
        |  FROM documents),
        |ex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
@@ -150,10 +153,35 @@ object PipelineQueries {
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit)
        |      ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  COALESCE(s.simhash, 1152921504606846975) AS simhash
-       |FROM documents d LEFT JOIN sigs s USING (doc_id)""".stripMargin
+       |  FROM votes GROUP BY doc_id),
+       |sigsall AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(s.simhash, 1152921504606846975) AS simhash
+       |  FROM documents d LEFT JOIN sigs s USING (doc_id))""".stripMargin
+
+  val d4Sql: String =
+    s"WITH $d4SigsCte SELECT doc_id, simhash FROM sigsall"
+
+  def d4bSimhashHamming(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(docs(s, dir), maxHamming = 3)
+
+  /** DuckDB twin of the banded hamming search: same 4×15-bit slices,
+    * same 2..1000 bucket size filter, exact popcount verify.
+    */
+  val d4bSql: String =
+    s"""WITH $d4SigsCte,
+       |banded AS (
+       |  SELECT doc_id, simhash, b.band AS band,
+       |    (simhash >> (b.band * 15)) & 32767 AS key
+       |  FROM sigsall, (SELECT unnest(range(0, 4)) AS band) b),
+       |sizes AS (
+       |  SELECT band, key FROM banded GROUP BY 1, 2
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000)
+       |SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+       |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |FROM banded l JOIN sizes USING (band, key) JOIN banded r USING (band, key)
+       |WHERE l.doc_id < r.doc_id
+       |  AND bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
 
   def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, dir), minCos = 0.30)
@@ -420,6 +448,7 @@ object PipelineQueries {
     "d2_dedup_ngram_jaccard" -> (d2DedupNgramJaccard _),
     "d3_dedup_minhash_lsh" -> (d3DedupMinhashLsh _),
     "d4_dedup_simhash" -> (d4DedupSimhash _),
+    "d4b_simhash_hamming" -> (d4bSimhashHamming _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
@@ -439,6 +468,7 @@ object PipelineQueries {
     "d2_dedup_ngram_jaccard" -> d2Sql,
     "d3_dedup_minhash_lsh" -> d3Sql,
     "d4_dedup_simhash" -> d4Sql,
+    "d4b_simhash_hamming" -> d4bSql,
     "d6_dedup_clusters" -> d6Sql,
     "d5_dedup_embedding" -> d5Sql,
     "s1_ann_brute_topk" -> s1Sql,

@@ -262,6 +262,47 @@ object Dedup {
       graft.functions.SimHashExpression
         .simhash(array_distinct(words(col("text")))).as("simhash"))
 
+  /** d4b — SimHash near-dup PAIRS within hamming distance
+    * `maxHamming`: band the 60-bit signature into `maxHamming + 1`
+    * equal bit slices — two signatures within the distance differ in
+    * at most `maxHamming` bands, so they MUST agree exactly on at
+    * least one slice (pigeonhole; lossless). Candidate generation is
+    * therefore an equi-join on (band, slice value) — never all-pairs —
+    * run through the same sketch-guarded bounded-block + chunk-balanced
+    * expansion machinery as f8/d3/d5 (`maxBucket` caps a degenerate
+    * slice, e.g. a boilerplate corpus collapsing to one signature);
+    * verification is one popcount per candidate. This closes the d4
+    * signature operator into an end-to-end near-dup search.
+    */
+  def simhashNearDup(
+      documents: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val bands = maxHamming + 1
+    require(60 % bands == 0,
+      s"maxHamming + 1 = $bands must divide the 60-bit signature")
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    val sigs = simhash(documents)
+    val banded = sigs.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask))
+          .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val blocks = Fpx.boundedMemberSets(
+      banded, Seq("band", "key"), "doc_id", 2, maxBucket)
+    // a pair can share several bands → cross-block distinct required
+    val pairs = Fpx.distinctPairs(
+      Fpx.expandSortedSets(blocks.select(col("ids"))))
+    val l = sigs.select(col("doc_id").as("left_id"), col("simhash").as("ls"))
+    val r = sigs.select(col("doc_id").as("right_id"), col("simhash").as("rs"))
+    pairs.join(l, Seq("left_id")).join(r, Seq("right_id"))
+      .withColumn("hamming",
+        bit_count(col("ls").bitwiseXOR(col("rs"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("left_id"), col("right_id"), col("hamming"))
+  }
+
   /** Pure-`functions._` twin of [[simhash]] — value-identical; kept for
     * the parity spec. Single-pass fold: hash each distinct token once,
     * accumulate all 60 ±1 bit-votes in one traversal (an unrolled

@@ -79,6 +79,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.count(!_._2) == 2)
   }
 
+  test("d4b banded hamming search == brute-force popcount pairs on sf docs") {
+    import org.apache.spark.sql.functions.bit_count
+    // the pigeonhole banding is lossless for hamming ≤ 3: the bucketed
+    // search must return EXACTLY the brute-force pair set
+    val sigs = Dedup.simhash(docs)
+    val l = sigs.select(col("doc_id").as("left_id"), col("simhash").as("ls"))
+    val r = sigs.select(col("doc_id").as("right_id"), col("simhash").as("rs"))
+    val brute = l.crossJoin(r)
+      .filter(col("left_id") < col("right_id"))
+      .filter(bit_count(col("ls").bitwiseXOR(col("rs"))) <= 3)
+      .select(col("left_id"), col("right_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val banded = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(banded == brute)
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, maxHamming = 6) // 7 doesn't divide 60
+    }
+  }
+
   test("d4 native simhash expression == functions._ form on sf docs") {
     import graft.operators.Dedup
     val native = Dedup.simhash(docs).collect()
