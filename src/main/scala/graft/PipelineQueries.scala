@@ -26,9 +26,13 @@ object PipelineQueries {
     s"list_filter(string_split_regex(lower($c), '\\s+'), w -> w <> '')"
 
   /** DuckDB: distinct word 3-shingle list of word-list column `ws`. */
-  private val duckShingles: String =
-    "CASE WHEN len(ws) >= 3 THEN list_distinct([array_to_string(ws[i:i+2], ' ') " +
-      "for i in range(1, len(ws)-1)]) ELSE [] END"
+  private val duckShingles: String = duckShinglesN(3)
+
+  /** DuckDB twin of Dedup.shinglesN over a word array column `ws`. */
+  private def duckShinglesN(n: Int): String =
+    s"CASE WHEN len(ws) >= $n THEN " +
+      s"list_distinct([array_to_string(ws[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len(ws)-${n - 2})]) ELSE [] END"
 
   /** DuckDB twin of Dedup.md5Hash60. */
   private def duckHash60(seed: String, x: String): String =
@@ -400,6 +404,26 @@ object PipelineQueries {
        |    ELSE NULL END AS min_shingle_hash
        |FROM sh""".stripMargin
 
+  /** Probes = doc_id < 50 (the stand-in benchmark split), corpus = the
+    * rest; 5-grams so the tiny synthetic vocabulary yields a few
+    * organic collisions beyond the injected exact dups.
+    */
+  def t5Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contamination(
+      d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50), n = 5)
+  }
+
+  val t5Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |gr AS (SELECT doc_id, unnest(${duckShinglesN(5)}) AS g FROM toks),
+       |gh AS (SELECT doc_id, ${duckHash60("'0'", "g")} AS h FROM gr),
+       |probe AS (SELECT DISTINCT h FROM gh WHERE doc_id < 50)
+       |SELECT c.doc_id, CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_overlapping
+       |FROM gh c JOIN probe USING (h)
+       |WHERE c.doc_id >= 50 GROUP BY c.doc_id""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -459,6 +483,7 @@ object PipelineQueries {
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_doc_fingerprint" -> (t4DocFingerprint _),
+    "t5_contamination" -> (t5Contamination _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _)
   )
@@ -478,6 +503,7 @@ object PipelineQueries {
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
     "t4_doc_fingerprint" -> t4Sql,
+    "t5_contamination" -> t5Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql
   )

@@ -180,16 +180,25 @@ object Dedup {
     * O(n²) re-splits of the text. zip_with evaluates each input array
     * exactly once.
     */
-  def shingles3(c: Column): Column = {
+  def shingles3(c: Column): Column = shinglesN(c, 3)
+
+  /** Word n-shingles (distinct, first-occurrence order), built by
+    * chaining zip_with over shifted slices — each zip evaluates its
+    * input arrays exactly once (an `element_at`-in-lambda form would
+    * re-split the text per element; lambda args aren't CSE'd). zip_with
+    * pads the shorter side with null, so the final slice to
+    * `len − (n−1)` drops the padded tail before distinct.
+    */
+  def shinglesN(c: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
     val ws = words(c)
-    val n = size(ws)
-    // pairwise then triple: zip_with pads the shorter side with null,
-    // so slice to n-2 before distinct to drop the padded tail.
-    val pair = zip_with(ws, slice(ws, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    val triple = zip_with(pair, slice(ws, lit(3), greatest(n - 2, lit(0))),
-      (ab, cc) => concat(ab, lit(" "), cc))
-    when(n >= 3, array_distinct(slice(triple, lit(1), greatest(n - 2, lit(0)))))
+    val sz = size(ws)
+    var acc = ws
+    for (k <- 2 to n)
+      acc = zip_with(acc, slice(ws, lit(k), greatest(sz - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    when(sz >= n,
+      array_distinct(slice(acc, lit(1), greatest(sz - (n - 1), lit(0)))))
       .otherwise(array().cast("array<string>"))
   }
 

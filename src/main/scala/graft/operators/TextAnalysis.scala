@@ -111,4 +111,27 @@ object TextAnalysis {
         when(size(col("sh")) > 0,
           array_min(transform(col("sh"), s => md5(s))))
           .otherwise(lit(null).cast("string")).as("min_shingle_hash"))
+
+  /** t5 — benchmark decontamination: corpus documents sharing at least
+    * one word n-gram with any probe (benchmark/eval) document, with
+    * the distinct overlapping-gram count. The training-pipeline use:
+    * drop (or audit) every hit before training so eval text cannot
+    * leak into the corpus.
+    *
+    * Scale shape: grams travel as 60-bit hashes; the probe gram set is
+    * benchmark-sized (≪ corpus) so the equi-join broadcasts, and the
+    * corpus side is one scan + explode + map-side-combined count —
+    * no shuffle ever carries corpus text.
+    */
+  def contamination(
+      corpus: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Dedup.shinglesN(col("text"), n).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), Dedup.md5Hash60(lit(0), col("g")).as("h"))
+    val probeGrams = grams(probes).select(col("h")).distinct()
+    grams(corpus).join(probeGrams, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_overlapping"))
+  }
 }

@@ -58,6 +58,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("t5 contamination: only n-gram-overlapping corpus docs hit") {
+    import spark.implicits._
+    val probes = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma delta epsilon y"), // contains the probe 5-gram
+      (11L, "alpha beta gamma zeta eta theta"),    // only a 3-gram prefix
+      (12L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.contamination(corpus, probes, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(10L -> 1L))
+    // 3-grams catch the partial-prefix doc too
+    val hits3 = TextAnalysis.contamination(corpus, probes, n = 3)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(hits3 == Set(10L, 11L))
+  }
+
   test("d6 near-dup clusters: transitive chain collapses, singleton maps to itself") {
     import spark.implicits._
     // doc 1 == doc 2 (exact dup → same signature → same buckets) and
