@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through VERBATIM instead of routing
+// it through sbt's logger: the logger prefixes every line with
+// "[info] ", so the one-line JSON contract Bench/Verify print for the
+// harness never appeared as a bare parseable line (five rounds of
+// BENCH_r*.json show "parsed": null with the JSON visibly sitting in
+// the captured tail behind an "[info] " prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,17 +34,33 @@ val jdk17AddOpens = Seq(
 // and an oversized heap (e.g. 96g) turns old-gen full GCs into
 // multi-second pauses that land on arbitrary bench queries and read
 // as phantom regressions. Cap whatever the environment asks for at
-// 16g; smaller explicit values pass through unchanged.
+// 16g; smaller explicit values pass through unchanged. Larger scale
+// factors (sf1 is 10× the data) legitimately need more: set
+// SPARK_DRIVER_MEM_FORCE to bypass the cap entirely. Any silent
+// override is logged so an OOM is never a mystery.
 val driverMem: String = {
-  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
-  val Mib = "^(\\d+)m$".r
-  val Gib = "^(\\d+)g$".r
-  val mib = req match {
-    case Mib(n) => n.toLong
-    case Gib(n) => n.toLong * 1024
-    case _      => 8 * 1024L
+  val Mib = "^(\\d+)\\s*m$".r
+  val Gib = "^(\\d+)\\s*g$".r
+  def parseMib(s: String): Option[Long] = s.trim.toLowerCase match {
+    case Mib(n) => Some(n.toLong)
+    case Gib(n) => Some(n.toLong * 1024)
+    case _      => None
   }
-  math.min(mib, 16 * 1024L).toString + "m"
+  sys.env.get("SPARK_DRIVER_MEM_FORCE").flatMap(parseMib) match {
+    case Some(forced) => forced.toString + "m" // explicit escape hatch, no cap
+    case None =>
+      val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val mib = parseMib(req).getOrElse {
+        println(s"[graft] SPARK_DRIVER_MEM='$req' not parseable " +
+          "(want e.g. 4096m or 16g); using default 8g")
+        8 * 1024L
+      }
+      val capped = math.min(mib, 16 * 1024L)
+      if (capped < mib)
+        println(s"[graft] SPARK_DRIVER_MEM=$req capped to 16g " +
+          "(bench noise guard); set SPARK_DRIVER_MEM_FORCE to override")
+      capped.toString + "m"
+  }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -57,19 +57,34 @@ object Bench {
       names.map(n => n -> samples.map(_.toMap.apply(n)))
     val med = byQuery.map { case (n, xs) => n -> median(xs) }
     val mins = byQuery.map { case (n, xs) => n -> xs.min }
-    def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    def full(v: Double): String = v.toString
+    // ms precision for the harness line (see size budget below)
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = med.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // Full-precision record (medians + mins + protocol) — file + an
+    // early stdout line for humans reading the build log.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""protocol":"median_of_${passes}_interleaved",""" +
-      s""""queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},""" +
-      s""""sf":"$sfDir"}"""
-    println(json)
-    // stdout goes through sbt's [info] prefixing — also drop the bare
-    // JSON where tooling can read it unmangled
+      s""""queries":${jsonMap(med, full)},""" +
+      s""""queries_min":${jsonMap(mins, full)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), detail + "\n")
     catch { case _: Throwable => () }
+    println(detail)
     spark.stop()
+    // The harness line LAST, after spark.stop(), so nothing can log
+    // after it. It must be (a) bare — build.sbt sets
+    // `run / outputStrategy := StdoutOutput` so sbt does not prepend
+    // "[info] " — and (b) SMALL: the harness keeps only the final
+    // ~2000 chars of output, and round 5's single line (two
+    // full-precision 57-entry maps, ~4 KB) overflowed that window and
+    // its head was cut off. Medians only + ms precision keeps this
+    // under ~1.5 KB with headroom for more queries.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":${jsonMap(med, ms)},"sf":"$sfDir"}""")
   }
 }

@@ -41,7 +41,10 @@ case class DotProductExpression(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_vec_dot"
 
-  private def method: String = {
+  // lazy val, not def: interpreted-mode eval calls this per ROW of the
+  // hottest inner loop — resolve the type dispatch once, not per call
+  // (dataType is only safe to inspect after resolution, hence lazy)
+  private lazy val method: String = {
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     (lf, rf) match {
@@ -52,16 +55,15 @@ case class DotProductExpression(left: Expression, right: Expression)
     }
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    method match {
-      case "dotFF" => DotProductExpression.dotFF(a, b)
-      case "dotFD" => DotProductExpression.dotFD(a, b)
-      case "dotDF" => DotProductExpression.dotDF(a, b)
-      case "dotDD" => DotProductExpression.dotDD(a, b)
-    }
+  private lazy val evalFn: (ArrayData, ArrayData) => Double = method match {
+    case "dotFF" => DotProductExpression.dotFF
+    case "dotFD" => DotProductExpression.dotFD
+    case "dotDF" => DotProductExpression.dotDF
+    case "dotDD" => DotProductExpression.dotDD
   }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalFn(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -111,13 +111,30 @@ object XrefStore {
     * refuse the rename, copy the staged rows back through the caller's
     * canonical writer (2× write, correctness preserved). No partitions
     * on the xref family, so no MSCK step is needed.
+    *
+    * CRASH WINDOWS (same trade as [[StatementStore.compact]] /
+    * [[FpxStore.compact]] — the session catalog has no atomic swap):
+    *   - between DROP and RENAME the live name does not resolve; a
+    *     crash there leaves the data intact under `tmp` (recover by
+    *     re-issuing the RENAME);
+    *   - [[compact]] swaps main THEN `_reverse`; a crash between the
+    *     two swaps leaves the reverse projection one compaction behind
+    *     main. That staleness is row-level harmless here — both tables
+    *     hold the same upsert-keyed rows and every read path reapplies
+    *     the FINAL window — but re-running compact is the repair.
+    * Only the rename-unsupported failure falls back to copy-back; real
+    * write/catalog failures propagate instead of masquerading as a
+    * silent 2× write.
     */
   private def swapIn(spark: SparkSession, tmp: String, table: String)(
       appendBack: DataFrame => Unit): Unit = {
     spark.sql(s"DROP TABLE $table")
     try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     catch {
-      case _: Exception =>
+      case e: UnsupportedOperationException =>
+        Console.err.println(s"[graft] XrefStore.swapIn: catalog refused " +
+          s"RENAME $tmp -> $table (${e.getMessage}); copying rows back " +
+          "through the canonical writer (2x write)")
         appendBack(spark.table(tmp))
         spark.sql(s"DROP TABLE $tmp")
     }

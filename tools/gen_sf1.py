@@ -51,7 +51,11 @@ def documents():
               for g in range(SCALE)]
     rows = []
     for i in range(n):
-        g = (i * n_sources // n) % SCALE  # vocab group tied to source block
+        # vocab group derived from the SAME key as the source (i mod
+        # n_sources), so every source draws from exactly one vocab
+        # variant and per-source token density stays constant — the
+        # property the source-blocked operators (d2) rely on
+        g = (i % n_sources) % SCALE
         vocab = vocabs[g]
         k = int(rng.integers(10, 101))
         words = rng.choice(vocab, size=k, replace=True)
