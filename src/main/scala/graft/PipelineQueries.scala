@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2 d/s/t/m blocks):
   * deduplication, similarity search, text analysis, multimodal columns.
@@ -424,6 +424,101 @@ object PipelineQueries {
        |FROM gh c JOIN probe USING (h)
        |WHERE c.doc_id >= 50 GROUP BY c.doc_id""".stripMargin
 
+  /** d7 — deterministic stratified sampling: downsample the dominant
+    * language (en, ~41% of the corpus) to rebalance the training mix.
+    * The keep/drop decision is a per-row md5 hash test (see
+    * [[Sampling.stratified]]) — scan-local, reproducible, and the
+    * DuckDB twin recomputes the identical decision bit-for-bit.
+    */
+  def d7SampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      stratum = col("lang"), id = col("doc_id"),
+      rates = Map("en" -> 0.25), defaultRate = 1.0)
+
+  val d7Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      |    / 4294967296.0
+      |  < CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END""".stripMargin
+
+  def t6PiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(docs(s, dir))
+
+  /** t6's DuckDB twin: the same patterns (common Java-regex/RE2
+    * subset), counts over the raw text, redaction in the same order.
+    */
+  val t6Sql: String = {
+    val Seq(email, ip, phone) = TextAnalysis.piiPatterns.map(_._2)
+    def esc(p: String) = p.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${esc(email)}')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '${esc(ip)}')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '${esc(phone)}')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${esc(email)}', '<EMAIL>', 'g'),
+       |    '${esc(ip)}', '<IP>', 'g'),
+       |    '${esc(phone)}', '<PHONE>', 'g') AS clean_text
+       |FROM documents""".stripMargin
+  }
+
+  def t7Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(s, dir))
+
+  val t7Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |gr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 2 THEN
+       |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+       |    ELSE [] END AS grams
+       |  FROM toks),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(grams) AS BIGINT) AS n_grams,
+       |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       |    CASE WHEN len(grams) > 0 THEN
+       |      list_max(list_transform(list_distinct(grams),
+       |        g -> len(list_filter(grams, x -> x = g))))
+       |    ELSE 0 END AS top_count
+       |  FROM gr)
+       |SELECT doc_id, n_grams, n_distinct,
+       |  round(CASE WHEN n_grams > 0
+       |    THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+       |    ELSE 0.0 END, 6) AS dup_ratio,
+       |  round(CASE WHEN n_grams > 0
+       |    THEN CAST(top_count AS DOUBLE) / n_grams
+       |    ELSE 0.0 END, 6) AS top_gram_ratio
+       |FROM m""".stripMargin
+
+  def t8DistinctiveTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(docs(s, dir), k = 5)
+
+  val t8Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_distinct(${duckWords("text")})) AS term
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, term, COUNT(*) AS n_docs FROM toks GROUP BY 1, 2),
+       |tt AS (
+       |  SELECT term, COUNT(*) AS g,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM toks GROUP BY 1),
+       |ss AS (SELECT source, COUNT(*) AS ds FROM documents GROUP BY 1),
+       |scored AS (
+       |  SELECT st.source, st.term, st.n_docs, tt.n_sources,
+       |    (CAST(st.n_docs AS DOUBLE) / CAST(ss.ds AS DOUBLE)) /
+       |      (CAST(tt.g AS DOUBLE) /
+       |        CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) AS lift
+       |  FROM st JOIN tt USING (term) JOIN ss USING (source)),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY lift DESC, term) AS BIGINT) AS rank FROM scored)
+       |SELECT source, term, n_docs, n_sources, round(lift, 6) AS lift, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -475,6 +570,7 @@ object PipelineQueries {
     "d4b_simhash_hamming" -> (d4bSimhashHamming _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
+    "d7_sample_stratified" -> (d7SampleStratified _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -484,6 +580,9 @@ object PipelineQueries {
     "t3_token_count" -> (t3TokenCount _),
     "t4_doc_fingerprint" -> (t4DocFingerprint _),
     "t5_contamination" -> (t5Contamination _),
+    "t6_pii_scrub" -> (t6PiiScrub _),
+    "t7_repetition" -> (t7Repetition _),
+    "t8_distinctive_terms" -> (t8DistinctiveTerms _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _)
   )
@@ -496,6 +595,7 @@ object PipelineQueries {
     "d4b_simhash_hamming" -> d4bSql,
     "d6_dedup_clusters" -> d6Sql,
     "d5_dedup_embedding" -> d5Sql,
+    "d7_sample_stratified" -> d7Sql,
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
@@ -504,6 +604,9 @@ object PipelineQueries {
     "t3_token_count" -> t3Sql,
     "t4_doc_fingerprint" -> t4Sql,
     "t5_contamination" -> t5Sql,
+    "t6_pii_scrub" -> t6Sql,
+    "t7_repetition" -> t7Sql,
+    "t8_distinctive_terms" -> t8Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql
   )

@@ -508,6 +508,49 @@ object Queries {
       |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** q20 — as-of join (attribution): each purchase matched to the same
+    * user's most recent click at-or-before it. Spark has no as-of
+    * operator; [[graft.operators.AsofJoin]] implements it as the
+    * union-and-carry sort-merge form (one shuffle on user_id, linear in
+    * rows — see its doc for why the naive range-join formulation is a
+    * per-key quadratic trap). DuckDB's native ASOF JOIN is the oracle.
+    * Clicks dedup to one row per (user, ts) first — max event_id —
+    * because "the" as-of row is ill-defined under timestamp ties.
+    */
+  def q20AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts", $"value")
+    graft.operators.AsofJoin.join(purchases, clicks, "user_id", "ts",
+        rightPrefix = "click_")
+      .select($"purchase_id", $"user_id",
+        unix_timestamp($"ts").as("purchase_sec"),
+        $"click_id",
+        unix_timestamp($"click_ts").as("click_sec"),
+        (unix_timestamp($"ts") - unix_timestamp($"click_ts")).as("gap_sec"),
+        round($"value" * 100).cast("long").as("value_cents"))
+  }
+
+  val q20Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id,
+      |  epoch_ms(p.ts) // 1000 AS purchase_sec,
+      |  c.click_id,
+      |  epoch_ms(c.ts) // 1000 AS click_sec,
+      |  epoch_ms(p.ts) // 1000 - epoch_ms(c.ts) // 1000 AS gap_sec,
+      |  CAST(round(p.value * 100) AS BIGINT) AS value_cents
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+      .stripMargin
+
   // ===========================================================
   // FTM statement-store semantics (SURVEY.md §2, f-block)
   // ===========================================================
@@ -1170,6 +1213,7 @@ object Queries {
     "q17_rollup" -> (q17Rollup _),
     "q18_range_window" -> (q18RangeWindow _),
     "q19_sessionize" -> (q19Sessionize _),
+    "q20_asof_join" -> (q20AsofJoin _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1212,6 +1256,7 @@ object Queries {
     "q17_rollup" -> q17Sql,
     "q18_range_window" -> q18Sql,
     "q19_sessionize" -> q19Sql,
+    "q20_asof_join" -> q20Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -134,4 +134,125 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_overlapping"))
   }
+
+  /** PII patterns, shared between detection and redaction. Written in
+    * the common Java-regex/RE2 subset so the DuckDB oracle executes the
+    * IDENTICAL pattern (no lookarounds, no backreferences).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement) — redaction applies IN THIS ORDER:
+    // emails first (a phone-shaped digit run inside an email local
+    // part must not survive as a phone hit), then IPs, then phones
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** t6 — PII scrubbing: per-pattern match counts (on the raw text)
+    * plus the redacted text with every match replaced by its tag.
+    * Pure scan projection — the redaction a 100 TB pipeline runs over
+    * every document exactly once, no shuffle.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val clean = piiPatterns.foldLeft(col("text")) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    documents.select(
+      (col("doc_id") +: counts :+ clean.as("clean_text")): _*)
+  }
+
+  /** t7 — intra-document repetition (the Gopher-style quality signal:
+    * heavily self-repeating documents are boilerplate/spam): over the
+    * document's word 2-grams WITH multiplicity, the fraction that are
+    * duplicates and the share of the single most frequent 2-gram.
+    *
+    * Entirely scan-local: the grams never explode into rows — the
+    * duplicate count comes from `array_distinct`, and the top-gram
+    * count from a single fold over the SORTED gram array (equal grams
+    * are adjacent after sorting, so the longest run IS the max
+    * multiplicity). One codegen'd projection, no shuffle.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val ws = Dedup.words(col("text"))
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val maxRun = aggregate(
+      array_sort(col("grams")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    documents
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        maxRun.as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double")).otherwise(lit(0.0)), 6)
+          .as("dup_ratio"),
+        round(when(col("n_grams") > 0,
+          col("top_count").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)), 6).as("top_gram_ratio"))
+  }
+
+  /** t8 — distinctive terms per source, by LIFT: how over-represented a
+    * term's document frequency is inside the source relative to the
+    * whole corpus, `(a/ds) / (g/N)` for a = source docs containing the
+    * term, ds = source docs, g = corpus docs containing it, N = corpus
+    * docs. The TF-IDF-flavored corpus-exploration view ("what
+    * vocabulary is peculiar to this domain?") and the feed for
+    * domain-tag features. Cross-engine determinism: every division is
+    * one correctly-rounded binary64 over exact integers, so the DuckDB
+    * twin ranks identical values; ties break on the term.
+    *
+    * Scale shape: tokens dedup per document in the scan (array_distinct
+    * before explode), so the exploded stream carries each (doc, term)
+    * once; all three aggregations are map-side combinable; the
+    * term-level and source-level counts are vocabulary-/source-sized
+    * and broadcast back onto the (source, term) counts; the final
+    * top-k window ranks vocabulary-sized groups (counts, not
+    * documents), so a source with a billion documents still ranks over
+    * only its distinct terms.
+    */
+  def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTerms = documents
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.words(col("text")))).as("term"))
+    val bySourceTerm = docTerms
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_docs"))
+    // term-level totals ROLL UP from the (source, term) counts — the
+    // doc-level stream is shuffled once, to (source, term) grain; the
+    // rollup input is vocabulary-sized (and its exchange is identical
+    // to bySourceTerm's, so AQE reuses the stage at runtime)
+    val byTerm = bySourceTerm.groupBy(col("term")).agg(
+      sum(col("n_docs")).as("g"), count(lit(1)).as("n_sources"))
+    val bySource = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("ds"))
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    val lift = (col("n_docs").cast("double") / col("ds").cast("double")) /
+      (col("g").cast("double") / col("n_total").cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("term"))
+    bySourceTerm
+      .join(broadcast(byTerm), Seq("term"))
+      .join(broadcast(bySource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift", lift)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("term"), col("n_docs"), col("n_sources"),
+        round(col("lift"), 6).as("lift"), col("rank"))
+  }
 }

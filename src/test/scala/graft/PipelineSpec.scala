@@ -359,4 +359,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 64) // full frame
     assert(out(1).getLong(2) == 300 - 4 * 64) // tail frame = 44 bytes
   }
+
+  test("d7 stratified sample: deterministic, only target strata thin out") {
+    import graft.operators.Sampling
+    val in = docs.select(col("doc_id"), col("lang"), col("source"))
+    def run() = Sampling.stratified(in, col("lang"), col("doc_id"),
+      Map("en" -> 0.25))
+    val a = run().collect().map(_.getLong(0)).sorted
+    val b = run().collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b)) // reproducible selection, not df.sample
+    // non-target strata pass through untouched
+    val nonEnIn = in.filter(col("lang") =!= "en").count()
+    val nonEnOut = run().filter(col("lang") =!= "en").count()
+    assert(nonEnOut == nonEnIn)
+    // target stratum thins to ~rate (50 docs at sf0.001 → loose band)
+    val enIn = in.filter(col("lang") === "en").count()
+    val enOut = run().filter(col("lang") === "en").count()
+    assert(enOut < enIn && enOut > 0)
+  }
+
+  test("t6 pii scrub: detects and redacts emails, IPs, phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 555-867-5309 now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 no pii else"),
+      (3L, "clean text only")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1) // n_email
+    assert(out(1L).getAs[String]("clean_text")
+      == "mail <EMAIL> or call <PHONE> now")
+    assert(out(2L).getLong(2) == 2) // n_ip
+    assert(out(2L).getAs[String]("clean_text")
+      == "server at <IP> and <IP> no pii else")
+    assert(out(3L).getLong(1) == 0 && out(3L).getLong(2) == 0 &&
+      out(3L).getLong(3) == 0)
+    assert(out(3L).getAs[String]("clean_text") == "clean text only")
+  }
+
+  test("t6 pii scrub: phone-shaped digits inside an email don't double-count") {
+    import spark.implicits._
+    val df = Seq((1L, "x 555-123-4567@spam.example.com y"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(df).collect()(0)
+    assert(r.getAs[String]("clean_text") == "x <EMAIL> y")
+  }
+
+  test("t7 repetition: exact ratios on a crafted repeating doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"), // 2-grams: ab ba ab ba ab → 5 grams, 2 distinct
+      (2L, "v w x y z"),   // all distinct
+      (3L, "solo")).toDF("doc_id", "text") // no 2-grams
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5 && out(1L).getLong(2) == 2)
+    assert(out(1L).getDouble(3) == 0.6) // (5-2)/5
+    assert(out(1L).getDouble(4) == 0.6) // "a b" ×3 / 5
+    assert(out(2L).getDouble(3) == 0.0 && out(2L).getDouble(4) == 0.25)
+    assert(out(3L).getLong(1) == 0 && out(3L).getDouble(3) == 0.0)
+  }
+
+  test("t8 distinctive terms: exclusive vocabulary tops its source by lift") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha shared", "sa"), (2L, "alpha shared", "sa"),
+      (3L, "beta shared", "sb"), (4L, "beta shared", "sb"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.distinctiveTerms(df, k = 1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // alpha: in 2/2 of sa docs vs 2/4 corpus-wide → lift 2, beats
+    // shared (lift 1); symmetric for beta
+    assert(out("sa").getString(1) == "alpha")
+    assert(out("sb").getString(1) == "beta")
+    assert(out("sa").getDouble(4) == 2.0)
+    assert(out("sa").getLong(3) == 1) // n_sources
+  }
 }

@@ -49,7 +49,19 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("f11_canonical_lookup", maxShuffles = 3),
     Shape("f12_entity_query", maxShuffles = 3),
     Shape("t1_lang_id", maxShuffles = 0),
-    Shape("t4_doc_fingerprint", maxShuffles = 0))
+    Shape("t4_doc_fingerprint", maxShuffles = 0),
+    // r6: the as-of join must stay the union-and-carry form — one
+    // shuffle for the click dedup, one for the per-user carry window;
+    // a regression to the naive range join would explode per key
+    Shape("q20_asof_join", maxShuffles = 2, minPushedScans = 2),
+    // scan-local by construction: sampling decision / redaction /
+    // gram fold never leave the scan projection
+    Shape("d7_sample_stratified", maxShuffles = 0),
+    Shape("t6_pii_scrub", maxShuffles = 0),
+    Shape("t7_repetition", maxShuffles = 0),
+    // doc stream shuffles ONCE (to (source,term) grain); rollups and
+    // ranks run on vocabulary-sized data; term/source stats broadcast
+    Shape("t8_distinctive_terms", maxShuffles = 6, minBroadcasts = 3))
 
   for (s <- shapes) test(s"plan shape: ${s.name}") {
     val plan = SparkEntry.queries(s.name)(spark, sf)

@@ -55,6 +55,36 @@ class QueriesSpec extends AnyFunSuite {
         s"$flag: approx $a vs exact $e drifts ${math.abs(a - e) / e}")
   }
 
+  test("asof join: inclusive bound, latest-prior match, unmatched drop") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 5L, "r5"))
+      .toDF("k", "ts", "payload")
+    val left = Seq(
+      (1L, 20L, "exact-tie"),  // ts == right ts → inclusive, matches r20
+      (1L, 15L, "between"),    // matches r10, not r20
+      (1L, 9L, "early"),       // before all right rows → dropped
+      (2L, 100L, "far-after"), // matches r5
+      (3L, 50L, "no-key"))     // key absent on right → dropped
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin.join(left, right, "k", "ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        (r.getAs[Long]("r_ts"), r.getAs[String]("r_payload"))).toMap
+    assert(out == Map(
+      "exact-tie" -> (20L, "r20"),
+      "between" -> (10L, "r10"),
+      "far-after" -> (5L, "r5")))
+  }
+
+  test("q20 asof: every match is the same user's latest prior click") {
+    val out = Queries.q20AsofJoin(spark, sf)
+    assert(out.count() > 0)
+    // no violated bound, one row per purchase
+    assert(out.filter(org.apache.spark.sql.functions.col("click_sec") >
+      org.apache.spark.sql.functions.col("purchase_sec")).count() == 0)
+    assert(out.select("purchase_id").distinct().count() == out.count())
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
