@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpression, DoubleMetaphoneExpression,
-  MetaphoneExpression, MinHashSignatureExpression, Phonetics,
-  SimHashExpression, VectorSumAggregate}
+import graft.functions.{BigramStatsExpression, DotProductExpression,
+  DoubleMetaphoneExpression, MetaphoneExpression,
+  MinHashSignatureExpression, Phonetics, SimHashExpression,
+  VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -62,6 +63,13 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_vec_sum takes one argument")
         VectorSumAggregate(children.head)
+      }),
+    (FunctionIdentifier("graft_bigram_stats"),
+      new ExpressionInfo(
+        classOf[BigramStatsExpression].getName, "graft_bigram_stats"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_bigram_stats takes one argument")
+        BigramStatsExpression(children.head)
       }),
     (FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(

@@ -168,13 +168,25 @@ object TextAnalysis {
     * document's word 2-grams WITH multiplicity, the fraction that are
     * duplicates and the share of the single most frequent 2-gram.
     *
-    * Entirely scan-local: the grams never explode into rows — the
-    * duplicate count comes from `array_distinct`, and the top-gram
-    * count from a single fold over the SORTED gram array (equal grams
-    * are adjacent after sorting, so the longest run IS the max
-    * multiplicity). One codegen'd projection, no shuffle.
+    * Entirely scan-local, no shuffle: the grams never explode into
+    * rows — all three stats come from ONE compiled hash-count pass per
+    * document ([[graft.functions.BigramStatsExpression]]). The composed
+    * higher-order-function form ([[repetitionComposed]]) is kept as the
+    * value-parity twin; it does three interpreted walks of the gram
+    * array (distinct, sort, fold) and benched 8.8s vs ~1s native at
+    * sf0.1.
     */
-  def repetition(documents: DataFrame): DataFrame = {
+  def repetition(documents: DataFrame): DataFrame =
+    repetitionFrom(documents,
+      graft.functions.BigramStatsExpression.bigramStats(
+        Dedup.words(col("text"))))
+
+  /** t7's composed `functions._`-only twin (spec-asserted equal to
+    * [[repetition]]): n_distinct via `array_distinct`, top gram count
+    * via a fold over the SORTED gram array (equal grams are adjacent
+    * after sorting, so the longest run IS the max multiplicity).
+    */
+  def repetitionComposed(documents: DataFrame): DataFrame = {
     val ws = Dedup.words(col("text"))
     val grams = when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
@@ -189,12 +201,28 @@ object TextAnalysis {
           greatest(acc("best"), run).as("best"))
       },
       acc => acc("best"))
-    documents
+    val stats = documents
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
         maxRun.as("top_count"))
+    ratios(stats)
+  }
+
+  /** Shared tail: stats struct column → the t7 output schema. */
+  private def repetitionFrom(documents: DataFrame, st: Column): DataFrame =
+    ratios(documents
+      // hoist the struct: referenced three times below; inlining would
+      // re-run the whole hash pass per reference
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st").getField("n_grams").as("n_grams"),
+        col("st").getField("n_distinct").as("n_distinct"),
+        col("st").getField("top_count").as("top_count")))
+
+  private def ratios(stats: DataFrame): DataFrame =
+    stats
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
         round(when(col("n_grams") > 0,
           (col("n_grams") - col("n_distinct")).cast("double") /
@@ -203,7 +231,6 @@ object TextAnalysis {
         round(when(col("n_grams") > 0,
           col("top_count").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)), 6).as("top_gram_ratio"))
-  }
 
   /** t8 — distinctive terms per source, by LIFT: how over-represented a
     * term's document frequency is inside the source relative to the

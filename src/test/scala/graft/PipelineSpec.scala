@@ -420,6 +420,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).getLong(1) == 0 && out(3L).getDouble(3) == 0.0)
   }
 
+  test("t7 native bigram-stats == composed HOF form on sf docs") {
+    // the native one-pass hash count must be value-identical to the
+    // array_distinct + sorted-fold composition on every real document
+    val native = TextAnalysis.repetition(docs)
+    val composed = TextAnalysis.repetitionComposed(docs)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
   test("t8 distinctive terms: exclusive vocabulary tops its source by lift") {
     import spark.implicits._
     val df = Seq(
