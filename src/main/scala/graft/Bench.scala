@@ -30,9 +30,16 @@ object Bench {
     // column, so projection-only queries (fingerprints, scores,
     // signatures) would measure an empty scan. toRdd materializes the
     // physical plan's actual output rows.
+    // A query that throws must be VISIBLE: swallowing it silently would
+    // bench it at ~0s and shrink the total, masquerading as a speed-up
+    // (the oracle gate catches the correctness side, not the timing).
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def exec(name: String): Unit =
       try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"BENCH QUERY FAILED: $name — ${e.getClass.getName}: ${e.getMessage}")
+      }
     // optional filter for local iteration: SPARK_GRAFT_ONLY=q1_agg,d2_...
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -82,9 +89,24 @@ object Bench {
     // "[info] " — and (b) SMALL: the harness keeps only the final
     // ~2000 chars of output, and round 5's single line (two
     // full-precision 57-entry maps, ~4 KB) overflowed that window and
-    // its head was cut off. Medians only + ms precision keeps this
-    // under ~1.5 KB with headroom for more queries.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""queries":${jsonMap(med, ms)},"sf":"$sfDir"}""")
+    // its head was cut off. Medians only + ms precision is ~1.6 KB at
+    // 63 queries; if query growth pushes past the guard below, the
+    // per-query map is DROPPED (full detail stays in BENCH_LAST.json)
+    // rather than silently truncating the head of the line.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"BENCH INCOMPLETE: ${failed.size} queries threw: " +
+          failed.mkString(", "))
+    val harness = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":${jsonMap(med, ms)},"sf":"$sfDir"}"""
+    val guarded =
+      if (harness.length <= 1800) harness
+      else {
+        System.err.println(s"BENCH LINE ${harness.length}B > 1800B budget; " +
+          "dropping per-query map from the harness line (see BENCH_LAST.json)")
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+          s""""queries":{},"sf":"$sfDir"}"""
+      }
+    println(guarded)
   }
 }

@@ -28,10 +28,19 @@ import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
+  *   --version                          print the library version and
+  *                                      exit (cli.py:14-20)
   */
 object Cli {
 
+  /** Library version, printed by `--version` (settings.VERSION in the
+    * reference, cli.py:14-20).
+    */
+  val Version = "0.1.0"
+
   def main(args: Array[String]): Unit = {
+    // --version answers without paying a session spin-up
+    if (args.toList == List("--version")) { println(Version); return }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -49,6 +58,9 @@ object Cli {
 
   private[graft] def run(spark: SparkSession, args: List[String]): Unit =
     args match {
+      case "--version" :: Nil =>
+        println(Version)
+
       case "init" :: table :: rest if rest.forall(_ == "--recreate") =>
         if (rest.contains("--recreate"))
           // engine.drop_statements (engine.py:275-282): table + fpx +

@@ -28,8 +28,13 @@ object PlanAudit {
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.explain("formatted")
       val plan = df.queryExecution.executedPlan.toString
-      val exchanges = "Exchange".r.findAllIn(plan).length
-      println(s"-- Exchange count (pre-AQE): $exchanges")
+      // the same counters PlanShapeSpec pins
+      val shuffles =
+        "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length
+      val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+      val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
+      println(s"-- pre-AQE: shuffles=$shuffles broadcasts=$broadcasts " +
+        s"pushedScans=$pushed")
     }
     spark.stop()
   }

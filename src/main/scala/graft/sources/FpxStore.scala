@@ -92,7 +92,12 @@ object FpxStore {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
       spark.sql(s"MSCK REPAIR TABLE $table")
     } catch {
-      case _: Exception =>
+      // aligned fallback policy (see XrefStore.swapIn): any rename
+      // failure → loud copy-back, because DROP already ran
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[graft] FpxStore.compact: catalog refused " +
+          s"RENAME $tmp -> $table (${e.getMessage}); copying rows back " +
+          "through the canonical writer (2x write)")
         append(spark.table(tmp), table, buckets)
         spark.sql(s"DROP TABLE $tmp")
     }

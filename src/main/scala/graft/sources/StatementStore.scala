@@ -154,7 +154,12 @@ object StatementStore {
       // name the old dir — recover them (metadata-only, no data move)
       spark.sql(s"MSCK REPAIR TABLE $table")
     } catch {
-      case _: Exception =>
+      // aligned fallback policy (see XrefStore.swapIn): any rename
+      // failure → loud copy-back, because DROP already ran
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[graft] StatementStore.compact: catalog " +
+          s"refused RENAME $tmp -> $table (${e.getMessage}); copying rows " +
+          "back through the canonical writer (2x write)")
         write(spark.table(tmp), table, buckets, SaveMode.Append)
         spark.sql(s"DROP TABLE $tmp")
     }

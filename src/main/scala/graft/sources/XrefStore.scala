@@ -122,16 +122,22 @@ object XrefStore {
     *     main. That staleness is row-level harmless here — both tables
     *     hold the same upsert-keyed rows and every read path reapplies
     *     the FINAL window — but re-running compact is the repair.
-    * Only the rename-unsupported failure falls back to copy-back; real
-    * write/catalog failures propagate instead of masquerading as a
-    * silent 2× write.
+    * FALLBACK POLICY (aligned across all three stores): ANY rename
+    * failure — UnsupportedOperationException on catalogs without
+    * RENAME, AnalysisException when the destination directory
+    * survives, etc. — falls back to the copy-back, because at that
+    * point DROP has already run and propagating would leave the live
+    * name unresolvable; the staged rows are intact so the copy-back is
+    * always correct, just a 2× write, and it is logged loudly so it
+    * cannot masquerade as the cheap path. A failure in the copy-back
+    * itself still propagates.
     */
   private def swapIn(spark: SparkSession, tmp: String, table: String)(
       appendBack: DataFrame => Unit): Unit = {
     spark.sql(s"DROP TABLE $table")
     try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     catch {
-      case e: UnsupportedOperationException =>
+      case scala.util.control.NonFatal(e) =>
         Console.err.println(s"[graft] XrefStore.swapIn: catalog refused " +
           s"RENAME $tmp -> $table (${e.getMessage}); copying rows back " +
           "through the canonical writer (2x write)")

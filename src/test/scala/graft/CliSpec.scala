@@ -22,6 +22,12 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("cli --version prints the library version (cli.py:14-20)") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { Cli.run(spark, List("--version")) }
+    assert(out.toString.trim == Cli.Version)
+  }
+
   test("cli: ingest, stats, query, optimize round-trip") {
     import spark.implicits._
     clean("cli_spec", "cli_spec_fpx", "cli_spec_compacted",

@@ -61,7 +61,26 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("t7_repetition", maxShuffles = 0),
     // doc stream shuffles ONCE (to (source,term) grain); rollups and
     // ranks run on vocabulary-sized data; term/source stats broadcast
-    Shape("t8_distinctive_terms", maxShuffles = 6, minBroadcasts = 3))
+    Shape("t8_distinctive_terms", maxShuffles = 6, minBroadcasts = 3),
+    // r7 pins for the multi-stage/iterative queries most able to
+    // regress silently into extra shuffles:
+    // t5: probe gram set must stay BROADCAST onto the corpus gram
+    // stream — a shuffle join here would move hashed corpus grams
+    Shape("t5_contamination", maxShuffles = 3, minBroadcasts = 1,
+      minPushedScans = 2),
+    // d4b: pigeonhole band buckets equi-join, survivor probe broadcast
+    Shape("d4b_simhash_hamming", maxShuffles = 4, minBroadcasts = 3,
+      minPushedScans = 2),
+    // d6: the returned frame is the final label join over the
+    // checkpointed loop output — the loop's per-round cost is pinned
+    // by its own convergence contract, the tail must stay 2 shuffles
+    Shape("d6_dedup_clusters", maxShuffles = 2),
+    // f18/f19: FINAL-window dedup + attr enrichment; the three dim
+    // joins must stay broadcast
+    Shape("f18_xref_judgements", maxShuffles = 7, minBroadcasts = 3),
+    Shape("f19_xref_reverse", maxShuffles = 7, minBroadcasts = 3),
+    // f20: judgement filter + component labels + canonical min
+    Shape("f20_resolver_canonical", maxShuffles = 3))
 
   for (s <- shapes) test(s"plan shape: ${s.name}") {
     val plan = SparkEntry.queries(s.name)(spark, sf)

@@ -76,6 +76,43 @@ class QueriesSpec extends AnyFunSuite {
       "far-after" -> (5L, "r5")))
   }
 
+  test("asof joinBucketed == join: hot key + bucket-boundary cases") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    // one hot key with a long dense history (the case the bucketed
+    // form exists for), a key whose matches all cross bucket
+    // boundaries, a key with no rights, plus exact-tie rows — at a
+    // bucket width (7) deliberately misaligned with the data
+    val right = ((1 to 400).map(i => (1L, i * 3L, s"r$i")) ++
+      Seq((2L, 2L, "early2")) :+ ((4L, 50L, "only4"))).toDF("k", "ts", "payload")
+    val left = ((1 to 300).map(i => (1L, i * 4L, s"l$i")) ++
+      Seq((2L, 1000L, "far"), (2L, 1L, "before"), (3L, 9L, "nokey"),
+        (4L, 50L, "tie"))).toDF("k", "ts", "tag")
+    for (width <- Seq(7L, 1L, 100000L)) {
+      val plain = AsofJoin.join(left, right, "k", "ts")
+      val bucketed = AsofJoin.joinBucketed(left, right, "k", "ts", width)
+      assert(bucketed.exceptAll(plain).isEmpty &&
+        plain.exceptAll(bucketed).isEmpty,
+        s"bucketed (width=$width) diverges from plain as-of")
+    }
+  }
+
+  test("asof join: payload-shape preconditions are validated") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val right = Seq((1L, 10L, "r")).toDF("k", "ts", "payload")
+    // zero left payload columns
+    val bare = Seq((1L, 20L)).toDF("k", "ts")
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.join(bare, right, "k", "ts")
+    }
+    // left column colliding with a prefixed right output name
+    val colliding = Seq((1L, 20L, "x")).toDF("k", "ts", "r_payload")
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.join(colliding, right, "k", "ts")
+    }
+  }
+
   test("q20 asof: every match is the same user's latest prior click") {
     val out = Queries.q20AsofJoin(spark, sf)
     assert(out.count() > 0)
