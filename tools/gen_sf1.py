@@ -112,6 +112,29 @@ def part():
         "p_retailprice": np.round(rng.uniform(900, 1000, size=n), 2)})
 
 
+def events():
+    # mirrors sf0.1 events (100k rows / 1500 users / 30 days / 5 types,
+    # value ~ U(0,100), props {"k": int}): 10x USERS at constant ~67
+    # events/user — how traffic grows (new users), keeping q20's
+    # per-key as-of history the same length so the run measures row
+    # scaling, not key-skew drift
+    n = 100000 * SCALE
+    n_users = 1500 * SCALE
+    t0 = pd.Timestamp("2024-01-01")
+    span_ns = 30 * 24 * 3600 * 10**9
+    ts = t0.value + rng.integers(0, span_ns, size=n)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(np.sort(ts)),
+        "user_id": rng.integers(0, n_users, size=n).astype(np.int64),
+        "event_type": rng.choice(
+            ["click", "view", "purchase", "signup", "error"], size=n),
+        "value": np.round(rng.uniform(0, 100, size=n), 6),
+        "props": [f'{{"k": {int(k)}}}'
+                  for k in rng.integers(0, 100, size=n)]})
+    return df
+
+
 def customer():
     n = 15000 * SCALE
     return pd.DataFrame({
@@ -125,9 +148,24 @@ def customer():
 def main():
     os.makedirs(OUT, exist_ok=True)
     for name, fn in [("documents", documents), ("embeddings", embeddings),
-                     ("part", part), ("customer", customer)]:
+                     ("part", part), ("customer", customer),
+                     ("events", events)]:
         path = os.path.join(OUT, f"{name}.parquet")
-        fn().to_parquet(path, index=False)
+        df = fn()
+        if name == "events":
+            # the driver's events.ts is parquet TIMESTAMP(NANOS) and
+            # Tables.load expects to read it as a nanosecond LONG
+            # (nanosAsLong) — force ns units so sf1 reads identically
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            table = pa.Table.from_pandas(df, preserve_index=False)
+            idx = table.schema.get_field_index("ts")
+            table = table.set_column(
+                idx, "ts", table.column("ts").cast(pa.timestamp("ns")))
+            pq.write_table(table, path, store_schema=False,
+                           coerce_timestamps=None, version="2.6")
+        else:
+            df.to_parquet(path, index=False)
         print(f"wrote {path}")
 
 
