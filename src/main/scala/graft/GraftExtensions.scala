@@ -7,8 +7,8 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{BigramStatsExpression, DotProductExpression,
   DoubleMetaphoneExpression, MetaphoneExpression,
-  MinHashSignatureExpression, Phonetics, SimHashExpression,
-  VectorSumAggregate}
+  MinHashSignatureExpression, NgramHashesExpression, Phonetics,
+  ShinglesExpression, SimHashExpression, VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -63,6 +63,29 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_vec_sum takes one argument")
         VectorSumAggregate(children.head)
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(
+        classOf[ShinglesExpression].getName, "graft_shingles"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(arr, Literal(n: Int, IntegerType)) =>
+            ShinglesExpression(arr, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles(arr, n: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(
+        classOf[NgramHashesExpression].getName, "graft_ngram_hashes"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(arr, Literal(n: Int, IntegerType),
+              Literal(s: Int, IntegerType)) =>
+            NgramHashesExpression(arr, n, s)
+          case _ => throw new IllegalArgumentException(
+            "graft_ngram_hashes(arr, n: int literal, seed: int literal)")
+        }
       }),
     (FunctionIdentifier("graft_bigram_stats"),
       new ExpressionInfo(

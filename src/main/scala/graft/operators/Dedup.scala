@@ -182,14 +182,25 @@ object Dedup {
     */
   def shingles3(c: Column): Column = shinglesN(c, 3)
 
-  /** Word n-shingles (distinct, first-occurrence order), built by
-    * chaining zip_with over shifted slices — each zip evaluates its
-    * input arrays exactly once (an `element_at`-in-lambda form would
+  /** Word n-shingles (distinct, first-occurrence order) — ONE compiled
+    * pass per row ([[graft.functions.ShinglesExpression]]); the
+    * composed higher-order-function form is kept as
+    * [[shinglesNComposed]], the spec-asserted value- AND
+    * order-identical parity twin.
+    */
+  def shinglesN(c: Column, n: Int): Column =
+    graft.functions.ShinglesExpression.shingles(words(c), n)
+
+  /** The `functions._`-only twin of [[shinglesN]], built by chaining
+    * zip_with over shifted slices — each zip evaluates its input
+    * arrays exactly once (an `element_at`-in-lambda form would
     * re-split the text per element; lambda args aren't CSE'd). zip_with
     * pads the shorter side with null, so the final slice to
-    * `len − (n−1)` drops the padded tail before distinct.
+    * `len − (n−1)` drops the padded tail before distinct. n−1
+    * interpreted walks per row (HOFs never codegen) — use the native
+    * form in hot paths.
     */
-  def shinglesN(c: Column, n: Int): Column = {
+  def shinglesNComposed(c: Column, n: Int): Column = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
     val ws = words(c)
     val sz = size(ws)

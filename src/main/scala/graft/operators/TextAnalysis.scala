@@ -121,19 +121,35 @@ object TextAnalysis {
     * Scale shape: grams travel as 60-bit hashes; the probe gram set is
     * benchmark-sized (≪ corpus) so the equi-join broadcasts, and the
     * corpus side is one scan + explode + map-side-combined count —
-    * no shuffle ever carries corpus text.
+    * no shuffle ever carries corpus text. The gram hashing itself is
+    * ONE compiled pass per document
+    * ([[graft.functions.NgramHashesExpression]]); the composed
+    * shingle-then-hash form is kept as [[hashedGramsComposed]], the
+    * spec-asserted parity twin (n−1 interpreted zip_with walks +
+    * per-gram expression md5 — 4.3s vs ~1s at sf0.1).
     */
   def contamination(
       corpus: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), Dedup.shinglesN(col("text"), n).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), Dedup.md5Hash60(lit(0), col("g")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.NgramHashesExpression.ngramHashes(
+          Dedup.words(col("text")), n, seed = 0)).as("h"))
     val probeGrams = grams(probes).select(col("h")).distinct()
     grams(corpus).join(probeGrams, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_overlapping"))
   }
+
+  /** The composed `functions._`-only twin of the native gram hashing
+    * inside [[contamination]]: distinct n-shingles via chained
+    * zip_with, then the seeded 60-bit md5 per gram. Value- AND
+    * order-identical to `NgramHashesExpression` (both emit distinct
+    * grams in first-occurrence order).
+    */
+  def hashedGramsComposed(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"),
+      transform(Dedup.shinglesNComposed(col("text"), n),
+        g => Dedup.md5Hash60(lit(0), g)).as("hs"))
 
   /** PII patterns, shared between detection and redaction. Written in
     * the common Java-regex/RE2 subset so the DuckDB oracle executes the

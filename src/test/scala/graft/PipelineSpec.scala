@@ -429,6 +429,30 @@ class PipelineSpec extends AnyFunSuite {
       composed.exceptAll(native).isEmpty)
   }
 
+  test("native shingles == composed zip_with form on sf docs") {
+    // exact array equality: distinct grams in first-occurrence order
+    for (n <- Seq(2, 3, 5)) {
+      val diff = docs.select(
+        Dedup.shinglesN(col("text"), n).as("native"),
+        Dedup.shinglesNComposed(col("text"), n).as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(diff.count() == 0, s"n=$n diverges")
+    }
+  }
+
+  test("t5 native ngram-hashes == composed shingle+md5 form on sf docs") {
+    // same values in the same (first-occurrence) order, so plain array
+    // equality — not just set equality — must hold on every document
+    for (n <- Seq(2, 5)) {
+      val native = docs.select(col("doc_id"),
+        graft.functions.NgramHashesExpression.ngramHashes(
+          Dedup.words(col("text")), n, seed = 0).as("hs"))
+      val composed = TextAnalysis.hashedGramsComposed(docs, n)
+      assert(native.exceptAll(composed).isEmpty &&
+        composed.exceptAll(native).isEmpty, s"n=$n diverges")
+    }
+  }
+
   test("t8 distinctive terms: exclusive vocabulary tops its source by lift") {
     import spark.implicits._
     val df = Seq(
