@@ -80,7 +80,16 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("f18_xref_judgements", maxShuffles = 7, minBroadcasts = 3),
     Shape("f19_xref_reverse", maxShuffles = 7, minBroadcasts = 3),
     // f20: judgement filter + component labels + canonical min
-    Shape("f20_resolver_canonical", maxShuffles = 3))
+    Shape("f20_resolver_canonical", maxShuffles = 3),
+    // q16: ONE sort window feeding all three quantiles + broadcast
+    // count join-back — a regression to per-quantile sorts or a
+    // partition-count window would multiply both numbers
+    Shape("q16_percentile", maxShuffles = 2, minBroadcasts = 1,
+      minPushedScans = 2),
+    // single-shuffle window queries: rank / sessionize / phonetic fpx
+    Shape("q9_window_rank", maxShuffles = 1),
+    Shape("q19_sessionize", maxShuffles = 1),
+    Shape("f17_fpx_phonetic", maxShuffles = 1))
 
   for (s <- shapes) test(s"plan shape: ${s.name}") {
     val plan = SparkEntry.queries(s.name)(spark, sf)
