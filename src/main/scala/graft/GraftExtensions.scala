@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.IntegerType
 import graft.functions.{BigramStatsExpression, DotProductExpression,
   DoubleMetaphoneExpression, MetaphoneExpression,
   MinHashSignatureExpression, NgramHashesExpression, Phonetics,
-  ShinglesExpression, SimHashExpression, VectorSumAggregate}
+  ShinglesExpression, SimHashExpression, TokenHashesExpression,
+  VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -63,6 +64,17 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_vec_sum takes one argument")
         VectorSumAggregate(children.head)
+      }),
+    (FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(
+        classOf[TokenHashesExpression].getName, "graft_token_hashes"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(arr, Literal(s: Int, IntegerType)) =>
+            TokenHashesExpression(arr, s)
+          case _ => throw new IllegalArgumentException(
+            "graft_token_hashes(arr, seed: int literal)")
+        }
       }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(

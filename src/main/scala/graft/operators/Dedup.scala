@@ -89,14 +89,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // Token sets carried as SORTED 60-bit hashes: candidate keys and the
     // verify merge compare longs instead of strings (measured 2.1× on
-    // verify). `n` stays the exact string-set size; a within-doc hash
-    // collision (~2^-51 per doc) is the only way counts could drift.
+    // verify). `n` stays the exact string-set size (distinctness is on
+    // the WORD, so the hash-array length is the distinct-token count; a
+    // within-doc hash collision, ~2^-51 per doc, is the only way counts
+    // could drift). One compiled pass per row (TokenHashesExpression;
+    // [[tokenHashesComposed]] is the spec-asserted parity twin).
     val toks = documents
       .select(col("doc_id"), col("source"),
-        array_distinct(words(col("text"))).as("ws"))
-      .withColumn("n", size(col("ws")).cast("long"))
-      .withColumn("hs",
-        array_sort(transform(col("ws"), w => md5Hash60(lit(0), w))))
+        graft.functions.TokenHashesExpression.tokenHashes(
+          words(col("text")), seed = 0).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
     // Three consumers (the prefix/candidate path and both verify sides)
     // each recompute this tokenize+hash+sort scan (0.4s/eval at sf0.1).
     // Measured alternative (rejected): repartition(doc_id) to share one
@@ -136,6 +138,14 @@ object Dedup {
       .select(col("left_id"), col("right_id"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** The `functions._`-only twin of the token-hash build inside
+    * [[ngramJaccard]] (spec-asserted value-identical): distinct words,
+    * per-word seeded 60-bit md5, ascending sort.
+    */
+  def tokenHashesComposed(c: Column): Column =
+    array_sort(transform(array_distinct(words(c)),
+      w => md5Hash60(lit(0), w)))
 
   /** MinHash signature: for seed i, the min md5Hash60 over the doc's
     * word 3-shingles. Pure expression — computed in one scan, no

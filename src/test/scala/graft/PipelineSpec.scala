@@ -429,6 +429,15 @@ class PipelineSpec extends AnyFunSuite {
       composed.exceptAll(native).isEmpty)
   }
 
+  test("d2 native token-hashes == composed distinct+md5+sort form on sf docs") {
+    val diff = docs.select(
+      graft.functions.TokenHashesExpression.tokenHashes(
+        Dedup.words(col("text")), seed = 0).as("native"),
+      Dedup.tokenHashesComposed(col("text")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
   test("native shingles == composed zip_with form on sf docs") {
     // exact array equality: distinct grams in first-occurrence order
     for (n <- Seq(2, 3, 5)) {
