@@ -20,6 +20,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == "ag holding tchibo")
   }
 
+  test("native fingerprint/fpx-tokens == composed forms on real values") {
+    // the native one-pass forms must be value-identical to the
+    // composed HOF twins on every real name, and on unicode/edge
+    // inputs (accents are separators under [^a-z0-9]+, like the regex)
+    import spark.implicits._
+    val names = Tables.load(spark, sf, "part").select(col("p_name"))
+      .union(Seq("Tchibo Holding AG", "  Ünïcode  Nämé 123  ", "", "  ",
+        "ONE-token", "sevenchars x", "a b c a b").toDF("p_name"))
+    val diff = names.select(
+      Phonetics.fingerprint(col("p_name")).as("nfp"),
+      Phonetics.fingerprintComposed(col("p_name")).as("cfp"))
+      .withColumn("nt", Phonetics.fpxTokens(col("nfp")))
+      .withColumn("ct", Phonetics.fpxTokensComposed(col("cfp")))
+      .filter(col("nfp") =!= col("cfp") || col("nt") =!= col("ct"))
+    assert(diff.count() == 0)
+  }
+
   test("soundex tokens: classic examples") {
     import spark.implicits._
     val out = Seq("robert rupert ashcraft").toDF("fp")
