@@ -50,6 +50,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native scan expressions == composed twins on random unicode text (one batched job)") {
+    import spark.implicits._
+    import graft.functions.{NgramHashesExpression, TokenHashesExpression}
+    // wider alphabet than the docs tables: multi-byte unicode, digits,
+    // punctuation, repeated words, empty/whitespace-only strings
+    val uWord: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('ä', 'é', 'ß', '中', '!', '-', '5')))
+      .map(_.mkString)
+    val uText: Gen[String] = Gen.frequency(
+      8 -> Gen.listOf(Gen.oneOf(uWord, uWord, Gen.const("dup word")))
+        .map(_.mkString(" ")),
+      1 -> Gen.const(""), 1 -> Gen.const("   "))
+    val samples = Gen.listOfN(400, uText).sample.get
+    val ws = Dedup.words(col("s"))
+    val df = samples.toDF("s").select(
+      // bigram stats (t7)
+      graft.functions.BigramStatsExpression.bigramStats(ws).as("nbs"),
+      // shingles (d3/t4) at n=2 and 3
+      Dedup.shinglesN(col("s"), 2).as("nsh2"),
+      Dedup.shinglesNComposed(col("s"), 2).as("csh2"),
+      Dedup.shinglesN(col("s"), 3).as("nsh3"),
+      Dedup.shinglesNComposed(col("s"), 3).as("csh3"),
+      // gram hashes (t5)
+      NgramHashesExpression.ngramHashes(ws, 2, seed = 0).as("ngh"),
+      // token hashes (d2)
+      TokenHashesExpression.tokenHashes(ws, seed = 0).as("nth"),
+      Dedup.tokenHashesComposed(col("s")).as("cth"),
+      // fingerprint + fpx tokens (f5/f6/f8/f17)
+      Phonetics.fingerprint(col("s")).as("nfp"),
+      Phonetics.fingerprintComposed(col("s")).as("cfp"))
+      .withColumn("cgh", transform(col("csh2"),
+        g => Dedup.md5Hash60(lit(0), g)))
+      .withColumn("nft", Phonetics.fpxTokens(col("nfp")))
+      .withColumn("cft", Phonetics.fpxTokensComposed(col("cfp")))
+    df.collect().foreach { r =>
+      def seq[T](name: String): Seq[T] = r.getSeq[T](r.fieldIndex(name))
+      assert(seq[String]("nsh2") == seq[String]("csh2"))
+      assert(seq[String]("nsh3") == seq[String]("csh3"))
+      assert(seq[Long]("ngh") == seq[Long]("cgh"))
+      assert(seq[Long]("nth") == seq[Long]("cth"))
+      assert(r.getAs[String]("nfp") == r.getAs[String]("cfp"))
+      assert(seq[String]("nft") == seq[String]("cft"))
+      // bigram stats invariants vs the shingle ground truth: n_distinct
+      // equals the distinct 2-gram count, and top_count is bounded
+      val bs = r.getStruct(r.fieldIndex("nbs"))
+      val nd = seq[String]("nsh2").size.toLong
+      assert(bs.getLong(1) == nd)
+      assert(bs.getLong(2) <= bs.getLong(0) &&
+        (bs.getLong(0) == 0L || bs.getLong(2) >= 1L))
+    }
+  }
+
   test("replacing merge: exactly one survivor per key, with max version") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(200,
