@@ -57,6 +57,13 @@ object MinHashSignatureExpression {
   def signature(elements: ArrayData, numHashes: Int): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    // seed prefixes ("0:", "1:", …) and the digest output buffer are
+    // hoisted: the inner loop runs numHashes × |shingles| times per row
+    // and a fresh 16-byte digest allocation per hash is pure GC churn
+    val prefixes = Array.tabulate(numHashes)(i =>
+      (java.lang.Integer.toString(i) + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = new Array[Byte](16)
     val n = elements.numElements()
     var j = 0
     while (j < n) {
@@ -64,11 +71,9 @@ object MinHashSignatureExpression {
       var i = 0
       while (i < numHashes) {
         md.reset()
-        md.update(java.lang.Integer.toString(i)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.update(':'.toByte)
+        md.update(prefixes(i))
         md.update(bytes)
-        val d = md.digest()
+        md.digest(d, 0, 16)
         // first 15 hex chars = high 60 bits of the first 8 digest bytes
         // (7.5 bytes); build the value directly instead of via strings
         var h = 0L

@@ -74,6 +74,7 @@ object TokenHashesExpression {
     val prefix = (java.lang.Integer.toString(seed) + ":")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val md = MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16) // reused digest buffer, no per-hash alloc
     val out = new Array[Long](seen.size())
     val it = seen.iterator()
     var j = 0
@@ -81,7 +82,7 @@ object TokenHashesExpression {
       md.reset()
       md.update(prefix)
       md.update(it.next().getBytes)
-      val d = md.digest()
+      md.digest(d, 0, 16)
       var h = 0L
       var b = 0
       while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
