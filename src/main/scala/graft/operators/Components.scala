@@ -86,6 +86,9 @@ object Components {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         .select(col("src").as("id"), col("nlabel"))
+      // EAGER checkpoint, then a count over the cached blocks: a lazy
+      // checkpoint materialized by the count risks caching the count's
+      // pruned evaluation and recomputing the join next round
       val (updated, newBlocks) = checkpointDiff(sc) {
         labels.join(nbr, Seq("id"), "left")
           .select(col("id"),
