@@ -7,9 +7,9 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{BigramStatsExpression, DotProductExpression,
   DoubleMetaphoneExpression, MetaphoneExpression,
-  MinHashSignatureExpression, NgramHashesExpression, Phonetics,
-  ShinglesExpression, SimHashExpression, TokenHashesExpression,
-  VectorSumAggregate}
+  MinHashSignatureExpression, MinHashWordsExpression,
+  NgramHashesExpression, Phonetics, ShinglesExpression,
+  SimHashExpression, TokenHashesExpression, VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -64,6 +64,18 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_vec_sum takes one argument")
         VectorSumAggregate(children.head)
+      }),
+    (FunctionIdentifier("graft_minhash_words"),
+      new ExpressionInfo(
+        classOf[MinHashWordsExpression].getName, "graft_minhash_words"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(arr, Literal(n: Int, IntegerType),
+              Literal(k: Int, IntegerType)) =>
+            MinHashWordsExpression(arr, n, k)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash_words(arr, n: int literal, numHashes: int literal)")
+        }
       }),
     (FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(

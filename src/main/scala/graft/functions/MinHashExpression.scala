@@ -44,12 +44,85 @@ case class MinHashSignatureExpression(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Fused shingle-build + MinHash: computes the signature straight off
+  * the WORD array — the distinct space-joined n-grams never
+  * materialize as a per-row array (the two-step form allocates and
+  * copies a GenericArrayData per document between the shingle
+  * expression and the signature expression). Value-identical to
+  * `MinHashSignatureExpression(ShinglesExpression(ws, n), numHashes)`;
+  * parity is spec-asserted. d3's scan runs here.
+  */
+case class MinHashWordsExpression(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(n >= 2, s"shingle width must be >= 2, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_words requires ARRAY<STRING>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_words"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpression.signatureOfNgrams(
+      input.asInstanceOf[ArrayData], n, numHashes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.functions.MinHashSignatureExpression.signatureOfNgrams" +
+        s"($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashWordsExpression =
+    copy(child = newChild)
+}
+
 object MinHashSignatureExpression {
 
   /** Column form. */
   def minhash(c: Column, numHashes: Int): Column =
     GraftSqlBridge.column(
       MinHashSignatureExpression(GraftSqlBridge.expression(c), numHashes))
+
+  /** Column form of the fused words→shingles→signature expression. */
+  def minhashWords(words: Column, n: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashWordsExpression(
+      GraftSqlBridge.expression(words), n, numHashes))
+
+  /** [[signature]] over the distinct n-grams of a word array, without
+    * materializing the gram array into row storage.
+    */
+  def signatureOfNgrams(ws: ArrayData, n: Int, numHashes: Int): ArrayData = {
+    val seen = NgramHashesExpression.collectShingles(ws, n)
+    val md = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val prefixes = Array.tabulate(numHashes)(i =>
+      (java.lang.Integer.toString(i) + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = new Array[Byte](16)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val bytes = it.next().getBytes
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(bytes)
+        md.digest(d, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
 
   /** Compute all seed-minima in one pass; value-identical to
     * conv(substr(md5(seed:element),1,15),16,10) per (seed, element).

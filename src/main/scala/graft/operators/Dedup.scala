@@ -238,8 +238,11 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val withSig = documents
       .filter(size(words(col("text"))) >= 3)
+      // fused words→shingles→signature: the gram array never
+      // materializes per row (spec-equal to the two-expression form)
       .select(col("doc_id"),
-        minhashSignature(shingles3(col("text")), numHashes).as("sig"))
+        graft.functions.MinHashSignatureExpression.minhashWords(
+          words(col("text")), 3, numHashes).as("sig"))
     val bands = withSig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         struct(b.as("band"),

@@ -429,6 +429,17 @@ class PipelineSpec extends AnyFunSuite {
       composed.exceptAll(native).isEmpty)
   }
 
+  test("d3 fused minhash-words == two-step shingles+signature on sf docs") {
+    import graft.functions.MinHashSignatureExpression
+    val ws = Dedup.words(col("text"))
+    val diff = docs.select(
+      MinHashSignatureExpression.minhashWords(ws, 3, 12).as("fused"),
+      Dedup.minhashSignature(Dedup.shinglesN(col("text"), 3), 12)
+        .as("two_step"))
+      .filter(col("fused") =!= col("two_step"))
+    assert(diff.count() == 0)
+  }
+
   test("d2 native token-hashes == composed distinct+md5+sort form on sf docs") {
     val diff = docs.select(
       graft.functions.TokenHashesExpression.tokenHashes(
