@@ -84,6 +84,35 @@ object Streams {
       .select(col("new_id"), col("known_id"), col("value").as("block_value"))
   }
 
+  /** st8 — streaming statement ingest with the writer's DOUBLE insert
+    * (ClickhouseWriter._upsert_batch, store.py:54-60): every
+    * micro-batch lands in the statement table AND its derived fpx rows
+    * land in the `_fpx` sibling, so the blocking index can never drift
+    * from the statements it indexes. foreachBatch because one batch
+    * feeds two bucketed tables — the batch is persisted so the fpx
+    * derivation reuses the rows the statement write materialized
+    * instead of replaying the source.
+    *
+    * Returns the configured writer — the caller picks trigger and
+    * checkpoint location and calls `.start()`. Exactly-once: both
+    * appends are idempotent under the FINAL read contract (duplicate
+    * replays collapse in [[graft.sources.StatementStore.readFinal]] /
+    * the fpx freq view), the same guarantee the batch upsert path has.
+    */
+  def ingestStatements(statements: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    statements.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          graft.sources.StatementStore.append(batch, table)
+          graft.sources.FpxStore.append(
+            graft.operators.Fpx.fromStatements(
+              batch, schemas = graft.operators.Fpx.DefaultSchemas),
+            s"${table}_fpx")
+        } finally { batch.unpersist(); () }
+    }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

@@ -179,6 +179,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st8 streaming ingest double-inserts statements + fpx per batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st8_stmts", "st8_stmts_fpx")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() }
+        dir.delete() }
+    }
+    // (id, entity_id, canonical_id, prop, prop_type, schema, value, last_seen, dataset)
+    val in = MemoryStream[(String, String, String, String, String, String,
+      String, Timestamp, String)]
+    val df = in.toDF().toDF("id", "entity_id", "canonical_id", "prop",
+      "prop_type", "schema", "value", "last_seen", "dataset")
+    val q = Streams.ingestStatements(df, "st8_stmts")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st8_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        ("s1", "e1", "e1", "name", "name", "Person", "Tchibo Holding AG",
+          ts(1), "ds"),
+        ("s2", "e1", "e1", "amount", "number", "Person", "500", ts(1), "ds"))
+      q.processAllAvailable()
+      in.addData(
+        ("s3", "e2", "e2", "name", "name", "Person", "Holding Tchibo",
+          ts(2), "ds"))
+      q.processAllAvailable()
+      // statements landed across batches
+      assert(spark.table("st8_stmts").count() == 3)
+      // the fpx sibling indexed BOTH batches' name statements (and only
+      // those — the amount statement feeds nothing)
+      val fpx = spark.table("st8_stmts_fpx")
+        .filter($"algorithm" === "fingerprint")
+      val byEntity = fpx.select($"entity_id", $"value").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      assert(byEntity.count(_._1 == "e1") > 0 &&
+        byEntity.count(_._1 == "e2") > 0)
+      // shared blocking token from both batches → f8's blocker sees the
+      // pair immediately
+      val tchibo = byEntity.filter(_._2 == "tchibo").map(_._1).toSet
+      assert(tchibo == Set("e1", "e2"))
+    } finally q.stop()
+  }
+
   test("st3 sessionization closes a session after the gap and emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
