@@ -130,6 +130,16 @@ object PipelineQueries {
        |  d.doc_id <> COALESCE(m.label, d.doc_id) AS is_duplicate
        |FROM documents d LEFT JOIN mapping m ON d.doc_id = m.id""".stripMargin
 
+  /** d6b — d6 on the OTHER components engine
+    * ([[graft.operators.Components.minLabelStars]], large-star/
+    * small-star): answers must be identical, so it shares d6's oracle —
+    * the O(log n)-rounds algorithm gets full DuckDB hash gating, not
+    * just the spec-level agreement check.
+    */
+  def d6bDedupClustersStars(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(docs(s, dir), numHashes = 12, rowsPerBand = 2,
+      components = df => graft.operators.Components.minLabelStars(df))
+
   def d4DedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir))
 
@@ -569,6 +579,7 @@ object PipelineQueries {
     "d4_dedup_simhash" -> (d4DedupSimhash _),
     "d4b_simhash_hamming" -> (d4bSimhashHamming _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
+    "d6b_dedup_clusters_stars" -> (d6bDedupClustersStars _),
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
     "d7_sample_stratified" -> (d7SampleStratified _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
@@ -594,6 +605,7 @@ object PipelineQueries {
     "d4_dedup_simhash" -> d4Sql,
     "d4b_simhash_hamming" -> d4bSql,
     "d6_dedup_clusters" -> d6Sql,
+    "d6b_dedup_clusters_stars" -> d6Sql,
     "d5_dedup_embedding" -> d5Sql,
     "d7_sample_stratified" -> d7Sql,
     "s1_ann_brute_topk" -> s1Sql,

@@ -535,6 +535,31 @@ object Queries {
         round($"value" * 100).cast("long").as("value_cents"))
   }
 
+  /** q20b — q20 through the skew-proof twin
+    * ([[graft.operators.AsofJoin.joinBucketed]], two-phase
+    * (key, ts-bucket) carry, one-day buckets): answers must be
+    * identical, so it shares q20's native DuckDB ASOF JOIN oracle —
+    * the hot-key-safe form gets full hash gating, not just the
+    * spec-level equivalence check.
+    */
+  def q20bAsofBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts", $"value")
+    graft.operators.AsofJoin.joinBucketed(purchases, clicks, "user_id",
+        "ts", bucketWidth = 86400L, rightPrefix = "click_")
+      .select($"purchase_id", $"user_id",
+        unix_timestamp($"ts").as("purchase_sec"),
+        $"click_id",
+        unix_timestamp($"click_ts").as("click_sec"),
+        (unix_timestamp($"ts") - unix_timestamp($"click_ts")).as("gap_sec"),
+        round($"value" * 100).cast("long").as("value_cents"))
+  }
+
   val q20Sql: String =
     """WITH c AS (
       |  SELECT user_id, ts, max(event_id) AS click_id
@@ -1214,6 +1239,7 @@ object Queries {
     "q18_range_window" -> (q18RangeWindow _),
     "q19_sessionize" -> (q19Sessionize _),
     "q20_asof_join" -> (q20AsofJoin _),
+    "q20b_asof_bucketed" -> (q20bAsofBucketed _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1257,6 +1283,7 @@ object Queries {
     "q18_range_window" -> q18Sql,
     "q19_sessionize" -> q19Sql,
     "q20_asof_join" -> q20Sql,
+    "q20b_asof_bucketed" -> q20Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

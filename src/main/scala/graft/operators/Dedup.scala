@@ -272,9 +272,13 @@ object Dedup {
       documents: DataFrame,
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      // the components engine: min-propagation (O(diameter) rounds,
+      // right for near-clique LSH graphs) by default; pass
+      // Components.minLabelStars for long-chain graphs (O(log n))
+      components: DataFrame => DataFrame = Components.minLabel(_)): DataFrame = {
     val pairs = minhashLsh(documents, numHashes, rowsPerBand, maxBucket)
-    val comp = Components.minLabel(
+    val comp = components(
       pairs.select(col("left_id").as("src"), col("right_id").as("dst")))
     documents.select(col("doc_id"))
       .join(comp.select(col("id").as("doc_id"), col("label")),
