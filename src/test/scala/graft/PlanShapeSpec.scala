@@ -89,7 +89,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // single-shuffle window queries: rank / sessionize / phonetic fpx
     Shape("q9_window_rank", maxShuffles = 1),
     Shape("q19_sessionize", maxShuffles = 1),
-    Shape("f17_fpx_phonetic", maxShuffles = 1))
+    Shape("f17_fpx_phonetic", maxShuffles = 1),
+    // the r7 oracle-gated variants: q20b's two-phase carry is 3 extra
+    // bounded shuffles over q20 (bucketed carry + bucket-grain agg +
+    // patch join) — NOT a range-join blowup; d6b's tail matches d6
+    Shape("q20b_asof_bucketed", maxShuffles = 6, minBroadcasts = 1,
+      minPushedScans = 4),
+    Shape("d6b_dedup_clusters_stars", maxShuffles = 2))
 
   for (s <- shapes) test(s"plan shape: ${s.name}") {
     val plan = SparkEntry.queries(s.name)(spark, sf)
