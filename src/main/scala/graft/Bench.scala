@@ -72,9 +72,16 @@ object Bench {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = med.map(_._2).sum
+    // Failures must be visible IN THE JSON, not only on stderr: a
+    // thrown query benches at its fail-fast time, shrinking the total
+    // into a phantom speed-up for any consumer that parses the line.
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""""failed":[""", ",", "],")
     // Full-precision record (medians + mins + protocol) — file + an
     // early stdout line for humans reading the build log.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      failedJson +
       s""""protocol":"median_of_${passes}_interleaved",""" +
       s""""queries":${jsonMap(med, full)},""" +
       s""""queries_min":${jsonMap(mins, full)},"sf":"$sfDir"}"""
@@ -98,14 +105,14 @@ object Bench {
         s"BENCH INCOMPLETE: ${failed.size} queries threw: " +
           failed.mkString(", "))
     val harness = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""queries":${jsonMap(med, ms)},"sf":"$sfDir"}"""
+      failedJson + s""""queries":${jsonMap(med, ms)},"sf":"$sfDir"}"""
     val guarded =
       if (harness.length <= 1800) harness
       else {
         System.err.println(s"BENCH LINE ${harness.length}B > 1800B budget; " +
           "dropping per-query map from the harness line (see BENCH_LAST.json)")
         s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-          s""""queries":{},"sf":"$sfDir"}"""
+          failedJson + s""""queries":{},"sf":"$sfDir"}"""
       }
     println(guarded)
   }

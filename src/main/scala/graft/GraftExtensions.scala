@@ -17,9 +17,10 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   * session with [[GraftFunctionRegistry.registerAll]].
   *
   *   - native expressions: `graft_metaphone`, `graft_double_metaphone`,
-  *     `graft_minhash(arr[, numHashes])`, `graft_simhash(arr)`
-  *   - composed codegen'd `functions._` trees: `graft_fingerprint`,
-  *     `graft_fpx_tokens`
+  *     `graft_minhash(arr[, numHashes])`, `graft_minhash_words`,
+  *     `graft_simhash(arr)`, `graft_fingerprint`, `graft_fpx_tokens`,
+  *     `graft_shingles`, `graft_ngram_hashes`, `graft_token_hashes`,
+  *     `graft_bigram_stats`, `graft_vec_sum`, `graft_vec_dot`
   */
 object GraftFunctionRegistry {
 

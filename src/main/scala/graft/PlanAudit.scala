@@ -28,13 +28,9 @@ object PlanAudit {
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.explain("formatted")
       val plan = df.queryExecution.executedPlan.toString
-      // the same counters PlanShapeSpec pins
-      val shuffles =
-        "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length
-      val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
-      val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
-      println(s"-- pre-AQE: shuffles=$shuffles broadcasts=$broadcasts " +
-        s"pushedScans=$pushed")
+      println(s"-- pre-AQE: shuffles=${PlanCounters.shuffles(plan)} " +
+        s"broadcasts=${PlanCounters.broadcasts(plan)} " +
+        s"pushedScans=${PlanCounters.pushedScans(plan)}")
     }
     spark.stop()
   }

@@ -74,8 +74,10 @@ object BigramStatsExpression {
   def stats(ws: ArrayData): InternalRow = {
     val n = ws.numElements()
     if (n < 2) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    // capacity clamped BEFORE any doubling so a 2^30-element array
+    // cannot overflow the computation into a negative capacity
     val counts = new java.util.HashMap[UTF8String, Array[Long]](
-      Math.min(Integer.highestOneBit(n) * 2, 1 << 20))
+      Math.min(n, 1 << 20))
     def word(i: Int): UTF8String = {
       val w = ws.getUTF8String(i)
       if (w == null) EMPTY else w

@@ -137,10 +137,14 @@ object FpxTokensExpression {
       while (i < n && bytes(i) == ' ') i += 1
       val start = i
       while (i < n && bytes(i) != ' ') i += 1
-      // fingerprint tokens are ASCII, so byte length == char length
-      if (i - start > 5)
-        seen.add(UTF8String.fromBytes(
-          java.util.Arrays.copyOfRange(bytes, start, i)))
+      if (i > start) {
+        val tok = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        // CHARACTER length, like the composed `length(t) > 5`: the
+        // registered SQL function accepts arbitrary strings, where
+        // byte length diverges on multi-byte tokens
+        if (tok.numChars() > 5) seen.add(tok)
+      }
     }
     val out = new Array[AnyRef](seen.size())
     val it = seen.iterator()

@@ -153,10 +153,13 @@ object AsofJoin {
       .agg(max_by(col("__rv"), col(ts)).as("__last_rv"))
     // every bucket a LEFT row occupies must appear, or the across-
     // bucket carry never reaches it: union right-occupied buckets with
-    // left-occupied ones (null __last_rv) before the running carry
+    // left-occupied ones (null __last_rv) before the running carry.
+    // Derived from lTagged, NOT from `carried`: the set of (key,
+    // bucket) pairs is identical, but carried would embed the whole
+    // phase-1 union+window subtree a second time in the plan
     val occupied = lastPerBucket
       .unionByName(
-        carried.select(col(key), col("__bucket")).distinct()
+        lTagged.select(col(key), col("__bucket")).distinct()
           .withColumn("__last_rv",
             lit(null).cast(rTagged.schema("__rv").dataType)))
       .groupBy(col(key), col("__bucket"))

@@ -104,12 +104,18 @@ object Components {
       labels = updated.drop("__chg")
       iter += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      // release the loop's pinned blocks BEFORE failing — the throw
+      // must not leak the final label snapshot + edge set into the
+      // block manager for the app's lifetime
+      release(sc, labelBlocks)
+      release(sc, edgeBlocks)
       throw new IllegalStateException(
         s"Components.minLabel did not converge in $maxIter rounds " +
           s"($changed labels still changing); component diameter exceeds " +
           "maxIter — use minLabelStars (O(log n) rounds) or raise it " +
           "(labels would be silently wrong)")
+    }
     // the final labels checkpoint is eager, so it no longer reads edges
     release(sc, edgeBlocks)
     labels
@@ -194,10 +200,13 @@ object Components {
       sig = nextSig
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      release(sc, eBlocks)
+      release(sc, origBlocks)
       throw new IllegalStateException(
         s"Components.minLabelStars did not converge in $maxIter rounds — " +
           "raise maxIter (labels would be silently wrong)")
+    }
     // at the fixed point every edge points (vertex → component min):
     // vertices absent as src are roots (or isolated) and label themselves
     val pointed = e.groupBy(col("src")).agg(min(col("dst")).as("label"))
@@ -212,10 +221,13 @@ object Components {
     val lDst = labels.select(col("id").as("dst"), col("label").as("__ld"))
     val bad = orig.join(lSrc, Seq("src")).join(lDst, Seq("dst"))
       .filter(col("__ls") =!= col("__ld")).count()
-    if (bad > 0)
+    if (bad > 0) {
+      release(sc, eBlocks)
+      release(sc, origBlocks)
       throw new IllegalStateException(
         s"Components.minLabelStars produced a split component " +
           s"($bad edges cross labels) — fixed-point signature collided")
+    }
     // eager checkpoint of the result, then release the loop's blocks
     // (the result's own blocks stay pinned — they ARE the answer)
     val out = labels.localCheckpoint()

@@ -35,6 +35,17 @@ class FunctionsSpec extends AnyFunSuite {
       .withColumn("ct", Phonetics.fpxTokensComposed(col("cfp")))
       .filter(col("nfp") =!= col("cfp") || col("nt") =!= col("ct"))
     assert(diff.count() == 0)
+    // the SQL function accepts ARBITRARY strings, not just (ASCII)
+    // fingerprints: the >5 length test must count CHARACTERS — "münch"
+    // is 5 chars but 6 UTF-8 bytes and must be excluded, like the
+    // composed twin's length(t) > 5
+    val raw = Seq("münch berlin x", "朝日新聞社デジタル x y")
+      .toDF("s")
+    val rawDiff = raw.select(
+      Phonetics.fpxTokens(col("s")).as("nt"),
+      Phonetics.fpxTokensComposed(col("s")).as("ct"))
+      .filter(col("nt") =!= col("ct"))
+    assert(rawDiff.count() == 0)
   }
 
   test("soundex tokens: classic examples") {

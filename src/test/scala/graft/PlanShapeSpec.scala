@@ -100,10 +100,10 @@ class PlanShapeSpec extends AnyFunSuite {
   for (s <- shapes) test(s"plan shape: ${s.name}") {
     val plan = SparkEntry.queries(s.name)(spark, sf)
       .queryExecution.executedPlan.toString
-    val shuffles =
-      "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length
-    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
-    val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
+    // counters shared with PlanAudit (one definition, no drift)
+    val shuffles = PlanCounters.shuffles(plan)
+    val broadcasts = PlanCounters.broadcasts(plan)
+    val pushed = PlanCounters.pushedScans(plan)
     assert(shuffles <= s.maxShuffles,
       s"${s.name}: $shuffles shuffles (max ${s.maxShuffles}):\n$plan")
     assert(broadcasts >= s.minBroadcasts,
