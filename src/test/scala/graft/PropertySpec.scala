@@ -197,6 +197,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minLabelStars == union-find on random graphs (incl. chains)") {
+    import spark.implicits._
+    import graft.operators.Components
+    // random graphs with a bias toward chain fragments (consecutive
+    // ids), the shape stars exists for; reference = driver union-find
+    val edgesGen = Gen.listOf(Gen.frequency(
+      2 -> (for { a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L)
+                  if a != b } yield (a, b)),
+      1 -> Gen.choose(0L, 28L).map(a => (a, a + 1))))
+    for (_ <- 1 to 5) {
+      val edges = edgesGen.sample.getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = Components.minLabelStars(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
+  test("asof joinBucketed == join on random data across bucket widths") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    // random (key, ts) with deliberate collisions: left ts can equal
+    // right ts (inclusive bound), multiple lefts share a ts, rights
+    // are unique per (key, ts) per the operator precondition
+    val rightGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 5L); ts <- Gen.choose(0L, 50L)
+    } yield (k, ts)).map(_.distinct)
+    val leftGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 6L); ts <- Gen.choose(0L, 60L)
+      tag <- Gen.choose(0L, 999L)
+    } yield (k, ts, tag))
+    for (i <- 1 to 3) {
+      val rRows = rightGen.sample.getOrElse(Nil)
+      val lRows = leftGen.sample.getOrElse(Nil)
+      if (rRows.nonEmpty && lRows.nonEmpty) {
+        val right = rRows.map { case (k, ts) => (k, ts, s"r$k-$ts") }
+          .toDF("k", "ts", "payload")
+        val left = lRows.toDF("k", "ts", "tag")
+        val plain = AsofJoin.join(left, right, "k", "ts")
+        for (width <- Seq(1L, 7L, 1000L)) {
+          val bucketed = AsofJoin.joinBucketed(left, right, "k", "ts", width)
+          assert(bucketed.exceptAll(plain).isEmpty &&
+            plain.exceptAll(bucketed).isEmpty,
+            s"width=$width diverges; right=$rRows left=$lRows")
+        }
+      }
+    }
+  }
+
   test("exact dedup partitions docs by normalized text (one batched job)") {
     import spark.implicits._
     val texts = Gen.listOfN(100, Gen.oneOf(
