@@ -18,6 +18,9 @@ object AsofSkewProbe {
   def main(args: Array[String]): Unit = {
     val hotN = args.headOption.map(_.toInt).getOrElse(4000000)
     val coldKeys = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
+    // clamp so a small smoke configuration (hotN < 64) still probes
+    // instead of tripping joinBucketed's bucketWidth > 0 require
+    val bucketWidth = math.max(1L, hotN / 64L)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
@@ -48,14 +51,14 @@ object AsofSkewProbe {
     graft.operators.AsofJoin.join(left, right, "k", "ts")
       .queryExecution.toRdd.count()
     graft.operators.AsofJoin
-      .joinBucketed(left, right, "k", "ts", bucketWidth = hotN / 64L)
+      .joinBucketed(left, right, "k", "ts", bucketWidth = bucketWidth)
       .queryExecution.toRdd.count()
     val (tPlain, nPlain) = timed(
       graft.operators.AsofJoin.join(left, right, "k", "ts")
         .queryExecution.toRdd.count())
     val (tBucketed, nBucketed) = timed(
       graft.operators.AsofJoin
-        .joinBucketed(left, right, "k", "ts", bucketWidth = hotN / 64L)
+        .joinBucketed(left, right, "k", "ts", bucketWidth = bucketWidth)
         .queryExecution.toRdd.count())
     println(s"""{"hotN":$hotN,"coldKeys":$coldKeys,""" +
       s""""plain_sec":$tPlain,"bucketed_sec":$tBucketed,""" +

@@ -45,25 +45,41 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(exec) // untimed warmup pass
-    def timed(name: String): Double = {
+    // GC attribution (round 8): the recurring in-suite vs isolated
+    // spread (e.g. f8 2.5s isolated, ~5s in-suite at r7) was explained
+    // as GC pressure but never measured. Record the JVM-wide GC time
+    // that elapses DURING each query's pass so the adjudication reads
+    // evidence: a query whose wall time inflates while its gc_ms
+    // inflates in step is suffering the suite's heap, not a plan
+    // regression.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    def timed(name: String): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       exec(name)
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
     }
     // Interleaved passes: the full suite runs end-to-end `passes`
     // times, so adjacent samples of the same query are minutes apart
     // and a transient spike cannot hit a query's every sample.
-    val samples: Seq[Seq[(String, Double)]] =
+    val samples: Seq[Seq[(String, (Double, Long))]] =
       (1 to passes).map(_ => names.map(n => n -> timed(n)))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val byQuery: Seq[(String, Seq[Double])] =
+    val byQuery: Seq[(String, Seq[(Double, Long)])] =
       names.map(n => n -> samples.map(_.toMap.apply(n)))
-    val med = byQuery.map { case (n, xs) => n -> median(xs) }
-    val mins = byQuery.map { case (n, xs) => n -> xs.min }
+    val med = byQuery.map { case (n, xs) => n -> median(xs.map(_._1)) }
+    val mins = byQuery.map { case (n, xs) => n -> xs.map(_._1).min }
+    // per-query GC: the MEDIAN pass's share, reported as whole ms (the
+    // median of gc deltas pairs with the median of wall times closely
+    // enough for attribution)
+    val gcs = byQuery.map { case (n, xs) =>
+      n -> median(xs.map(_._2.toDouble)) }
     def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -84,7 +100,9 @@ object Bench {
       failedJson +
       s""""protocol":"median_of_${passes}_interleaved",""" +
       s""""queries":${jsonMap(med, full)},""" +
-      s""""queries_min":${jsonMap(mins, full)},"sf":"$sfDir"}"""
+      s""""queries_min":${jsonMap(mins, full)},""" +
+      s""""gc_ms":${jsonMap(gcs, v => v.toLong.toString)},""" +
+      s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -62,14 +62,23 @@ object Cli {
         println(Version)
 
       case "init" :: table :: rest if rest.forall(_ == "--recreate") =>
-        if (rest.contains("--recreate"))
+        if (rest.contains("--recreate")) {
           // engine.drop_statements (engine.py:275-282): table + fpx +
           // xref + the projection/view siblings
-          Seq(table, s"${table}_fpx", s"${table}_xref",
-            s"${table}_xref_reverse", s"${table}_compacted",
-            s"${table}_fpx_compacted", s"${table}_xref_compacted",
-            s"${table}_xref_reverse_compacted")
-            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          val family = Seq(table, s"${table}_fpx", s"${table}_xref",
+            s"${table}_xref_reverse")
+          // stage siblings from interrupted compacts: the versioned
+          // `_stage_N` names (r8, reclaimed safely) plus the legacy
+          // pre-r8 `_compacted` names
+          family.foreach(t =>
+            graft.sources.TableSwap.dropStage(spark, s"${t}_compacted", t))
+          val staged = spark.catalog.listTables().collect().map(_.name)
+            .filter(n => family.exists(t =>
+              n.matches(java.util.regex.Pattern.quote(t) + "_stage_\\d+")))
+          staged.foreach(t => graft.sources.TableSwap.dropStage(
+            spark, t, family.find(f => t.startsWith(f + "_stage_")).get))
+          family.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        }
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS $table (
              |  id STRING, entity_id STRING, canonical_id STRING,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,7 +120,16 @@ object AsofJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val (lPayload, rPayload) =
       requireShapes(left, right, key, ts, rightPrefix)
-    def bucketOf(c: Column): Column = floor(c.cast("long") / bucketWidth)
+    // exact floor division in LONG at any ts magnitude: (t − pmod) is
+    // an exact multiple of the width, and integral DIV keeps the
+    // quotient integral. Spark's `/` is double division — beyond 2^53
+    // (nanosecond-epoch longs) adjacent buckets would silently merge.
+    def bucketOf(c: Column): Column = {
+      val t = c.cast("long")
+      GraftSqlBridge.column(new IntegralDivide(
+        GraftSqlBridge.expression(t - pmod(t, lit(bucketWidth))),
+        GraftSqlBridge.expression(lit(bucketWidth))))
+    }
 
     val rStruct = struct((col(ts) +: rPayload.map(col)): _*)
     val rTagged = right.select(col(key), col(ts),
@@ -170,8 +180,19 @@ object AsofJoin {
         last(col("__last_rv"), ignoreNulls = true).over(wAcross))
       .select(col(key), col("__bucket"), col("__carry_in"))
 
+    // null-SAFE patch join (<=>): the plain form's window partitioning
+    // groups null keys into one partition and matches inside it, so the
+    // boundary patch must reach null-key rows too — a plain equi-join
+    // would drop them and break the spec-asserted value parity with
+    // [[join]] on null key/ts inputs. (Null ts rows land in the null
+    // bucket, which sorts FIRST across buckets — the same "nulls first"
+    // position they take in the plain form's per-key sort.)
     val patched = carried
-      .join(carryIn, Seq(key, "__bucket"), "left")
+      .join(carryIn
+          .withColumnRenamed(key, "__ci_key")
+          .withColumnRenamed("__bucket", "__ci_bucket"),
+        col(key) <=> col("__ci_key") && col("__bucket") <=> col("__ci_bucket"),
+        "left")
       .withColumn("__asof", coalesce(col("__asof"), col("__carry_in")))
       .filter(col("__asof").isNotNull)
     val outCols =

@@ -260,12 +260,13 @@ object TextAnalysis {
     *
     * Scale shape: tokens dedup per document in the scan (array_distinct
     * before explode), so the exploded stream carries each (doc, term)
-    * once; all three aggregations are map-side combinable; the
-    * term-level and source-level counts are vocabulary-/source-sized
-    * and broadcast back onto the (source, term) counts; the final
-    * top-k window ranks vocabulary-sized groups (counts, not
-    * documents), so a source with a billion documents still ranks over
-    * only its distinct terms.
+    * once; the aggregations are map-side combinable; term-level totals
+    * attach via a window inside the one term-grain exchange (never a
+    * vocabulary-sized broadcast — that rollup GROWS with the corpus);
+    * only the structurally-bounded source counts and the 1-row total
+    * broadcast; the final top-k window ranks vocabulary-sized groups
+    * (counts, not documents), so a source with a billion documents
+    * still ranks over only its distinct terms.
     */
   def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -275,12 +276,22 @@ object TextAnalysis {
     val bySourceTerm = docTerms
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("n_docs"))
-    // term-level totals ROLL UP from the (source, term) counts — the
-    // doc-level stream is shuffled once, to (source, term) grain; the
-    // rollup input is vocabulary-sized (and its exchange is identical
-    // to bySourceTerm's, so AQE reuses the stage at runtime)
-    val byTerm = bySourceTerm.groupBy(col("term")).agg(
-      sum(col("n_docs")).as("g"), count(lit(1)).as("n_sources"))
+    // term-level totals are a WINDOW over the (source, term) counts,
+    // not a rollup-and-join-back: the rollup is vocabulary-sized — the
+    // one "small side" here whose row count GROWS with the corpus
+    // (hundreds of millions of distinct terms in a 100 TB web crawl,
+    // past any broadcast budget), and a join-back would shuffle the
+    // same vocabulary-sized rows a second time. The window attaches
+    // g and n_sources in the ONE term-grain exchange, structurally —
+    // no broadcast to outgrow, no planner reuse to hope for.
+    // ((source, term) is unique after the groupBy, so count(*) over
+    // the term partition IS the distinct-source count.)
+    val wTerm = Window.partitionBy(col("term"))
+    val withTermStats = bySourceTerm
+      .withColumn("g", sum(col("n_docs")).over(wTerm))
+      .withColumn("n_sources", count(lit(1)).over(wTerm))
+    // bySource (one row per source) and total (one row) stay
+    // hint-broadcast — those small sides ARE structurally bounded
     val bySource = documents.groupBy(col("source"))
       .agg(count(lit(1)).as("ds"))
     val total = documents.agg(count(lit(1)).as("n_total"))
@@ -288,8 +299,7 @@ object TextAnalysis {
       (col("g").cast("double") / col("n_total").cast("double"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("lift").desc, col("term"))
-    bySourceTerm
-      .join(broadcast(byTerm), Seq("term"))
+    withTermStats
       .join(broadcast(bySource), Seq("source"))
       .crossJoin(broadcast(total))
       .withColumn("lift", lift)

@@ -74,12 +74,12 @@ object FpxStore {
       // cheap parquet read — don't inject a repartition
       inputClustered = true)
 
-  /** Durable dedup, same single-write swap as
-    * [[StatementStore.compact]].
+  /** Durable dedup, same single-write staged swap as
+    * [[StatementStore.compact]] (crash-window policy in [[TableSwap]]).
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
-    val tmp = table + "_compacted"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropStage(spark, tmp, table)
     readFinal(spark, table).write
       .mode(SaveMode.Overwrite)
       .partitionBy("algorithm")
@@ -87,19 +87,7 @@ object FpxStore {
       .sortBy("value")
       .format("parquet")
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
-    try {
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      spark.sql(s"MSCK REPAIR TABLE $table")
-    } catch {
-      // aligned fallback policy (see XrefStore.swapIn): any rename
-      // failure → loud copy-back, because DROP already ran
-      case scala.util.control.NonFatal(e) =>
-        Console.err.println(s"[graft] FpxStore.compact: catalog refused " +
-          s"RENAME $tmp -> $table (${e.getMessage}); copying rows back " +
-          "through the canonical writer (2x write)")
-        append(spark.table(tmp), table, buckets)
-        spark.sql(s"DROP TABLE $tmp")
-    }
+    TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
+      append(df, table, buckets))
   }
 }

@@ -132,36 +132,20 @@ object StatementStore {
     * rewrite the table with FINAL applied (superseded versions AND
     * tombstoned keys physically dropped).
     *
-    * The FINAL rows are written exactly ONCE, to a stage table, which
-    * is then swapped in with a catalog RENAME (a metadata move — both
-    * the in-memory and Hive catalogs relocate a managed table's
-    * directory on rename, keeping the bucketing spec). Only if the
-    * catalog refuses the rename do we fall back to copying the staged
-    * rows back — the pre-round-3 2×-write path. At 100 TB the rename
-    * path means one write per OPTIMIZE, not two.
+    * The FINAL rows are written exactly ONCE, to a versioned stage
+    * table, which [[TableSwap.swapIn]] points the live name at with a
+    * single SET LOCATION — no moment exists with the table absent from
+    * the catalog (the crash-window policy, fallbacks included, lives
+    * there). At 100 TB: one write per OPTIMIZE, not two.
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
-    val tmp = table + "_compacted"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropStage(spark, tmp, table)
     // deleted=false restored so the stage table keeps the physical
     // schema and later appends line up against the catalog.
     write(readFinal(spark, table).withColumn("deleted", lit(false)),
       tmp, buckets, SaveMode.Overwrite)
-    spark.sql(s"DROP TABLE $table")
-    try {
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      // the rename moves the table root but partition entries still
-      // name the old dir — recover them (metadata-only, no data move)
-      spark.sql(s"MSCK REPAIR TABLE $table")
-    } catch {
-      // aligned fallback policy (see XrefStore.swapIn): any rename
-      // failure → loud copy-back, because DROP already ran
-      case scala.util.control.NonFatal(e) =>
-        Console.err.println(s"[graft] StatementStore.compact: catalog " +
-          s"refused RENAME $tmp -> $table (${e.getMessage}); copying rows " +
-          "back through the canonical writer (2x write)")
-        write(spark.table(tmp), table, buckets, SaveMode.Append)
-        spark.sql(s"DROP TABLE $tmp")
-    }
+    TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
+      write(df, table, buckets, SaveMode.Append))
   }
 }

@@ -85,64 +85,31 @@ object XrefStore {
     * main table with [[readLatest]] applied, then rebuild the
     * `_reverse` projection FROM the compacted main table (so the
     * projection can never drift from the rows it projects). Each table
-    * is written exactly ONCE to a stage sibling and swapped in with a
-    * catalog RENAME — the same single-write pattern as
-    * [[StatementStore.compact]]; the copy-back is only a fallback if
-    * the catalog refuses the rename.
+    * is written exactly ONCE to a versioned stage sibling and swapped
+    * in by [[TableSwap.swapIn]]'s single SET LOCATION — the same
+    * no-absent-window pattern as [[StatementStore.compact]], fallbacks
+    * included.
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
-    val tmp = table + "_compacted"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropStage(spark, tmp, table)
     writeMain(readLatest(spark, table), tmp, buckets, SaveMode.Overwrite)
-    swapIn(spark, tmp, table)(df => writeMain(df, table, buckets,
-      SaveMode.Append))
+    TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
+      writeMain(df, table, buckets, SaveMode.Append))
+    // [[compact]] swaps main THEN `_reverse`; a crash between the two
+    // swaps leaves the reverse projection one compaction behind main.
+    // That staleness is row-level harmless — both tables hold the same
+    // upsert-keyed rows and every read path reapplies the FINAL window
+    // — and re-running compact is the repair. (The per-table swap
+    // itself has no absent-name window; policy in [[TableSwap]].)
     val rev = reverseTable(table)
-    val rtmp = rev + "_compacted"
-    spark.sql(s"DROP TABLE IF EXISTS $rtmp")
+    val rtmp = TableSwap.stageName(spark, rev)
+    TableSwap.dropStage(spark, rtmp, rev)
     // reverse = projection of the already-compacted main: a cheap
     // bucket-local parquet re-read, no second FINAL computation
     writeReverse(Xref.reverse(read(spark, table)), rtmp, buckets,
       SaveMode.Overwrite)
-    swapIn(spark, rtmp, rev)(df => writeReverse(df, rev, buckets,
-      SaveMode.Append))
-  }
-
-  /** RENAME-swap a staged table over the live one; on catalogs that
-    * refuse the rename, copy the staged rows back through the caller's
-    * canonical writer (2× write, correctness preserved). No partitions
-    * on the xref family, so no MSCK step is needed.
-    *
-    * CRASH WINDOWS (same trade as [[StatementStore.compact]] /
-    * [[FpxStore.compact]] — the session catalog has no atomic swap):
-    *   - between DROP and RENAME the live name does not resolve; a
-    *     crash there leaves the data intact under `tmp` (recover by
-    *     re-issuing the RENAME);
-    *   - [[compact]] swaps main THEN `_reverse`; a crash between the
-    *     two swaps leaves the reverse projection one compaction behind
-    *     main. That staleness is row-level harmless here — both tables
-    *     hold the same upsert-keyed rows and every read path reapplies
-    *     the FINAL window — but re-running compact is the repair.
-    * FALLBACK POLICY (aligned across all three stores): ANY rename
-    * failure — UnsupportedOperationException on catalogs without
-    * RENAME, AnalysisException when the destination directory
-    * survives, etc. — falls back to the copy-back, because at that
-    * point DROP has already run and propagating would leave the live
-    * name unresolvable; the staged rows are intact so the copy-back is
-    * always correct, just a 2× write, and it is logged loudly so it
-    * cannot masquerade as the cheap path. A failure in the copy-back
-    * itself still propagates.
-    */
-  private def swapIn(spark: SparkSession, tmp: String, table: String)(
-      appendBack: DataFrame => Unit): Unit = {
-    spark.sql(s"DROP TABLE $table")
-    try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        Console.err.println(s"[graft] XrefStore.swapIn: catalog refused " +
-          s"RENAME $tmp -> $table (${e.getMessage}); copying rows back " +
-          "through the canonical writer (2x write)")
-        appendBack(spark.table(tmp))
-        spark.sql(s"DROP TABLE $tmp")
-    }
+    TableSwap.swapIn(spark, rtmp, rev, partitioned = false)(df =>
+      writeReverse(df, rev, buckets, SaveMode.Append))
   }
 }

@@ -11,15 +11,20 @@ class CliSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def clean(tables: String*): Unit = tables.foreach { name =>
+    // reclaim any versioned stage sibling first (it may share the live
+    // table's current data directory — see TableSwap.dropStage)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.matches(java.util.regex.Pattern.quote(name) + "_stage_\\d+"))
+      .foreach(t => graft.sources.TableSwap.dropStage(spark, t, name))
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val dir = new java.io.File(s"/tmp/graft_warehouse/$name")
-    if (dir.exists()) {
-      dir.listFiles().foreach { f =>
-        if (f.isDirectory) f.listFiles().foreach(_.delete())
-        f.delete()
-      }
-      dir.delete()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
     }
+    Option(new java.io.File("/tmp/graft_warehouse").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.getName == name || d.getName.startsWith(name + "_stage_"))
+      .foreach(rm)
   }
 
   test("cli --version prints the library version (cli.py:14-20)") {

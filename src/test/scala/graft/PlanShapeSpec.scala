@@ -59,9 +59,10 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("d7_sample_stratified", maxShuffles = 0),
     Shape("t6_pii_scrub", maxShuffles = 0),
     Shape("t7_repetition", maxShuffles = 0),
-    // doc stream shuffles ONCE (to (source,term) grain); rollups and
-    // ranks run on vocabulary-sized data; term/source stats broadcast
-    Shape("t8_distinctive_terms", maxShuffles = 6, minBroadcasts = 3),
+    // doc stream shuffles ONCE (to (source,term) grain); term totals
+    // attach via the term-window (r8 — never a vocabulary broadcast);
+    // only the bounded source counts + 1-row total broadcast
+    Shape("t8_distinctive_terms", maxShuffles = 5, minBroadcasts = 2),
     // r7 pins for the multi-stage/iterative queries most able to
     // regress silently into extra shuffles:
     // t5: probe gram set must stay BROADCAST onto the corpus gram
@@ -96,6 +97,30 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("q20b_asof_bucketed", maxShuffles = 6, minBroadcasts = 1,
       minPushedScans = 4),
     Shape("d6b_dedup_clusters_stars", maxShuffles = 2))
+
+  // t8 r8: the vocabulary rollup lost its forced broadcast — its row
+  // count grows with corpus vocabulary, the one former small side that
+  // was NOT structurally bounded. Term totals now attach via a window
+  // inside the term-grain exchange, so even with the broadcast budget
+  // at ZERO (the web-scale regime for anything vocabulary-sized) the
+  // plan keeps only the two structurally-bounded hint-broadcasts
+  // (per-source counts, 1-row total) and never joins on term at all.
+  test("plan shape: t8 term stats survive a web-scale vocabulary") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = SparkEntry.queries("t8_distinctive_terms")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(PlanCounters.broadcasts(plan) == 2,
+        s"t8 no-broadcast regime: expected exactly the 2 bounded hint " +
+          s"broadcasts:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"t8 no-broadcast regime: no join may depend on the vocabulary " +
+          s"rollup:\n$plan")
+      assert(PlanCounters.shuffles(plan) <= 5, plan)
+    } finally spark.conf.set(key, prev)
+  }
 
   for (s <- shapes) test(s"plan shape: ${s.name}") {
     val plan = SparkEntry.queries(s.name)(spark, sf)

@@ -258,6 +258,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof joinBucketed matches join on null keys/ts and nano-epoch ts") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    // null keys: the plain form's window partitioning groups null keys
+    // into ONE partition and matches inside it, so the bucketed twin's
+    // boundary-patch join must be null-safe or null-key left rows lose
+    // their cross-bucket carries (ADVICE r7). Null ts rides along: it
+    // lands in the null bucket, which sorts first — the same position
+    // null ts takes in the plain per-key sort.
+    val right = Seq(
+      (Option(0L), Option(10L), "a"),
+      (Option.empty[Long], Option(5L), "n1"),
+      (Option.empty[Long], Option(20L), "n2"),
+      (Option.empty[Long], Option.empty[Long], "nn")
+    ).toDF("k", "ts", "payload")
+    val left = Seq(
+      (Option(0L), Option(11L), 1L),
+      (Option.empty[Long], Option(25L), 2L),
+      (Option.empty[Long], Option(7L), 3L),
+      (Option(7L), Option(11L), 4L),
+      (Option.empty[Long], Option.empty[Long], 5L)
+    ).toDF("k", "ts", "tag")
+    val plain = AsofJoin.join(left, right, "k", "ts")
+    // ground truth: tag 1 → "a"; tag 2 → "n2"; tag 3 → "n1"; tag 4
+    // drops (no key-7 right row); tag 5 → "nn" (null ts sorts first,
+    // right side 0 before left side 1)
+    assert(plain.select("tag", "r_payload").as[(Long, String)].collect()
+      .toMap == Map(1L -> "a", 2L -> "n2", 3L -> "n1", 5L -> "nn"))
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val bucketed = AsofJoin.joinBucketed(left, right, "k", "ts", width)
+      assert(bucketed.exceptAll(plain).isEmpty &&
+        plain.exceptAll(bucketed).isEmpty, s"width=$width diverges on nulls")
+    }
+    // nanosecond-epoch magnitudes (past 2^53): bucket ids must come
+    // from exact integer division — double division merges adjacent
+    // buckets up there (ADVICE r7). Parity at hour-width buckets.
+    val base = 1700000000000000000L
+    val hour = 3600000000000L
+    val bigRight = (0 until 10).map(i => (0L, base + i * hour, s"h$i"))
+      .toDF("k", "ts", "payload")
+    val bigLeft = (0 until 10).map(i => (0L, base + i * hour + hour / 2, i.toLong))
+      .toDF("k", "ts", "tag")
+    val bigPlain = AsofJoin.join(bigLeft, bigRight, "k", "ts")
+    assert(bigPlain.select("tag", "r_payload").as[(Long, String)].collect()
+      .toMap == (0 until 10).map(i => i.toLong -> s"h$i").toMap)
+    val bigBucketed =
+      AsofJoin.joinBucketed(bigLeft, bigRight, "k", "ts", hour)
+    assert(bigBucketed.exceptAll(bigPlain).isEmpty &&
+      bigPlain.exceptAll(bigBucketed).isEmpty, "nano-epoch parity")
+  }
+
   test("exact dedup partitions docs by normalized text (one batched job)") {
     import spark.implicits._
     val texts = Gen.listOfN(100, Gen.oneOf(

@@ -21,17 +21,23 @@ class SourcesSpec extends AnyFunSuite {
     * forgets tables between JVMs but their warehouse dirs persist.
     */
   private def dropTable(name: String): Unit = {
+    // stage siblings (versioned since r8) may share the live table's
+    // current data directory — reclaim through the guard, then drop
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.matches(java.util.regex.Pattern.quote(name) + "_stage_\\d+"))
+      .foreach(t => graft.sources.TableSwap.dropStage(spark, t, name))
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    Seq(name, name + "_compacted").foreach { n =>
-      val dir = new java.io.File(s"/tmp/graft_warehouse/$n")
-      if (dir.exists()) {
-        dir.listFiles().foreach { f =>
-          if (f.isDirectory) f.listFiles().foreach(_.delete())
-          f.delete()
+    val wh = new java.io.File("/tmp/graft_warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName == name || d.getName == name + "_compacted" ||
+        d.getName.startsWith(name + "_stage_"))
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
         }
-        dir.delete()
+        rm(dir)
       }
-    }
   }
 
   private def sampleStatements = {
@@ -72,6 +78,38 @@ class SourcesSpec extends AnyFunSuite {
     StatementStore.append(sampleStatements, "stmt_spec3", buckets = 4)
     StatementStore.compact(spark, "stmt_spec3", buckets = 4)
     assert(StatementStore.read(spark, "stmt_spec3").count() == 3)
+  }
+
+  test("compact swap: live name stays resolvable, stages reclaim safely") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import graft.sources.TableSwap
+    dropTable("stmt_swap")
+    StatementStore.append(sampleStatements, "stmt_swap", buckets = 4)
+    def liveLoc(): String = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("stmt_swap")).location.toString
+    // three consecutive compacts: each must take the SET LOCATION path
+    // (live location moves to the NEXT versioned stage dir — never the
+    // dir it currently occupies), leave no stage entry behind, and
+    // keep the partitioned FINAL read correct
+    for (i <- 1 to 3) {
+      StatementStore.compact(spark, "stmt_swap", buckets = 4)
+      assert(liveLoc().stripSuffix("/").endsWith(s"_stage_$i"),
+        s"compact $i did not take the no-absent-window path: ${liveLoc()}")
+      assert(!spark.catalog.tableExists(s"stmt_swap_stage_$i"),
+        s"stage entry $i left attached after a clean swap")
+      val fin = StatementStore.readFinal(spark, "stmt_swap")
+      assert(fin.count() == 3 && fin.filter(col("dataset") === "ds1").count() == 3)
+    }
+    // crash-state recovery: a stage entry sharing the live table's
+    // location (crash after the swap, before the detach) must reclaim
+    // WITHOUT deleting the rows the live table serves
+    spark.sql("CREATE TABLE stmt_swap_stage_9 (x INT) USING parquet")
+    spark.sql(s"ALTER TABLE stmt_swap_stage_9 SET LOCATION '${liveLoc()}'")
+    TableSwap.dropStage(spark, "stmt_swap_stage_9", "stmt_swap")
+    assert(!spark.catalog.tableExists("stmt_swap_stage_9"))
+    assert(StatementStore.readFinal(spark, "stmt_swap").count() == 3,
+      "dropStage deleted live rows through a shared-location stage entry")
+    dropTable("stmt_swap")
   }
 
   test("bucket pruning: a canonical_id point lookup reads one bucket") {
