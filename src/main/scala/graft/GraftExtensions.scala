@@ -7,9 +7,10 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{BigramStatsExpression, DotProductExpression,
   DoubleMetaphoneExpression, MetaphoneExpression,
-  MinHashSignatureExpression, MinHashWordsExpression,
-  NgramHashesExpression, Phonetics, ShinglesExpression,
-  SimHashExpression, TokenHashesExpression, VectorSumAggregate}
+  MinHashBandsExpression, MinHashSignatureExpression,
+  MinHashWordsExpression, NgramHashesExpression, Phonetics,
+  ShinglesExpression, SimHashExpression, TokenHashesExpression,
+  VectorSumAggregate}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -18,6 +19,7 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   *
   *   - native expressions: `graft_metaphone`, `graft_double_metaphone`,
   *     `graft_minhash(arr[, numHashes])`, `graft_minhash_words`,
+  *     `graft_minhash_bands`,
   *     `graft_simhash(arr)`, `graft_fingerprint`, `graft_fpx_tokens`,
   *     `graft_shingles`, `graft_ngram_hashes`, `graft_token_hashes`,
   *     `graft_bigram_stats`, `graft_vec_sum`, `graft_vec_dot`
@@ -76,6 +78,19 @@ object GraftFunctionRegistry {
             MinHashWordsExpression(arr, n, k)
           case _ => throw new IllegalArgumentException(
             "graft_minhash_words(arr, n: int literal, numHashes: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(
+        classOf[MinHashBandsExpression].getName, "graft_minhash_bands"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(arr, Literal(n: Int, IntegerType),
+              Literal(k: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+            MinHashBandsExpression(arr, n, k, r)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash_bands(arr, n: int literal, numHashes: int " +
+              "literal, rowsPerBand: int literal)")
         }
       }),
     (FunctionIdentifier("graft_token_hashes"),

@@ -81,6 +81,49 @@ case class MinHashWordsExpression(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** The whole d3 scan kernel in one compiled call: words → distinct
+  * n-shingles → per-seed minima → LSH band keys. Neither the shingle
+  * array, the signature array, nor any intermediate struct array ever
+  * materializes into row storage — the pre-r8 band projection still
+  * ran an interpreted `transform(sequence, b -> struct(b,
+  * concat_ws("-", slice(sig, …))))` per row on top of the signature.
+  * Output: `numHashes / rowsPerBand` strings, band b's key the
+  * '-'-joined decimal minima of its signature slice — value-identical
+  * to the composed form (and the DuckDB oracle's string_agg);
+  * parity is spec-asserted. Band index = array position (posexplode).
+  */
+case class MinHashBandsExpression(
+    child: Expression, n: Int, numHashes: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(n >= 2, s"shingle width must be >= 2, got $n")
+  require(rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+    s"rowsPerBand $rowsPerBand must divide numHashes $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands requires ARRAY<STRING>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpression.bandKeysOfNgrams(
+      input.asInstanceOf[ArrayData], n, numHashes, rowsPerBand)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.functions.MinHashSignatureExpression.bandKeysOfNgrams" +
+        s"($c, $n, $numHashes, $rowsPerBand)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashBandsExpression =
+    copy(child = newChild)
+}
+
 object MinHashSignatureExpression {
 
   /** Column form. */
@@ -92,6 +135,38 @@ object MinHashSignatureExpression {
   def minhashWords(words: Column, n: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashWordsExpression(
       GraftSqlBridge.expression(words), n, numHashes))
+
+  /** Column form of the fused words→…→band-keys expression. */
+  def minhashBands(
+      words: Column, n: Int, numHashes: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.column(MinHashBandsExpression(
+      GraftSqlBridge.expression(words), n, numHashes, rowsPerBand))
+
+  /** [[signatureOfNgrams]] carried one step further: the signature
+    * never escapes the local `mins` buffer — band keys come straight
+    * off it.
+    */
+  def bandKeysOfNgrams(
+      ws: ArrayData, n: Int, numHashes: Int, rowsPerBand: Int): ArrayData = {
+    val mins = signatureOfNgrams(ws, n, numHashes)
+      .asInstanceOf[GenericArrayData]
+    val numBands = numHashes / rowsPerBand
+    val out = new Array[Any](numBands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 20)
+    var b = 0
+    while (b < numBands) {
+      sb.setLength(0)
+      var i = 0
+      while (i < rowsPerBand) {
+        if (i > 0) sb.append('-')
+        sb.append(mins.getLong(b * rowsPerBand + i))
+        i += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** [[signature]] over the distinct n-grams of a word array, without
     * materializing the gram array into row storage.

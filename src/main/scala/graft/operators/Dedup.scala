@@ -225,7 +225,7 @@ object Dedup {
 
   /** d3 — MinHash + LSH candidate pairs. `numHashes` hashes split into
     * bands of `rowsPerBand`; docs sharing any band key become a pair.
-    * The scale path for 100 TB dedup: signatures are computed in the
+    * The scale path for 100 TB dedup: band keys are computed in the
     * scan (no shuffle), pair generation is an equi-join on (band, key)
     * and the per-bucket expansion uses the same sorted-set combination
     * expansion as xref blocking.
@@ -235,20 +235,17 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val withSig = documents
+    // ONE fused kernel for the whole scan: words → shingles →
+    // signature → band keys, no per-row shingle/signature/struct
+    // array ever materializing (r8; spec-equal to the composed
+    // signature-then-slice form, [[minhashBandKeysComposed]]). The
+    // band index is the key's array position.
+    val bands = documents
       .filter(size(words(col("text"))) >= 3)
-      // fused words→shingles→signature: the gram array never
-      // materializes per row (spec-equal to the two-expression form)
-      .select(col("doc_id"),
-        graft.functions.MinHashSignatureExpression.minhashWords(
-          words(col("text")), 3, numHashes).as("sig"))
-    val bands = withSig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-        struct(b.as("band"),
-          concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.MinHashSignatureExpression.minhashBands(
+          words(col("text")), 3, numHashes, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
     // sketch-guarded set build (a degenerate corpus — e.g. millions of
     // near-identical boilerplate docs — lands in ONE bucket; the guard
     // keeps that bucket's buffer from materializing before the size
@@ -257,6 +254,20 @@ object Dedup {
     val buckets = Fpx.boundedMemberSets(
       bands, Seq("band", "key"), "doc_id", 2, maxBucket)
     Fpx.distinctPairs(Fpx.expandSortedSets(buckets.select(col("ids"))))
+  }
+
+  /** The `functions._`-composed twin of the fused band-keys kernel
+    * inside [[minhashLsh]] (spec-asserted value- and order-identical):
+    * signature via the already-proven fused words→signature
+    * expression, then the interpreted slice/concat_ws band build the
+    * pre-r8 projection ran per row.
+    */
+  def minhashBandKeysComposed(
+      words: Column, n: Int, numHashes: Int, rowsPerBand: Int): Column = {
+    val sig = graft.functions.MinHashSignatureExpression
+      .minhashWords(words, n, numHashes)
+    transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
+      b => concat_ws("-", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
   }
 
   /** d6 — near-dup CLUSTER map: the operational endpoint of MinHash

@@ -440,6 +440,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("d3 fused band keys == composed signature+slice form on sf docs") {
+    import graft.functions.MinHashSignatureExpression
+    val ws = Dedup.words(col("text"))
+    // exact array equality (value AND band order): the fused kernel
+    // must emit precisely what the pre-r8 two-stage projection built
+    val diff = docs.filter(size(ws) >= 3).select(
+      MinHashSignatureExpression.minhashBands(ws, 3, 12, 2).as("fused"),
+      Dedup.minhashBandKeysComposed(ws, 3, 12, 2).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0)
+    // random unicode: exercise multi-byte tokens through the kernel
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 60).map { i =>
+      (i.toLong, (1 to rnd.nextInt(30)).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(4) + 1).mkString +
+          (if (rnd.nextBoolean()) "é漢" else "")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val wd = Dedup.words(col("text"))
+    val rdiff = texts.filter(size(wd) >= 3).select(
+      MinHashSignatureExpression.minhashBands(wd, 3, 12, 3).as("fused"),
+      Dedup.minhashBandKeysComposed(wd, 3, 12, 3).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(rdiff.count() == 0)
+  }
+
   test("d2 native token-hashes == composed distinct+md5+sort form on sf docs") {
     val diff = docs.select(
       graft.functions.TokenHashesExpression.tokenHashes(
