@@ -127,15 +127,51 @@ object TextAnalysis {
     * shingle-then-hash form is kept as [[hashedGramsComposed]], the
     * spec-asserted parity twin (n−1 interpreted zip_with walks +
     * per-gram expression md5 — 4.3s vs ~1s at sf0.1).
+    *
+    * When the distinct probe gram set outgrows broadcast comfort, a
+    * BLOOM FILTER over the probe gram hashes is planted in the corpus
+    * gram stream — corpus grams are pruned inside the scan stage,
+    * before any join moves them, and the exact equi-join then removes
+    * the false positives, so the answer is bit-identical either way
+    * (spec-asserted). The gate (`bloom = None`) reuses the OPTIMIZER'S
+    * own decision inputs: the probe grams' estimated size against the
+    * session's broadcast threshold — zero extra jobs, and the bloom
+    * engages exactly where the probe join stops being a broadcast (in
+    * the broadcast regime the hash join already filters in the same
+    * codegen stage, so a bloom there is pure overhead). The
+    * probe-gram count that sizes the filter is only paid once the
+    * large-probe regime is entered.
     */
   def contamination(
-      corpus: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
+      corpus: DataFrame, probes: DataFrame, n: Int = 8,
+      bloom: Option[Boolean] = None, bloomFpp: Double = 0.01): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         explode(graft.functions.NgramHashesExpression.ngramHashes(
           Dedup.words(col("text")), n, seed = 0)).as("h"))
     val probeGrams = grams(probes).select(col("h")).distinct()
-    grams(corpus).join(probeGrams, Seq("h"))
+    val corpusGrams = grams(corpus)
+    val engage = bloom.getOrElse {
+      val conf = corpus.sparkSession.sessionState.conf
+      conf.autoBroadcastJoinThreshold <= 0 ||
+        probeGrams.queryExecution.optimizedPlan.stats.sizeInBytes >
+          BigInt(conf.autoBroadcastJoinThreshold)
+    }
+    val pruned =
+      if (!engage) corpusGrams
+      else {
+        val filter = probeGrams.stat.bloomFilter(
+          "h", math.max(probeGrams.count(), 1L), bloomFpp)
+        val bytes = new java.io.ByteArrayOutputStream()
+        filter.writeTo(bytes)
+        corpusGrams.filter(org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              bytes.toByteArray,
+              org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.GraftSqlBridge.expression(col("h")))))
+      }
+    pruned.join(probeGrams, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_overlapping"))
   }

@@ -76,6 +76,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits3 == Set(10L, 11L))
   }
 
+  test("t5 bloom pushdown: corpus grams pruned pre-join, answer identical") {
+    val probes = docs.filter(col("doc_id") < 50)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val default = TextAnalysis.contamination(corpus, probes, n = 5)
+    // Some(true) forces the over-broadcast-comfort regime
+    val bloomed = TextAnalysis.contamination(corpus, probes, n = 5,
+      bloom = Some(true))
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom filter not planted in the corpus gram stream:\n$plan")
+    // exact join removes bloom false positives — answers bit-identical
+    assert(bloomed.exceptAll(default).isEmpty &&
+      default.exceptAll(bloomed).isEmpty)
+    // the auto gate follows the planner's broadcast decision: with the
+    // broadcast budget at zero (web-scale regime for the probe set)
+    // the bloom must engage on its own
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val auto = TextAnalysis.contamination(corpus, probes, n = 5)
+      assert(auto.queryExecution.executedPlan.toString
+        .contains("might_contain"), "auto gate did not engage")
+    } finally spark.conf.set(key, prev)
+    // and in the broadcast regime the default path carries NO bloom
+    assert(!default.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+  }
+
   test("d6 near-dup clusters: transitive chain collapses, singleton maps to itself") {
     import spark.implicits._
     // doc 1 == doc 2 (exact dup → same signature → same buckets) and
