@@ -113,6 +113,26 @@ object Streams {
         } finally { batch.unpersist(); () }
     }
 
+  /** st9 — streaming xref ingest: a judgement stream lands in the main
+    * xref table AND its `_reverse` projection per micro-batch
+    * ([[graft.sources.XrefStore.append]] maintains both from one
+    * insert, the ClickHouse projection-on-insert analogue) — the write
+    * path twin of st8's statements+fpx double insert, completing
+    * streaming parity for every store the engine maintains. The batch
+    * is persisted because one batch feeds two bucketed tables.
+    * Exactly-once: replays collapse in the FINAL read
+    * ([[graft.operators.Xref.latestJudgements]] keys (left_id,
+    * right_id), versioned by ts), same as the batch upsert path.
+    */
+  def ingestXref(judgements: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    judgements.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try graft.sources.XrefStore.append(batch, table)
+        finally { batch.unpersist(); () }
+    }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

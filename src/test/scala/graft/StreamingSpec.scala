@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.XrefStore
 import graft.streaming.Streams
 
 /** Structured-Streaming specs (SURVEY.md §2 st-block) driven through
@@ -222,6 +223,52 @@ class StreamingSpec extends AnyFunSuite {
       // pair immediately
       val tchibo = byEntity.filter(_._2 == "tchibo").map(_._1).toSet
       assert(tchibo == Set("e1", "e2"))
+    } finally q.stop()
+  }
+
+  test("st9 streaming xref ingest maintains main + reverse projection") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st9_xref", "st9_xref_reverse")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() }
+        dir.delete() }
+    }
+    val in = MemoryStream[(String, String, String, String, String, String,
+      String, String, String, String, String, Double, Timestamp, String)]
+    val df = in.toDF().toDF(graft.operators.Xref.columns: _*)
+    val q = Streams.ingestXref(df, "st9_xref")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st9_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        ("ds", "a1", "P", "de", "Ann", "ds", "b1", "P", "de", "Bob",
+          "no_judgement", 0.9, ts(1), "u"))
+      q.processAllAvailable()
+      // a later batch UPSERTS the same pair — FINAL must keep it
+      in.addData(
+        ("ds", "a1", "P", "de", "Ann", "ds", "b1", "P", "de", "Bob",
+          "positive", 0.9, ts(2), "u"),
+        ("ds", "a2", "P", "de", "Cay", "ds", "b2", "P", "de", "Dee",
+          "negative", 0.4, ts(2), "u"))
+      q.processAllAvailable()
+      // both tables saw both batches
+      assert(spark.table("st9_xref").count() == 3)
+      assert(spark.table("st9_xref_reverse").count() == 3)
+      // FINAL read: the replayed pair collapses to its latest judgement
+      val latest = XrefStore.readLatest(spark, "st9_xref").collect()
+        .map(r => (r.getAs[String]("left_id"), r.getAs[String]("right_id"))
+          -> r.getAs[String]("judgement")).toMap
+      assert(latest == Map(("a1", "b1") -> "positive",
+        ("a2", "b2") -> "negative"))
+      // the reverse projection serves right-side point lookups
+      val byRight = XrefStore.lookupByRight(spark, "st9_xref", "b1")
+        .collect().map(r => (r.getAs[String]("left_id"),
+          r.getAs[String]("judgement")))
+      assert(byRight.toSeq == Seq(("a1", "positive")))
     } finally q.stop()
   }
 
