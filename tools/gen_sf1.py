@@ -135,6 +135,44 @@ def events():
     return df
 
 
+def judgement_graph(scale):
+    """Edge table (src, dst) for the iterative components engines
+    (f20/d6's core): a mix of near-CLIQUES (the LSH-dedup block shape —
+    minLabel's best case, diameter ~2) and long CHAINS (the
+    judgement-trail shape that stresses round counts — minLabel pays
+    O(diameter) rounds, minLabelStars O(log n)). Scaling adds 10x
+    COMPONENTS at the same size distribution (constant per-component
+    density — how a judgement graph actually grows: more clusters, not
+    bigger ones), so a healthy engine should scale ~linearly in edges
+    with an unchanged round count.
+    """
+    g = np.random.default_rng(843)
+    edges = []
+    node = 0
+    for _ in range(120 * scale):
+        k = int(g.integers(4, 41))
+        ids = np.arange(node, node + k)
+        node += k
+        if k <= 10:                      # small: true clique
+            for i in range(k):
+                for j in range(i + 1, k):
+                    edges.append((ids[i], ids[j]))
+        else:                            # large: ring + random chords
+            for i in range(k):
+                edges.append((ids[i], ids[(i + 1) % k]))
+                for j in g.integers(0, k, size=4):
+                    if int(j) != i:
+                        edges.append((ids[i], ids[int(j)]))
+    for _ in range(50 * scale):          # chains: diameter 30-60
+        length = int(g.integers(30, 61))
+        ids = np.arange(node, node + length)
+        node += length
+        for i in range(length - 1):
+            edges.append((ids[i], ids[i + 1]))
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    return df.astype({"src": "int64", "dst": "int64"})
+
+
 def customer():
     n = 15000 * SCALE
     return pd.DataFrame({
@@ -149,7 +187,12 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     for name, fn in [("documents", documents), ("embeddings", embeddings),
                      ("part", part), ("customer", customer),
-                     ("events", events)]:
+                     ("events", events),
+                     # judgement graph at BOTH scales (no driver-shipped
+                     # sf0.1 counterpart exists, so the 1x baseline for
+                     # the components scaling ratio lives here too)
+                     ("judgements_base", lambda: judgement_graph(1)),
+                     ("judgements", lambda: judgement_graph(SCALE))]:
         path = os.path.join(OUT, f"{name}.parquet")
         df = fn()
         if name == "events":
