@@ -20,6 +20,19 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe.toString)
+      // The default 100-entry codegen cache thrashes on a suite of 65+
+      // queries (several whole-stage/expression classes each): every
+      // re-execution Janino-recompiles and the JVM re-JITs the same
+      // stages, keeping compiler threads busy ~85% of a bench run
+      // (BENCH_DIAG.json: 131s of JIT during 154s of timed wall) and
+      // stealing cores from the 32-thread executor pool exactly when a
+      // heavy query saturates them — measured as f8's 2× in-suite vs
+      // isolated spread that gc_ms had already ruled out as GC. At
+      // 2000 entries the generated-class corpus of a whole workload
+      // fits, so repeat executions reuse compiled+JITed classes
+      // (metaspace cost is tens of MB per JVM — cheap next to the
+      // recompile churn on driver AND executors of a real cluster).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
