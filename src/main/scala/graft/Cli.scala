@@ -69,14 +69,8 @@ object Cli {
             s"${table}_xref_reverse")
           // stage siblings from interrupted compacts: the versioned
           // `_stage_N` names (r8, reclaimed safely) plus the legacy
-          // pre-r8 `_compacted` names
-          family.foreach(t =>
-            graft.sources.TableSwap.dropStage(spark, s"${t}_compacted", t))
-          val staged = spark.catalog.listTables().collect().map(_.name)
-            .filter(n => family.exists(t =>
-              n.matches(java.util.regex.Pattern.quote(t) + "_stage_\\d+")))
-          staged.foreach(t => graft.sources.TableSwap.dropStage(
-            spark, t, family.find(f => t.startsWith(f + "_stage_")).get))
+          // pre-r8 `_compacted` names — one shared helper with compact
+          family.foreach(t => graft.sources.TableSwap.dropAllStages(spark, t))
           family.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
         }
         spark.sql(

@@ -23,14 +23,13 @@ object ComponentsScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import graft.operators.Components
 
-    def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    def run(edges: DataFrame, engine: DataFrame => DataFrame): (Double, Long) = {
+    def run(edges: DataFrame, engine: DataFrame => DataFrame)
+        : (Double, Long, DataFrame) = {
       engine(edges).queryExecution.toRdd.count() // warm
-      timed(engine(edges).queryExecution.toRdd.count())
+      val out = engine(edges)
+      val t0 = System.nanoTime()
+      val n = out.queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, n, out)
     }
     val out = for (tag <- Seq("judgements_base", "judgements")) yield {
       val edges = spark.read.parquet(s"$dir/$tag.parquet")
@@ -39,11 +38,13 @@ object ComponentsScaleProbe {
       // 60, and at the default the engine REFUSES loudly (verified —
       // that refusal is the documented guard, and exactly why d6b
       // exists). The probe measures what the raised ceiling costs.
-      val (tMin, nMin) = run(edges, Components.minLabel(_, maxIter = 80))
-      val (tStars, nStars) = run(edges, Components.minLabelStars(_))
-      // both engines must label the identical vertex set identically
-      val diff = Components.minLabel(edges, maxIter = 80)
-        .exceptAll(Components.minLabelStars(edges)).count()
+      val (tMin, nMin, lblMin) = run(edges, Components.minLabel(_, maxIter = 80))
+      val (tStars, nStars, lblStars) = run(edges, Components.minLabelStars(_))
+      // both engines must label the identical vertex set identically —
+      // diffed over the TIMED invocations' outputs (each engine returns
+      // an eagerly checkpointed frame, so the diff re-reads cached
+      // blocks instead of re-running two multi-round iterative jobs)
+      val diff = lblMin.exceptAll(lblStars).count()
       require(diff == 0 && nMin == nStars,
         s"$tag: engines disagree (exceptAll=$diff, $nMin vs $nStars)")
       s""""$tag":{"edges":$nEdges,"vertices":$nMin,""" +

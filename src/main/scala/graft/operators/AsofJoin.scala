@@ -120,15 +120,22 @@ object AsofJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val (lPayload, rPayload) =
       requireShapes(left, right, key, ts, rightPrefix)
-    // exact floor division in LONG at any ts magnitude: (t − pmod) is
-    // an exact multiple of the width, and integral DIV keeps the
-    // quotient integral. Spark's `/` is double division — beyond 2^53
-    // (nanosecond-epoch longs) adjacent buckets would silently merge.
+    // exact floor division in LONG at any ts magnitude: integral DIV
+    // truncates toward zero, so floor = quotient − 1 exactly when the
+    // remainder is negative. Spark's `/` is double division — beyond
+    // 2^53 (nanosecond-epoch longs) adjacent buckets would silently
+    // merge. (The tempting `(t − pmod(t,w)) div w` form underflows
+    // LONG for t near Long.MinValue — an "unknown time" sentinel —
+    // and ANSI mode turns that into a runtime throw; here every
+    // intermediate fits: |q0·w| ≤ max(|t|, 2^63) stays representable
+    // and |r| < w.)
     def bucketOf(c: Column): Column = {
       val t = c.cast("long")
-      GraftSqlBridge.column(new IntegralDivide(
-        GraftSqlBridge.expression(t - pmod(t, lit(bucketWidth))),
+      val q0 = GraftSqlBridge.column(new IntegralDivide(
+        GraftSqlBridge.expression(t),
         GraftSqlBridge.expression(lit(bucketWidth))))
+      val r = t - q0 * lit(bucketWidth)
+      q0 - when(r < 0, lit(1L)).otherwise(lit(0L))
     }
 
     val rStruct = struct((col(ts) +: rPayload.map(col)): _*)

@@ -160,8 +160,41 @@ object TextAnalysis {
     val pruned =
       if (!engage) corpusGrams
       else {
-        val filter = probeGrams.stat.bloomFilter(
-          "h", math.max(probeGrams.count(), 1L), bloomFpp)
+        // the engaged regime is BY DEFINITION the large-probe one, so
+        // (a) the distinct probe-gram aggregation is persisted for
+        // EXACTLY the two eager driver-side jobs that need it (the
+        // sizing count materializes the cache, the bloom aggregation
+        // reads it) and unpersisted before the lazy plan is returned —
+        // both because a persist that outlives the call leaks cache on
+        // a long-running cluster, and because Spark's cache manager
+        // would substitute the InMemoryRelation into ANY later plan
+        // containing the same probe-gram sub-plan, silently changing
+        // its shape (an AQE-cached relation hides its output
+        // partitioning, forcing re-shuffles downstream). The final
+        // join recomputes the distinct once — two computations total,
+        // down from three, with the returned plan cache-free;
+        // (b) the filter is CAPPED at 2^26 bits (8 MB, Spark's own
+        // runtime-bloom ceiling) — an uncapped optimal-size bloom over
+        // ~1e9 grams is ~1.2 GB allocated per aggregation task,
+        // shuffled, collected, and then serialized into every
+        // corpus-scan task as a plan literal. Past the cap the fpp
+        // degrades instead of the memory: the exact equi-join below
+        // removes every false positive either way, so the answer is
+        // bit-identical — the bloom only loses pruning power, never
+        // correctness.
+        probeGrams.persist()
+        val filter =
+          try {
+            val items = math.max(probeGrams.count(), 1L)
+            val maxBits = 1L << 26
+            val optimal = org.apache.spark.util.sketch.BloomFilter
+              .optimalNumOfBits(items, bloomFpp)
+            probeGrams.stat.bloomFilter(
+              "h", items, math.min(optimal, maxBits))
+          } finally {
+            probeGrams.unpersist(blocking = false)
+            ()
+          }
         val bytes = new java.io.ByteArrayOutputStream()
         filter.writeTo(bytes)
         corpusGrams.filter(org.apache.spark.sql.GraftSqlBridge.column(

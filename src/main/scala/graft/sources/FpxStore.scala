@@ -79,7 +79,7 @@ object FpxStore {
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
     val tmp = TableSwap.stageName(spark, table)
-    TableSwap.dropStage(spark, tmp, table)
+    TableSwap.dropAllStages(spark, table)
     readFinal(spark, table).write
       .mode(SaveMode.Overwrite)
       .partitionBy("algorithm")

@@ -140,7 +140,7 @@ object StatementStore {
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
     val tmp = TableSwap.stageName(spark, table)
-    TableSwap.dropStage(spark, tmp, table)
+    TableSwap.dropAllStages(spark, table)
     // deleted=false restored so the stage table keeps the physical
     // schema and later appends line up against the catalog.
     write(readFinal(spark, table).withColumn("deleted", lit(false)),

@@ -66,10 +66,15 @@ object TableSwap {
     */
   private def detach(spark: SparkSession, table: String, loc: URI): Unit = {
     val cat = spark.sessionState.catalog
-    val parts = cat.listPartitions(ident(table))
-    if (parts.nonEmpty)
-      cat.dropPartitions(ident(table), parts.map(_.spec),
-        ignoreIfNotExists = true, purge = false, retainData = true)
+    // listPartitions only on actually-partitioned entries: the Hive
+    // catalog THROWS on a non-partitioned table (the in-memory one
+    // returns an empty list, which hid this until the Hive probe ran)
+    if (cat.getTableMetadata(ident(table)).partitionColumnNames.nonEmpty) {
+      val parts = cat.listPartitions(ident(table))
+      if (parts.nonEmpty)
+        cat.dropPartitions(ident(table), parts.map(_.spec),
+          ignoreIfNotExists = true, purge = false, retainData = true)
+    }
     spark.sql(s"ALTER TABLE $table SET LOCATION '${loc.toString}_detached'")
   }
 
@@ -87,6 +92,36 @@ object TableSwap {
       if (shared) detach(spark, tmp, tmpLoc)
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
     }
+  }
+
+  /** Scheme/authority/path-normalized location string: `file:/x`,
+    * `file:///x` and a trailing slash all normalize to `file:///x`, so
+    * prefix tests and relative-path arithmetic survive whichever
+    * spelling the catalog hands back (Hive and the in-memory catalog
+    * disagree on the authority form for local paths).
+    */
+  private[graft] def normLoc(u: URI): String = {
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"${u.getScheme}://$auth${u.getPath.stripSuffix("/")}"
+  }
+
+  /** Reclaim EVERY stage sibling of `table` (`<table>_stage_N` for any
+    * N, plus the legacy pre-r8 `<table>_compacted` name), each through
+    * [[dropStage]]'s shared-location guard. This — not a single
+    * dropStage of the next version — is what compact and `init
+    * --recreate` must call: a crash after SET LOCATION leaves the live
+    * table SERVING `_stage_N` while the next compact stages into
+    * `_stage_N+1`, so reclaiming only the new name would strand the
+    * live-data-sharing entry forever (and a later plain DROP of that
+    * innocent-looking leftover would delete the live rows).
+    */
+  def dropAllStages(spark: SparkSession, table: String): Unit = {
+    dropStage(spark, s"${table}_compacted", table)
+    val pat = java.util.regex.Pattern.quote(table) + "_stage_\\d+"
+    spark.sessionState.catalog.listTables(
+        spark.sessionState.catalog.getCurrentDatabase)
+      .map(_.table).filter(_.matches(pat))
+      .foreach(t => dropStage(spark, t, table))
   }
 
   /** Swap the fully-written stage table `tmp` over `table`.
@@ -112,8 +147,41 @@ object TableSwap {
           false
       }
     if (moved) {
-      if (partitioned)
+      if (partitioned) {
+        // SET LOCATION moves only the TABLE root; a Hive-style catalog
+        // keeps each partition entry's own location, still pointing
+        // under the OLD root — and MSCK alone never fixes them (SYNC
+        // skips specs that already exist and only drops specs whose
+        // directories are GONE, which the old ones are not yet), so
+        // after the old-root delete every read would return 0 rows.
+        // Repoint each owned partition to the same relative path under
+        // the new root FIRST (alterPartitions is metadata-only, and at
+        // every instant each entry points at a complete snapshot — old
+        // or new — so there is no empty-table window), then let MSCK
+        // reconcile partitions that appeared/disappeared in the
+        // compacted snapshot. Partitions at custom locations outside
+        // the old root are not owned by the swap and are left alone.
+        val cat = spark.sessionState.catalog
+        // normalized comparison (the catalog may spell the same local
+        // path file:/x on the table and file:///x on its partitions),
+        // `/`-bounded so a `_stage_1` root never claims a `_stage_10`
+        // partition; the new URI is built through the encoding
+        // constructor so partition values with URI-special characters
+        // survive the decoded-path arithmetic
+        val oldRoot = normLoc(oldLoc)
+        val repointed = cat.listPartitions(ident(table)).flatMap { p =>
+          p.storage.locationUri.collect {
+            case u if normLoc(u).startsWith(oldRoot + "/") =>
+              val rel = u.getPath.stripSuffix("/")
+                .stripPrefix(oldLoc.getPath.stripSuffix("/"))
+              p.copy(storage = p.storage.copy(locationUri = Some(
+                new URI(tmpLoc.getScheme, tmpLoc.getAuthority,
+                  tmpLoc.getPath.stripSuffix("/") + rel, null, null))))
+          }
+        }
+        if (repointed.nonEmpty) cat.alterPartitions(ident(table), repointed)
         spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+      }
       spark.catalog.refreshTable(table)
       try {
         detach(spark, tmp, tmpLoc)

@@ -92,7 +92,7 @@ object XrefStore {
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
     val tmp = TableSwap.stageName(spark, table)
-    TableSwap.dropStage(spark, tmp, table)
+    TableSwap.dropAllStages(spark, table)
     writeMain(readLatest(spark, table), tmp, buckets, SaveMode.Overwrite)
     TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
       writeMain(df, table, buckets, SaveMode.Append))
@@ -104,7 +104,7 @@ object XrefStore {
     // itself has no absent-name window; policy in [[TableSwap]].)
     val rev = reverseTable(table)
     val rtmp = TableSwap.stageName(spark, rev)
-    TableSwap.dropStage(spark, rtmp, rev)
+    TableSwap.dropAllStages(spark, rev)
     // reverse = projection of the already-compacted main: a cheap
     // bucket-local parquet re-read, no second FINAL computation
     writeReverse(Xref.reverse(read(spark, table)), rtmp, buckets,

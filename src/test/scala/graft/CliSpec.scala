@@ -11,11 +11,9 @@ class CliSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def clean(tables: String*): Unit = tables.foreach { name =>
-    // reclaim any versioned stage sibling first (it may share the live
-    // table's current data directory — see TableSwap.dropStage)
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(_.matches(java.util.regex.Pattern.quote(name) + "_stage_\\d+"))
-      .foreach(t => graft.sources.TableSwap.dropStage(spark, t, name))
+    // reclaim any stage sibling first (it may share the live table's
+    // current data directory — see TableSwap.dropAllStages)
+    graft.sources.TableSwap.dropAllStages(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -307,6 +307,24 @@ class PropertySpec extends AnyFunSuite {
       AsofJoin.joinBucketed(bigLeft, bigRight, "k", "ts", hour)
     assert(bigBucketed.exceptAll(bigPlain).isEmpty &&
       bigPlain.exceptAll(bigBucketed).isEmpty, "nano-epoch parity")
+    // Long.MinValue/MaxValue sentinels ("unknown time"): the
+    // (t − pmod) floor-division form underflows LONG here — ANSI mode
+    // throws, non-ANSI silently mis-buckets — so bucketOf must stay
+    // exact at the extremes (r8 review). Widths chosen to not divide
+    // 2^63 so the remainder correction actually fires.
+    val extRight = Seq((0L, Long.MinValue, "sentinel"),
+      (0L, -3L, "neg"), (0L, 5L, "pos"), (0L, Long.MaxValue - 1, "top"))
+      .toDF("k", "ts", "payload")
+    val extLeft = Seq((0L, Long.MinValue + 1, 1L), (0L, -1L, 2L),
+      (0L, 6L, 3L), (0L, Long.MaxValue, 4L)).toDF("k", "ts", "tag")
+    val extPlain = AsofJoin.join(extLeft, extRight, "k", "ts")
+    for (width <- Seq(3L, 7L, 1000000007L)) {
+      val extBucketed =
+        AsofJoin.joinBucketed(extLeft, extRight, "k", "ts", width)
+      assert(extBucketed.exceptAll(extPlain).isEmpty &&
+        extPlain.exceptAll(extBucketed).isEmpty,
+        s"width=$width diverges at Long.MinValue/MaxValue ts")
+    }
   }
 
   test("exact dedup partitions docs by normalized text (one batched job)") {

@@ -23,9 +23,7 @@ class SourcesSpec extends AnyFunSuite {
   private def dropTable(name: String): Unit = {
     // stage siblings (versioned since r8) may share the live table's
     // current data directory — reclaim through the guard, then drop
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(_.matches(java.util.regex.Pattern.quote(name) + "_stage_\\d+"))
-      .foreach(t => graft.sources.TableSwap.dropStage(spark, t, name))
+    graft.sources.TableSwap.dropAllStages(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = new java.io.File("/tmp/graft_warehouse")
     Option(wh.listFiles()).getOrElse(Array.empty)
@@ -97,6 +95,22 @@ class SourcesSpec extends AnyFunSuite {
         s"compact $i did not take the no-absent-window path: ${liveLoc()}")
       assert(!spark.catalog.tableExists(s"stmt_swap_stage_$i"),
         s"stage entry $i left attached after a clean swap")
+      // every partition entry must sit under the live root: a
+      // Hive-style catalog keeps per-partition locations on SET
+      // LOCATION, and a spec still pointing under the (deleted) old
+      // root reads 0 rows with no error. Compared through normLoc —
+      // the catalog spells the same local path file:/x on the table
+      // and file:///x on its partitions.
+      val root = graft.sources.TableSwap.normLoc(
+        java.net.URI.create(liveLoc()))
+      spark.sessionState.catalog
+        .listPartitions(TableIdentifier("stmt_swap")).foreach { p =>
+          val loc = p.storage.locationUri
+            .map(graft.sources.TableSwap.normLoc).getOrElse("")
+          assert(loc.startsWith(root + "/"),
+            s"partition ${p.spec} points outside the live root after " +
+              s"compact $i: $loc !under $root")
+        }
       val fin = StatementStore.readFinal(spark, "stmt_swap")
       assert(fin.count() == 3 && fin.filter(col("dataset") === "ds1").count() == 3)
     }
@@ -109,6 +123,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("stmt_swap_stage_9"))
     assert(StatementStore.readFinal(spark, "stmt_swap").count() == 3,
       "dropStage deleted live rows through a shared-location stage entry")
+    // stranded-stage recovery: a crash after SET LOCATION leaves the
+    // live table sharing a directory with a stage entry whose VERSION
+    // the next compact does not target (it stages into N+1), so
+    // reclaiming only the next name (the pre-r8-review behavior)
+    // stranded the shared entry forever — compact must reclaim ALL
+    // stage siblings through the detach guard
+    spark.sql("CREATE TABLE stmt_swap_stage_2 (x INT) USING parquet")
+    spark.sql(s"ALTER TABLE stmt_swap_stage_2 SET LOCATION '${liveLoc()}'")
+    StatementStore.compact(spark, "stmt_swap", buckets = 4)
+    assert(!spark.catalog.tableExists("stmt_swap_stage_2"),
+      "compact stranded a live-sharing stage entry from a prior crash")
+    assert(StatementStore.readFinal(spark, "stmt_swap").count() == 3,
+      "reclaiming the stranded stage entry deleted live rows")
     dropTable("stmt_swap")
   }
 
