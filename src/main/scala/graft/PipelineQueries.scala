@@ -111,12 +111,12 @@ object PipelineQueries {
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(docs(s, dir), numHashes = 12, rowsPerBand = 2)
 
-  /** DuckDB twin: recursive transitive closure over the symmetric LSH
-    * pair graph; cluster canonical = min reachable doc_id.
+  /** Recursive transitive closure over the symmetric LSH pair graph;
+    * cluster canonical = min reachable doc_id. Shared by the d6/d6b and
+    * d8 oracles.
     */
-  val d6Sql: String =
-    s"""WITH RECURSIVE $d3PairsCte,
-       |cedges AS (
+  private val d6ClusterCte: String =
+    s"""cedges AS (
        |  SELECT left_id AS src, right_id AS dst FROM lshpairs
        |  UNION SELECT right_id, left_id FROM lshpairs),
        |reach(id, r) AS (
@@ -124,7 +124,12 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.src, r.r FROM cedges e JOIN reach r ON e.dst = r.id),
        |mapping AS (
-       |  SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+       |  SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)"""
+      .stripMargin
+
+  val d6Sql: String =
+    s"""WITH RECURSIVE $d3PairsCte,
+       |$d6ClusterCte
        |SELECT d.doc_id,
        |  COALESCE(m.label, d.doc_id) AS canonical_doc_id,
        |  d.doc_id <> COALESCE(m.label, d.doc_id) AS is_duplicate
@@ -139,6 +144,30 @@ object PipelineQueries {
   def d6bDedupClustersStars(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(docs(s, dir), numHashes = 12, rowsPerBand = 2,
       components = df => graft.operators.Components.minLabelStars(df))
+
+  /** d8 — canonical-document selection over the d6 clusters: keep the
+    * longest doc per near-dup cluster (ties → smallest doc_id), flag
+    * the rest. The post-dedup retention decision every training
+    * pipeline makes; see [[Dedup.keepBest]] for the scale argument.
+    */
+  def d8DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.keepBest(d,
+      Dedup.nearDupClusters(d, numHashes = 12, rowsPerBand = 2))
+  }
+
+  val d8Sql: String =
+    s"""WITH RECURSIVE $d3PairsCte,
+       |$d6ClusterCte,
+       |lab AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(m.label, d.doc_id) AS canonical_doc_id,
+       |    CAST(length(d.text) AS BIGINT) AS n_chars
+       |  FROM documents d LEFT JOIN mapping m ON d.doc_id = m.id)
+       |SELECT doc_id, canonical_doc_id, n_chars,
+       |  ROW_NUMBER() OVER (PARTITION BY canonical_doc_id
+       |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |FROM lab""".stripMargin
 
   def d4DedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir))
@@ -529,6 +558,27 @@ object PipelineQueries {
        |SELECT source, term, n_docs, n_sources, round(lift, 6) AS lift, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** t9 — context-window chunking: 64-token windows, stride 48 (16
+    * tokens of overlap), the prep step that turns documents into
+    * training-sequence-sized pieces. Zero-shuffle scan fan-out; see
+    * [[TextAnalysis.chunk]].
+    */
+  def t9Chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(docs(s, dir), chunkTokens = 64, stride = 48)
+
+  val t9Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |ex AS (
+       |  SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS start
+       |  FROM toks WHERE len(ws) > 0)
+       |SELECT doc_id,
+       |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(ws, start + 1, start + 64), ' ')
+       |    AS chunk_text,
+       |  CAST(least(64, len(ws) - start) AS BIGINT) AS n_chunk_tokens
+       |FROM ex""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -582,6 +632,7 @@ object PipelineQueries {
     "d6b_dedup_clusters_stars" -> (d6bDedupClustersStars _),
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
     "d7_sample_stratified" -> (d7SampleStratified _),
+    "d8_dedup_keep_best" -> (d8DedupKeepBest _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -594,6 +645,7 @@ object PipelineQueries {
     "t6_pii_scrub" -> (t6PiiScrub _),
     "t7_repetition" -> (t7Repetition _),
     "t8_distinctive_terms" -> (t8DistinctiveTerms _),
+    "t9_chunking" -> (t9Chunking _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _)
   )
@@ -608,6 +660,7 @@ object PipelineQueries {
     "d6b_dedup_clusters_stars" -> d6Sql,
     "d5_dedup_embedding" -> d5Sql,
     "d7_sample_stratified" -> d7Sql,
+    "d8_dedup_keep_best" -> d8Sql,
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
@@ -619,6 +672,7 @@ object PipelineQueries {
     "t6_pii_scrub" -> t6Sql,
     "t7_repetition" -> t7Sql,
     "t8_distinctive_terms" -> t8Sql,
+    "t9_chunking" -> t9Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql
   )

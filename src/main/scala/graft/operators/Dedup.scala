@@ -444,4 +444,31 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("left_id"), col("right_id"), col("cos"))
   }
+
+  /** d8 — canonical-document selection, the step a training pipeline
+    * runs right after near-dup clustering: keep ONE representative per
+    * cluster (the longest document; ties broken by smallest doc_id so
+    * the choice is deterministic) and flag the rest for dropping.
+    * `clusters` is [[nearDupClusters]] output (doc_id,
+    * canonical_doc_id, is_duplicate).
+    *
+    * Scale: documents are reduced to (doc_id, n_chars) BEFORE the
+    * join — text never shuffles — and the representative choice is one
+    * row_number window on the cluster label. Cluster sizes are bounded
+    * upstream by the LSH block guard (maxBucket), so the window
+    * partition can't become a hot key; singleton docs (the vast
+    * majority) pass through the same single shuffle.
+    */
+  def keepBest(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = documents.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"))
+    val w = Window.partitionBy(col("canonical_doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.select(col("doc_id"), col("canonical_doc_id"))
+      .join(sized, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("canonical_doc_id"), col("n_chars"),
+        col("keep"))
+  }
 }

@@ -377,4 +377,44 @@ object TextAnalysis {
       .select(col("source"), col("term"), col("n_docs"), col("n_sources"),
         round(col("lift"), 6).as("lift"), col("rank"))
   }
+
+  /** t9 — context-window chunking: split each document into fixed-size
+    * token windows with overlap (`stride` < `chunkTokens` overlaps
+    * consecutive chunks by `chunkTokens - stride` tokens), the standard
+    * prep step that turns variable-length documents into
+    * training-sequence-sized pieces. Chunk starts are 0, stride,
+    * 2·stride, … while < n_tokens; a document shorter than one window
+    * yields a single short chunk; an empty document yields none.
+    *
+    * Scale: `sequence` + `explode` inside one scan projection — zero
+    * shuffle, and rows only ever fan OUT (each task keeps its own
+    * documents' chunks), so throughput stays scan-bound at any corpus
+    * size. The token array is built once per row and sliced per chunk;
+    * chunk count per doc is ⌈n/stride⌉, so output size is
+    * ~(chunkTokens/stride)× the corpus — the caller's overlap choice,
+    * not an engine blow-up.
+    */
+  def chunk(documents: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val withWs = documents.select(col("doc_id"),
+      Dedup.words(col("text")).as("ws"))
+    val n = size(col("ws"))
+    // sequence() needs start <= stop for ascending steps; the n = 0
+    // case gets an empty array, which explode() then drops entirely
+    val starts = when(n > lit(0),
+      sequence(lit(0), n - lit(1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    withWs
+      .select(col("doc_id"), col("ws"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        // starts are exact multiples of stride, so double division is
+        // exact here; cast to long for the engine-portable schema
+        (col("start") / lit(stride)).cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"), col("start") + lit(1),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), size(col("ws")) - col("start"))
+          .cast("long").as("n_chunk_tokens"))
+  }
 }

@@ -543,4 +543,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("sa").getDouble(4) == 2.0)
     assert(out("sa").getLong(3) == 1) // n_sources
   }
+
+  test("d8 keep-best: longest doc wins its cluster, ties break by id") {
+    import spark.implicits._
+    // {1,2,3} cluster via exact dup text (2 padded longer → the keeper
+    // despite canonical label 1); {4} singleton keeps itself; {5,6}
+    // equal length → smaller id 5 keeps
+    val df = Seq(
+      (1L, "one two three four five six", "s"),
+      (2L, "one two three four five six padded", "s"),
+      (3L, "one two three four five six", "s"),
+      (4L, "alpha beta gamma delta epsilon zeta", "s"),
+      (5L, "red green blue cyan magenta yellow", "s"),
+      (6L, "red green blue cyan magenta yellow", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.keepBest(df, Dedup.nearDupClusters(df)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(2L) == (1L, true) && out(1L) == (1L, false) &&
+      out(3L) == (1L, false))
+    assert(out(4L) == (4L, true))
+    assert(out(5L) == (5L, true) && out(6L) == (5L, false))
+    // retention invariant: exactly one keeper per cluster
+    assert(out.values.count(_._2) == 3)
+  }
+
+  test("t9 chunking: window geometry, overlap, and tail are exact") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; the last chunk
+    // is the 1-token tail; empty doc yields no chunks
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "s"),
+      (2L, "   ", "s")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.chunk(df, chunkTokens = 4, stride = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(out.size == 4)
+    assert(out(0L) == ("t0 t1 t2 t3", 4L))
+    assert(out(1L) == ("t3 t4 t5 t6", 4L)) // one-token overlap
+    assert(out(2L) == ("t6 t7 t8 t9", 4L))
+    assert(out(3L) == ("t9", 1L)) // tail shorter than the window
+    // every token is covered by at least one chunk
+    val covered = out.values.flatMap(_._1.split(" ")).toSet
+    assert(covered == (0 to 9).map(i => s"t$i").toSet)
+  }
+
+  test("t9 chunking is a zero-shuffle scan fan-out") {
+    val plan = TextAnalysis.chunk(docs, 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"t9 must not shuffle — chunking is per-row fan-out:\n$plan")
+  }
 }

@@ -96,7 +96,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // patch join) — NOT a range-join blowup; d6b's tail matches d6
     Shape("q20b_asof_bucketed", maxShuffles = 6, minBroadcasts = 1,
       minPushedScans = 4),
-    Shape("d6b_dedup_clusters_stars", maxShuffles = 2))
+    Shape("d6b_dedup_clusters_stars", maxShuffles = 2),
+    // r8: d8 = d6's 2-shuffle tail + the (doc_id, n_chars) attach +
+    // one row_number window on the cluster label; the attach join is
+    // AQE-broadcast at test SF but full-size-vs-full-size at scale, so
+    // the ceiling leaves room for its shuffle form — the pin catches a
+    // regression that carries TEXT through the window or re-runs the
+    // component loop
+    Shape("d8_dedup_keep_best", maxShuffles = 5),
+    // r8: chunking must stay a per-row scan fan-out — any Exchange
+    // means someone "optimized" it into a shuffle
+    Shape("t9_chunking", maxShuffles = 0))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
