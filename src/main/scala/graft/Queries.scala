@@ -576,6 +576,40 @@ object Queries {
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
       .stripMargin
 
+  /** q21 — pivot: yearly order totals spread across status columns,
+    * expressed as conditional sums over the EXPLICIT value domain —
+    * ONE hash aggregate (map-side partial, one shuffle on the group
+    * key, spec-pinned). Spark's own `.pivot(col, values)` API was
+    * measured and rejected for the hot path: even with the value list
+    * given it plans TWO aggregates (groupBy(year, status) then
+    * PivotFirst over the pairs — a second exchange for nothing at this
+    * cardinality), and without the list it adds a distinct-values
+    * collect job before the plan can even build. The conditional-sum
+    * form is what a pivot IS to a columnar engine; DuckDB's oracle
+    * states it the same way.
+    */
+  def q21Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    def cell(status: String): Column =
+      (sum(when($"o_orderstatus" === status, cents($"o_totalprice")))
+        / 100.0).as(s"${status.toLowerCase}_total")
+    t(s, dir, "orders")
+      .withColumn("o_year", year($"o_orderdate").cast("bigint"))
+      .groupBy($"o_year")
+      .agg(cell("F"), cell("O"), cell("P"))
+  }
+
+  val q21Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS f_total,
+      |  SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS o_total,
+      |  SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS p_total
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ===========================================================
   // FTM statement-store semantics (SURVEY.md §2, f-block)
   // ===========================================================
@@ -1240,6 +1274,7 @@ object Queries {
     "q19_sessionize" -> (q19Sessionize _),
     "q20_asof_join" -> (q20AsofJoin _),
     "q20b_asof_bucketed" -> (q20bAsofBucketed _),
+    "q21_pivot" -> (q21Pivot _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1284,6 +1319,7 @@ object Queries {
     "q19_sessionize" -> q19Sql,
     "q20_asof_join" -> q20Sql,
     "q20b_asof_bucketed" -> q20Sql,
+    "q21_pivot" -> q21Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -341,4 +341,59 @@ class PropertySpec extends AnyFunSuite {
       assert(g.map(_._2).head == g.map(_._1).min)
     }
   }
+
+  test("t9 chunking reconstructs the token stream on random docs (one batched job)") {
+    import spark.implicits._
+    val texts = Gen.listOfN(120, textGen).sample.get
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "s") }
+      .toDF("doc_id", "text", "source")
+    // stride == chunkTokens → zero overlap, so per-doc chunk concat in
+    // chunk_idx order must equal the tokenization exactly
+    val out = graft.operators.TextAnalysis
+      .chunk(df, chunkTokens = 5, stride = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = out.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+      val got = chunks.flatMap(_._3.split(" ").filter(_.nonEmpty)).toSeq
+      assert(got == want, s"doc $i: reconstruction mismatch")
+      // every chunk except possibly the last is full; token counts add up
+      chunks.dropRight(1).foreach(c => assert(c._4 == 5L))
+      assert(chunks.map(_._4).sum == want.length)
+    }
+  }
+
+  test("d8 keep-best: one keeper per cluster, keeper maximal (one batched job)") {
+    import spark.implicits._
+    // duplicate-heavy corpus: few distinct texts at random paddings so
+    // LSH forms multi-doc clusters with length variety
+    val base = Seq("one two three four five six",
+      "alpha beta gamma delta epsilon zeta",
+      "red green blue cyan magenta yellow")
+    val docsGen = Gen.listOfN(60, for {
+      b <- Gen.oneOf(base)
+      pad <- Gen.choose(0, 3)
+    } yield b + (" pad" * pad))
+    val texts = docsGen.sample.get
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val rows = graft.operators.Dedup
+      .keepBest(df, Dedup.nearDupClusters(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.groupBy(_._2).foreach { case (_, cluster) =>
+      val keepers = cluster.filter(_._4)
+      assert(keepers.length == 1, "exactly one keeper per cluster")
+      val k = keepers.head
+      // keeper is maximal by (n_chars, -doc_id): no member is longer,
+      // and among equal lengths the keeper has the smallest id
+      assert(cluster.forall(m => m._3 < k._3 ||
+        (m._3 == k._3 && m._1 >= k._1)))
+    }
+    // retention never loses a doc: every input row appears exactly once
+    assert(rows.map(_._1).sorted.toSeq == texts.indices.map(_.toLong))
+  }
 }

@@ -122,6 +122,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.select("purchase_id").distinct().count() == out.count())
   }
 
+  test("q21 pivot: cells match the filtered aggregate, one shuffle") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.q21Pivot(spark, sf)
+    // a pivot cell must equal the corresponding filtered group sum
+    val orders = Tables.load(spark, sf, "orders")
+    val expect = orders
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+        .as("f_total"))
+    val joined = out.select("o_year", "f_total")
+      .join(expect.withColumnRenamed("f_total", "want"), Seq("o_year"))
+    assert(joined.filter(col("f_total") =!= col("want")).count() == 0)
+    // explicit-values pivot = ONE aggregate exchange, no collect job
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"pivot must stay a single-shuffle aggregate")
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
