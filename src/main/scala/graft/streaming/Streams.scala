@@ -133,6 +133,41 @@ object Streams {
         finally { batch.unpersist(); () }
     }
 
+  /** st10 — streaming contamination guard: every incoming document is
+    * scored against a STATIC probe n-gram set (the eval/benchmark
+    * suite) as it arrives — the continuous-ingest face of batch t5,
+    * gating training data BEFORE it lands instead of auditing it
+    * after.
+    *
+    * Scale shape: the probe grams are collected ONCE at stream build
+    * into a sorted hash array (bounded: probe sets are eval-suite
+    * sized — exactly batch t5's broadcast regime; for probe sets past
+    * broadcast comfort the batch path with its bloom pushdown is the
+    * tool), and each document is scored by ONE compiled per-row pass —
+    * `graft_ngram_hashes` (sorted, deduped) merged against the probe
+    * array by the native sorted-intersect. Stateless: no watermark, no
+    * shuffle, no state store — a micro-batch is a scan projection, so
+    * stream throughput equals batch scan throughput.
+    */
+  def contaminationStream(
+      docs: DataFrame, probes: DataFrame, n: Int = 5): DataFrame = {
+    import graft.functions.{NgramHashesExpression, SortedIntersectSizeExpression}
+    val probeArr: Array[Long] = probes
+      .select(explode(NgramHashesExpression.ngramHashes(
+        graft.operators.Dedup.words(col("text")), n, seed = 0)).as("h"))
+      .distinct().orderBy(col("h"))
+      .collect().map(_.getLong(0))
+    // ngramHashes emits hashes in document order — sort per row so the
+    // linear merge sees two sorted arrays
+    val sortedGrams = array_sort(array_distinct(
+      NgramHashesExpression.ngramHashes(
+        graft.operators.Dedup.words(col("text")), n, seed = 0)))
+    docs.select(col("doc_id"), col("ts"),
+      SortedIntersectSizeExpression.sortedIntersectSize(
+        sortedGrams, typedLit(probeArr)).as("n_overlapping"))
+      .filter(col("n_overlapping") > 0)
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

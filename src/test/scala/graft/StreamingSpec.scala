@@ -292,4 +292,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions.contains((7L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("st10 streaming contamination guard matches batch t5, keeps no state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val probes = Seq(
+      (1L, "quick brown fox jumps over the lazy dog end", "s"))
+      .toDF("doc_id", "text", "source")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docRows = Seq(
+      (10L, t0, "the quick brown fox jumps over the lazy dog today"),
+      (11L, t0, "completely different content sharing no phrases at all"),
+      (12L, t0, "quick brown fox jumps over the lazy dog end of story"))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.Streams
+      .contaminationStream(in.toDF().toDF("doc_id", "ts", "text"), probes,
+        n = 5)
+      .writeStream.format("memory").queryName("st10_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(docRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("st10_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // parity with the batch operator on identical inputs
+      val batch = graft.operators.TextAnalysis.contamination(
+        docRows.toDF("doc_id", "ts", "text"), probes, n = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.contains(10L) && got.contains(12L) && !got.contains(11L))
+      // stateless by design: no state-store operators in the query
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "contamination guard must not register state operators")
+    } finally q.stop()
+  }
 }
