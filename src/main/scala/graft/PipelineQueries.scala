@@ -579,6 +579,26 @@ object PipelineQueries {
        |  CAST(least(64, len(ws) - start) AS BIGINT) AS n_chunk_tokens
        |FROM ex""".stripMargin
 
+  /** t10 — unigram-LM surprisal quality score; see
+    * [[TextAnalysis.unigramSurprisal]] for the scale argument (term
+    * stats through the term-grain window, never a vocabulary
+    * broadcast).
+    */
+  def t10UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(docs(s, dir))
+
+  val t10Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${duckWords("text")}) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term,
+       |    COUNT(*) OVER (PARTITION BY term) AS tf FROM toks)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  round(AVG(-ln(CAST(tf AS DOUBLE) /
+       |    (SELECT COUNT(*) FROM toks))), 6) AS surprisal
+       |FROM tf GROUP BY doc_id""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -646,6 +666,7 @@ object PipelineQueries {
     "t7_repetition" -> (t7Repetition _),
     "t8_distinctive_terms" -> (t8DistinctiveTerms _),
     "t9_chunking" -> (t9Chunking _),
+    "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _)
   )
@@ -673,6 +694,7 @@ object PipelineQueries {
     "t7_repetition" -> t7Sql,
     "t8_distinctive_terms" -> t8Sql,
     "t9_chunking" -> t9Sql,
+    "t10_unigram_surprisal" -> t10Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql
   )

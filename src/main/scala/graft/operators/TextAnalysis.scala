@@ -378,6 +378,36 @@ object TextAnalysis {
         round(col("lift"), 6).as("lift"), col("rank"))
   }
 
+  /** t10 — unigram-LM surprisal: per-document average −ln p(term)
+    * under the corpus's own unigram model — the deterministic stand-in
+    * for the LM-perplexity quality filters (CCNet-style) a training
+    * pipeline runs: boilerplate and template text score LOW (frequent
+    * terms), gibberish and OCR noise score HIGH (rare terms), and both
+    * tails get reviewed before training.
+    *
+    * Scale shape — the t8 lesson applied: corpus term frequencies are
+    * vocabulary-sized (they GROW with the corpus), so they attach via
+    * a window inside the one term-grain exchange, never a rollup that
+    * is joined or broadcast back; the corpus token total is ONE row
+    * and stays a broadcast. Two shuffles total (term grain, then doc
+    * grain re-assembly), both map-side combinable.
+    */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      explode(Dedup.words(col("text"))).as("term"))
+    // count(*) over the term partition = corpus term frequency,
+    // attached to every occurrence inside the term exchange
+    val tf = toks.withColumn("tf",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val total = toks.agg(count(lit(1)).as("n_total_tokens"))
+    tf.crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") /
+          col("n_total_tokens").cast("double"))), 6).as("surprisal"))
+  }
+
   /** t9 — context-window chunking: split each document into fixed-size
     * token windows with overlap (`stride` < `chunkTokens` overlaps
     * consecutive chunks by `chunkTokens - stride` tokens), the standard

@@ -544,6 +544,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("sa").getLong(3) == 1) // n_sources
   }
 
+  test("t10 surprisal: uniform corpus scores ln(V), rare terms score higher") {
+    import spark.implicits._
+    // 4 docs over a 4-term uniform vocabulary: every term has p = 1/4,
+    // so every doc's surprisal is exactly ln(4); a 5th doc introduces
+    // a hapax (p = 1/9 after it joins) and must score strictly higher
+    val uniform = Seq((1L, "aa bb", "s"), (2L, "cc dd", "s"),
+      (3L, "aa cc", "s"), (4L, "bb dd", "s"))
+      .toDF("doc_id", "text", "source")
+    val u = graft.operators.TextAnalysis.unigramSurprisal(uniform)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ln4 = BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u.values.forall(_ == ln4), s"uniform corpus must score ln(4): $u")
+    val withRare = uniform.union(
+      Seq((5L, "zz", "s")).toDF("doc_id", "text", "source"))
+    val r = graft.operators.TextAnalysis.unigramSurprisal(withRare)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(5L) > r(1L), "hapax doc must out-score common-term docs")
+    // empty-text docs produce no tokens and no output row
+    val withEmpty = uniform.union(
+      Seq((9L, "   ", "s")).toDF("doc_id", "text", "source"))
+    assert(graft.operators.TextAnalysis.unigramSurprisal(withEmpty)
+      .filter(col("doc_id") === 9L).count() == 0)
+  }
+
   test("d8 keep-best: longest doc wins its cluster, ties break by id") {
     import spark.implicits._
     // {1,2,3} cluster via exact dup text (2 padded longer → the keeper

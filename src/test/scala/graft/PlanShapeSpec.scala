@@ -106,7 +106,12 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("d8_dedup_keep_best", maxShuffles = 5),
     // r8: chunking must stay a per-row scan fan-out — any Exchange
     // means someone "optimized" it into a shuffle
-    Shape("t9_chunking", maxShuffles = 0))
+    Shape("t9_chunking", maxShuffles = 0),
+    // r8: term frequencies attach via the term-grain window (never a
+    // vocabulary rollup joined/broadcast back); the only broadcast is
+    // the 1-row token total. 3 shuffles: term window, total agg, doc
+    // re-assembly
+    Shape("t10_unigram_surprisal", maxShuffles = 3, minBroadcasts = 1))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
