@@ -577,7 +577,8 @@ object PipelineQueries {
        |  array_to_string(list_slice(ws, start + 1, start + 64), ' ')
        |    AS chunk_text,
        |  CAST(least(64, len(ws) - start) AS BIGINT) AS n_chunk_tokens
-       |FROM ex""".stripMargin
+       |FROM ex
+       |WHERE start = 0 OR start + 16 < len(ws)""".stripMargin
 
   /** t10 — unigram-LM surprisal quality score; see
     * [[TextAnalysis.unigramSurprisal]] for the scale argument (term

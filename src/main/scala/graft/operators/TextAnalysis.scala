@@ -142,13 +142,20 @@ object TextAnalysis {
     * probe-gram count that sizes the filter is only paid once the
     * large-probe regime is entered.
     */
+  /** The ONE definition of contamination gram hashing (tokenizer +
+    * n-gram + seed), shared by batch [[contamination]] and the
+    * streaming guard ([[graft.streaming.Streams.contaminationStream]])
+    * so their parity cannot drift from a one-sided tweak (r8 review).
+    */
+  private[graft] def gramHashesCol(n: Int): Column =
+    graft.functions.NgramHashesExpression.ngramHashes(
+      Dedup.words(col("text")), n, seed = 0)
+
   def contamination(
       corpus: DataFrame, probes: DataFrame, n: Int = 8,
       bloom: Option[Boolean] = None, bloomFpp: Double = 0.01): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        explode(graft.functions.NgramHashesExpression.ngramHashes(
-          Dedup.words(col("text")), n, seed = 0)).as("h"))
+      .select(col("doc_id"), explode(gramHashesCol(n)).as("h"))
     val probeGrams = grams(probes).select(col("h")).distinct()
     val corpusGrams = grams(corpus)
     val engage = bloom.getOrElse {
@@ -400,6 +407,16 @@ object TextAnalysis {
     // attached to every occurrence inside the term exchange
     val tf = toks.withColumn("tf",
       count(lit(1)).over(Window.partitionBy(col("term"))))
+    // The 1-row token total re-derives from toks (a second scan +
+    // tokenize, map-side-combined to a few bytes of shuffle). The
+    // tempting avg(−ln(tf/T)) = avg(−ln tf) + ln T rewrite — deriving
+    // T from the doc-grain aggregate so "nothing scans twice" — was
+    // MEASURED and rejected: Spark does not reuse the duplicated
+    // aggregate subtree (0 ReusedExchange in the executed plan, AQE
+    // included), so that form re-runs the full term-grain WINDOW stage
+    // twice — the whole token stream shuffled again — to save a scan.
+    // Duplicating the scan+explode is the cheaper redundancy; the
+    // window exchange stays paid exactly once.
     val total = toks.agg(count(lit(1)).as("n_total_tokens"))
     tf.crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
@@ -432,9 +449,19 @@ object TextAnalysis {
       Dedup.words(col("text")).as("ws"))
     val n = size(col("ws"))
     // sequence() needs start <= stop for ascending steps; the n = 0
-    // case gets an empty array, which explode() then drops entirely
+    // case gets an empty array, which explode() then drops entirely.
+    // A start > 0 whose window adds NOTHING beyond the previous one is
+    // dropped: the chunk at s covers tokens (s, min(s+chunk, n)], the
+    // one before it reaches min(s − stride + chunk, n), so s is
+    // redundant exactly when n ≤ s + (chunk − stride) — without the
+    // filter every doc with n mod stride in (0, chunk − stride] emits
+    // a tail chunk FULLY CONTAINED in its predecessor, i.e. a
+    // training-sequence prep operator that injects duplicates (r8
+    // review).
+    val overlap = chunkTokens - stride
     val starts = when(n > lit(0),
-      sequence(lit(0), n - lit(1), lit(stride)))
+      filter(sequence(lit(0), n - lit(1), lit(stride)),
+        s => s === 0 || s + lit(overlap) < n))
       .otherwise(array().cast("array<int>"))
     withWs
       .select(col("doc_id"), col("ws"), explode(starts).as("start"))

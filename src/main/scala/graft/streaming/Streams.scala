@@ -150,18 +150,20 @@ object Streams {
     * stream throughput equals batch scan throughput.
     */
   def contaminationStream(
-      docs: DataFrame, probes: DataFrame, n: Int = 5): DataFrame = {
-    import graft.functions.{NgramHashesExpression, SortedIntersectSizeExpression}
+      docs: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.SortedIntersectSizeExpression
+    import graft.operators.TextAnalysis.gramHashesCol
+    // default n matches batch contamination EXACTLY — a caller pairing
+    // the batch audit with the streaming guard on defaults must get
+    // the same gram size (r8 review); the hashing itself is the shared
+    // gramHashesCol definition, so parity cannot drift one-sided
     val probeArr: Array[Long] = probes
-      .select(explode(NgramHashesExpression.ngramHashes(
-        graft.operators.Dedup.words(col("text")), n, seed = 0)).as("h"))
+      .select(explode(gramHashesCol(n)).as("h"))
       .distinct().orderBy(col("h"))
       .collect().map(_.getLong(0))
     // ngramHashes emits hashes in document order — sort per row so the
     // linear merge sees two sorted arrays
-    val sortedGrams = array_sort(array_distinct(
-      NgramHashesExpression.ngramHashes(
-        graft.operators.Dedup.words(col("text")), n, seed = 0)))
+    val sortedGrams = array_sort(array_distinct(gramHashesCol(n)))
     docs.select(col("doc_id"), col("ts"),
       SortedIntersectSizeExpression.sortedIntersectSize(
         sortedGrams, typedLit(probeArr)).as("n_overlapping"))

@@ -594,21 +594,32 @@ class PipelineSpec extends AnyFunSuite {
 
   test("t9 chunking: window geometry, overlap, and tail are exact") {
     import spark.implicits._
-    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; the last chunk
-    // is the 1-token tail; empty doc yields no chunks
+    // 10 tokens, window 4, stride 3 → raw starts 0,3,6,9 — but the
+    // start-9 chunk would be token t9 alone, FULLY contained in the
+    // start-6 chunk (t6..t9), so it must be suppressed: a redundant
+    // tail would inject duplicate training sequences (r8 review)
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "s"),
       (2L, "   ", "s")).toDF("doc_id", "text", "source")
     val out = TextAnalysis.chunk(df, chunkTokens = 4, stride = 3)
       .collect().map(r => r.getLong(1) ->
         (r.getString(2), r.getLong(3))).toMap
-    assert(out.size == 4)
+    assert(out.size == 3)
     assert(out(0L) == ("t0 t1 t2 t3", 4L))
     assert(out(1L) == ("t3 t4 t5 t6", 4L)) // one-token overlap
     assert(out(2L) == ("t6 t7 t8 t9", 4L))
-    assert(out(3L) == ("t9", 1L)) // tail shorter than the window
     // every token is covered by at least one chunk
     val covered = out.values.flatMap(_._1.split(" ")).toSet
     assert(covered == (0 to 9).map(i => s"t$i").toSet)
+    // a short tail that DOES extend coverage still appears: 5 tokens,
+    // starts 0 and 3, the 2-token tail reaches t4
+    val tail = TextAnalysis.chunk(
+      Seq((3L, "t0 t1 t2 t3 t4", "s")).toDF("doc_id", "text", "source"),
+      chunkTokens = 4, stride = 3)
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(tail == Map(0L -> ("t0 t1 t2 t3", 4L), 1L -> ("t3 t4", 2L)))
+    // no chunk is ever fully contained in its predecessor
+    assert(tail.values.forall(_._2 >= 1))
   }
 
   test("t9 chunking is a zero-shuffle scan fan-out") {

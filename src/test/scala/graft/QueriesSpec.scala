@@ -132,9 +132,13 @@ class QueriesSpec extends AnyFunSuite {
       .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
       .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
         .as("f_total"))
+    // FULL outer + null-SAFE compare: an inner join with =!= would
+    // silently pass a regression that nulls or drops a populated cell
+    // (null =!= x is null → filtered out) — r8 review
     val joined = out.select("o_year", "f_total")
-      .join(expect.withColumnRenamed("f_total", "want"), Seq("o_year"))
-    assert(joined.filter(col("f_total") =!= col("want")).count() == 0)
+      .join(expect.withColumnRenamed("f_total", "want"), Seq("o_year"),
+        "full_outer")
+    assert(joined.filter(!(col("f_total") <=> col("want"))).count() == 0)
     // explicit-values pivot = ONE aggregate exchange, no collect job
     val exchanges = out.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange"))

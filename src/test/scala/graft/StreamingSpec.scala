@@ -321,8 +321,11 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == batch, s"stream $got != batch $batch")
       assert(got.contains(10L) && got.contains(12L) && !got.contains(11L))
-      // stateless by design: no state-store operators in the query
-      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+      // stateless by design: no state-store operators in the query.
+      // recentProgress must be non-empty — Option(...).forall would be
+      // vacuously true when no progress event fired yet (r8 review)
+      assert(q.recentProgress.nonEmpty, "no progress event recorded")
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
         "contamination guard must not register state operators")
     } finally q.stop()
   }
