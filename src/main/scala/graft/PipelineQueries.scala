@@ -366,6 +366,30 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** s4 — int8 scalar quantization error audit over the embeddings
+    * table; see [[Similarity.quantize]]. Zero-shuffle scan projection.
+    */
+  def s4EmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantize(emb(s, dir))
+
+  val s4Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, v, list_min(v) AS mn,
+       |    (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+       |err AS (
+       |  SELECT vec_id, mn, sc,
+       |    CASE WHEN sc > 0 THEN
+       |      list_transform(v, x -> abs(x - (mn + round((x - mn) / sc) * sc)))
+       |    ELSE list_transform(v, x -> 0.0) END AS ae,
+       |    len(v) AS n
+       |  FROM q)
+       |SELECT vec_id, round(mn, 6) AS qmin, round(sc, 6) AS qscale,
+       |  round(list_sum(ae) / greatest(n, 1), 6) AS mean_abs_err,
+       |  round(list_max(ae), 6) AS max_abs_err
+       |FROM err""".stripMargin
+
   // ===========================================================
   // t-block: text analysis
   // ===========================================================
@@ -658,6 +682,7 @@ object PipelineQueries {
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s3b_ann_ivf_agg" -> (s3bAnnIvfAgg _),
+    "s4_embedding_quantize" -> (s4EmbeddingQuantize _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
@@ -686,6 +711,7 @@ object PipelineQueries {
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
+    "s4_embedding_quantize" -> s4Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,

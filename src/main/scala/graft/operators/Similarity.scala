@@ -263,4 +263,44 @@ object Similarity {
     topKPerQuery(
       scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
   }
+
+  /** s4 — scalar int8 quantization of the embedding column: per-vector
+    * min/max affine codes in 0..255 plus reconstruction-error stats.
+    * The ANN memory scale path — float32 embeddings at 100 TB corpus
+    * scale are the dominant storage/shuffle cost of similarity search,
+    * and int8 codes cut that 4× while a spec holds the quantized
+    * search's recall against the exact baseline. Zero shuffle: one
+    * scan projection of per-element arithmetic; the max abs
+    * reconstruction error is ≤ scale/2 BY CONSTRUCTION (round to the
+    * nearest code), which the spec asserts exactly.
+    *
+    * A degenerate constant vector (max = min) gets scale 0 and all-zero
+    * codes — reconstruction is exact.
+    */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    // staged projections (the langId lesson: codegen subexpression
+    // elimination can't dedup higher-order-function trees, so each
+    // array pass is hoisted to run once per row)
+    val withV = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withScale = withV.select(col("vec_id"), col("v"),
+      array_min(col("v")).as("mn"),
+      ((array_max(col("v")) - array_min(col("v"))) / lit(255.0)).as("sc"))
+    val mn = col("mn")
+    val sc = col("sc")
+    // err_i = |x − (mn + round((x−mn)/sc)·sc)| in ONE pass — the code
+    // array itself never materializes here (the caller encoding for
+    // storage would keep it; the stats query only needs the error)
+    val withErr = withScale.select(col("vec_id"), mn, sc,
+      when(sc > lit(0.0), transform(col("v"),
+        x => abs(x - (mn + round((x - mn) / sc) * sc))))
+        .otherwise(transform(col("v"), _ => lit(0.0))).as("ae"),
+      size(col("v")).as("n"))
+    withErr.select(col("vec_id"),
+      round(mn, 6).as("qmin"),
+      round(sc, 6).as("qscale"),
+      round(aggregate(col("ae"), lit(0.0), _ + _) /
+        greatest(col("n"), lit(1)), 6).as("mean_abs_err"),
+      round(array_max(col("ae")), 6).as("max_abs_err"))
+  }
 }

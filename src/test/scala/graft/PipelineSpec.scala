@@ -327,6 +327,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
   }
 
+  test("s4 quantize: error bounded by sc/2, degenerate vector exact, recall holds") {
+    import spark.implicits._
+    // the round-to-nearest-code bound is exact: |err| ≤ sc/2 per dim
+    val out = Similarity.quantize(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (sc, maxErr) = (r.getDouble(2), r.getDouble(4))
+      assert(maxErr <= sc / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: max_abs_err $maxErr > sc/2 ${sc / 2}")
+    }
+    // a constant vector quantizes exactly (scale 0, zero error)
+    val const = Seq((99L, Array(0.5f, 0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val c = Similarity.quantize(const).collect().head
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0 &&
+      c.getDouble(4) == 0.0)
+    // int8 reconstruction preserves neighborhood structure: top-5 by
+    // reconstructed-vector cosine recalls ≥80% of the exact top-5
+    // (the spec that makes "4× smaller at tolerable recall" a claim
+    // with a number instead of folklore)
+    val recon = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), array_min(col("v")).as("mn"),
+        ((array_max(col("v")) - array_min(col("v"))) / lit(255.0)).as("sc"),
+        col("v"))
+      .select(col("vec_id"), transform(col("v"), x =>
+        (col("mn") + round((x - col("mn")) / col("sc")) * col("sc"))
+          .cast("float")).as("embedding"),
+        lit(0).as("label"))
+    val exact = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteTopK(recon,
+      recon.filter(col("vec_id") < 10), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 top-5 recall $recall < 0.8")
+  }
+
   test("t1 lang-id is deterministic and covers every doc") {
     val out = TextAnalysis.langId(docs).collect()
     assert(out.length == docs.count())

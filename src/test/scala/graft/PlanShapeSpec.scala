@@ -111,7 +111,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // vocabulary rollup joined/broadcast back); the only broadcast is
     // the 1-row token total. 3 shuffles: term window, total agg, doc
     // re-assembly
-    Shape("t10_unigram_surprisal", maxShuffles = 3, minBroadcasts = 1))
+    Shape("t10_unigram_surprisal", maxShuffles = 3, minBroadcasts = 1),
+    // r8: quantization is per-row arithmetic — must stay a pure scan
+    Shape("s4_embedding_quantize", maxShuffles = 0))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
