@@ -78,6 +78,31 @@ object PipelineQueries {
        |FROM pairs
        |WHERE CAST(inter AS DOUBLE) / CAST(ln + rn - inter AS DOUBLE) >= 0.9""".stripMargin
 
+  /** d9 — containment (subset/quote) pairs at τ = 0.8; see
+    * [[Dedup.containmentPairs]] for the asymmetric prefix filter.
+    */
+  def d9DedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), minContainment = 0.8)
+
+  val d9Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, list_distinct(${duckWords("text")}) AS ws
+       |  FROM documents),
+       |sized AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n, ws FROM toks),
+       |ex AS (SELECT doc_id, source, n, unnest(ws) AS w FROM sized),
+       |pairs AS (
+       |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       |    l.n AS ln, r.n AS rn, COUNT(*) AS inter
+       |  FROM ex l JOIN ex r
+       |    ON l.source = r.source AND l.w = r.w AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT left_id, right_id,
+       |  round(CAST(inter AS DOUBLE) / CAST(least(ln, rn) AS DOUBLE), 6)
+       |    AS containment
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(least(ln, rn) AS DOUBLE) >= 0.8"""
+      .stripMargin
+
   def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), numHashes = 12, rowsPerBand = 2)
 
@@ -678,6 +703,7 @@ object PipelineQueries {
     "d5_dedup_embedding" -> (d5DedupEmbedding _),
     "d7_sample_stratified" -> (d7SampleStratified _),
     "d8_dedup_keep_best" -> (d8DedupKeepBest _),
+    "d9_dedup_containment" -> (d9DedupContainment _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -708,6 +734,7 @@ object PipelineQueries {
     "d5_dedup_embedding" -> d5Sql,
     "d7_sample_stratified" -> d7Sql,
     "d8_dedup_keep_best" -> d8Sql,
+    "d9_dedup_containment" -> d9Sql,
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,

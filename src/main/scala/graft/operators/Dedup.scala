@@ -85,6 +85,17 @@ object Dedup {
     * arrays are joined only onto the verified-candidate set, which the
     * prefix filter keeps small.
     */
+  /** (doc_id, source, hs: sorted 60-bit token hashes, n: distinct-token
+    * count) — the ONE tokenize+hash+sort scan shared by the set-overlap
+    * operators ([[ngramJaccard]], [[containmentPairs]]) so their
+    * token semantics cannot drift apart.
+    */
+  private def tokenSets(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), col("source"),
+      graft.functions.TokenHashesExpression.tokenHashes(
+        words(col("text")), seed = 0).as("hs"))
+    .withColumn("n", size(col("hs")).cast("long"))
+
   def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Token sets carried as SORTED 60-bit hashes: candidate keys and the
@@ -94,11 +105,7 @@ object Dedup {
     // within-doc hash collision, ~2^-51 per doc, is the only way counts
     // could drift). One compiled pass per row (TokenHashesExpression;
     // [[tokenHashesComposed]] is the spec-asserted parity twin).
-    val toks = documents
-      .select(col("doc_id"), col("source"),
-        graft.functions.TokenHashesExpression.tokenHashes(
-          words(col("text")), seed = 0).as("hs"))
-      .withColumn("n", size(col("hs")).cast("long"))
+    val toks = tokenSets(documents)
     // Three consumers (the prefix/candidate path and both verify sides)
     // each recompute this tokenize+hash+sort scan (0.4s/eval at sf0.1).
     // Measured alternative (rejected): repartition(doc_id) to share one
@@ -137,6 +144,67 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("left_id"), col("right_id"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** d9 — containment pairs: |A∩B| / min(|A|,|B|) ≥ τ within a source
+    * block — the ASYMMETRIC overlap Jaccard structurally misses: a
+    * short document quoted whole inside a long one has containment 1.0
+    * but Jaccard ≈ |B|/|A| (arbitrarily small), so quote/subset dups
+    * sail through d2. The standard second pass of a dedup pipeline.
+    *
+    * Lossless asymmetric prefix filter: for a qualifying pair let B be
+    * the smaller side (ties by id). |A∩B| ≥ ⌈τ·n_B⌉, so by pigeonhole
+    * B's first n_B − ⌈τ·n_B⌉ + 1 tokens in ascending global-df order
+    * contain a shared token. B therefore PROBES only its prefix — but
+    * unlike the Jaccard filter the INDEX side must carry every token
+    * of the larger docs (the shared token can sit anywhere in A). The
+    * join stays bounded because probe prefixes hold each doc's
+    * globally RAREST tokens: a ubiquitous token appears on the index
+    * side with its full df but in almost no probe prefix, so its join
+    * fan-out collapses; candidates are then verified exactly on the
+    * sorted hash arrays. No false negatives (the oracle keeps the
+    * naive all-pairs formulation).
+    */
+  def containmentPairs(
+      documents: DataFrame, minContainment: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenSets(documents)
+    val exploded = toks.select(col("doc_id"), col("source"), col("n"),
+      explode(col("hs")).as("h"))
+    val byDf = Window.partitionBy(col("source"), col("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val probe = exploded
+      .withColumn("df", count(lit(1)).over(byDf))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * minContainment - 1e-9) + 1)
+      .select(col("doc_id").as("probe_id"), col("source"), col("h"),
+        col("n").as("pn"))
+    val indexed = exploded.select(col("doc_id").as("index_id"),
+      col("source"), col("h"), col("n").as("ix_n"))
+    val cands = probe.join(indexed, Seq("source", "h"))
+      // the probe must be the smaller side (ties broken by id) so each
+      // unordered pair is generated from exactly one direction
+      .filter(col("pn") < col("ix_n") ||
+        (col("pn") === col("ix_n") && col("probe_id") < col("index_id")))
+      .select(least(col("probe_id"), col("index_id")).as("left_id"),
+        greatest(col("probe_id"), col("index_id")).as("right_id"))
+      .transform(Fpx.distinctPairs)
+    val lt = toks.select(col("doc_id").as("left_id"),
+      col("hs").as("lhs"), col("n").as("ln"))
+    val rt = toks.select(col("doc_id").as("right_id"),
+      col("hs").as("rhs"), col("n").as("rn"))
+    cands.join(lt, Seq("left_id")).join(rt, Seq("right_id"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSizeExpression
+          .sortedIntersectSize(col("lhs"), col("rhs")))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("ln"), col("rn")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("left_id"), col("right_id"),
+        round(col("containment"), 6).as("containment"))
   }
 
   /** The `functions._`-only twin of the token-hash build inside

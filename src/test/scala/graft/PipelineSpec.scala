@@ -36,6 +36,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0).getDouble(2) == 1.0)
   }
 
+  test("d9 containment: quoted subset scores 1.0 where jaccard misses it") {
+    import spark.implicits._
+    // doc 2 is doc 1 quoted whole inside 3× more text: containment 1.0
+    // but jaccard 5/20 = 0.25 — invisible to d2 at any sane threshold
+    val quote = "alpha bravo charlie delta echo"
+    val long = quote + " " + (1 to 15).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, quote, "s"), (2L, long, "s"),
+      (3L, "unrelated words entirely different content here", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.containmentPairs(df, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)))
+    assert(Dedup.ngramJaccard(df, 0.8).collect().isEmpty,
+      "jaccard at the same threshold must miss the quote pair")
+  }
+
+  test("d9 prefix filter is lossless vs brute force on random corpora") {
+    import spark.implicits._
+    val vocab = (1 to 12).map(i => s"w$i")
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 40).map { i =>
+      val sz = 1 + rnd.nextInt(8)
+      (i.toLong, rnd.shuffle(vocab).take(sz).mkString(" "),
+        if (i % 2 == 0) "a" else "b")
+    }
+    val df = texts.toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(df, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over every same-source pair
+    val docs = texts.map { case (id, t, src) =>
+      (id, src, t.split(" ").toSet) }
+    val want = (for {
+      a <- docs; b <- docs
+      if a._2 == b._2 && a._1 < b._1
+      inter = (a._3 intersect b._3).size
+      c = inter.toDouble / math.min(a._3.size, b._3.size)
+      if c >= 0.7
+    } yield (a._1, b._1,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("d3 minhash-lsh: exact duplicates always collide; has candidates on sf") {
     import spark.implicits._
     val dup = Seq(

@@ -113,7 +113,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // re-assembly
     Shape("t10_unigram_surprisal", maxShuffles = 3, minBroadcasts = 1),
     // r8: quantization is per-row arithmetic — must stay a pure scan
-    Shape("s4_embedding_quantize", maxShuffles = 0))
+    Shape("s4_embedding_quantize", maxShuffles = 0),
+    // r8: d9 = df window + probe-prefix join + verify (measured 3
+    // static exchanges + broadcast verify joins at test SF; same
+    // family/ceiling as d2 — a blowup means the prefix filter stopped
+    // bounding the candidate join)
+    Shape("d9_dedup_containment", maxShuffles = 5, minBroadcasts = 1))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
