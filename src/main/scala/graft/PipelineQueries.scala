@@ -411,7 +411,11 @@ object PipelineQueries {
        |    len(v) AS n
        |  FROM q)
        |SELECT vec_id, round(mn, 6) AS qmin, round(sc, 6) AS qscale,
-       |  round(list_sum(ae) / greatest(n, 1), 6) AS mean_abs_err,
+       |  -- COALESCE: list_sum of an empty list is NULL in DuckDB while
+       |  -- Spark's aggregate(, 0.0, +) folds to 0.0 — a zero-length
+       |  -- vector must agree on mean_abs_err = 0.0 in both engines
+       |  round(COALESCE(list_sum(ae), 0.0) / greatest(n, 1), 6)
+       |    AS mean_abs_err,
        |  round(list_max(ae), 6) AS max_abs_err
        |FROM err""".stripMargin
 

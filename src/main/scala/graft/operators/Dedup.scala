@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * Five strategies over a `documents(doc_id, text, ...)` table, ordered
+  * Six strategies over a `documents(doc_id, text, ...)` table, ordered
   * by cost/recall trade-off:
   *   - exact:   normalized-text hash groupBy (one shuffle, no pairs)
   *   - jaccard: exact word-set Jaccard within a blocking key (equi-join
   *              on tokens — never a cross join)
+  *   - containment: exact |A∩B|/min overlap — the asymmetric
+  *              subset/quote near-dups Jaccard structurally misses
   *   - minhash: MinHash signatures → LSH band buckets → candidate pairs
   *              (the 100 TB scale path: pair generation is an equi-join
   *              on band keys)
   *   - simhash: 64-bit SimHash signature per doc (near-dup by hamming
   *              distance on the signature)
   *   - embedding: cosine near-dup pairs over an embedding column
+  *
+  * Plus the retention decision after clustering ([[keepBest]]).
   *
   * All hashing is md5-derived so results are engine-portable (the DuckDB
   * oracle computes the identical values); everything stays inside
@@ -57,6 +61,17 @@ object Dedup {
         col("n_dups"))
   }
 
+  /** (doc_id, source, hs: sorted 60-bit token hashes, n: distinct-token
+    * count) — the ONE tokenize+hash+sort scan shared by the set-overlap
+    * operators ([[ngramJaccard]], [[containmentPairs]]) so their
+    * token semantics cannot drift apart.
+    */
+  private def tokenSets(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), col("source"),
+      graft.functions.TokenHashesExpression.tokenHashes(
+        words(col("text")), seed = 0).as("hs"))
+    .withColumn("n", size(col("hs")).cast("long"))
+
   /** d2 — exact n-gram (word-set) Jaccard pairs within a blocking key
     * (`source` mirrors how a production pipeline shards exact-Jaccard
     * by domain/bucket), with PREFIX FILTERING (AllPairs/PPJoin,
@@ -85,17 +100,6 @@ object Dedup {
     * arrays are joined only onto the verified-candidate set, which the
     * prefix filter keeps small.
     */
-  /** (doc_id, source, hs: sorted 60-bit token hashes, n: distinct-token
-    * count) — the ONE tokenize+hash+sort scan shared by the set-overlap
-    * operators ([[ngramJaccard]], [[containmentPairs]]) so their
-    * token semantics cannot drift apart.
-    */
-  private def tokenSets(documents: DataFrame): DataFrame = documents
-    .select(col("doc_id"), col("source"),
-      graft.functions.TokenHashesExpression.tokenHashes(
-        words(col("text")), seed = 0).as("hs"))
-    .withColumn("n", size(col("hs")).cast("long"))
-
   def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Token sets carried as SORTED 60-bit hashes: candidate keys and the

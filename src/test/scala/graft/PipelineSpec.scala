@@ -396,8 +396,11 @@ class PipelineSpec extends AnyFunSuite {
         ((array_max(col("v")) - array_min(col("v"))) / lit(255.0)).as("sc"),
         col("v"))
       .select(col("vec_id"), transform(col("v"), x =>
-        (col("mn") + round((x - col("mn")) / col("sc")) * col("sc"))
-          .cast("float")).as("embedding"),
+        // sc = 0 (constant vector) must reconstruct exactly, not NaN —
+        // mirrors the guard inside Similarity.quantize
+        when(col("sc") > 0,
+          col("mn") + round((x - col("mn")) / col("sc")) * col("sc"))
+          .otherwise(x).cast("float")).as("embedding"),
         lit(0).as("label"))
     val exact = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
