@@ -653,6 +653,30 @@ object PipelineQueries {
        |    (SELECT COUNT(*) FROM toks))), 6) AS surprisal
        |FROM tf GROUP BY doc_id""".stripMargin
 
+  /** t11 — repeated-passage mining at 8 words / df ≥ 2; see
+    * [[TextAnalysis.dupPassages]] for the hash-first/text-later scale
+    * shape (gram text only re-enters for the surviving hashes).
+    */
+  def t11DupPassages(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupPassages(docs(s, dir), n = 8, minDocs = 2,
+      maxPassages = 10000)
+
+  val t11Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |gr AS (SELECT doc_id, unnest(${duckShinglesN(8)}) AS g FROM toks),
+       |gh AS (SELECT doc_id, g, ${duckHash60("'0'", "g")} AS h FROM gr),
+       |sel AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    min(doc_id) AS example_doc_id
+       |  FROM gh GROUP BY 1
+       |  HAVING COUNT(*) >= 2
+       |  ORDER BY COUNT(*) DESC, h LIMIT 10000)
+       |SELECT min(gh.g) AS passage, sel.n_docs, sel.example_doc_id
+       |FROM sel JOIN gh
+       |  ON gh.h = sel.h AND gh.doc_id = sel.example_doc_id
+       |GROUP BY sel.h, sel.n_docs, sel.example_doc_id""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -723,6 +747,7 @@ object PipelineQueries {
     "t8_distinctive_terms" -> (t8DistinctiveTerms _),
     "t9_chunking" -> (t9Chunking _),
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
+    "t11_dup_passages" -> (t11DupPassages _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _)
   )
@@ -753,6 +778,7 @@ object PipelineQueries {
     "t8_distinctive_terms" -> t8Sql,
     "t9_chunking" -> t9Sql,
     "t10_unigram_surprisal" -> t10Sql,
+    "t11_dup_passages" -> t11Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql
   )

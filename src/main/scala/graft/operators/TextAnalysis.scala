@@ -425,6 +425,71 @@ object TextAnalysis {
           col("n_total_tokens").cast("double"))), 6).as("surprisal"))
   }
 
+  /** t11 — repeated-passage mining: every word `n`-gram that appears in
+    * at least `minDocs` DISTINCT documents, with its document count and
+    * the smallest doc_id containing it. The discovery phase of
+    * substring-level deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better") and the memorization audit a
+    * training pipeline runs: a passage repeated across many documents
+    * is boilerplate the model will memorize verbatim.
+    *
+    * Reported passages are the `maxPassages` MOST-REPEATED ones
+    * (n_docs desc, hash asc tiebreak) — the audit is a top-N report,
+    * and the cap is what makes the text-recovery join scale-safe (see
+    * below); set it to the report size you will actually read.
+    *
+    * Scale shape: the counting pass moves only 60-bit gram hashes —
+    * `graft_ngram_hashes` emits each doc's DISTINCT grams in one
+    * compiled scan pass (so count(*) per hash IS the document
+    * frequency), and the aggregate is map-side combinable. The
+    * survivor top-K is a per-partition top-K merge (TakeOrdered), not
+    * a global sort. Passage TEXT re-enters only from the EXAMPLE
+    * documents: a semi-join on the ≤ maxPassages example ids prunes
+    * the recovery scan to ≤ maxPassages documents before any gram
+    * string is built (the first version re-shingled the WHOLE corpus
+    * to recover text and benched 7.4× on 10× rows; this shape is the
+    * fix), and the final join's build side is the survivor table
+    * itself. Both broadcast hints are STRUCTURALLY bounded by the cap
+    * (the t8 rule: only hint-broadcast what is bounded by
+    * construction — without the hint the planner was measured building
+    * the corpus gram-text side). The survivor subtree feeds both the
+    * semi-join and the final join; its shuffle is planned once and
+    * reused (ReusedExchange, spec-pinned via the shuffle ceiling). The
+    * passage is recovered as the min matching gram OF THE EXAMPLE DOC
+    * — in both engines — so a 60-bit collision changes both sides
+    * identically and cross-engine parity cannot drift on it.
+    */
+  def dupPassages(
+      documents: DataFrame, n: Int = 8, minDocs: Long = 2,
+      maxPassages: Int = 10000): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    require(maxPassages > 0, s"maxPassages must be positive, got $maxPassages")
+    val survivors = documents
+      .select(col("doc_id"), explode(gramHashesCol(n)).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("h"))
+      .limit(maxPassages)
+    val exampleDocs = documents.join(
+      broadcast(survivors.select(col("example_doc_id").as("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val gramText = exampleDocs
+      .select(col("doc_id").as("gdoc"),
+        explode(Dedup.shinglesN(col("text"), n)).as("g"))
+      .select(col("gdoc"), Dedup.md5Hash60(lit(0), col("g")).as("h"),
+        col("g"))
+    // rename the survivor-side join keys: both subtrees scan the same
+    // table, and dataset-column references across a self-join are
+    // ambiguous to the analyzer
+    gramText.join(broadcast(survivors.withColumnRenamed("h", "sh")),
+      col("h") === col("sh") && col("gdoc") === col("example_doc_id"))
+      .groupBy(col("sh"), col("n_docs"), col("example_doc_id"))
+      .agg(min(col("g")).as("passage"))
+      .select(col("passage"), col("n_docs"), col("example_doc_id"))
+  }
+
   /** t9 — context-window chunking: split each document into fixed-size
     * token windows with overlap (`stride` < `chunkTokens` overlaps
     * consecutive chunks by `chunkTokens - stride` tokens), the standard

@@ -676,6 +676,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.count(_._2) == 3)
   }
 
+  test("t11 dup passages: cross-doc repeats found, within-doc repeats don't count") {
+    import spark.implicits._
+    // 3-grams, minDocs 2: "x y z" lives in docs 1, 2 AND twice in 1
+    // (multiplicity must not inflate the doc count); "p q r" is unique
+    val df = Seq(
+      (1L, "x y z w x y z"), // distinct 3-grams incl. "x y z" (once)
+      (2L, "a x y z b"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupPassages(df, n = 3, minDocs = 2).collect()
+    val byPassage = out.map(r => r.getString(0) -> r).toMap
+    assert(byPassage.contains("x y z"))
+    assert(byPassage("x y z").getLong(1) == 2)
+    assert(byPassage("x y z").getLong(2) == 1L)
+    assert(!out.exists(_.getString(0) == "p q r"))
+    // every reported passage really is in >= 2 docs
+    assert(out.forall(_.getLong(1) >= 2))
+  }
+
+  test("t11 dup passages == brute-force distinct-gram counting on sf docs") {
+    // the hash-count + example-doc text-recovery pipeline must equal
+    // the direct (gram text all the way through) computation on every
+    // real doc — with collision-free hashes the example doc's matching
+    // gram IS the gram, so the direct grouping is the same answer
+    val brute = docs
+      .select(col("doc_id"), explode(Dedup.shinglesN(col("text"), 8)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .select(col("g").as("passage"), col("n_docs"), col("example_doc_id"))
+    val out = TextAnalysis.dupPassages(docs, n = 8, minDocs = 2)
+    assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
+  }
+
   test("t9 chunking: window geometry, overlap, and tail are exact") {
     import spark.implicits._
     // 10 tokens, window 4, stride 3 → raw starts 0,3,6,9 — but the

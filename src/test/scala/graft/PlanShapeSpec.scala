@@ -104,6 +104,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // regression that carries TEXT through the window or re-runs the
     // component loop
     Shape("d8_dedup_keep_best", maxShuffles = 5),
+    // r8: t11's example-id semi-join AND text-recovery join must keep
+    // the CAPPED survivor top-K as the broadcast build sides — without
+    // the hints the planner was measured building the corpus gram-text
+    // stream; statically the survivor subtree appears twice (its two
+    // identical Exchanges dedup to one ReusedExchange at runtime,
+    // asserted separately), plus the bounded min-text agg = 3
+    Shape("t11_dup_passages", maxShuffles = 3, minBroadcasts = 2),
     // r8: chunking must stay a per-row scan fan-out — any Exchange
     // means someone "optimized" it into a shuffle
     Shape("t9_chunking", maxShuffles = 0),
@@ -142,6 +149,19 @@ class PlanShapeSpec extends AnyFunSuite {
           s"rollup:\n$plan")
       assert(PlanCounters.shuffles(plan) <= 5, plan)
     } finally spark.conf.set(key, prev)
+  }
+
+  // t11 r8: the survivor subtree feeds both the example-id semi-join
+  // and the final text-recovery join, so it appears twice statically;
+  // at runtime its two identical gram-hash-count Exchanges MUST dedup
+  // (ReusedExchange) — losing the reuse silently doubles the one
+  // corpus-sized pass of the whole query
+  test("plan shape: t11 survivor shuffle is computed once at runtime") {
+    val df = SparkEntry.queries("t11_dup_passages")(spark, sf)
+    df.queryExecution.toRdd.count() // materialize AQE stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"t11 executed plan lost the survivor-subtree exchange reuse:\n$plan")
   }
 
   for (s <- shapes) test(s"plan shape: ${s.name}") {
