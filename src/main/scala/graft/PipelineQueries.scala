@@ -534,6 +534,34 @@ object PipelineQueries {
       |    / 4294967296.0
       |  < CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END""".stripMargin
 
+  /** d10 — token-budget sampling: at most 600 training tokens per
+    * source, selected as the deterministic-hash-ordered prefix. Gated
+    * on the BUCKETED distributed-prefix-sum form (the scale path);
+    * [[graft.operators.Sampling.tokenBudget]] is the plain-window twin,
+    * spec-asserted row-identical.
+    */
+  def d10SampleBudget(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetBucketed(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens")),
+      stratum = "source", id = "doc_id", tokens = col("n_tokens"),
+      budget = 600, nBuckets = 64)
+
+  val d10Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${duckWords("text")}) AS BIGINT) AS n_tokens,
+       |    ${duckHash60("'0'", "CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= 600""".stripMargin
+
   def t6PiiScrub(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiScrub(docs(s, dir))
 
@@ -732,6 +760,7 @@ object PipelineQueries {
     "d7_sample_stratified" -> (d7SampleStratified _),
     "d8_dedup_keep_best" -> (d8DedupKeepBest _),
     "d9_dedup_containment" -> (d9DedupContainment _),
+    "d10_sample_budget" -> (d10SampleBudget _),
     "s1_ann_brute_topk" -> (s1AnnBruteTopk _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -764,6 +793,7 @@ object PipelineQueries {
     "d7_sample_stratified" -> d7Sql,
     "d8_dedup_keep_best" -> d8Sql,
     "d9_dedup_containment" -> d9Sql,
+    "d10_sample_budget" -> d10Sql,
     "s1_ann_brute_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,

@@ -43,4 +43,90 @@ object Sampling {
     }
     df.filter(hashU(lit(seed), id) < rate)
   }
+
+  /** Token-budget sampling: keep, per stratum, the hash-ordered prefix
+    * of rows whose running `tokens` sum stays within `budget` — "give
+    * me at most N training tokens per source/language/domain", the
+    * mix-balancing step a pipeline runs AFTER filtering and dedup.
+    * Rows are ordered by the deterministic 60-bit md5 of `id` (ties by
+    * `id`), so the selection is a reproducible uniform sample of the
+    * stratum, not a prefix of its storage order, and re-runs (or the
+    * DuckDB oracle) pick the identical rows. Output = the kept rows
+    * plus their inclusive `cum_tokens`.
+    *
+    * This plain form computes the running sum in ONE window over the
+    * stratum — correct anywhere, but a stratum's entire row set lands
+    * in a single window partition, the same single-task hot spot as a
+    * per-stratum row_number. Fine when strata are many and modest;
+    * for billion-row strata use [[tokenBudgetBucketed]] (spec-asserted
+    * row-identical).
+    */
+  def tokenBudget(
+      df: DataFrame, stratum: String, id: String, tokens: Column,
+      budget: Long, seed: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratum)).orderBy(col("__u"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__u", Dedup.md5Hash60(lit(seed), col(id).cast("string")))
+      .withColumn("__n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("__n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__u", "__n_tokens")
+  }
+
+  /** [[tokenBudget]] as a distributed prefix sum — the shape that
+    * survives a stratum with billions of rows. The 60-bit hash space
+    * splits into `nBuckets` contiguous ranges, so bucket order IS hash
+    * order and the global running sum decomposes:
+    *
+    *   1. per-(stratum, bucket) token totals — one map-side-combinable
+    *      aggregate, ≤ strata × nBuckets rows by construction;
+    *   2. each bucket's EXCLUSIVE prefix (sum of earlier buckets) via
+    *      a window over that bounded rollup;
+    *   3. offsets broadcast back (structurally bounded), and the
+    *      running sum completes inside per-(stratum, bucket) windows —
+    *      each holding ~1/nBuckets of the stratum instead of all of it.
+    *
+    * Buckets whose offset already exceeds the budget are dropped by
+    * the offset join BEFORE the window shuffle (their every row's
+    * cumulative sum exceeds it), so at scale the shuffled volume is
+    * bounded by the BUDGET frontier, not the corpus: a 100 TB stratum
+    * sampled to 1B tokens shuffles about a bucket's worth of rows past
+    * the frontier, everything else drops at the scan.
+    */
+  def tokenBudgetBucketed(
+      df: DataFrame, stratum: String, id: String, tokens: Column,
+      budget: Long, nBuckets: Int = 64, seed: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    // md5Hash60 lands in [0, 2^60); integral DIV keeps bucket order
+    // exactly aligned with hash order (the q20b lesson: double
+    // division drifts past 2^53)
+    val width = math.max((1L << 60) / nBuckets, 1L)
+    val base = df
+      .withColumn("__u", Dedup.md5Hash60(lit(seed), col(id).cast("string")))
+      .withColumn("__n_tokens", tokens.cast("long"))
+      .withColumn("__bucket", expr(s"__u DIV ${width}L"))
+    val offsets = base
+      .groupBy(col(stratum), col("__bucket"))
+      .agg(sum(col("__n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.partitionBy(col(stratum))
+          .orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__off") < budget)
+      .select(col(stratum), col("__bucket"), col("__off"))
+    val w = Window.partitionBy(col(stratum), col("__bucket"))
+      .orderBy(col("__u"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq(stratum, "__bucket"))
+      .withColumn("cum_tokens",
+        sum(col("__n_tokens")).over(w) + col("__off"))
+      .filter(col("cum_tokens") <= budget)
+      // the using-join moved its keys first; restore the caller's
+      // column order so both forms return the identical schema
+      .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+  }
 }

@@ -676,6 +676,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.count(_._2) == 3)
   }
 
+  test("d10 token budget: hash-ordered prefix kept, budget never exceeded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (5L, "b", 100L), (6L, "b", 1L)).toDF("doc_id", "source", "n_tokens")
+    val out = graft.operators.Sampling.tokenBudget(
+      df, "source", "doc_id", col("n_tokens"), budget = 25)
+    val rows = out.collect()
+    // every stratum stays inside the budget
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sum <= 25)
+    }
+    // source a: exactly two 10-token docs fit; which two is the hash
+    // order's choice, but the kept set must be a PREFIX of it
+    assert(bySrc("a").length == 2)
+    assert(bySrc("a").map(_.getLong(3)).sorted.sameElements(Seq(10L, 20L)))
+    // source b: whichever doc hashes first decides — either the 1-token
+    // doc alone (then 100 overflows) or nothing (100 first blocks 1
+    // because the running sum is a prefix, not a knapsack)
+    assert(!bySrc.contains("b") ||
+      bySrc("b").map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("d10 bucketed prefix sum == plain window on sf docs and random data") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    for (budget <- Seq(100L, 600L, 100000L)) {
+      val plain = graft.operators.Sampling.tokenBudget(
+        base, "source", "doc_id", col("n_tokens"), budget)
+      val bucketed = graft.operators.Sampling.tokenBudgetBucketed(
+        base, "source", "doc_id", col("n_tokens"), budget, nBuckets = 64)
+      assert(plain.exceptAll(bucketed).isEmpty &&
+        bucketed.exceptAll(plain).isEmpty, s"budget=$budget")
+    }
+    // random strata/token sizes, tiny bucket count so many buckets
+    // carry several rows and the frontier lands mid-bucket
+    val rnd = new scala.util.Random(7)
+    val rdf = (1 to 400).map { i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", rnd.nextInt(50).toLong)
+    }.toDF("doc_id", "source", "n_tokens")
+    val p = graft.operators.Sampling.tokenBudget(
+      rdf, "source", "doc_id", col("n_tokens"), budget = 500)
+    val b = graft.operators.Sampling.tokenBudgetBucketed(
+      rdf, "source", "doc_id", col("n_tokens"), budget = 500, nBuckets = 8)
+    assert(p.exceptAll(b).isEmpty && b.exceptAll(p).isEmpty)
+  }
+
   test("t11 dup passages: cross-doc repeats found, within-doc repeats don't count") {
     import spark.implicits._
     // 3-grams, minDocs 2: "x y z" lives in docs 1, 2 AND twice in 1

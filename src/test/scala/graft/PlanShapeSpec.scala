@@ -114,6 +114,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // r8: chunking must stay a per-row scan fan-out — any Exchange
     // means someone "optimized" it into a shuffle
     Shape("t9_chunking", maxShuffles = 0),
+    // r8: d10's doc stream shuffles at (stratum, bucket) grain for the
+    // intra-bucket windows — never at stratum grain (the single-task-
+    // per-stratum hot spot the bucketed form exists to avoid); the
+    // bounded bucket rollup adds its agg + window exchanges, and the
+    // offset table must stay a broadcast join
+    Shape("d10_sample_budget", maxShuffles = 3, minBroadcasts = 1),
     // r8: term frequencies attach via the term-grain window (never a
     // vocabulary rollup joined/broadcast back); the only broadcast is
     // the 1-row token total. 3 shuffles: term window, total agg, doc
