@@ -610,6 +610,44 @@ object Queries {
       |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS p_total
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** q22 — GROUPING SETS with MIXED grains — ((status, priority),
+    * (status), (priority)) — the report shape rollup/cube cannot state
+    * (q17's rollup only nests prefixes; a cube would add the grand
+    * total and pay a 4th grain). `grouping()` flags disambiguate a
+    * genuine NULL group value from a rolled-up one, cast identically
+    * in both engines.
+    *
+    * Scale shape: Spark plans grouping sets as ONE hash aggregate over
+    * an Expand — the map side replays each row once per grain (3×
+    * here, a fixed multiplier chosen by the query, not the data) and
+    * partial aggregation collapses every grain BEFORE the single
+    * group-key exchange. No per-grain re-scan, no union of three
+    * aggregates (which would read the table three times and shuffle
+    * three streams).
+    */
+  def q22GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"),
+        count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority))""".stripMargin
+
   // ===========================================================
   // FTM statement-store semantics (SURVEY.md §2, f-block)
   // ===========================================================
@@ -1275,6 +1313,7 @@ object Queries {
     "q20_asof_join" -> (q20AsofJoin _),
     "q20b_asof_bucketed" -> (q20bAsofBucketed _),
     "q21_pivot" -> (q21Pivot _),
+    "q22_grouping_sets" -> (q22GroupingSets _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1320,6 +1359,7 @@ object Queries {
     "q20_asof_join" -> q20Sql,
     "q20b_asof_bucketed" -> q20Sql,
     "q21_pivot" -> q21Sql,
+    "q22_grouping_sets" -> q22Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

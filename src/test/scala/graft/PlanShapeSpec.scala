@@ -127,6 +127,10 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("t10_unigram_surprisal", maxShuffles = 3, minBroadcasts = 1),
     // r8: quantization is per-row arithmetic — must stay a pure scan
     Shape("s4_embedding_quantize", maxShuffles = 0),
+    // r8: grouping sets = ONE aggregate over an Expand (3× map-side
+    // replay, partial agg before the single exchange) — never a union
+    // of per-grain aggregates re-scanning the table
+    Shape("q22_grouping_sets", maxShuffles = 1),
     // r8: d9 = df window + probe-prefix join + verify (measured 3
     // static exchanges + broadcast verify joins at test SF; same
     // family/ceiling as d2 — a blowup means the prefix filter stopped

@@ -145,6 +145,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"pivot must stay a single-shuffle aggregate")
   }
 
+  test("q22 grouping sets: three grains, flags disambiguate, sums agree") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.q22GroupingSets(spark, sf).cache()
+    try {
+      val orders = Tables.load(spark, sf, "orders")
+      // exactly the three requested grains, nothing else (no grand
+      // total — this is what rollup/cube could NOT state)
+      val grains = out.select("g_status", "g_priority").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grains == Set((0L, 0L), (0L, 1L), (1L, 0L)))
+      // the (status) grain must equal a direct groupBy — counts and
+      // cent-exact sums
+      val got = out.filter(col("g_priority") === 1)
+        .select(col("o_orderstatus"), col("n"), col("total"))
+      val want = orders.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("want_n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("want_total"))
+      val joined = got.join(want, Seq("o_orderstatus"), "full_outer")
+      assert(joined.filter(!(col("n") <=> col("want_n")) ||
+        !(col("total") <=> col("want_total"))).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
