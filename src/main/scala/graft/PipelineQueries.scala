@@ -397,6 +397,86 @@ object PipelineQueries {
   def s4EmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantize(emb(s, dir))
 
+  /** s5 — product-quantized ANN (ADC top-k); see [[Similarity.pqTopK]].
+    * The whole pipeline is deterministic (lowest-id seed vectors, one
+    * Lloyd step, position-order float sums, id tiebreaks), so the
+    * DuckDB twin retrains the identical codebook and the oracle gates
+    * codes AND scores — the cross-engine surface is the same near-tied
+    * argmin class s3 carries.
+    */
+  def s5AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** s5's DuckDB twin: same unit normalization, same subspace slicing
+    * (8×8 of the 64-dim testdata vectors), same seeds (16 lowest-id
+    * full vectors), same one-step Lloyd refine (dim-major AVG, as the
+    * s3 centroid twin), same L2 argmin with code-id tiebreak, same ADC
+    * dot-table scoring. Squared diffs are written `x*x` (not pow) to
+    * match Spark's multiply bitwise.
+    */
+  val s5Sql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+       |  WHERE len(embedding) = 64),
+       |e AS (
+       |  SELECT vec_id, list_transform(v0,
+       |    x -> x / sqrt(list_dot_product(v0, v0))) AS v
+       |  FROM e0 WHERE sqrt(list_dot_product(v0, v0)) > 0),
+       |subs AS (
+       |  SELECT vec_id, s.sub AS sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+       |seedv AS (SELECT vec_id AS seed_id, v FROM e ORDER BY vec_id LIMIT 16),
+       |seeds AS (
+       |  SELECT seed_id, s.sub AS sub, v[s.sub*8+1 : s.sub*8+8] AS ssv
+       |  FROM seedv, (SELECT unnest(range(0, 8)) AS sub) s),
+       |assign AS (
+       |  SELECT vec_id, sub, seed_id AS code, sv FROM (
+       |    SELECT b.vec_id, b.sub, s.seed_id, b.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (b.sv[i]-s.ssv[i])*(b.sv[i]-s.ssv[i]))), s.seed_id) AS r
+       |    FROM subs b JOIN seeds s USING (sub)) WHERE r = 1),
+       |cmeans AS (
+       |  SELECT sub, code, p.pos AS pos, AVG(sv[p.pos]) AS m
+       |  FROM assign, (SELECT unnest(range(1, 9)) AS pos) p
+       |  GROUP BY 1, 2, 3),
+       |cbook AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS cw
+       |  FROM cmeans GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT b.vec_id, b.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (b.sv[i]-c.cw[i])*(b.sv[i]-c.cw[i]))), c.code) AS r
+       |    FROM subs b JOIN cbook c USING (sub)) WHERE r = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, q.sub AS sub, c.code AS code,
+       |    list_dot_product(q.sv, c.cw) AS pd
+       |  FROM subs q JOIN cbook c USING (sub) WHERE q.vec_id < 10),
+       |scored AS (
+       |  SELECT dt.query_id, codes.vec_id AS neighbor_id, SUM(pd) AS adc
+       |  FROM codes JOIN dt USING (sub, code)
+       |  WHERE codes.vec_id <> dt.query_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r0
+       |    FROM scored) WHERE r0 <= 50),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.v, n.v) AS cos
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   val s4Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -766,6 +846,7 @@ object PipelineQueries {
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s3b_ann_ivf_agg" -> (s3bAnnIvfAgg _),
     "s4_embedding_quantize" -> (s4EmbeddingQuantize _),
+    "s5_ann_pq" -> (s5AnnPq _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
@@ -798,6 +879,7 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
     "s4_embedding_quantize" -> s4Sql,
+    "s5_ann_pq" -> s5Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,

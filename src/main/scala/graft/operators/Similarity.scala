@@ -46,7 +46,8 @@ object Similarity {
       scored: DataFrame,
       k: Int,
       salts: Int = 64,
-      dedup: Boolean = false): DataFrame = {
+      dedup: Boolean = false,
+      scoreName: String = "cos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val order = Seq(col("cos").desc, col("neighbor_id").asc)
     val w1 = Window.partitionBy(col("query_id"), col("__salt"))
@@ -73,7 +74,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w2).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
+        round(col("cos"), 6).as(scoreName), col("rank"))
   }
 
   /** Sign-bit signature of a vector against `numPlanes` hyperplanes,
@@ -302,5 +303,140 @@ object Similarity {
       round(aggregate(col("ae"), lit(0.0), _ + _) /
         greatest(col("n"), lit(1)), 6).as("mean_abs_err"),
       round(array_max(col("ae")), 6).as("max_abs_err"))
+  }
+
+  /** Position-order sum of squared differences — the SAME fold order in
+    * both engines (zip_with preserves positions, aggregate folds left),
+    * so identical inputs produce bitwise-identical distances and the
+    * argmin tiebreak (code id) is the only decision surface.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** One row per (id, subspace): `sv` = the `subDim`-wide slice of the
+    * full vector. The explode multiplier is `numSub` — a query-chosen
+    * constant, not data-driven.
+    */
+  private def subVectors(
+      df: DataFrame, idCol: String, numSub: Int, subDim: Int): DataFrame =
+    df.select(col(idCol),
+      explode(sequence(lit(0), lit(numSub - 1))).as("sub"), col("v"))
+      .select(col(idCol), col("sub"),
+        slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim))
+          .as("sv"))
+
+  /** s5 — product quantization: the memory scale path BEYOND s4's
+    * scalar codes. Each vector splits into `numSub` subspaces; a
+    * per-subspace codebook of `codebookK` codewords (seeded from the
+    * `codebookK` lowest-id full-dim vectors, refined by one Lloyd
+    * step — deterministic, so the DuckDB twin retrains it exactly)
+    * encodes every vector as `numSub` small ints: 64 floats → 8 bytes
+    * at the defaults, a 32× compression where s4 stops at 4×. Search is asymmetric
+    * distance computation (ADC): per query, dot products against every
+    * codeword form a (numSub × codebookK) lookup table and a corpus
+    * vector's approximate dot is the sum of its codes' table entries —
+    * the corpus floats are never touched at query time.
+    *
+    * The 100 TB shape: codebook training is s3-class (broadcast seed
+    * join, map-side argmin agg, dim-major refine — the
+    * [[centroidsAgg]]-style single-shuffle twin applies the same way);
+    * encoding and ADC are broadcast joins (seeds, codebook, and the
+    * per-query table are all structurally bounded — numSub·codebookK
+    * rows regardless of corpus size) followed by narrow aggregates:
+    * the shuffled rows carry (id, sub, code) ints, never embeddings.
+    *
+    * Vectors are unit-normalized before quantization, so the ADC dot
+    * approximates COSINE — the same ranking semantic as the exact s1
+    * baseline (without this, norm variation across the corpus makes
+    * dot-ranked and cosine-ranked top-k disagree regardless of
+    * quantization quality). Search is two-stage, the production PQ
+    * shape: ADC ranks the WHOLE corpus from codes alone and keeps a
+    * `shortlist` of candidates per query; only those ≤
+    * shortlist·|queries| rows are re-scored against their true
+    * vectors for the final exact-cosine top-k. On corpora where true
+    * neighbors barely clear the background cosine (this testdata:
+    * top-5 ≈ 0.3 vs p90 ≈ 0.16), pure-ADC top-k is noise-limited
+    * (measured ~0.26 recall@5) while the same codes as a shortlist
+    * recover 0.84 — the codes' job is candidate pruning, not final
+    * ranking. Vectors whose length ≠ `dims` or with zero norm are
+    * excluded (PQ requires a fixed dim; a zero vector has no
+    * direction).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numSub: Int = 8,
+      codebookK: Int = 16,
+      dims: Int = 64,
+      shortlist: Int = 50): DataFrame = {
+    require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
+    val subDim = dims / numSub
+    def full(df: DataFrame, idCol: String): DataFrame =
+      df.filter(size(col("embedding")) === dims)
+        .select(col("vec_id").as(idCol),
+          transform(col("embedding"), _.cast("double")).as("v0"))
+        .withColumn("nrm", sqrt(Dedup.dot(col("v0"), col("v0"))))
+        .filter(col("nrm") > lit(0.0))
+        .select(col(idCol),
+          transform(col("v0"), x => x / col("nrm")).as("v"))
+    val corpusV = full(corpus, "vec_id")
+    val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
+    // deterministic seeds: the codebookK lowest-id full vectors (tiny,
+    // driver-bounded limit) — both engines pick the identical set
+    val seeds = subVectors(
+      corpusV.orderBy(col("vec_id")).limit(codebookK), "vec_id",
+      numSub, subDim)
+      .select(col("sub"), col("vec_id").as("seed_id"), col("sv").as("ssv"))
+    // one Lloyd step: assign every subvector to its nearest seed
+    // (broadcast join; candidates are row-co-located so the groupBy
+    // reduces map-side — the shuffle carries one narrow row per
+    // (id, sub)), then dim-major mean per cluster (the cross-engine-
+    // exact form, as in [[centroids]])
+    val assigned = subsAll.join(broadcast(seeds), Seq("sub"))
+      .withColumn("d", l2sq(col("sv"), col("ssv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("seed_id"), struct(col("d"), col("seed_id")))
+        .as("code"), first(col("sv")).as("sv"))
+    val codebook = assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cw"))
+    // encode: nearest refined codeword per (id, sub) — same broadcast
+    // + map-side-argmin shape as the assignment
+    val codes = subsAll.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", l2sq(col("sv"), col("cw")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    // ADC lookup table: query subvector · codeword, numSub·codebookK
+    // rows per query — bounded by the probe set, broadcast
+    val dtable = subVectors(full(queries, "query_id"), "query_id",
+      numSub, subDim)
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        Dedup.dot(col("sv"), col("cw")).as("pd"))
+    val scored = codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    val short = topKPerQuery(scored, shortlist, scoreName = "adc")
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: the broadcast shortlist prunes the corpus scan to
+    // ≤ shortlist·|queries| rows, each re-scored against its true
+    // vector (unit-normalized, so cos = dot)
+    val queriesV = full(queries, "query_id")
+      .select(col("query_id"), col("v").as("qv"))
+    val rescored = corpusV
+      .select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queriesV), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.dot(col("qv"), col("v")).as("cos"))
+    topKPerQuery(rescored, k)
   }
 }

@@ -411,6 +411,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"int8 top-5 recall $recall < 0.8")
   }
 
+  test("s5 pq ann: shape exact, re-ranked cos is true cosine, recall holds") {
+    val out = PipelineQueries.s5AnnPq(spark, sf).collect()
+    // 10 queries × full rank 1..5 each — the ADC shortlist (50 ≥ 5)
+    // always leaves enough candidates to fill the top-k
+    assert(out.length == 50)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10 &&
+      byQ.values.forall(_.map(_.getLong(3)).sorted.sameElements(1L to 5L)))
+    // the re-rank stage outputs TRUE cosine (codes pick candidates,
+    // never the reported score): recompute from the raw vectors
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    out.foreach { r =>
+      val want = cosOf(r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - want) <= 1e-6,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}): " +
+          s"reported ${r.getDouble(2)} vs true $want")
+    }
+    // recall@5 vs the exact baseline: 8-byte codes (32× smaller than
+    // the float vectors) prune 500 → 50 candidates per query and the
+    // exact re-rank recovers ≥3/4 of the true top-k — measured 0.84 on
+    // this data, where pure-ADC ranking manages only ~0.26
+    val exact = PipelineQueries.s1AnnBruteTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.75, s"PQ top-5 recall $recall < 0.75")
+  }
+
   test("t1 lang-id is deterministic and covers every doc") {
     val out = TextAnalysis.langId(docs).collect()
     assert(out.length == docs.count())

@@ -135,7 +135,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // static exchanges + broadcast verify joins at test SF; same
     // family/ceiling as d2 — a blowup means the prefix filter stopped
     // bounding the candidate join)
-    Shape("d9_dedup_containment", maxShuffles = 5, minBroadcasts = 1))
+    Shape("d9_dedup_containment", maxShuffles = 5, minBroadcasts = 1),
+    // r8: s5 PQ = codebook train (2 groupBy) + encode + ADC score +
+    // shortlist/re-rank windows — measured 12 static exchanges; the 5
+    // hint-broadcasts (seeds, codebook, dtable, shortlist, query set)
+    // are all structurally bounded and must never become shuffle joins
+    Shape("s5_ann_pq", maxShuffles = 12, minBroadcasts = 5))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
