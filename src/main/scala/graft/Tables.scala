@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet-backed table access for the graft engine.
   *
@@ -19,17 +21,33 @@ object Tables {
   /** Load one testdata table. `dir` is an sf directory like
     * /root/testdata/sf0.01.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
-    * a nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by GraftSession/Verify/Bench); we normalize it back to a
-    * microsecond TIMESTAMP here so operators see a real time column.
+    * `events.ts` has been written with two physical parquet encodings
+    * across testdata generations, so we branch on the schema Spark
+    * actually read rather than assuming one:
+    *   - TIMESTAMP(NANOS): Spark reads it as a nanosecond LONG under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *     GraftSession/Verify/Bench) — normalize to a microsecond
+    *     TIMESTAMP.
+    *   - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ — cast to the
+    *     session timestamp type so downstream ops and the DuckDB oracle
+    *     see one consistent type.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize an `events`-shaped frame's `ts` column to TIMESTAMP,
+    * whatever physical encoding the parquet carried (see [[load]]).
+    * No-op when `ts` is absent or already a plain TIMESTAMP.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        // nanosecond epoch long -> microsecond timestamp
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
 }
