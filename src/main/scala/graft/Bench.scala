@@ -147,6 +147,16 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), detail + "\n")
     catch { case _: Throwable => () }
+    // BENCH_LAST.json is overwritten every run, and when the harness
+    // line below overflows its budget the round archive loses the
+    // per-query map with it (round 8 did). Append-only history keeps
+    // every run's full detail recoverable by timestamp.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      s"""{"at":"${java.time.Instant.now()}",""" + detail.drop(1) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     println(detail)
     spark.stop()
     // The harness line LAST, after spark.stop(), so nothing can log

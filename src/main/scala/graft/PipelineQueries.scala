@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Codecs, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2 d/s/t/m blocks):
   * deduplication, similarity search, text analysis, multimodal columns.
@@ -824,6 +824,70 @@ object PipelineQueries {
       |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_feature
       |FROM ex""".stripMargin
 
+  /** m2b — REAL decode through the plug-point: each document's bytes
+    * become the PCM payload of a synthesized WAV (the corpus ships no
+    * media, so the media is made from the corpus — deterministically),
+    * and [[Codecs.wavPcm16]] decodes it back inside the partition via
+    * [[Multimodal.decodeFrames]] — the same mapPartitions contract a
+    * JNI/`mapInPandas` codec plugs into. Features are exact integers
+    * (sample count, Σk², max |k| over the s16 samples) so the DuckDB
+    * twin hash-matches with no float-summation-order hazard. Zero
+    * shuffles: synth → encode → decode → reduce all happen in the scan
+    * partition, one output row per document.
+    */
+  def m2bFrameDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      // < 2 bytes yields zero s16 samples; both engines drop those docs
+      .filter(octet_length(col("text")) >= 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val b = text.getBytes("US-ASCII") // corpus is pure ASCII (see m2Sql)
+        val n = b.length / 2
+        val pcm = new Array[Short](n)
+        val bb = ByteBuffer.wrap(b, 0, n * 2).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { pcm(i) = bb.getShort(i * 2); i += 1 }
+        Multimodal.Frame(id, 0L, Codecs.wavPcm16Encode(pcm))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.wavPcm16)
+      .map { f =>
+        var energy = 0L
+        var peak = 0L
+        f.feature.foreach { x =>
+          // decoded float is k/32768 with k exactly representable —
+          // recover the integer sample for exact cross-engine math
+          val k = math.round(x.toDouble * 32768.0)
+          energy += k * k
+          if (math.abs(k) > peak) peak = math.abs(k)
+        }
+        (f.doc_id, f.feature.length.toLong, energy, peak)
+      }
+      .toDF("doc_id", "n_samples", "energy", "peak_abs")
+  }
+
+  /** m2b's DuckDB twin: the s16le samples re-derived arithmetically
+    * from character codes (ASCII corpus: char position = byte
+    * position, `ascii()` = byte value; lo + 256*hi < 2^15 so the
+    * sign bit never sets and max(k) = max |k|).
+    */
+  val m2bSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text, unnest(range(0, length(text) // 2)) AS i
+      |  FROM documents WHERE length(text) >= 2),
+      |v AS (
+      |  SELECT doc_id,
+      |    ascii(substring(text, CAST(i * 2 + 1 AS INT), 1))
+      |    + 256 * ascii(substring(text, CAST(i * 2 + 2 AS INT), 1)) AS k
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(k * k) AS BIGINT) AS energy,
+      |  CAST(max(k) AS BIGINT) AS peak_abs
+      |FROM v GROUP BY doc_id""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
@@ -859,7 +923,8 @@ object PipelineQueries {
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
     "t11_dup_passages" -> (t11DupPassages _),
     "m1_binary_meta" -> (m1BinaryMeta _),
-    "m2_frame_sample" -> (m2FrameSample _)
+    "m2_frame_sample" -> (m2FrameSample _),
+    "m2b_frame_decode" -> (m2bFrameDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -892,6 +957,7 @@ object PipelineQueries {
     "t10_unigram_surprisal" -> t10Sql,
     "t11_dup_passages" -> t11Sql,
     "m1_binary_meta" -> m1Sql,
-    "m2_frame_sample" -> m2Sql
+    "m2_frame_sample" -> m2Sql,
+    "m2b_frame_decode" -> m2bSql
   )
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs for the multimodal decode plug-point
+  * ([[Multimodal.decodeFrames]]).
+  *
+  * The container ships no native image/audio libraries, but two
+  * container formats need none: RIFF/WAVE PCM and uncompressed 24-bit
+  * BMP are plain headers over raw samples/pixels, decodable with a
+  * `ByteBuffer`. These give the `decodeFrames` contract a REAL exercised
+  * decoder (not just the md5 fake): bytes in, `Array[Float]` features
+  * out, running inside the scan partition. A production codec (JPEG,
+  * FLAC, video via JNI/`mapInPandas`) replaces the function, not the
+  * plan.
+  *
+  * Decoders throw `IllegalArgumentException` on malformed payloads —
+  * at 100 TB a corrupt blob must fail the row loudly (or be caught by
+  * the caller into a quarantine column), never silently skew features.
+  */
+object Codecs {
+
+  // ---------------------------------------------------------------
+  // WAV (RIFF) — PCM 16-bit little-endian
+  // ---------------------------------------------------------------
+
+  /** Decode a complete RIFF/WAVE payload with PCM 16-bit samples to
+    * floats normalized to [-1, 1). Channels come back interleaved,
+    * exactly as stored — channel split is a feature-side concern.
+    */
+  def wavPcm16(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 12, s"WAV too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(tag(buf, 0) == "RIFF" && tag(buf, 8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var pos = 12
+    var fmtOk = false
+    var data: Array[Float] = null
+    // chunk walk: id(4) size(4le) body(size, padded to even)
+    while (pos + 8 <= bytes.length && data == null) {
+      val id = tag(buf, pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"chunk '$id' overruns payload")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          val audioFormat = buf.getShort(pos + 8) & 0xffff
+          val bits = buf.getShort(pos + 22) & 0xffff
+          require(audioFormat == 1, s"not PCM (format $audioFormat)")
+          require(bits == 16, s"not 16-bit ($bits)")
+          fmtOk = true
+        case "data" =>
+          require(fmtOk, "data chunk before fmt chunk")
+          val n = size / 2
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            out(i) = buf.getShort(pos + 8 + i * 2) / 32768.0f
+            i += 1
+          }
+          data = out
+        case _ => // LIST/INFO/etc — skip
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(data != null, "no data chunk")
+    data
+  }
+
+  /** Minimal PCM16 mono-or-interleaved WAV writer — the fixture and
+    * payload-synthesis side of [[wavPcm16]].
+    */
+  def wavPcm16Encode(
+      samples: Array[Short],
+      sampleRate: Int = 16000,
+      channels: Int = 1): Array[Byte] = {
+    require(channels > 0, "channels must be positive")
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                      // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)        // byte rate
+      .putShort((channels * 2).toShort)         // block align
+      .putShort(16.toShort)                     // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  // ---------------------------------------------------------------
+  // BMP — uncompressed 24-bit
+  // ---------------------------------------------------------------
+
+  /** Decode a complete uncompressed 24-bit BMP to per-pixel grayscale
+    * luminance in [0, 1], row-major TOP-DOWN regardless of the file's
+    * stored row order (BMPs are bottom-up when height > 0).
+    */
+  def bmpGray(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 54, s"BMP too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP payload")
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val heightRaw = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    require(width > 0 && heightRaw != 0, s"bad dimensions ${width}x$heightRaw")
+    require(bpp == 24, s"not 24-bit ($bpp)")
+    require(compression == 0, s"compressed BMP unsupported ($compression)")
+    val height = math.abs(heightRaw)
+    val bottomUp = heightRaw > 0
+    val rowSize = ((width * 3 + 3) / 4) * 4     // rows pad to 4 bytes
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + rowSize.toLong * height <= bytes.length,
+      "pixel data overruns payload")
+    val out = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      val base = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff      // stored order is BGR
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        out(y * width + x) =
+          ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal 24-bit BMP writer (bottom-up, padded rows) — the fixture
+    * side of [[bmpGray]]. `rgbTopDown` is packed 0xRRGGBB, row-major
+    * top-down.
+    */
+  def bmp24Encode(width: Int, height: Int, rgbTopDown: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgbTopDown.length == width * height,
+      "pixel array must be width*height")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                     // reserved, data offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, bottom-up
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(dataSize)               // BI_RGB, image size
+      .putInt(2835).putInt(2835)                // 72 DPI
+      .putInt(0).putInt(0)                      // palette
+    var y = height - 1                          // write bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = rgbTopDown(y * width + x)
+        buf.put((p & 0xff).toByte)              // B
+          .put(((p >> 8) & 0xff).toByte)        // G
+          .put(((p >> 16) & 0xff).toByte)       // R
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  private def tag(buf: ByteBuffer, pos: Int): String =
+    new String(Array(buf.get(pos), buf.get(pos + 1),
+      buf.get(pos + 2), buf.get(pos + 3)), "US-ASCII")
+}

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads ride through the pipeline
   * as opaque `binary` columns with typed metadata beside them.
   *
-  * The container has no image/audio codecs, so DECODE IS STUBBED: the
-  * "decode" of a frame is a deterministic fake (its md5). Everything
-  * Spark-side — schema, batch shape, partition-parallel frame
-  * explosion, metadata extraction — is real and tested. In production
-  * the stub body is replaced by a Pandas-UDF (`mapInPandas`) or JNI
-  * decoder with the SAME (doc_id, frame_idx, frame_bytes) → feature
-  * row contract.
+  * The container has no native image/audio codec libraries, so m2's
+  * frame "decode" is a deterministic fake (the frame's md5) to keep its
+  * oracle exact. The extension point itself ([[decodeFrames]]) is NOT a
+  * stub: [[Codecs]] ships real pure-JVM WAV-PCM and BMP decoders that
+  * run through it (exercised by m2b and CodecsSpec). Production codecs
+  * (JPEG/FLAC/video) plug in the same way — a Pandas-UDF
+  * (`mapInPandas`) or JNI decoder with the SAME (doc_id, frame_idx,
+  * frame_bytes) → feature row contract — without touching the plan.
   */
 object Multimodal {
 

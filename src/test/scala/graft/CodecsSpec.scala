@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Codecs, Multimodal}
+
+/** Specs for the pure-JVM codecs and the multimodal decode plug-point:
+  * encode→decode round-trips are exact, malformed payloads fail loudly,
+  * and the real WAV decoder runs end-to-end through
+  * `Multimodal.decodeFrames` (the mapPartitions contract production
+  * codecs plug into).
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------------
+  // WAV
+  // ---------------------------------------------------------------
+
+  private val samples =
+    Array[Short](0, 1, -1, 1000, -1000, 32767, -32768, 12345)
+
+  test("WAV PCM16 encode→decode round-trips samples exactly") {
+    val decoded = Codecs.wavPcm16(Codecs.wavPcm16Encode(samples))
+    // k/32768 is exactly representable in float32 for |k| <= 32768
+    assert(decoded.toSeq == samples.map(_ / 32768.0f).toSeq)
+  }
+
+  test("WAV decode skips unknown chunks before data") {
+    val base = Codecs.wavPcm16Encode(samples)
+    // splice a LIST chunk (odd size → padded) between fmt and data
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 7)
+    val buf = ByteBuffer.allocate(base.length + 8 + listBody.length + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(base, 0, 36) // RIFF header + fmt chunk
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+      .put(listBody).put(0.toByte) // pad to even
+    buf.put(base, 36, base.length - 36) // data chunk
+    val bytes = buf.array()
+    // patch the RIFF size (total - 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, bytes.length - 8)
+    val decoded = Codecs.wavPcm16(bytes)
+    assert(decoded.toSeq == samples.map(_ / 32768.0f).toSeq)
+  }
+
+  test("WAV decode rejects malformed payloads") {
+    assertThrows[IllegalArgumentException](Codecs.wavPcm16(Array[Byte]()))
+    assertThrows[IllegalArgumentException](
+      Codecs.wavPcm16("not a wave file at all".getBytes("US-ASCII")))
+    // truncated data chunk: claim more bytes than the payload holds
+    val bad = Codecs.wavPcm16Encode(samples)
+    ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN).putInt(40, 9999)
+    assertThrows[IllegalArgumentException](Codecs.wavPcm16(bad))
+  }
+
+  test("WAV decode returns interleaved stereo as stored") {
+    val stereo = Array[Short](100, -100, 200, -200)
+    val decoded = Codecs.wavPcm16(Codecs.wavPcm16Encode(stereo, channels = 2))
+    assert(decoded.toSeq == stereo.map(_ / 32768.0f).toSeq)
+  }
+
+  // ---------------------------------------------------------------
+  // BMP
+  // ---------------------------------------------------------------
+
+  private def lum(rgb: Int): Float = {
+    val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+  }
+
+  test("BMP 24-bit encode→decode yields top-down luminance, padded width") {
+    // width 3 → row stride 12 with 3 pad bytes; 2 rows
+    val px = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0x808080)
+    val decoded = Codecs.bmpGray(Codecs.bmp24Encode(3, 2, px))
+    assert(decoded.toSeq == px.map(lum).toSeq)
+  }
+
+  test("BMP decode handles unpadded width and single row") {
+    val px = Array(0x123456, 0x654321, 0x0a0b0c, 0xf0e0d0)
+    // width 4 → row stride exactly 12, no padding
+    assert(Codecs.bmpGray(Codecs.bmp24Encode(4, 1, px)).toSeq ==
+      px.map(lum).toSeq)
+  }
+
+  test("BMP decode rejects malformed payloads") {
+    assertThrows[IllegalArgumentException](Codecs.bmpGray(Array[Byte]()))
+    val bad = Codecs.bmp24Encode(2, 2, Array(1, 2, 3, 4))
+    bad(0) = 'X' // break the magic
+    assertThrows[IllegalArgumentException](Codecs.bmpGray(bad))
+    val bpp = Codecs.bmp24Encode(2, 2, Array(1, 2, 3, 4))
+    ByteBuffer.wrap(bpp).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 8.toShort) // claim 8-bit
+    assertThrows[IllegalArgumentException](Codecs.bmpGray(bpp))
+  }
+
+  // ---------------------------------------------------------------
+  // End-to-end through the decode plug-point
+  // ---------------------------------------------------------------
+
+  test("decodeFrames runs the real WAV decoder distributed, end-to-end") {
+    import SparkTestSession._
+    import spark.implicits._
+    val fixtures = Seq(
+      Multimodal.Frame(1L, 0L, Codecs.wavPcm16Encode(samples)),
+      Multimodal.Frame(2L, 0L, Codecs.wavPcm16Encode(Array[Short](7, -7))))
+    val out = Multimodal.decodeFrames(fixtures.toDS())(Codecs.wavPcm16)
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(out(1L) == samples.map(_ / 32768.0f).toSeq)
+    assert(out(2L) == Seq(7 / 32768.0f, -7 / 32768.0f))
+  }
+
+  test("m2b matches an independent reference on live testdata") {
+    import SparkTestSession._
+    // reference model: straight from the text bytes, no WAV/codec path
+    val expected = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("US-ASCII")))
+      .filter(_._2.length >= 2)
+      .map { case (id, b) =>
+        val ks = (0 until b.length / 2).map(i =>
+          (b(2 * i) & 0xff) + 256 * (b(2 * i + 1) & 0xff))
+        // ASCII corpus → hi byte < 128 → k is the non-negative s16le value
+        id -> ((ks.size.toLong, ks.map(k => k.toLong * k).sum,
+          if (ks.isEmpty) 0L else ks.max.toLong))
+      }.toMap
+    val got = PipelineQueries.m2bFrameDecode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+}

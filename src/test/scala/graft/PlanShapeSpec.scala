@@ -140,7 +140,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // shortlist/re-rank windows — measured 12 static exchanges; the 5
     // hint-broadcasts (seeds, codebook, dtable, shortlist, query set)
     // are all structurally bounded and must never become shuffle joins
-    Shape("s5_ann_pq", maxShuffles = 12, minBroadcasts = 5))
+    Shape("s5_ann_pq", maxShuffles = 12, minBroadcasts = 5),
+    // r9: the codec path is synth → encode → decode → reduce inside
+    // the scan partition, one output row per doc — any Exchange means
+    // payload bytes started shuffling
+    Shape("m2b_frame_decode", maxShuffles = 0))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
