@@ -30,7 +30,11 @@ object Tables {
     *     TIMESTAMP.
     *   - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ — cast to the
     *     session timestamp type so downstream ops and the DuckDB oracle
-    *     see one consistent type.
+    *     see one consistent type. The cast is pushdown-transparent:
+    *     under the pinned UTC session Catalyst rewrites `cast(ts) >= X`
+    *     onto the raw scan column (verified: ts predicates appear in
+    *     the FileScan's DataFilters), so time-range pruning at 100 TB
+    *     is not lost to the normalization.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
