@@ -28,6 +28,11 @@ object PipelineQueries {
   /** DuckDB: distinct word 3-shingle list of word-list column `ws`. */
   private val duckShingles: String = duckShinglesN(3)
 
+  /** DuckDB: the all-languages stopword list literal (t2/p1 share it). */
+  private val duckAllStops: String =
+    TextAnalysis.stopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ",", "]")
+
   /** DuckDB twin of Dedup.shinglesN over a word array column `ws`. */
   private def duckShinglesN(n: Int): String =
     s"CASE WHEN len(ws) >= $n THEN " +
@@ -889,6 +894,68 @@ object PipelineQueries {
       |FROM v GROUP BY doc_id""".stripMargin
 
   // ===========================================================
+  // p-block: composed end-to-end pipeline
+  // ===========================================================
+
+  /** p1 — the whole preprocess (language gate → quality gate → exact
+    * dedup → stratified rebalance) as one query; see
+    * [[graft.operators.Preprocess.select]] for the one-scan/one-shuffle
+    * design. Thresholds picked for non-trivial selectivity on the
+    * testdata corpus (~91% pass the language gate, ~87% the stopword
+    * gate, half of `en` kept by the mix rebalance).
+    */
+  def p1Preprocess(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preprocess.select(docs(s, dir))
+
+  /** p1's DuckDB twin: t1/t2/d1/d7's oracle fragments composed in the
+    * same stage order — gates in a CTE BEFORE the dedup window, so
+    * `n_dups` counts surviving copies only, and d7's deterministic
+    * md5 keep test (seed 0) applied to the canonical survivors.
+    */
+  val p1Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, text, ${duckWords("text")} AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       |    ${duckStopHits("en")} AS en_hits,
+       |    ${duckStopHits("de")} AS de_hits,
+       |    ${duckStopHits("es")} AS es_hits,
+       |    ${duckStopHits("fr")} AS fr_hits,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(ws, w -> list_contains(${duckAllStops}, w))) AS BIGINT) AS stop_hits,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+       |  FROM toks),
+       |l AS (
+       |  SELECT *,
+       |    CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'und'
+       |         WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS pred_lang,
+       |    round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       |    round(CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END, 6) AS stopword_ratio
+       |  FROM f),
+       |g AS (
+       |  SELECT * FROM l
+       |  WHERE pred_lang <> 'und'
+       |    AND stopword_ratio >= 0.02 AND punct_ratio <= 0.3),
+       |d AS (
+       |  SELECT *,
+       |    min(doc_id) OVER (PARTITION BY content_hash) AS canonical_doc_id,
+       |    CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_dups
+       |  FROM g)
+       |SELECT doc_id, lang, pred_lang, stopword_ratio, punct_ratio,
+       |  bpe_tokens, n_dups
+       |FROM d
+       |WHERE doc_id = canonical_doc_id
+       |  AND CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+       |      / 4294967296.0
+       |    < CASE WHEN pred_lang = 'en' THEN 0.5 ELSE 1.0 END""".stripMargin
+
+  // ===========================================================
   // Registry
   // ===========================================================
 
@@ -924,7 +991,8 @@ object PipelineQueries {
     "t11_dup_passages" -> (t11DupPassages _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
-    "m2b_frame_decode" -> (m2bFrameDecode _)
+    "m2b_frame_decode" -> (m2bFrameDecode _),
+    "p1_preprocess" -> (p1Preprocess _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -958,6 +1026,7 @@ object PipelineQueries {
     "t11_dup_passages" -> t11Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
-    "m2b_frame_decode" -> m2bSql
+    "m2b_frame_decode" -> m2bSql,
+    "p1_preprocess" -> p1Sql
   )
 }

@@ -22,7 +22,7 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "y", "que", "un", "una"),
     "fr" -> Seq("le", "les", "et", "est", "une", "que", "des", "du"))
 
-  private def hits(ws: Column, list: Seq[String]): Column =
+  private[operators] def hits(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isin(list.map(lit): _*))).cast("long")
 
   /** t1 — language ID. Deterministic argmax with fixed preference order

@@ -829,4 +829,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"t9 must not shuffle — chunking is per-row fan-out:\n$plan")
   }
+
+  test("p1 preprocess equals the composition of its standalone stages") {
+    import graft.operators.{Preprocess, Sampling}
+    // composition twin built from the per-stage operators the fused
+    // form must agree with: t1 gate → t2 gate → dedup window over
+    // survivors → t3 tokens → d7-style keep
+    val gateIds = TextAnalysis.langId(docs).filter(col("pred_lang") =!= "und")
+      .join(TextAnalysis.qualityScore(docs)
+        .filter(col("stopword_ratio") >= 0.02 && col("punct_ratio") <= 0.3),
+        "doc_id")
+      .select(col("doc_id"), col("pred_lang"))
+    val survivors = Dedup.exact(docs.join(gateIds, "doc_id"))
+      .filter(col("doc_id") === col("canonical_doc_id"))
+      .select(col("doc_id"), col("n_dups"))
+    val expected = Sampling.stratified(
+      survivors.join(gateIds, "doc_id"), col("pred_lang"), col("doc_id"),
+      Map("en" -> 0.5), 1.0)
+    val got = Preprocess.select(docs)
+    assert(got.count() > 0, "p1 must keep a non-trivial survivor set")
+    val gotSet = got.select("doc_id", "pred_lang", "n_dups").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expSet = expected.select("doc_id", "pred_lang", "n_dups").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotSet == expSet)
+    // and the carried metrics agree with the standalone scorers
+    val metrics = got.join(TextAnalysis.qualityScore(docs)
+        .withColumnRenamed("stopword_ratio", "sr2"), "doc_id")
+      .filter(col("stopword_ratio") =!= col("sr2")).count()
+    assert(metrics == 0L)
+  }
 }

@@ -144,7 +144,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // r9: the codec path is synth → encode → decode → reduce inside
     // the scan partition, one output row per doc — any Exchange means
     // payload bytes started shuffling
-    Shape("m2b_frame_decode", maxShuffles = 0))
+    Shape("m2b_frame_decode", maxShuffles = 0),
+    // r9: the whole preprocess is ONE scan + ONE shuffle (the
+    // content-hash dedup window over gate survivors); a second
+    // Exchange means a signal started computing post-shuffle or the
+    // gates stopped filtering before the window
+    Shape("p1_preprocess", maxShuffles = 1))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
