@@ -36,8 +36,34 @@ object Preprocess {
       maxPunctRatio: Double = 0.3,
       rates: Map[String, Double] = Map("en" -> 0.5),
       defaultRate: Double = 1.0): DataFrame = {
-    val staged = documents.select(col("doc_id"), col("lang"), col("text"),
-      Dedup.words(col("text")).as("ws"))
+    val gated = scoredGated(documents, minStopwordRatio, maxPunctRatio)
+    val w = Window.partitionBy(col("content_hash"))
+    val deduped = gated
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .filter(col("doc_id") === col("canonical_doc_id"))
+    Sampling.stratified(deduped, col("pred_lang"), col("doc_id"),
+      rates, defaultRate)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("stopword_ratio"), col("punct_ratio"),
+        col("bpe_tokens"), col("n_dups"))
+  }
+
+  /** The stateless front of the pipeline — signal projection + gates —
+    * shared by the batch form above and the streaming twin
+    * ([[graft.streaming.Streams.preprocessStream]]): everything here is
+    * a per-row computation, so it runs identically over a static frame
+    * or a micro-batch. `carry` names extra input columns to keep (the
+    * stream carries its event-time column through for the watermark).
+    */
+  private[graft] def scoredGated(
+      documents: DataFrame,
+      minStopwordRatio: Double,
+      maxPunctRatio: Double,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
+    val staged = documents.select(Seq(col("doc_id"), col("lang"),
+      col("text"), Dedup.words(col("text")).as("ws")) ++ carried: _*)
     val langHits = TextAnalysis.stopwords.map { case (l, list) =>
       TextAnalysis.hits(col("ws"), list).as(s"${l}_hits")
     }
@@ -52,7 +78,7 @@ object Preprocess {
       TextAnalysis.hits(col("ws"),
         TextAnalysis.stopwords.flatMap(_._2).distinct).as("stop_hits"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
-        .cast("long").as("bpe_tokens")) ++ langHits: _*)
+        .cast("long").as("bpe_tokens")) ++ langHits ++ carried: _*)
     val Seq(en, de, es, fr) =
       TextAnalysis.stopwords.map { case (l, _) => col(s"${l}_hits") }
     // identical tie-break order to TextAnalysis.langId (en>de>es>fr)
@@ -61,7 +87,7 @@ object Preprocess {
       .when(de >= es && de >= fr, lit("de"))
       .when(es >= fr, lit("es"))
       .otherwise(lit("fr"))
-    val scored = sigs.select(
+    val scored = sigs.select(Seq(
       col("doc_id"), col("lang"), col("content_hash"), col("bpe_tokens"),
       pred.as("pred_lang"),
       round(when(col("n_chars") > 0,
@@ -69,20 +95,10 @@ object Preprocess {
         .otherwise(lit(0.0)), 6).as("punct_ratio"),
       round(when(col("n_words") > 0,
         col("stop_hits").cast("double") / col("n_words").cast("double"))
-        .otherwise(lit(0.0)), 6).as("stopword_ratio"))
-    val gated = scored.filter(
+        .otherwise(lit(0.0)), 6).as("stopword_ratio")) ++ carried: _*)
+    scored.filter(
       col("pred_lang") =!= "und" &&
         col("stopword_ratio") >= minStopwordRatio &&
         col("punct_ratio") <= maxPunctRatio)
-    val w = Window.partitionBy(col("content_hash"))
-    val deduped = gated
-      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
-      .withColumn("n_dups", count(lit(1)).over(w))
-      .filter(col("doc_id") === col("canonical_doc_id"))
-    Sampling.stratified(deduped, col("pred_lang"), col("doc_id"),
-      rates, defaultRate)
-      .select(col("doc_id"), col("lang"), col("pred_lang"),
-        col("stopword_ratio"), col("punct_ratio"),
-        col("bpe_tokens"), col("n_dups"))
   }
 }

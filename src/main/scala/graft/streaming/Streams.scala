@@ -170,6 +170,40 @@ object Streams {
       .filter(col("n_overlapping") > 0)
   }
 
+  /** st11 — continuous-ingest face of the composed preprocess (p1):
+    * the signal projection, the language/quality gates, and the
+    * deterministic sampling keep-test are all stateless per-row
+    * computations (shared with the batch form via
+    * [[graft.operators.Preprocess.scoredGated]]), so they run at
+    * micro-batch scan throughput with no state at all. Only exact
+    * dedup needs state: streaming `dropDuplicates` on the content
+    * hash, bounded by the watermark — the state store holds one
+    * (hash, timestamp) entry per distinct surviving document inside
+    * the horizon, and the canonical representative is the FIRST
+    * ARRIVAL rather than batch p1's min doc_id (the one semantic a
+    * stream cannot reproduce without unbounded state; `n_dups` is
+    * likewise absent — a later copy is dropped, not counted).
+    * Docs must carry an event-time `ts` column.
+    */
+  def preprocessStream(
+      docs: DataFrame,
+      watermark: String = "10 minutes",
+      minStopwordRatio: Double = 0.02,
+      maxPunctRatio: Double = 0.3,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0): DataFrame = {
+    val gated = graft.operators.Preprocess.scoredGated(
+      docs, minStopwordRatio, maxPunctRatio, carry = Seq("ts"))
+    val deduped = gated
+      .withWatermark("ts", watermark)
+      .dropDuplicates("content_hash")
+    graft.operators.Sampling.stratified(
+      deduped, col("pred_lang"), col("doc_id"), rates, defaultRate)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("stopword_ratio"), col("punct_ratio"), col("bpe_tokens"),
+        col("ts"))
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

@@ -329,4 +329,45 @@ class StreamingSpec extends AnyFunSuite {
         "contamination guard must not register state operators")
     } finally q.stop()
   }
+
+  test("st11 streaming preprocess: gates + watermarked dedup + batch parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val keepA = "the cat is on a mat and it is fine"
+    val keepB = "the dog is in a house and that is good"
+    val docRows = Seq(
+      (1L, "en", keepA, t0),
+      // same content modulo whitespace → same normalized hash → dropped
+      (2L, "en", "the  cat is on a mat  and it is fine ", t0),
+      // no stopwords in any language → 'und' → gated out statelessly
+      (3L, "en", "zzz qqq xxx", t0),
+      (4L, "en", keepB, t0))
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val q = graft.streaming.Streams.preprocessStream(
+      in.toDF().toDF("doc_id", "lang", "text", "ts"),
+      rates = Map.empty, defaultRate = 1.0)
+      .writeStream.format("memory").queryName("st11_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(docRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("st11_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3),
+          r.getLong(5)))).toMap
+      // first arrival of each surviving content survives; gate victims
+      // and the later duplicate never reach the sink
+      assert(got.keySet == Set(1L, 4L), s"got $got")
+      // the stateless front is the SAME code as batch p1 — signals must
+      // match the batch run on identical input (no sampling both sides)
+      val batch = graft.operators.Preprocess.select(
+        docRows.toDF("doc_id", "lang", "text", "ts"),
+        rates = Map.empty, defaultRate = 1.0)
+        .collect().map(r => r.getLong(0) -> ((r.getString(2),
+          r.getDouble(3), r.getLong(5)))).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      // dedup is the ONLY stateful operator in the query
+      assert(q.recentProgress.exists(_.stateOperators.nonEmpty))
+    } finally q.stop()
+  }
 }
