@@ -38,7 +38,7 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    if (name == "events") normalizeTs(df) else normalizeNtz(df)
   }
 
   /** Normalize an `events`-shaped frame's `ts` column to TIMESTAMP,
@@ -50,8 +50,23 @@ object Tables {
       case Some(LongType) =>
         // nanosecond epoch long -> microsecond timestamp
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", expr("cast(ts as timestamp)"))
-      case _ => df
+      case Some(TimestampNTZType) => normalizeNtz(df)
+      case _ => normalizeNtz(df)
     }
+
+  /** Cast every TIMESTAMP_NTZ column to the session timestamp type —
+    * the testdata writes its time columns (`events.ts`,
+    * `orders.o_orderdate`, `lineitem.l_shipdate`) as timestamp[us]
+    * without timezone, which Spark reads as NTZ. Left as NTZ they are
+    * the events-bug hazard in waiting: any comparison against a plain
+    * TIMESTAMP (`current_timestamp()`, a literal, another table's
+    * column) throws DATATYPE_MISMATCH. Under the engine's pinned UTC
+    * session the cast is value-identical and pushdown-transparent (see
+    * [[load]]), so one consistent type costs nothing.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) =>
+      d.withColumn(c, expr(s"cast(`$c` as timestamp)")))
 }
