@@ -194,9 +194,13 @@ object Streams {
       defaultRate: Double = 1.0): DataFrame = {
     val gated = graft.operators.Preprocess.scoredGated(
       docs, minStopwordRatio, maxPunctRatio, carry = Seq("ts"))
+    // WithinWatermark variant (same as st2): plain dropDuplicates on a
+    // key subset without the event-time column would keep its state
+    // forever — this one evicts a hash's entry once the watermark
+    // passes its first arrival, which is what bounds the state store
     val deduped = gated
       .withWatermark("ts", watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
     graft.operators.Sampling.stratified(
       deduped, col("pred_lang"), col("doc_id"), rates, defaultRate)
       .select(col("doc_id"), col("lang"), col("pred_lang"),
