@@ -539,8 +539,7 @@ object PipelineQueries {
     TextAnalysis.qualityScore(docs(s, dir))
 
   val t2Sql: String = {
-    val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString("[", ",", "]")
+    val allStops = duckAllStops
     s"""WITH toks AS (
        |  SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents),
        |m AS (
@@ -845,11 +844,19 @@ object PipelineQueries {
     import java.nio.{ByteBuffer, ByteOrder}
     val frames = docs(s, dir)
       .select(col("doc_id"), col("text"))
-      // < 2 bytes yields zero s16 samples; both engines drop those docs
-      .filter(octet_length(col("text")) >= 2)
+      // < 2 chars yields zero s16 samples; both engines drop those
+      // docs — char-count (`length`), matching the twin's char-based
+      // gate, so a non-ASCII corpus diverges loudly below rather than
+      // silently disagreeing on which docs pass
+      .filter(length(col("text")) >= 2)
       .as[(Long, String)]
       .map { case (id, text) =>
-        val b = text.getBytes("US-ASCII") // corpus is pure ASCII (see m2Sql)
+        // the char-position arithmetic of the DuckDB twin is only
+        // byte-position arithmetic on ASCII; refuse anything else
+        // instead of letting getBytes substitute '?' and skew features
+        require(text.forall(_ < 128),
+          s"m2b requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
         val n = b.length / 2
         val pcm = new Array[Short](n)
         val bb = ByteBuffer.wrap(b, 0, n * 2).order(ByteOrder.LITTLE_ENDIAN)

@@ -42,15 +42,16 @@ object Tables {
   }
 
   /** Normalize an `events`-shaped frame's `ts` column to TIMESTAMP,
-    * whatever physical encoding the parquet carried (see [[load]]).
-    * No-op when `ts` is absent or already a plain TIMESTAMP.
+    * whatever physical encoding the parquet carried (see [[load]]):
+    * a nanosecond LONG `ts` gets the micros conversion; anything else
+    * falls through to [[normalizeNtz]] (which also covers `ts` being
+    * NTZ, and is a no-op only when NO column in the frame is NTZ).
     */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         // nanosecond epoch long -> microsecond timestamp
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) => normalizeNtz(df)
       case _ => normalizeNtz(df)
     }
 

@@ -40,7 +40,9 @@ object Codecs {
     while (pos + 8 <= bytes.length && data == null) {
       val id = tag(buf, pos)
       val size = buf.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // bounds math in Long: a corrupt size near Int.MaxValue must hit
+      // this require, not wrap negative and escape into an IOOBE/OOM
+      require(size >= 0 && pos.toLong + 8L + size <= bytes.length,
         s"chunk '$id' overruns payload")
       id match {
         case "fmt " =>
@@ -115,15 +117,18 @@ object Codecs {
     require(compression == 0, s"compressed BMP unsupported ($compression)")
     val height = math.abs(heightRaw)
     val bottomUp = heightRaw > 0
-    val rowSize = ((width * 3 + 3) / 4) * 4     // rows pad to 4 bytes
+    // geometry in Long: a corrupt width near Int.MaxValue must fail
+    // these requires, not wrap negative and escape the bounds check
+    val rowSize = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4 bytes
     require(dataOffset >= 54 &&
-      dataOffset.toLong + rowSize.toLong * height <= bytes.length,
+      dataOffset.toLong + rowSize * height <= bytes.length,
       "pixel data overruns payload")
+    require(width.toLong * height <= Int.MaxValue, "pixel count overflows")
     val out = new Array[Float](width * height)
     var y = 0
     while (y < height) {
       val srcRow = if (bottomUp) height - 1 - y else y
-      val base = dataOffset + srcRow * rowSize
+      val base = (dataOffset + srcRow * rowSize).toInt // bounds-checked above
       var x = 0
       while (x < width) {
         val b = bytes(base + x * 3) & 0xff      // stored order is BGR

@@ -81,12 +81,7 @@ object Preprocess {
         .cast("long").as("bpe_tokens")) ++ langHits ++ carried: _*)
     val Seq(en, de, es, fr) =
       TextAnalysis.stopwords.map { case (l, _) => col(s"${l}_hits") }
-    // identical tie-break order to TextAnalysis.langId (en>de>es>fr)
-    val pred = when(en + de + es + fr === 0, lit("und"))
-      .when(en >= de && en >= es && en >= fr, lit("en"))
-      .when(de >= es && de >= fr, lit("de"))
-      .when(es >= fr, lit("es"))
-      .otherwise(lit("fr"))
+    val pred = TextAnalysis.langPred(en, de, es, fr)
     val scored = sigs.select(Seq(
       col("doc_id"), col("lang"), col("content_hash"), col("bpe_tokens"),
       pred.as("pred_lang"),

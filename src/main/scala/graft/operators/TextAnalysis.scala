@@ -25,6 +25,18 @@ object TextAnalysis {
   private[operators] def hits(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isin(list.map(lit): _*))).cast("long")
 
+  /** The four-way language argmax with the fixed tie-break preference
+    * en > de > es > fr — THE single definition t1 and p1/st11 share
+    * (their DuckDB twins replicate it as a CASE in the same order).
+    */
+  private[operators] def langPred(
+      en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en + de + es + fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+
   /** t1 — language ID. Deterministic argmax with fixed preference order
     * en > de > es > fr on ties.
     */
@@ -40,11 +52,7 @@ object TextAnalysis {
         hits(col("ws"), l).as(s"${lang}_hits") }: _*)
     val Seq(en, de, es, fr) =
       stopwords.map { case (lang, _) => col(s"${lang}_hits") }
-    val pred = when(en + de + es + fr === 0, lit("und"))
-      .when(en >= de && en >= es && en >= fr, lit("en"))
-      .when(de >= es && de >= fr, lit("de"))
-      .when(es >= fr, lit("es"))
-      .otherwise(lit("fr"))
+    val pred = langPred(en, de, es, fr)
     withHits.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
       en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
   }

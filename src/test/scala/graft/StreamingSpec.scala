@@ -336,13 +336,17 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val keepA = "the cat is on a mat and it is fine"
     val keepB = "the dog is in a house and that is good"
-    val docRows = Seq(
+    val firstBatch = Seq(
       (1L, "en", keepA, t0),
-      // same content modulo whitespace → same normalized hash → dropped
-      (2L, "en", "the  cat is on a mat  and it is fine ", t0),
       // no stopwords in any language → 'und' → gated out statelessly
       (3L, "en", "zzz qqq xxx", t0),
       (4L, "en", keepB, t0))
+    // same content as doc 1 modulo whitespace → same normalized hash →
+    // dropped; arrives in a LATER micro-batch so "first arrival wins"
+    // is deterministic (within one batch, which duplicate the state
+    // store sees first is not an ordering contract)
+    val dupRow = (2L, "en", "the  cat is on a mat  and it is fine ", t0)
+    val docRows = firstBatch :+ dupRow
     val in = MemoryStream[(Long, String, String, Timestamp)]
     val q = graft.streaming.Streams.preprocessStream(
       in.toDF().toDF("doc_id", "lang", "text", "ts"),
@@ -350,7 +354,9 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("st11_out")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     try {
-      in.addData(docRows: _*)
+      in.addData(firstBatch: _*)
+      q.processAllAvailable()
+      in.addData(dupRow)
       q.processAllAvailable()
       val got = spark.table("st11_out").collect()
         .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3),
