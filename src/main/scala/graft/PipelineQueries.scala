@@ -789,6 +789,43 @@ object PipelineQueries {
        |  ON gh.h = sel.h AND gh.doc_id = sel.example_doc_id
        |GROUP BY sel.h, sel.n_docs, sel.example_doc_id""".stripMargin
 
+  /** d11 — repeated-passage scrub (t11's application step; see
+    * [[graft.operators.TextAnalysis.passageScrub]]). The oracle
+    * recomputes t11's passage list and applies the identical sorted
+    * fold via `list_reduce`, so the clean-text hash gates the whole
+    * mine→scrub pipeline end-to-end.
+    */
+  def d11PassageScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.passageScrub(docs(s, dir), n = 8, minDocs = 2,
+      maxPassages = 10000)
+
+  val d11Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |gr AS (SELECT doc_id, unnest(${duckShinglesN(8)}) AS g FROM toks),
+       |gh AS (SELECT doc_id, g, ${duckHash60("'0'", "g")} AS h FROM gr),
+       |sel AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    min(doc_id) AS example_doc_id
+       |  FROM gh GROUP BY 1
+       |  HAVING COUNT(*) >= 2
+       |  ORDER BY COUNT(*) DESC, h LIMIT 10000),
+       |pass AS (
+       |  SELECT min(gh.g) AS passage
+       |  FROM sel JOIN gh
+       |    ON gh.h = sel.h AND gh.doc_id = sel.example_doc_id
+       |  GROUP BY sel.h, sel.n_docs, sel.example_doc_id),
+       |p AS (SELECT coalesce(list_sort(list(passage)), []) AS ps FROM pass),
+       |scrubbed AS (
+       |  SELECT doc_id, text,
+       |    list_reduce(list_prepend(text, ps),
+       |      (acc, pat) -> replace(acc, pat, ' ')) AS clean
+       |  FROM documents CROSS JOIN p)
+       |SELECT doc_id,
+       |  CAST(length(text) - length(clean) AS BIGINT) AS n_chars_removed,
+       |  md5(clean) AS clean_hash
+       |FROM scrubbed""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -996,6 +1033,7 @@ object PipelineQueries {
     "t9_chunking" -> (t9Chunking _),
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
     "t11_dup_passages" -> (t11DupPassages _),
+    "d11_passage_scrub" -> (d11PassageScrub _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m2b_frame_decode" -> (m2bFrameDecode _),
@@ -1031,6 +1069,7 @@ object PipelineQueries {
     "t9_chunking" -> t9Sql,
     "t10_unigram_surprisal" -> t10Sql,
     "t11_dup_passages" -> t11Sql,
+    "d11_passage_scrub" -> d11Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m2b_frame_decode" -> m2bSql,

@@ -498,6 +498,37 @@ object TextAnalysis {
       .select(col("passage"), col("n_docs"), col("example_doc_id"))
   }
 
+  /** d11 — repeated-passage scrub: the APPLICATION step of t11's
+    * mining (Lee et al. 2022 substring dedup, the boilerplate-removal
+    * face): every passage t11 surfaces (a word n-gram appearing in ≥
+    * `minDocs` documents) is removed from EVERY document, each
+    * occurrence replaced by a single space. Output per doc: chars
+    * removed + the hash of the scrubbed text (the hash proves the
+    * exact scrub to the oracle without re-shipping the corpus).
+    *
+    * Scale shape: the passage list is the CAPPED t11 survivor set
+    * (≤ `maxPassages`, structurally bounded), collected into ONE row
+    * and broadcast; the scrub itself is a per-row fold
+    * (`functions.aggregate`) inside the scan — document text never
+    * shuffles. The fold applies passages in sorted order, so the
+    * result is deterministic (and engine-portable) even when passages
+    * overlap within a document.
+    */
+  def passageScrub(
+      documents: DataFrame, n: Int = 8, minDocs: Long = 2,
+      maxPassages: Int = 10000): DataFrame = {
+    val ps = dupPassages(documents, n, minDocs, maxPassages)
+      .agg(array_sort(collect_list(col("passage"))).as("ps"))
+    documents.join(broadcast(ps))
+      .select(col("doc_id"), col("text"),
+        aggregate(col("ps"), col("text"),
+          (acc, p) => replace(acc, p, lit(" "))).as("clean"))
+      .select(col("doc_id"),
+        (length(col("text")) - length(col("clean"))).cast("long")
+          .as("n_chars_removed"),
+        md5(col("clean")).as("clean_hash"))
+  }
+
   /** t9 — context-window chunking: split each document into fixed-size
     * token windows with overlap (`stride` < `chunkTokens` overlaps
     * consecutive chunks by `chunkTokens - stride` tokens), the standard

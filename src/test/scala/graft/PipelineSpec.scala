@@ -830,6 +830,29 @@ class PipelineSpec extends AnyFunSuite {
       s"t9 must not shuffle — chunking is per-row fan-out:\n$plan")
   }
 
+  test("d11 passage scrub removes mined passages everywhere, leaves the rest") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val df = Seq(
+      (1L, s"$passage tail one", "s"),
+      (2L, s"head $passage", "s"),
+      (3L, "a b c d e f g h i j", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.passageScrub(df, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // the shared 8-gram is scrubbed from BOTH holders (one space left)
+    assert(got(1L) == ((passage.length - 1).toLong,
+      md5hex(s"$passage tail one".replace(passage, " "))))
+    assert(got(2L) == ((passage.length - 1).toLong,
+      md5hex(s"head $passage".replace(passage, " "))))
+    // a doc holding no mined passage passes through byte-identical
+    assert(got(3L) == ((0L, md5hex("a b c d e f g h i j"))))
+  }
+
   test("p1 preprocess equals the composition of its standalone stages") {
     import graft.operators.{Preprocess, Sampling}
     // composition twin built from the per-stage operators the fused

@@ -149,7 +149,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // content-hash dedup window over gate survivors); a second
     // Exchange means a signal started computing post-shuffle or the
     // gates stopped filtering before the window
-    Shape("p1_preprocess", maxShuffles = 1))
+    Shape("p1_preprocess", maxShuffles = 1),
+    // r9: d11 = t11's 3 pinned shuffles + the one-row passage-list
+    // collect; the scrub itself must stay a broadcast-fed scan fold —
+    // the passage list and t11's capped build sides are the only
+    // broadcasts, and document text must never reach an Exchange
+    Shape("d11_passage_scrub", maxShuffles = 4, minBroadcasts = 3))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
