@@ -646,6 +646,37 @@ object PipelineQueries {
        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= 600""".stripMargin
 
+  /** t12 — concat-and-split sequence packing (see
+    * [[graft.operators.Sampling.sequencePack]]): the packing manifest
+    * for 256-token training sequences per source, gated on the
+    * bucketed distributed-prefix-sum form.
+    */
+  def t12SequencePack(s: SparkSession, dir: String): DataFrame =
+    Sampling.sequencePack(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens")),
+      stratum = "source", id = "doc_id", tokens = col("n_tokens"),
+      seqTokens = 256, nBuckets = 64)
+
+  val t12Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${duckWords("text")}) AS BIGINT) AS n_tokens,
+       |    ${duckHash60("'0'", "CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  CAST(cum_tokens - n_tokens AS BIGINT) AS start_tok,
+       |  CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS first_seq,
+       |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS last_seq,
+       |  CAST((cum_tokens - n_tokens) % 256 AS BIGINT) AS offset_in_seq
+       |FROM c""".stripMargin
+
   def t6PiiScrub(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiScrub(docs(s, dir))
 
@@ -1033,6 +1064,7 @@ object PipelineQueries {
     "t9_chunking" -> (t9Chunking _),
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
     "t11_dup_passages" -> (t11DupPassages _),
+    "t12_sequence_pack" -> (t12SequencePack _),
     "d11_passage_scrub" -> (d11PassageScrub _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -1069,6 +1101,7 @@ object PipelineQueries {
     "t9_chunking" -> t9Sql,
     "t10_unigram_surprisal" -> t10Sql,
     "t11_dup_passages" -> t11Sql,
+    "t12_sequence_pack" -> t12Sql,
     "d11_passage_scrub" -> d11Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,

@@ -99,6 +99,23 @@ object Sampling {
       df: DataFrame, stratum: String, id: String, tokens: Column,
       budget: Long, nBuckets: Int = 64, seed: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    bucketedCumSum(df, stratum, id, tokens, nBuckets, seed,
+      offsetCap = Some(budget))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** The shared bucketed-prefix-sum core of [[tokenBudgetBucketed]]
+    * and [[sequencePack]]: appends `cum_tokens` (the inclusive running
+    * total of `tokens` within `stratum`, ordered by (60-bit md5 of
+    * `id`, `id`)) without collapsing a stratum into one window
+    * partition. `offsetCap`, when set, drops whole buckets whose
+    * exclusive prefix already reaches the cap BEFORE the window
+    * shuffle — the budget-frontier optimization only the sampling
+    * caller can use (packing needs every row).
+    */
+  private def bucketedCumSum(
+      df: DataFrame, stratum: String, id: String, tokens: Column,
+      nBuckets: Int, seed: Int, offsetCap: Option[Long]): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     // md5Hash60 lands in [0, 2^60); integral DIV keeps bucket order
@@ -109,14 +126,15 @@ object Sampling {
       .withColumn("__u", Dedup.md5Hash60(lit(seed), col(id).cast("string")))
       .withColumn("__n_tokens", tokens.cast("long"))
       .withColumn("__bucket", expr(s"__u DIV ${width}L"))
-    val offsets = base
+    val prefixes = base
       .groupBy(col(stratum), col("__bucket"))
       .agg(sum(col("__n_tokens")).as("__bt"))
       .withColumn("__off", coalesce(
         sum(col("__bt")).over(Window.partitionBy(col(stratum))
           .orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("__off") < budget)
+    val offsets = offsetCap.fold(prefixes)(cap =>
+      prefixes.filter(col("__off") < cap))
       .select(col(stratum), col("__bucket"), col("__off"))
     val w = Window.partitionBy(col(stratum), col("__bucket"))
       .orderBy(col("__u"), col(id))
@@ -124,9 +142,39 @@ object Sampling {
     base.join(broadcast(offsets), Seq(stratum, "__bucket"))
       .withColumn("cum_tokens",
         sum(col("__n_tokens")).over(w) + col("__off"))
-      .filter(col("cum_tokens") <= budget)
       // the using-join moved its keys first; restore the caller's
-      // column order so both forms return the identical schema
+      // column order so every caller returns the identical schema
       .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+  }
+
+  /** Concat-and-split sequence packing — the step that turns a
+    * filtered, deduped corpus into fixed-length training sequences:
+    * documents concatenate in a deterministic pseudo-random order (the
+    * same (hash, id) order the samplers use) within each stratum, and
+    * the resulting token stream splits every `seqTokens` tokens. The
+    * output is the packing MANIFEST: each document's absolute token
+    * offset and the sequence span it lands in — what a tokenizer
+    * worker needs to emit its shard without seeing any other document.
+    *
+    * Zero-token documents occupy no span and are dropped. A document
+    * longer than `seqTokens` spans several sequences
+    * (`first_seq < last_seq`) — concat-and-split packing cuts it, it
+    * does not pad around it.
+    *
+    * Scale: the same bucketed distributed prefix sum as
+    * [[tokenBudgetBucketed]] (no stratum-wide window partition), minus
+    * the budget pruning — packing is total, every row keeps a manifest
+    * entry, and only (id, stratum, token-count) triples shuffle.
+    */
+  def sequencePack(
+      df: DataFrame, stratum: String, id: String, tokens: Column,
+      seqTokens: Long, nBuckets: Int = 64, seed: Int = 0): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    val kept = df.filter(tokens.cast("long") > 0)
+    bucketedCumSum(kept, stratum, id, tokens, nBuckets, seed, None)
+      .withColumn("start_tok", col("cum_tokens") - tokens.cast("long"))
+      .withColumn("first_seq", expr(s"start_tok DIV ${seqTokens}L"))
+      .withColumn("last_seq", expr(s"(cum_tokens - 1) DIV ${seqTokens}L"))
+      .withColumn("offset_in_seq", col("start_tok") % seqTokens)
   }
 }

@@ -853,6 +853,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, md5hex("a b c d e f g h i j"))))
   }
 
+  test("t12 sequence packing: bucketed form equals the plain window, tiles exactly") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val in = docs.select(col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    val got = Sampling.sequencePack(in, "source", "doc_id",
+      col("n_tokens"), seqTokens = 256)
+    // plain single-window twin (the stratum-hot-spot form the bucketed
+    // engine must agree with row-for-row)
+    val w = Window.partitionBy(col("source")).orderBy(col("__u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val twin = in.filter(col("n_tokens") > 0)
+      .withColumn("__u", Dedup.md5Hash60(lit(0), col("doc_id").cast("string")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .drop("__u")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> r.getLong(3)
+    assert(got.select("doc_id", "source", "n_tokens", "cum_tokens")
+      .collect().map(key).toMap ==
+      twin.collect().map(key).toMap)
+    // tiling invariants: per stratum the manifest starts at token 0,
+    // covers exactly sum(n_tokens), and every offset is in-range
+    val bad = got.filter(
+      col("start_tok") =!= col("cum_tokens") - col("n_tokens") ||
+      col("first_seq") =!= expr("start_tok DIV 256") ||
+      col("last_seq") =!= expr("(cum_tokens - 1) DIV 256") ||
+      col("offset_in_seq") < 0 || col("offset_in_seq") >= 256).count()
+    assert(bad == 0L)
+    val perStratum = got.groupBy("source")
+      .agg(min("start_tok").as("lo"), max("cum_tokens").as("hi"),
+        sum("n_tokens").as("tot"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("tot")).count()
+    assert(perStratum == 0L)
+  }
+
   test("p1 preprocess equals the composition of its standalone stages") {
     import graft.operators.{Preprocess, Sampling}
     // composition twin built from the per-stage operators the fused

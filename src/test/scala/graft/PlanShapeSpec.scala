@@ -154,7 +154,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // collect; the scrub itself must stay a broadcast-fed scan fold —
     // the passage list and t11's capped build sides are the only
     // broadcasts, and document text must never reach an Exchange
-    Shape("d11_passage_scrub", maxShuffles = 4, minBroadcasts = 3))
+    Shape("d11_passage_scrub", maxShuffles = 4, minBroadcasts = 3),
+    // r9: t12 rides d10's bucketed prefix-sum machinery — same ceiling
+    // (bucket rollup agg + its prefix window + the per-bucket window;
+    // the offset table must stay a broadcast join) and the shuffle
+    // must stay at (stratum, bucket) grain, never stratum grain
+    Shape("t12_sequence_pack", maxShuffles = 3, minBroadcasts = 1))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
