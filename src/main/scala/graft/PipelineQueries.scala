@@ -841,17 +841,20 @@ object PipelineQueries {
        |  FROM gh GROUP BY 1
        |  HAVING COUNT(*) >= 2
        |  ORDER BY COUNT(*) DESC, h LIMIT 10000),
-       |pass AS (
-       |  SELECT min(gh.g) AS passage
+       |passh AS (
+       |  SELECT sel.h AS h, min(gh.g) AS passage
        |  FROM sel JOIN gh
        |    ON gh.h = sel.h AND gh.doc_id = sel.example_doc_id
        |  GROUP BY sel.h, sel.n_docs, sel.example_doc_id),
-       |p AS (SELECT coalesce(list_sort(list(passage)), []) AS ps FROM pass),
+       |hits AS (
+       |  SELECT gh.doc_id, list_sort(list(DISTINCT pp.passage)) AS ps
+       |  FROM gh JOIN passh pp ON gh.h = pp.h
+       |  GROUP BY gh.doc_id),
        |scrubbed AS (
-       |  SELECT doc_id, text,
-       |    list_reduce(list_prepend(text, ps),
+       |  SELECT d.doc_id, d.text,
+       |    list_reduce(list_prepend(d.text, coalesce(h.ps, [])),
        |      (acc, pat) -> replace(acc, pat, ' ')) AS clean
-       |  FROM documents CROSS JOIN p)
+       |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
        |SELECT doc_id,
        |  CAST(length(text) - length(clean) AS BIGINT) AS n_chars_removed,
        |  md5(clean) AS clean_hash

@@ -469,6 +469,15 @@ object TextAnalysis {
     */
   def dupPassages(
       documents: DataFrame, n: Int = 8, minDocs: Long = 2,
+      maxPassages: Int = 10000): DataFrame =
+    dupPassagesByHash(documents, n, minDocs, maxPassages)
+      .select(col("passage"), col("n_docs"), col("example_doc_id"))
+
+  /** [[dupPassages]] keyed by the 60-bit gram hash — the form the
+    * scrub's candidate equi-join needs ([[passageScrub]]).
+    */
+  def dupPassagesByHash(
+      documents: DataFrame, n: Int = 8, minDocs: Long = 2,
       maxPassages: Int = 10000): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
@@ -495,7 +504,8 @@ object TextAnalysis {
       col("h") === col("sh") && col("gdoc") === col("example_doc_id"))
       .groupBy(col("sh"), col("n_docs"), col("example_doc_id"))
       .agg(min(col("g")).as("passage"))
-      .select(col("passage"), col("n_docs"), col("example_doc_id"))
+      .select(col("sh").as("h"), col("passage"), col("n_docs"),
+        col("example_doc_id"))
   }
 
   /** d11 — repeated-passage scrub: the APPLICATION step of t11's
@@ -506,22 +516,37 @@ object TextAnalysis {
     * removed + the hash of the scrubbed text (the hash proves the
     * exact scrub to the oracle without re-shipping the corpus).
     *
-    * Scale shape: the passage list is the CAPPED t11 survivor set
-    * (≤ `maxPassages`, structurally bounded), collected into ONE row
-    * and broadcast; the scrub itself is a per-row fold
-    * (`functions.aggregate`) inside the scan — document text never
-    * shuffles. The fold applies passages in sorted order, so the
-    * result is deterministic (and engine-portable) even when passages
-    * overlap within a document.
+    * Scale shape — fold only what can match, move no text: a naive
+    * fold of every doc over the full passage list is
+    * O(maxPassages × doc length) character scanning per document
+    * (measured minutes at sf0.1 with the 10k cap), and a join-back of
+    * per-doc candidate lists would shuffle the corpus text on doc_id.
+    * Instead the CAPPED survivor set (≤ `maxPassages`, structurally
+    * bounded) aggregates into ONE row as a sorted hash array,
+    * broadcast to every task; each document finds its candidate
+    * passages scan-locally — its own distinct grams whose hash binary-
+    * searches into the probe (native
+    * [[graft.functions.SortedContainsExpression]]; `array_contains`
+    * would linear-scan the 10k probe per gram). A matching gram IS the
+    * passage text (same 60-bit hash ⇒ same normalized gram string), so
+    * no hash→text map rides along. The fold then applies just those
+    * candidates (typically a handful, sorted — overlap resolution
+    * stays deterministic); a hit whose raw text differs from the doc's
+    * single-spaced gram folds as an identity replace — harmless and
+    * engine-portable. Document text never shuffles; the only movement
+    * is the mining subtree's hashes.
     */
   def passageScrub(
       documents: DataFrame, n: Int = 8, minDocs: Long = 2,
       maxPassages: Int = 10000): DataFrame = {
-    val ps = dupPassages(documents, n, minDocs, maxPassages)
-      .agg(array_sort(collect_list(col("passage"))).as("ps"))
-    documents.join(broadcast(ps))
+    val probe = dupPassagesByHash(documents, n, minDocs, maxPassages)
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+    val candidates = array_sort(filter(Dedup.shinglesN(col("text"), n),
+      g => graft.functions.SortedContainsExpression.sortedContains(
+        Dedup.md5Hash60(lit(0), g), col("hs"))))
+    documents.join(broadcast(probe))
       .select(col("doc_id"), col("text"),
-        aggregate(col("ps"), col("text"),
+        aggregate(coalesce(candidates, array()), col("text"),
           (acc, p) => replace(acc, p, lit(" "))).as("clean"))
       .select(col("doc_id"),
         (length(col("text")) - length(col("clean"))).cast("long")

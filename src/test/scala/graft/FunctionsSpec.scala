@@ -128,6 +128,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[String](0) == Seq("SM0", "XMT"))
   }
 
+  test("sorted_contains == array_contains on sorted doc hashes") {
+    import graft.functions.SortedContainsExpression.sortedContains
+    import graft.operators.Dedup.{md5Hash60, words}
+    // every doc's every token hash probed against every other doc's
+    // sorted hash array — member and non-member cases both abound
+    val hs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(words(col("text"))),
+          w => md5Hash60(lit(0), w))).as("hs"))
+      .filter(col("doc_id") < 20)
+    val probes = hs.select(explode(col("hs")).as("v"))
+      .crossJoin(hs.select(col("hs")))
+    val diff = probes.select(
+        sortedContains(col("v"), col("hs")).as("native"),
+        array_contains(col("hs"), col("v")).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+    import spark.implicits._
+    val edge = Seq((5L, Seq.empty[Long]), (5L, Seq(5L)), (4L, Seq(5L)),
+      (6L, Seq(5L)), (5L, Seq(1L, 5L, 9L)), (0L, Seq(1L, 5L, 9L)),
+      (10L, Seq(1L, 5L, 9L)))
+      .toDF("v", "hs")
+      .select(col("v"), col("hs"), sortedContains(col("v"), col("hs")).as("got"))
+      .collect().map(r => r.getBoolean(2)).toSeq
+    assert(edge == Seq(false, true, false, false, true, false, false))
+  }
+
   test("sorted_intersect_size == size(array_intersect) on sorted doc hashes") {
     import graft.functions.SortedIntersectSizeExpression.sortedIntersectSize
     import graft.operators.Dedup.{md5Hash60, words}
