@@ -482,6 +482,105 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** s6 — IVF+PQ (see [[Similarity.ivfPqTopK]]): coarse label-trained
+    * lists × PQ-ADC inside the probed lists × exact re-rank.
+    */
+  def s6AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+      Similarity.centroids(e, col("label")), k = 5, nProbe = 5)
+  }
+
+  /** s6's DuckDB twin: s3's list assignment/probing (over the unit
+    * vectors — cosine is scale-invariant, so ranking matches the raw
+    * s3 form) composed with s5's PQ train/encode/ADC, the ADC join
+    * additionally keyed on the probed list. */
+  val s6Sql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |e AS (
+       |  SELECT vec_id, label, list_transform(v0,
+       |    x -> x / sqrt(list_dot_product(v0, v0))) AS v
+       |  FROM e0 WHERE sqrt(list_dot_product(v0, v0)) > 0),
+       |cents AS (
+       |  SELECT e0.label, p.pos AS pos, AVG(v0[p.pos]) AS m
+       |  FROM e0, (SELECT unnest(range(1, 65)) AS pos) p
+       |  GROUP BY 1, 2),
+       |clist AS (
+       |  SELECT label AS list_id, list(m ORDER BY pos) AS c
+       |  FROM cents GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT e.vec_id, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |    FROM e, clist cl) WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT e.vec_id AS query_id, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |    FROM e, clist cl WHERE e.vec_id < 10) WHERE r <= 5),
+       |subs AS (
+       |  SELECT vec_id, s.sub AS sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+       |seedv AS (SELECT vec_id AS seed_id, v FROM e ORDER BY vec_id LIMIT 16),
+       |seeds AS (
+       |  SELECT seed_id, s.sub AS sub, v[s.sub*8+1 : s.sub*8+8] AS ssv
+       |  FROM seedv, (SELECT unnest(range(0, 8)) AS sub) s),
+       |assign AS (
+       |  SELECT vec_id, sub, seed_id AS code, sv FROM (
+       |    SELECT b.vec_id, b.sub, s.seed_id, b.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (b.sv[i]-s.ssv[i])*(b.sv[i]-s.ssv[i]))), s.seed_id) AS r
+       |    FROM subs b JOIN seeds s USING (sub)) WHERE r = 1),
+       |cmeans AS (
+       |  SELECT sub, code, p.pos AS pos, AVG(sv[p.pos]) AS m
+       |  FROM assign, (SELECT unnest(range(1, 9)) AS pos) p
+       |  GROUP BY 1, 2, 3),
+       |cbook AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS cw
+       |  FROM cmeans GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT b.vec_id, b.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (b.sv[i]-c.cw[i])*(b.sv[i]-c.cw[i]))), c.code) AS r
+       |    FROM subs b JOIN cbook c USING (sub)) WHERE r = 1),
+       |codesl AS (
+       |  SELECT c.vec_id, c.sub, c.code, a.list_id
+       |  FROM codes c JOIN assigned a USING (vec_id)),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, q.sub AS sub, c.code AS code,
+       |    list_dot_product(q.sv, c.cw) AS pd
+       |  FROM subs q JOIN cbook c USING (sub) WHERE q.vec_id < 10),
+       |dtp AS (
+       |  SELECT dt.query_id, dt.sub, dt.code, dt.pd, p.list_id
+       |  FROM dt JOIN probes p USING (query_id)),
+       |scored AS (
+       |  SELECT dtp.query_id, codesl.vec_id AS neighbor_id, SUM(pd) AS adc
+       |  FROM codesl JOIN dtp USING (sub, code, list_id)
+       |  WHERE codesl.vec_id <> dtp.query_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r0
+       |    FROM scored) WHERE r0 <= 50),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.v, n.v) AS cos
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   val s4Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1056,6 +1155,7 @@ object PipelineQueries {
     "s3b_ann_ivf_agg" -> (s3bAnnIvfAgg _),
     "s4_embedding_quantize" -> (s4EmbeddingQuantize _),
     "s5_ann_pq" -> (s5AnnPq _),
+    "s6_ann_ivfpq" -> (s6AnnIvfPq _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
@@ -1093,6 +1193,7 @@ object PipelineQueries {
     "s3_ann_ivf" -> s3Sql,
     "s4_embedding_quantize" -> s4Sql,
     "s5_ann_pq" -> s5Sql,
+    "s6_ann_ivfpq" -> s6Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,

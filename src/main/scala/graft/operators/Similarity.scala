@@ -372,50 +372,14 @@ object Similarity {
       shortlist: Int = 50): DataFrame = {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
     val subDim = dims / numSub
-    def full(df: DataFrame, idCol: String): DataFrame =
-      df.filter(size(col("embedding")) === dims)
-        .select(col("vec_id").as(idCol),
-          transform(col("embedding"), _.cast("double")).as("v0"))
-        .withColumn("nrm", sqrt(Dedup.dot(col("v0"), col("v0"))))
-        .filter(col("nrm") > lit(0.0))
-        .select(col(idCol),
-          transform(col("v0"), x => x / col("nrm")).as("v"))
-    val corpusV = full(corpus, "vec_id")
+    val corpusV = unitVectors(corpus, "vec_id", dims)
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
-    // deterministic seeds: the codebookK lowest-id full vectors (tiny,
-    // driver-bounded limit) — both engines pick the identical set
-    val seeds = subVectors(
-      corpusV.orderBy(col("vec_id")).limit(codebookK), "vec_id",
-      numSub, subDim)
-      .select(col("sub"), col("vec_id").as("seed_id"), col("sv").as("ssv"))
-    // one Lloyd step: assign every subvector to its nearest seed
-    // (broadcast join; candidates are row-co-located so the groupBy
-    // reduces map-side — the shuffle carries one narrow row per
-    // (id, sub)), then dim-major mean per cluster (the cross-engine-
-    // exact form, as in [[centroids]])
-    val assigned = subsAll.join(broadcast(seeds), Seq("sub"))
-      .withColumn("d", l2sq(col("sv"), col("ssv")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("seed_id"), struct(col("d"), col("seed_id")))
-        .as("code"), first(col("sv")).as("sv"))
-    val codebook = assigned
-      .select(col("sub"), col("code"), posexplode(col("sv")))
-      .groupBy(col("sub"), col("code"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .groupBy(col("sub"), col("code"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m")).as("cw"))
-    // encode: nearest refined codeword per (id, sub) — same broadcast
-    // + map-side-argmin shape as the assignment
-    val codes = subsAll.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d", l2sq(col("sv"), col("cw")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    val codebook = pqCodebook(corpusV, numSub, subDim, codebookK)
+    val codes = pqEncode(subsAll, codebook)
     // ADC lookup table: query subvector · codeword, numSub·codebookK
     // rows per query — bounded by the probe set, broadcast
-    val dtable = subVectors(full(queries, "query_id"), "query_id",
-      numSub, subDim)
+    val dtable = subVectors(unitVectors(queries, "query_id", dims),
+      "query_id", numSub, subDim)
       .join(codebook, Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         Dedup.dot(col("sv"), col("cw")).as("pd"))
@@ -429,12 +393,150 @@ object Similarity {
     // exact re-rank: the broadcast shortlist prunes the corpus scan to
     // ≤ shortlist·|queries| rows, each re-scored against its true
     // vector (unit-normalized, so cos = dot)
-    val queriesV = full(queries, "query_id")
+    val queriesV = unitVectors(queries, "query_id", dims)
       .select(col("query_id"), col("v").as("qv"))
     val rescored = corpusV
       .select(col("vec_id").as("neighbor_id"), col("v"))
       .join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(queriesV), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.dot(col("qv"), col("v")).as("cos"))
+    topKPerQuery(rescored, k)
+  }
+
+  /** Unit-normalized double vectors of exactly `dims` elements —
+    * the common entry of the PQ family (zero-norm and wrong-width
+    * rows are dropped; cosine over the survivors is a plain dot).
+    */
+  private def unitVectors(df: DataFrame, idCol: String, dims: Int): DataFrame =
+    df.filter(size(col("embedding")) === dims)
+      .select(col("vec_id").as(idCol),
+        transform(col("embedding"), _.cast("double")).as("v0"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v0"), col("v0"))))
+      .filter(col("nrm") > lit(0.0))
+      .select(col(idCol),
+        transform(col("v0"), x => x / col("nrm")).as("v"))
+
+  /** PQ codebook training shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * deterministic seeds (the codebookK lowest-id full vectors — tiny,
+    * driver-bounded limit; both engines pick the identical set), then
+    * ONE Lloyd step — assign every subvector to its nearest seed
+    * (broadcast join; candidates are row-co-located so the groupBy
+    * reduces map-side, the shuffle carries one narrow row per
+    * (id, sub)) and take the dim-major mean per cluster (the
+    * cross-engine-exact form, as in [[centroids]]).
+    */
+  private def pqCodebook(
+      corpusV: DataFrame, numSub: Int, subDim: Int,
+      codebookK: Int): DataFrame = {
+    val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
+    val seeds = subVectors(
+      corpusV.orderBy(col("vec_id")).limit(codebookK), "vec_id",
+      numSub, subDim)
+      .select(col("sub"), col("vec_id").as("seed_id"), col("sv").as("ssv"))
+    val assigned = subsAll.join(broadcast(seeds), Seq("sub"))
+      .withColumn("d", l2sq(col("sv"), col("ssv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("seed_id"), struct(col("d"), col("seed_id")))
+        .as("code"), first(col("sv")).as("sv"))
+    assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cw"))
+  }
+
+  /** PQ encode: nearest refined codeword per (id, sub) — same
+    * broadcast + map-side-argmin shape as the codebook assignment.
+    */
+  private def pqEncode(subsAll: DataFrame, codebook: DataFrame): DataFrame =
+    subsAll.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", l2sq(col("sv"), col("cw")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** s6 — IVF + PQ, the production-ANN combination: the corpus coarse-
+    * partitions into inverted lists (IVF — bounds WHICH vectors a
+    * query touches) while PQ codes stand in for the vectors inside the
+    * probed lists (bounds WHAT each comparison costs/stores). A query
+    * probes its `nProbe` nearest lists, ADC-scores only code rows of
+    * those lists, and the capped shortlist re-ranks exactly.
+    *
+    * 100 TB shape: every build side is structurally bounded (seeds,
+    * codebook, ADC table × nProbe lists per query, shortlist, query
+    * set — all hint-broadcast); corpus float vectors never move after
+    * the one normalization scan (assignment and encode reduce
+    * map-side off broadcast joins; only (id, sub, code, list) ints
+    * shuffle), and the ADC join's list key cuts its probe volume by
+    * ~|lists|/nProbe versus s5's whole-corpus scoring.
+    *
+    * Assignment uses cosine (scale-invariant, so raw-vector centroids
+    * rank identically against the unit-normalized corpus).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      numSub: Int = 8,
+      codebookK: Int = 16,
+      dims: Int = 64,
+      shortlist: Int = 50): DataFrame = {
+    require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val subDim = dims / numSub
+    import org.apache.spark.sql.expressions.Window
+    val corpusV = unitVectors(corpus, "vec_id", dims)
+    val queriesV = unitVectors(queries, "query_id", dims)
+    val cn = broadcast(cents.select(col("list_id"), col("centroid"),
+      sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
+    // |v| = 1, so cos(v, c) = dot(v, c)/|c|; same argmax-as-aggregate
+    // shape as ivfTopK's corpus assignment
+    def lists(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val paired = df.crossJoin(cn)
+        .withColumn("d", Dedup.dot(col("v"), col("centroid")) / col("cent_n"))
+      if (keep == 1)
+        paired.groupBy(col(idCol))
+          .agg(min_by(col("list_id"),
+            struct((-col("d")).as("nd"), col("list_id"))).as("list_id"))
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("d").desc, col("list_id").asc)
+        paired.withColumn("r", row_number().over(w))
+          .filter(col("r") <= keep)
+          .select(col(idCol), col("list_id"))
+      }
+    }
+    val corpusLists = lists(corpusV, "vec_id", 1)
+    val probeLists = lists(queriesV, "query_id", nProbe)
+    val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
+    val codebook = pqCodebook(corpusV, numSub, subDim, codebookK)
+    // narrow (vec_id, sub, code) rows pick up their list id — ints
+    // only, never the vectors
+    val codes = pqEncode(subsAll, codebook)
+      .join(corpusLists, Seq("vec_id"))
+    val dtable = subVectors(queriesV, "query_id", numSub, subDim)
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        Dedup.dot(col("sv"), col("cw")).as("pd"))
+      .join(probeLists, Seq("query_id")) // × nProbe — still bounded
+    val scored = codes
+      .join(broadcast(dtable), Seq("sub", "code", "list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    val short = topKPerQuery(scored, shortlist, scoreName = "adc")
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpusV
+      .select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queriesV.select(col("query_id"), col("v").as("qv"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.dot(col("qv"), col("v")).as("cos"))
     topKPerQuery(rescored, k)

@@ -446,6 +446,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"PQ top-5 recall $recall < 0.75")
   }
 
+  test("s6 IVF+PQ: exact reported cosines, recall vs brute force") {
+    val out = PipelineQueries.s6AnnIvfPq(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every query returns k rows with rank 1..5 and valid cosines
+    val perQuery = out.groupBy(_.getLong(0))
+    perQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+      rs.foreach(r => assert(r.getDouble(2) <= 1.0 + 1e-9))
+    }
+    // re-rank reports TRUE cosines (unit-dot) — same contract as s5
+    val vecs = Tables.load(spark, sf, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - cosOf(r.getLong(0), r.getLong(1))) <= 1e-6)
+    }
+    // recall@5 vs exact: the coarse lists discard whole partitions of
+    // the corpus BEFORE PQ sees them, so s6 trades recall for probe
+    // volume vs s5 — the floor asserts the trade stays sane
+    val exact = PipelineQueries.s1AnnBruteTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF+PQ top-5 recall $recall < 0.5")
+  }
+
   test("t1 lang-id is deterministic and covers every doc") {
     val out = TextAnalysis.langId(docs).collect()
     assert(out.length == docs.count())

@@ -159,7 +159,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // (bucket rollup agg + its prefix window + the per-bucket window;
     // the offset table must stay a broadcast join) and the shuffle
     // must stay at (stratum, bucket) grain, never stratum grain
-    Shape("t12_sequence_pack", maxShuffles = 3, minBroadcasts = 1))
+    Shape("t12_sequence_pack", maxShuffles = 3, minBroadcasts = 1),
+    // r9: s6 = s3's list machinery + s5's PQ subtree with the ADC join
+    // additionally keyed on list — statically 19 exchanges (the PQ
+    // subtree appears in both the ADC and re-rank branches) and 9
+    // broadcasts; every build side is structurally bounded and must
+    // never become a shuffle join (the s5 rule, one more join deep)
+    Shape("s6_ann_ivfpq", maxShuffles = 19, minBroadcasts = 9))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
