@@ -1070,6 +1070,72 @@ object PipelineQueries {
       |  CAST(max(k) AS BIGINT) AS peak_abs
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** m3 — the image-side twin of m2b: each document's bytes become the
+    * RGB pixels of a synthesized 24-bit BMP (width 4 → a 12-byte row
+    * stride with no padding, height = ⌊bytes/12⌋), decoded back inside
+    * the partition by [[Codecs.bmpChannels]] through the same
+    * `decodeFrames` plug-point. The decode crosses the format's
+    * bottom-up row order, so the round-trip proves the full pixel
+    * geometry, not just a byte copy. Features are exact integer
+    * channel sums — hash-parity safe. Zero shuffles.
+    */
+  def m3ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 12)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m3 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val h = b.length / 12
+        val px = new Array[Int](4 * h)
+        var i = 0
+        while (i < px.length) {
+          px(i) = ((b(i * 3) & 0xff) << 16) | ((b(i * 3 + 1) & 0xff) << 8) |
+            (b(i * 3 + 2) & 0xff)
+          i += 1
+        }
+        Multimodal.Frame(id, 0L, Codecs.bmp24Encode(4, h, px))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.bmpChannels)
+      .map { f =>
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var i = 0
+        while (i < f.feature.length) {
+          sr += f.feature(i).toLong
+          sg += f.feature(i + 1).toLong
+          sb += f.feature(i + 2).toLong
+          i += 3
+        }
+        (f.doc_id, (f.feature.length / 3).toLong, sr, sg, sb)
+      }
+      .toDF("doc_id", "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** m3's DuckDB twin: channel values re-derived from character codes
+    * (same ASCII-corpus contract as m2b). */
+  val m3Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (length(text) // 12) * 4)) AS i
+      |  FROM documents WHERE length(text) >= 12),
+      |v AS (
+      |  SELECT doc_id,
+      |    ascii(substring(text, CAST(i * 3 + 1 AS INT), 1)) AS r,
+      |    ascii(substring(text, CAST(i * 3 + 2 AS INT), 1)) AS g,
+      |    ascii(substring(text, CAST(i * 3 + 3 AS INT), 1)) AS b
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b
+      |FROM v GROUP BY doc_id""".stripMargin
+
   // ===========================================================
   // p-block: composed end-to-end pipeline
   // ===========================================================
@@ -1172,6 +1238,7 @@ object PipelineQueries {
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m2b_frame_decode" -> (m2bFrameDecode _),
+    "m3_image_features" -> (m3ImageFeatures _),
     "p1_preprocess" -> (p1Preprocess _)
   )
 
@@ -1210,6 +1277,7 @@ object PipelineQueries {
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m2b_frame_decode" -> m2bSql,
+    "m3_image_features" -> m3Sql,
     "p1_preprocess" -> p1Sql
   )
 }

@@ -143,6 +143,50 @@ object Codecs {
     out
   }
 
+  /** Decode a complete uncompressed 24-bit BMP to raw channel values —
+    * `[r, g, b, r, g, b, ...]` per pixel, row-major TOP-DOWN, each
+    * channel an exact integer 0..255 (as Float, per the decoder
+    * contract). The lossless face of [[bmpGray]]: features derived
+    * from these are integer-exact, so a cross-engine oracle can
+    * recompute them bit-for-bit (m3).
+    */
+  def bmpChannels(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 54, s"BMP too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP payload")
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val heightRaw = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    require(width > 0 && heightRaw != 0, s"bad dimensions ${width}x$heightRaw")
+    require(bpp == 24, s"not 24-bit ($bpp)")
+    require(compression == 0, s"compressed BMP unsupported ($compression)")
+    val height = math.abs(heightRaw)
+    val bottomUp = heightRaw > 0
+    val rowSize = ((width.toLong * 3 + 3) / 4) * 4
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + rowSize * height <= bytes.length,
+      "pixel data overruns payload")
+    require(width.toLong * height * 3 <= Int.MaxValue, "pixel count overflows")
+    val out = new Array[Float](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      val base = (dataOffset + srcRow * rowSize).toInt
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        out(o) = (bytes(base + x * 3 + 2) & 0xff).toFloat     // R (stored BGR)
+        out(o + 1) = (bytes(base + x * 3 + 1) & 0xff).toFloat // G
+        out(o + 2) = (bytes(base + x * 3) & 0xff).toFloat     // B
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Minimal 24-bit BMP writer (bottom-up, padded rows) — the fixture
     * side of [[bmpGray]]. `rgbTopDown` is packed 0xRRGGBB, row-major
     * top-down.

@@ -84,6 +84,41 @@ class CodecsSpec extends AnyFunSuite {
       px.map(lum).toSeq)
   }
 
+  test("BMP channel decode round-trips raw RGB exactly, top-down") {
+    val px = Array(0x010203, 0x112233, 0xfffefd, 0x000000,
+      0x0a0b0c, 0x606162, 0x7f8081, 0xc0c1c2)
+    val decoded = Codecs.bmpChannels(Codecs.bmp24Encode(4, 2, px))
+    val expected = px.flatMap(p => Seq(
+      ((p >> 16) & 0xff).toFloat, ((p >> 8) & 0xff).toFloat,
+      (p & 0xff).toFloat))
+    assert(decoded.toSeq == expected.toSeq)
+    // padded width too (3 px/row → 3 pad bytes/row)
+    val px3 = Array(0x123456, 0x789abc, 0xdef012, 0x345678, 0x9abcde, 0xf01234)
+    assert(Codecs.bmpChannels(Codecs.bmp24Encode(3, 2, px3)).toSeq ==
+      px3.flatMap(p => Seq(((p >> 16) & 0xff).toFloat,
+        ((p >> 8) & 0xff).toFloat, (p & 0xff).toFloat)).toSeq)
+  }
+
+  test("m3 matches an independent reference on live testdata") {
+    import SparkTestSession._
+    // straight from the text bytes — no BMP/codec path
+    val expected = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("US-ASCII")))
+      .filter(_._2.length >= 12)
+      .map { case (id, b) =>
+        val n = (b.length / 12) * 4
+        val ch = (0 until n).map(i =>
+          ((b(3 * i) & 0xff).toLong, (b(3 * i + 1) & 0xff).toLong,
+            (b(3 * i + 2) & 0xff).toLong))
+        id -> ((n.toLong, ch.map(_._1).sum, ch.map(_._2).sum, ch.map(_._3).sum))
+      }.toMap
+    val got = PipelineQueries.m3ImageFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("BMP decode rejects malformed payloads") {
     assertThrows[IllegalArgumentException](Codecs.bmpGray(Array[Byte]()))
     val bad = Codecs.bmp24Encode(2, 2, Array(1, 2, 3, 4))

@@ -145,6 +145,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the scan partition, one output row per doc — any Exchange means
     // payload bytes started shuffling
     Shape("m2b_frame_decode", maxShuffles = 0),
+    // r9: same contract as m2b on the image side
+    Shape("m3_image_features", maxShuffles = 0),
     // r9: the whole preprocess is ONE scan + ONE shuffle (the
     // content-hash dedup window over gate survivors); a second
     // Exchange means a signal started computing post-shuffle or the
