@@ -498,15 +498,19 @@ object PipelineQueries {
   val s6Sql: String =
     s"""WITH e0 AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0
-       |  FROM embeddings WHERE len(embedding) = 64),
-       |e AS (
-       |  SELECT vec_id, label, list_transform(v0,
-       |    x -> x / sqrt(list_dot_product(v0, v0))) AS v
-       |  FROM e0 WHERE sqrt(list_dot_product(v0, v0)) > 0),
+       |  FROM embeddings),
        |cents AS (
+       |  -- over ALL rows, like the Spark side's raw-table centroids
+       |  -- (v0[pos] past a short vector is NULL and AVG skips it,
+       |  -- matching posexplode's existing-positions-only semantics)
        |  SELECT e0.label, p.pos AS pos, AVG(v0[p.pos]) AS m
        |  FROM e0, (SELECT unnest(range(1, 65)) AS pos) p
        |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT vec_id, label, list_transform(v0,
+       |    x -> x / sqrt(list_dot_product(v0, v0))) AS v
+       |  FROM e0 WHERE len(v0) = 64
+       |    AND sqrt(list_dot_product(v0, v0)) > 0),
        |clist AS (
        |  SELECT label AS list_id, list(m ORDER BY pos) AS c
        |  FROM cents GROUP BY label),
@@ -950,12 +954,15 @@ object PipelineQueries {
        |  FROM gh JOIN passh pp ON gh.h = pp.h
        |  GROUP BY gh.doc_id),
        |scrubbed AS (
-       |  SELECT d.doc_id, d.text,
-       |    list_reduce(list_prepend(d.text, coalesce(h.ps, [])),
+       |  SELECT d.doc_id,
+       |    trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS norm,
+       |    list_reduce(list_prepend(
+       |        trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')),
+       |        coalesce(h.ps, [])),
        |      (acc, pat) -> replace(acc, pat, ' ')) AS clean
        |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
        |SELECT doc_id,
-       |  CAST(length(text) - length(clean) AS BIGINT) AS n_chars_removed,
+       |  CAST(length(norm) - length(clean) AS BIGINT) AS n_chars_removed,
        |  md5(clean) AS clean_hash
        |FROM scrubbed""".stripMargin
 

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
   * filter (the d11 scrub probes every shingle of every document).
   *
   * PRECONDITION: the array is sorted ascending (duplicates allowed).
-  * Value-parity with `array_contains` under that precondition is
-  * spec-asserted.
+  * Null elements — which Spark's `array_sort` places LAST — are
+  * skipped, and a miss returns plain false rather than SQL
+  * `array_contains`'s three-valued NULL; value-parity with
+  * `array_contains` on null-free sorted arrays is spec-asserted.
   */
 case class SortedContainsExpression(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,10 +53,14 @@ object SortedContainsExpression {
     GraftSqlBridge.column(SortedContainsExpression(
       GraftSqlBridge.expression(v), GraftSqlBridge.expression(sorted)))
 
-  /** Binary search membership in a sorted ascending long array. */
+  /** Binary search membership in a sorted ascending long array.
+    * `array_sort` puts null elements last — skip them, or getLong
+    * would read garbage and poison the search.
+    */
   def contains(v: Long, a: ArrayData): Boolean = {
     var lo = 0
     var hi = a.numElements() - 1
+    while (hi >= 0 && a.isNullAt(hi)) hi -= 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
       val x = a.getLong(mid)

@@ -531,10 +531,14 @@ object TextAnalysis {
     * passage text (same 60-bit hash ⇒ same normalized gram string), so
     * no hash→text map rides along. The fold then applies just those
     * candidates (typically a handful, sorted — overlap resolution
-    * stays deterministic); a hit whose raw text differs from the doc's
-    * single-spaced gram folds as an identity replace — harmless and
-    * engine-portable. Document text never shuffles; the only movement
-    * is the mining subtree's hashes.
+    * stays deterministic). The scrub operates on the NORMALIZED text
+    * (lowercase, single-spaced — `Dedup.normText`), the same form the
+    * mining tokenized: every mined passage occurs literally there BY
+    * CONSTRUCTION, so "removed from every document" actually holds on
+    * mixed-case/whitespace corpora (a raw-text replace would silently
+    * miss case/spacing variants of the gram — and the oracle, making
+    * the same mistake, would never catch it). Document text never
+    * shuffles; the only movement is the mining subtree's hashes.
     */
   def passageScrub(
       documents: DataFrame, n: Int = 8, minDocs: Long = 2,
@@ -545,11 +549,12 @@ object TextAnalysis {
       g => graft.functions.SortedContainsExpression.sortedContains(
         Dedup.md5Hash60(lit(0), g), col("hs"))))
     documents.join(broadcast(probe))
-      .select(col("doc_id"), col("text"),
-        aggregate(coalesce(candidates, array()), col("text"),
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"),
+        aggregate(coalesce(candidates, array()),
+          Dedup.normText(col("text")),
           (acc, p) => replace(acc, p, lit(" "))).as("clean"))
       .select(col("doc_id"),
-        (length(col("text")) - length(col("clean"))).cast("long")
+        (length(col("norm")) - length(col("clean"))).cast("long")
           .as("n_chars_removed"),
         md5(col("clean")).as("clean_hash"))
   }

@@ -153,6 +153,15 @@ class FunctionsSpec extends AnyFunSuite {
       .select(col("v"), col("hs"), sortedContains(col("v"), col("hs")).as("got"))
       .collect().map(r => r.getBoolean(2)).toSeq
     assert(edge == Seq(false, true, false, false, true, false, false))
+    // null elements (array_sort puts them last) are skipped, not read
+    // as garbage: 0 must not "match" a null slot
+    val withNulls = Seq((0L, Seq[Option[Long]](Some(1L), Some(5L), None)),
+      (5L, Seq[Option[Long]](Some(1L), Some(5L), None)),
+      (0L, Seq[Option[Long]](None, None)))
+      .toDF("v", "hs")
+      .select(sortedContains(col("v"), col("hs")).as("got"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(withNulls == Seq(false, true, false))
   }
 
   test("sorted_intersect_size == size(array_intersect) on sorted doc hashes") {

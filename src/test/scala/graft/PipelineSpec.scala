@@ -870,16 +870,23 @@ class PipelineSpec extends AnyFunSuite {
     val df = Seq(
       (1L, s"$passage tail one", "s"),
       (2L, s"head $passage", "s"),
-      (3L, "a b c d e f g h i j", "s"))
+      (3L, "a b c d e f g h i j", "s"),
+      // case/whitespace variant: the scrub operates on normText, so
+      // the mined gram is removed here too — a raw-text replace would
+      // silently miss it (distinct leading word, so no NEW 8-gram
+      // becomes shared through this doc)
+      (4L, "intro  P1 p2 P3 p4 p5 p6 p7 P8", "s"))
       .toDF("doc_id", "text", "source")
     val got = TextAnalysis.passageScrub(df, n = 8, minDocs = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
       .toMap
-    // the shared 8-gram is scrubbed from BOTH holders (one space left)
+    // the shared 8-gram is scrubbed from EVERY holder (one space left)
     assert(got(1L) == ((passage.length - 1).toLong,
       md5hex(s"$passage tail one".replace(passage, " "))))
     assert(got(2L) == ((passage.length - 1).toLong,
       md5hex(s"head $passage".replace(passage, " "))))
+    assert(got(4L) == ((passage.length - 1).toLong,
+      md5hex(s"intro $passage".replace(passage, " "))))
     // a doc holding no mined passage passes through byte-identical
     assert(got(3L) == ((0L, md5hex("a b c d e f g h i j"))))
   }
