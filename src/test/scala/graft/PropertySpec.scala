@@ -396,4 +396,78 @@ class PropertySpec extends AnyFunSuite {
     // retention never loses a doc: every input row appears exactly once
     assert(rows.map(_._1).sorted.toSeq == texts.indices.map(_.toLong))
   }
+
+  test("codecs: WAV and BMP round-trips are exact on arbitrary payloads") {
+    import graft.operators.Codecs
+    val samplesGen = Gen.listOf(
+      Gen.chooseNum(Short.MinValue, Short.MaxValue)).map(_.map(_.toShort))
+    check(Prop.forAll(samplesGen) { ss =>
+      val arr = ss.toArray
+      Codecs.wavPcm16(Codecs.wavPcm16Encode(arr)).toSeq ==
+        arr.map(_ / 32768.0f).toSeq
+    }, minTests = 60)
+    val bmpGen = for {
+      w <- Gen.chooseNum(1, 9)
+      h <- Gen.chooseNum(1, 9)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 0xffffff))
+    } yield (w, h, px.toArray)
+    check(Prop.forAll(bmpGen) { case (w, h, px) =>
+      // raw channels survive every width (padded and unpadded rows),
+      // top-down order restored across the bottom-up storage
+      Codecs.bmpChannels(Codecs.bmp24Encode(w, h, px)).toSeq ==
+        px.flatMap(p => Seq(((p >> 16) & 0xff).toFloat,
+          ((p >> 8) & 0xff).toFloat, (p & 0xff).toFloat)).toSeq
+    }, minTests = 60)
+  }
+
+  test("sorted_contains == linear membership on arbitrary sorted arrays") {
+    import graft.functions.SortedContainsExpression
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val arrGen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.sorted.toArray)
+    check(Prop.forAll(arrGen, Gen.chooseNum(Long.MinValue, Long.MaxValue)) {
+      (a, probeSalt) =>
+        val data = ArrayData.toArrayData(a)
+        // probe both a certain member (when nonempty) and an arbitrary
+        // value whose membership the linear scan decides
+        val memberOk = a.isEmpty ||
+          SortedContainsExpression.contains(a(a.length / 2), data)
+        val v = probeSalt
+        memberOk &&
+          SortedContainsExpression.contains(v, data) == a.contains(v)
+    })
+  }
+
+  test("sequence packing manifest tiles every stratum exactly (random data)") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val rows = Gen.listOfN(400, for {
+      id <- Gen.chooseNum(0L, 100000L)
+      st <- Gen.oneOf("a", "b", "c")
+      n <- Gen.chooseNum(0L, 300L)
+    } yield (id, st, n)).sample.get
+      .groupBy(_._1).map(_._2.head).toSeq // unique ids
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.sequencePack(df, "source", "doc_id",
+      col("n_tokens"), seqTokens = 128)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (source, n_tokens, cum, start, first_seq, last_seq, offset)
+    out.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      // contiguous tiling: each doc starts where the previous ended
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._3 == b._4, s"gap: ${a._3} != ${b._4}")
+      }
+      assert(sorted.head._4 == 0L)
+      sorted.foreach { d =>
+        assert(d._3 == d._4 + d._2)
+        assert(d._5 == d._4 / 128 && d._6 == (d._3 - 1) / 128)
+        assert(d._7 == d._4 % 128 && d._7 >= 0 && d._7 < 128)
+      }
+    }
+    // zero-token docs are dropped, everything else packs exactly once
+    assert(out.length == rows.count(_._3 > 0))
+  }
 }
