@@ -33,6 +33,12 @@ object PipelineQueries {
     TextAnalysis.stopwords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** DuckDB: Sampling.hashU's deterministic keep test as a uniform
+    * [0,1) draw — `duckKeep(seed, id) < rate` (d7/p1 share it).
+    */
+  private def duckKeep(seed: String, id: String): String =
+    s"CAST(concat('0x', substr(md5(concat($seed, ':', CAST($id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0"
+
   /** DuckDB twin of Dedup.shinglesN over a word array column `ws`. */
   private def duckShinglesN(n: Int): String =
     s"CASE WHEN len(ws) >= $n THEN " +
@@ -716,10 +722,9 @@ object PipelineQueries {
       rates = Map("en" -> 0.25), defaultRate = 1.0)
 
   val d7Sql: String =
-    """SELECT doc_id, lang, source FROM documents
-      |WHERE CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-      |    / 4294967296.0
-      |  < CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END""".stripMargin
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${duckKeep("'0'", "doc_id")}
+       |  < CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END""".stripMargin
 
   /** d10 — token-budget sampling: at most 600 training tokens per
     * source, selected as the deterministic-hash-ordered prefix. Gated
@@ -1201,8 +1206,7 @@ object PipelineQueries {
        |  bpe_tokens, n_dups
        |FROM d
        |WHERE doc_id = canonical_doc_id
-       |  AND CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-       |      / 4294967296.0
+       |  AND ${duckKeep("'0'", "doc_id")}
        |    < CASE WHEN pred_lang = 'en' THEN 0.5 ELSE 1.0 END""".stripMargin
 
   // ===========================================================

@@ -54,6 +54,9 @@ object Codecs {
           fmtOk = true
         case "data" =>
           require(fmtOk, "data chunk before fmt chunk")
+          // odd size is malformed 16-bit PCM — fail loudly, never
+          // silently drop the trailing byte into skewed features
+          require((size & 1) == 0, s"odd data chunk size $size")
           val n = size / 2
           val out = new Array[Float](n)
           var i = 0
@@ -116,6 +119,9 @@ object Codecs {
     require(bpp == 24, s"not 24-bit ($bpp)")
     require(compression == 0, s"compressed BMP unsupported ($compression)")
     val height = math.abs(heightRaw)
+    // Int.MinValue survives math.abs negative and would slip every
+    // Long-side bound below into a NegativeArraySizeException
+    require(height > 0, s"bad height $heightRaw")
     val bottomUp = heightRaw > 0
     // geometry in Long: a corrupt width near Int.MaxValue must fail
     // these requires, not wrap negative and escape the bounds check
@@ -163,6 +169,9 @@ object Codecs {
     require(bpp == 24, s"not 24-bit ($bpp)")
     require(compression == 0, s"compressed BMP unsupported ($compression)")
     val height = math.abs(heightRaw)
+    // Int.MinValue survives math.abs negative and would slip every
+    // Long-side bound below into a NegativeArraySizeException
+    require(height > 0, s"bad height $heightRaw")
     val bottomUp = heightRaw > 0
     val rowSize = ((width.toLong * 3 + 3) / 4) * 4
     require(dataOffset >= 54 &&

@@ -511,10 +511,14 @@ object TextAnalysis {
   /** d11 — repeated-passage scrub: the APPLICATION step of t11's
     * mining (Lee et al. 2022 substring dedup, the boilerplate-removal
     * face): every passage t11 surfaces (a word n-gram appearing in ≥
-    * `minDocs` documents) is removed from EVERY document, each
-    * occurrence replaced by a single space. Output per doc: chars
-    * removed + the hash of the scrubbed text (the hash proves the
-    * exact scrub to the oracle without re-shipping the corpus).
+    * `minDocs` documents) is removed from every document that holds
+    * it as a WORD-ALIGNED gram — the grain the mining counted; a doc
+    * containing the passage only as a mid-word substring is not a
+    * holder of the mined gram and is left alone (within a candidate
+    * doc, `replace` then removes every literal occurrence). Each
+    * removal leaves a single space. Output per doc: chars removed +
+    * the hash of the scrubbed text (the hash proves the exact scrub
+    * to the oracle without re-shipping the corpus).
     *
     * Scale shape — fold only what can match, move no text: a naive
     * fold of every doc over the full passage list is

@@ -53,6 +53,12 @@ class CodecsSpec extends AnyFunSuite {
     val bad = Codecs.wavPcm16Encode(samples)
     ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN).putInt(40, 9999)
     assertThrows[IllegalArgumentException](Codecs.wavPcm16(bad))
+    // odd data size is malformed 16-bit PCM — loud failure, not a
+    // silently dropped trailing byte
+    val odd = Codecs.wavPcm16Encode(samples)
+    ByteBuffer.wrap(odd).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, samples.length * 2 - 1)
+    assertThrows[IllegalArgumentException](Codecs.wavPcm16(odd))
   }
 
   test("WAV decode returns interleaved stereo as stored") {
@@ -128,6 +134,13 @@ class CodecsSpec extends AnyFunSuite {
     ByteBuffer.wrap(bpp).order(ByteOrder.LITTLE_ENDIAN)
       .putShort(28, 8.toShort) // claim 8-bit
     assertThrows[IllegalArgumentException](Codecs.bmpGray(bpp))
+    // height = Int.MinValue survives math.abs negative — must hit the
+    // require, not a NegativeArraySizeException
+    val minH = Codecs.bmp24Encode(1, 1, Array(0x123456))
+    ByteBuffer.wrap(minH).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assertThrows[IllegalArgumentException](Codecs.bmpGray(minH))
+    assertThrows[IllegalArgumentException](Codecs.bmpChannels(minH))
   }
 
   // ---------------------------------------------------------------
