@@ -272,6 +272,49 @@ object PipelineQueries {
        |FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
        |WHERE round(${duckCos("l.v", "r.v")}, 4) >= 0.30""".stripMargin
 
+  /** d12 — SemDeDup-style semantic dedup: nearest-centroid cluster
+    * assignment (the s3 coarse quantizer, label-trained) then
+    * within-cluster prune at cosine ≥ 0.35; see [[Dedup.semDedup]] for
+    * the bounded-block scale shape. The oracle recomputes the
+    * identical centroids, assignment argmax and 4dp-rounded pair
+    * decisions, so the keep/drop verdict is hash-gated end-to-end.
+    */
+  def d12SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Dedup.semDedup(e, Similarity.centroids(e, col("label")), minCos = 0.35)
+  }
+
+  val d12Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  SELECT label, p.pos AS pos, AVG(v[p.pos]) AS m
+       |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+       |  GROUP BY 1, 2),
+       |clist AS (
+       |  SELECT label AS list_id, list(m ORDER BY pos) AS c
+       |  FROM cents GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, v, list_id FROM (
+       |    SELECT e.vec_id, e.v, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |    FROM e, clist cl) WHERE r = 1),
+       |sz AS (
+       |  SELECT list_id FROM assigned GROUP BY 1 HAVING COUNT(*) <= 10000),
+       |m AS (SELECT a.* FROM assigned a JOIN sz USING (list_id)),
+       |pr AS (
+       |  SELECT r.vec_id AS vec_id, l.vec_id AS left_id,
+       |    round(${duckCos("l.v", "r.v")}, 4) AS cos
+       |  FROM m l JOIN m r
+       |    ON l.list_id = r.list_id AND l.vec_id < r.vec_id),
+       |drp AS (
+       |  SELECT vec_id, min(left_id) AS dup_of, max(cos) AS best_cos
+       |  FROM pr WHERE cos >= 0.35 GROUP BY 1)
+       |SELECT m.vec_id, m.list_id, drp.dup_of IS NULL AS is_kept,
+       |  drp.dup_of, drp.best_cos
+       |FROM m LEFT JOIN drp USING (vec_id)""".stripMargin
+
   // ===========================================================
   // s-block: similarity search
   // ===========================================================
@@ -665,6 +708,52 @@ object PipelineQueries {
        |  round(CASE WHEN n_words > 0 THEN CAST(char_sum AS DOUBLE) / n_words ELSE 0.0 END, 6) AS avg_word_len
        |FROM m""".stripMargin
   }
+
+  /** t13 — the Gopher-rule quality gate; see
+    * [[TextAnalysis.gopherFilter]]. Every rule verdict is exact
+    * integer arithmetic, so both engines agree bit-for-bit.
+    */
+  def t13GopherFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(docs(s, dir))
+
+  val t13Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, text, ws,
+       |    CASE WHEN len(ws) >= 2 THEN
+       |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+       |    ELSE [] END AS grams
+       |  FROM toks),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(ws, w -> list_contains(${duckAllStops}, w))) AS BIGINT) AS stop_hits,
+       |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS char_sum,
+       |    CAST(len(grams) AS BIGINT) AS n_grams,
+       |    CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
+       |  FROM g),
+       |r AS (
+       |  SELECT doc_id, n_words, char_sum, stop_hits, n_grams, n_dup_grams,
+       |    n_words BETWEEN 20 AND 90 AS r_word_count,
+       |    char_sum >= n_words * 4 AND char_sum <= n_words * 5 AS r_word_len,
+       |    n_punct * 10 <= n_chars AS r_symbol,
+       |    stop_hits >= 2 AS r_stopwords,
+       |    n_dup_grams * 20 <= n_grams AS r_repetition
+       |  FROM m)
+       |SELECT doc_id, n_words, char_sum, stop_hits, n_grams, n_dup_grams,
+       |  r_word_count, r_word_len, r_symbol, r_stopwords, r_repetition,
+       |  r_word_count AND r_word_len AND r_symbol AND r_stopwords
+       |    AND r_repetition AS keep,
+       |  CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+       |    + (CASE WHEN r_word_len THEN 0 ELSE 1 END)
+       |    + (CASE WHEN r_symbol THEN 0 ELSE 1 END)
+       |    + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)
+       |    + (CASE WHEN r_repetition THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_failed
+       |FROM r""".stripMargin
 
   def t3TokenCount(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(docs(s, dir))
@@ -1209,6 +1298,132 @@ object PipelineQueries {
        |  AND ${duckKeep("'0'", "doc_id")}
        |    < CASE WHEN pred_lang = 'en' THEN 0.5 ELSE 1.0 END""".stripMargin
 
+  /** p2 — deterministic corpus shuffle into training shards: every
+    * document draws a shard from an md5 hash (seed 1 — independent of
+    * the seed-0 within-shard pack order), and each shard packs into
+    * 512-token sequences via the same bucketed distributed prefix sum
+    * as t12 ([[graft.operators.Sampling.sequencePack]] with the
+    * computed shard as the stratum). This is the write-side step a
+    * training pipeline runs LAST: a reproducible global shuffle (no
+    * `rand()`, no partition-layout dependence) plus the per-shard
+    * packing manifest a tokenizer worker consumes independently.
+    * Scale: shard count is chosen (not data-sized), the hash decision
+    * is scan-local, and no shard ever occupies one window partition —
+    * the prefix sum stays bucketed inside each shard.
+    */
+  def p2ShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    val sharded = d.withColumn("shard",
+      pmod(Dedup.md5Hash60(lit(1), col("doc_id").cast("string")), lit(8L)))
+    Sampling.sequencePack(sharded, stratum = "shard", id = "doc_id",
+      tokens = col("n_tokens"), seqTokens = 512, nBuckets = 64)
+  }
+
+  val p2Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${duckWords("text")}) AS BIGINT) AS n_tokens,
+       |    ${duckHash60("'0'", "CAST(doc_id AS VARCHAR)")} AS u,
+       |    ${duckHash60("'1'", "CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens, shard,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, source, n_tokens, CAST(shard AS BIGINT) AS shard,
+       |  cum_tokens,
+       |  CAST(cum_tokens - n_tokens AS BIGINT) AS start_tok,
+       |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS first_seq,
+       |  CAST((cum_tokens - 1) // 512 AS BIGINT) AS last_seq,
+       |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset_in_seq
+       |FROM c""".stripMargin
+
+  /** m4 — windowed audio features through the real WAV codec: the
+    * same synth→encode→decode round-trip as m2b, then each decoded PCM
+    * stream windows into 64-sample frames with exact-integer features
+    * per window — sample count, energy (Σk²), peak, and the count of
+    * strictly-rising sample steps WITHIN the window. The rising count
+    * is the point: it is order-sensitive, so a decoder that returned
+    * the right multiset of samples in the wrong order fails the hash
+    * (sum/max features can't see ordering). Zero shuffles — windowing
+    * happens inside the decode partition.
+    */
+  def m4AudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m4 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val n = b.length / 2
+        val pcm = new Array[Short](n)
+        val bb = ByteBuffer.wrap(b, 0, n * 2).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { pcm(i) = bb.getShort(i * 2); i += 1 }
+        Multimodal.Frame(id, 0L, Codecs.wavPcm16Encode(pcm))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.wavPcm16)
+      .flatMap { f =>
+        val ks = new Array[Long](f.feature.length)
+        var i = 0
+        while (i < ks.length) {
+          ks(i) = math.round(f.feature(i).toDouble * 32768.0)
+          i += 1
+        }
+        (0 until (ks.length + 63) / 64).map { w =>
+          val lo = w * 64
+          val hi = math.min(ks.length, lo + 64)
+          var energy = 0L
+          var peak = 0L
+          var rising = 0L
+          var j = lo
+          while (j < hi) {
+            val k = ks(j)
+            energy += k * k
+            if (k > peak) peak = k
+            if (j > lo && k > ks(j - 1)) rising += 1
+            j += 1
+          }
+          (f.doc_id, w.toLong, (hi - lo).toLong, energy, peak, rising)
+        }
+      }
+      .toDF("doc_id", "win_idx", "n_samples", "energy", "peak_abs",
+        "n_rising")
+  }
+
+  /** m4's DuckDB twin: samples re-derived from character codes (the
+    * m2b ASCII contract), the previous sample re-derived arithmetically
+    * for the rising test (NULL at each window start, excluded by the
+    * CASE — matching the Spark side's window-local comparison).
+    */
+  val m4Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text, unnest(range(0, length(text) // 2)) AS i
+      |  FROM documents WHERE length(text) >= 2),
+      |v AS (
+      |  SELECT doc_id, i // 64 AS win_idx,
+      |    ascii(substring(text, CAST(i * 2 + 1 AS INT), 1))
+      |    + 256 * ascii(substring(text, CAST(i * 2 + 2 AS INT), 1)) AS k,
+      |    CASE WHEN i % 64 > 0 THEN
+      |      ascii(substring(text, CAST(i * 2 - 1 AS INT), 1))
+      |      + 256 * ascii(substring(text, CAST(i * 2 AS INT), 1))
+      |    ELSE NULL END AS kp
+      |  FROM s)
+      |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(k * k) AS BIGINT) AS energy,
+      |  CAST(max(k) AS BIGINT) AS peak_abs,
+      |  CAST(COALESCE(sum(CASE WHEN k > kp THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_rising
+      |FROM v GROUP BY doc_id, win_idx""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
@@ -1250,7 +1465,11 @@ object PipelineQueries {
     "m2_frame_sample" -> (m2FrameSample _),
     "m2b_frame_decode" -> (m2bFrameDecode _),
     "m3_image_features" -> (m3ImageFeatures _),
-    "p1_preprocess" -> (p1Preprocess _)
+    "m4_audio_windows" -> (m4AudioWindows _),
+    "p1_preprocess" -> (p1Preprocess _),
+    "p2_shuffle_shard" -> (p2ShuffleShard _),
+    "d12_semdedup" -> (d12SemDedup _),
+    "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1289,6 +1508,10 @@ object PipelineQueries {
     "m2_frame_sample" -> m2Sql,
     "m2b_frame_decode" -> m2bSql,
     "m3_image_features" -> m3Sql,
-    "p1_preprocess" -> p1Sql
+    "m4_audio_windows" -> m4Sql,
+    "p1_preprocess" -> p1Sql,
+    "p2_shuffle_shard" -> p2Sql,
+    "d12_semdedup" -> d12Sql,
+    "t13_gopher_filter" -> t13Sql
   )
 }

@@ -543,4 +543,87 @@ object Dedup {
       .select(col("doc_id"), col("canonical_doc_id"), col("n_chars"),
         col("keep"))
   }
+
+  /** d12 — SemDeDup-style semantic deduplication (cluster-then-prune,
+    * the published scale recipe for embedding dedup of web-scale
+    * corpora): every vector assigns to its nearest TRAINED centroid
+    * (the identical coarse-quantizer argmax as IVF search —
+    * [[Similarity.nearestLists]] with keep = 1), and within each
+    * cluster a vector is dropped when some smaller-id cluster-mate
+    * sits at cosine ≥ `minCos`. One row per vector: the learned
+    * cluster, the keep/drop verdict, and for dropped vectors the
+    * smallest qualifying mate plus the best cosine among them.
+    *
+    * Cosines are rounded to 4dp BEFORE thresholding (the d5
+    * convention) so a near-threshold pair cannot flip between engines
+    * on float-summation drift — the DuckDB twin takes the identical
+    * decision on every pair.
+    *
+    * Scale shape: centroids broadcast (k is chosen, not data-sized);
+    * the corpus shuffles once on the learned int cluster id; the
+    * quadratic pair expansion reuses the d5/f8 machinery —
+    * HLL-guarded bounded member sets + chunk-balanced expansion
+    * ([[Fpx.boundedMemberSets]] / [[Fpx.expandSortedSets]]), so a hot
+    * cluster neither OOMs an aggregation buffer nor serializes its
+    * pairs through one task. Clusters larger than `maxList` are
+    * excluded entirely (members absent from the output — the d5
+    * blocking-cutoff semantics; at 100 TB pick k so clusters stay
+    * bounded, the knob SemDeDup itself turns). Embeddings join onto
+    * the balanced (id, id) pair stream by key — the shuffle never
+    * carries |cluster|² vector copies.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      minCos: Double,
+      maxList: Int = 10000): DataFrame = {
+    // materialize the assignment table ONCE: five consumers hang off it
+    // (size guard, membership, set build, both pair sides) and each
+    // would otherwise re-instantiate the centroid-train + crossJoin +
+    // argmax subtree — the d6 lesson; a production pipeline persists
+    // its cluster-assignment table for exactly this reason
+    val assigned = Similarity.nearestLists(
+      embeddings.select(col("vec_id"), col("embedding")),
+      Similarity.centNorms(cents), "vec_id", keep = 1)
+      .localCheckpoint()
+    // the cutoff membership filter: structurally ≤ |cents| rows, so it
+    // broadcasts; singleton clusters pass (their vector is kept below)
+    val inRange = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxList)
+      .select(col("list_id"))
+    // member is itself read four ways (set build, both pair sides, the
+    // verdict frame) — checkpointing the cheap filtered view keeps each
+    // reader a local scan instead of a re-join
+    val member = assigned.join(broadcast(inRange), Seq("list_id"))
+      .localCheckpoint()
+    val blocks = boundedMemberSetsForClusters(member, maxList)
+    val pairs = Fpx.expandSortedSets(blocks)
+    val l = member.select(col("vec_id").as("left_id"),
+      col("embedding").as("lv"), col("__n").as("ln"))
+    val r = member.select(col("vec_id").as("right_id"),
+      col("embedding").as("rv"), col("__n").as("rn"))
+    val dropped = pairs.join(l, Seq("left_id")).join(r, Seq("right_id"))
+      .withColumn("cos",
+        round(cosineWithNorms(col("lv"), col("rv"), col("ln"), col("rn")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("right_id").as("vec_id"), col("left_id"), col("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("left_id")).as("dup_of"), max(col("cos")).as("best_cos"))
+    member.select(col("vec_id"), col("list_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"), col("best_cos"))
+  }
+
+  /** d12's member-set build: vec_id is unique per row so each pair
+    * arises in exactly one cluster (no cross-block distinct needed,
+    * same argument as d5).
+    */
+  private def boundedMemberSetsForClusters(
+      member: DataFrame, maxList: Int): DataFrame =
+    Fpx.boundedMemberSets(
+      member.select(col("list_id"), col("vec_id")),
+      Seq("list_id"), "vec_id", 2, maxList)
+      .select(col("ids"))
 }

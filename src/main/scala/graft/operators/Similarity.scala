@@ -206,45 +206,12 @@ object Similarity {
       cents: DataFrame,
       k: Int,
       nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // norms once per centroid (broadcast side) and once per vector
-    // (before the crossJoin) — the assignment scores |rows|·|cents|
-    // pairs, so a norm inside the pair loop is |cents|× wasted folds;
-    // the row norm is then reused as the search-phase cn/qn.
-    val cn = broadcast(cents.select(col("list_id"), col("centroid"),
-      sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
-    def best(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val paired = df
-        .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
-        .crossJoin(cn)
-        .withColumn("d", Dedup.cosineWithNorms(
-          col("embedding"), col("centroid"), col("__n"), col("cent_n")))
-      if (keep == 1) {
-        // corpus assignment: argmax as an aggregate, not a window. The
-        // window form shuffles the full |rows|·|cents| pair expansion
-        // into |rows| partitions just to keep one row each; the
-        // aggregate reduces every row's candidates map-side (they're
-        // co-located after the broadcast crossJoin), so the shuffle
-        // carries one narrow row per vector. min_by over
-        // struct(-d, list_id) = ORDER BY d DESC, list_id ASC, the same
-        // deterministic tie-break as the window (list_id is unique per
-        // candidate, so the comparison key never ties).
-        paired
-          .groupBy(col(idCol))
-          .agg(min_by(
-            struct(col("list_id"), col("embedding"), col("__n")),
-            struct((-col("d")).as("nd"), col("list_id"))).as("b"))
-          .select(col(idCol), col("b.list_id").as("list_id"),
-            col("b.embedding").as("embedding"), col("b.__n").as("__n"))
-      } else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("d").desc, col("list_id").asc)
-        paired
-          .withColumn("r", row_number().over(w))
-          .filter(col("r") <= keep)
-          .drop("centroid", "cent_n", "d", "r")
-      }
-    }
+    // norms once per centroid (broadcast side) — the assignment scores
+    // |rows|·|cents| pairs, so a norm inside the pair loop is |cents|×
+    // wasted folds
+    val cn = centNorms(cents)
+    def best(df: DataFrame, idCol: String, keep: Int): DataFrame =
+      nearestLists(df, cn, idCol, keep)
     val assigned = best(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
       "neighbor_id", 1)
@@ -263,6 +230,55 @@ object Similarity {
         Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     topKPerQuery(
       scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+  }
+
+  /** The broadcast centroid side every coarse-quantizer consumer
+    * shares: list ids, centroid vectors and their precomputed norms.
+    */
+  private[operators] def centNorms(cents: DataFrame): DataFrame =
+    broadcast(cents.select(col("list_id"), col("centroid"),
+      sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
+
+  /** Nearest-list search against a [[centNorms]] side: keep the `keep`
+    * best lists per vector of `df` (which must carry `idCol` and
+    * `embedding`). The row norm is computed once per vector before the
+    * crossJoin and returned as `__n` for downstream exact scoring.
+    * Shared by IVF search (s3/s3b assignment + probes) and semantic
+    * dedup (d12's cluster assignment).
+    */
+  private[operators] def nearestLists(
+      df: DataFrame, cn: DataFrame, idCol: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paired = df
+      .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+      .crossJoin(cn)
+      .withColumn("d", Dedup.cosineWithNorms(
+        col("embedding"), col("centroid"), col("__n"), col("cent_n")))
+    if (keep == 1) {
+      // corpus assignment: argmax as an aggregate, not a window. The
+      // window form shuffles the full |rows|·|cents| pair expansion
+      // into |rows| partitions just to keep one row each; the
+      // aggregate reduces every row's candidates map-side (they're
+      // co-located after the broadcast crossJoin), so the shuffle
+      // carries one narrow row per vector. min_by over
+      // struct(-d, list_id) = ORDER BY d DESC, list_id ASC, the same
+      // deterministic tie-break as the window (list_id is unique per
+      // candidate, so the comparison key never ties).
+      paired
+        .groupBy(col(idCol))
+        .agg(min_by(
+          struct(col("list_id"), col("embedding"), col("__n")),
+          struct((-col("d")).as("nd"), col("list_id"))).as("b"))
+        .select(col(idCol), col("b.list_id").as("list_id"),
+          col("b.embedding").as("embedding"), col("b.__n").as("__n"))
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("d").desc, col("list_id").asc)
+      paired
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+        .drop("centroid", "cent_n", "d", "r")
+    }
   }
 
   /** s4 — scalar int8 quantization of the embedding column: per-vector

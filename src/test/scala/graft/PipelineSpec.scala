@@ -954,4 +954,145 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("stopword_ratio") =!= col("sr2")).count()
     assert(metrics == 0L)
   }
+
+  test("d12 semdedup: near-identical cluster-mates drop, others keep") {
+    import spark.implicits._
+    // label 0's centroid ≈ (1,0,0,0); label 1's ≈ (0,0,1,0). Vector 4
+    // carries label 1 but sits on axis 0 — the LEARNED assignment must
+    // put it in cluster 0, where vector 1 (its near-twin) kills it.
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.14f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1f, 0f), 1),
+      (4L, Array(0.995f, -0.1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(e, col("label"))
+    val out = Dedup.semDedup(e, cents, minCos = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getBoolean(2), Option(r.get(3)))).toMap
+    assert(out(1L)._2, "smallest id in its cluster is always kept")
+    assert(!out(2L)._2 && out(2L)._3.contains(1L),
+      "near-twin with a smaller-id mate must drop against it")
+    assert(out(3L)._2, "singleton cluster member is kept")
+    assert(out(4L)._1 == 0, "assignment must follow the nearest " +
+      "centroid, not the carried label")
+    assert(!out(4L)._2 && out(4L)._3.contains(1L))
+  }
+
+  test("d12 semdedup: drop verdicts are consistent on sf embeddings") {
+    val cents = Similarity.centroids(emb, col("label"))
+    val rows = Dedup.semDedup(emb, cents, minCos = 0.35).collect()
+    assert(rows.length == emb.count(),
+      "one verdict row per vector (no cluster over the cutoff on sf)")
+    val dropped = rows.filter(!_.getBoolean(2))
+    assert(dropped.nonEmpty, "sf corpus must produce semantic drops")
+    assert(dropped.forall(r => r.getLong(3) < r.getLong(0)),
+      "dup_of is always a smaller id")
+    assert(dropped.forall(r => r.getDouble(4) >= 0.35),
+      "best_cos honors the threshold")
+    assert(rows.filter(_.getBoolean(2)).forall(_.isNullAt(3)),
+      "kept rows carry no dup_of")
+  }
+
+  test("d12 maxList cutoff: oversize clusters are excluded loudly") {
+    import spark.implicits._
+    // 3 vectors on axis 0 (cluster of 3) + 1 on axis 2 (singleton);
+    // maxList = 2 must drop the whole axis-0 cluster from the output
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.1f, 0f, 0f), 0),
+      (3L, Array(0.98f, 0.2f, 0f, 0f), 0),
+      (4L, Array(0f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(e, col("label"))
+    val ids = Dedup.semDedup(e, cents, minCos = 0.9, maxList = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(4L))
+  }
+
+  test("t13 gopher filter: each rule verdict matches first principles") {
+    import spark.implicits._
+    val w5 = (1 to 23).map(i => f"w${i}%03da").mkString(" ") // 23×5 chars
+    val pass = s"that is $w5" // 25 words, avg len in [4,5], 2 stops
+    val short = "that is " + (1 to 8).map(i => f"w${i}%03da").mkString(" ")
+    val noStop = (1 to 25).map(i => f"w${i}%03da").mkString(" ")
+    val repet = "that is " + Seq.fill(23)("abcde").mkString(" ")
+    val df = Seq((1L, pass, "s"), (2L, short, "s"), (3L, noStop, "s"),
+      (4L, repet, "s")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.gopherFilter(df).collect().map { r =>
+      r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getBoolean(11), r.getLong(12))
+    }.toMap
+    // (r_word_count, r_word_len, r_symbol, r_stopwords, r_repetition,
+    //  keep, n_failed)
+    assert(out(1L) == ((true, true, true, true, true, true, 0L)))
+    assert(out(2L) == ((false, true, true, true, true, false, 1L)),
+      "10 words fails only the word-count rule")
+    assert(out(3L) == ((true, true, true, false, true, false, 1L)),
+      "stopword-free doc fails only the stopword rule")
+    assert(out(4L) == ((true, true, true, true, false, false, 1L)),
+      "repeated bigrams fail only the repetition rule")
+  }
+
+  test("t13 gopher filter: sf corpus splits non-trivially") {
+    val rows = TextAnalysis.gopherFilter(docs).collect()
+    assert(rows.length == docs.count())
+    val kept = rows.count(_.getBoolean(11))
+    assert(kept > 0 && kept < rows.length,
+      s"filter must discriminate on sf (kept $kept of ${rows.length})")
+    // n_failed is exactly the number of false rule flags
+    assert(rows.forall(r => r.getLong(12) ==
+      (6 to 10).count(i => !r.getBoolean(i))))
+  }
+
+  test("p2 shuffle-shard: deterministic, complete, and pack-consistent") {
+    val out = SparkEntry.queries("p2_shuffle_shard")(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(3),
+      r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8)))
+    val again = SparkEntry.queries("p2_shuffle_shard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(rows.toSet == again.toSet, "shard draw must be reproducible")
+    assert(rows.map(_._2).forall(s => s >= 0 && s < 8))
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "every doc packs exactly once")
+    // within each shard the manifest is a gapless prefix sum
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      sorted.foldLeft(0L) { case (prev, r) =>
+        assert(r._5 == prev, "start_tok must equal the prior cum_tokens")
+        assert(r._4 == prev + r._3)
+        assert(r._6 == r._5 / 512 && r._7 == (r._4 - 1) / 512 &&
+          r._8 == r._5 % 512)
+        r._4
+      }
+    }
+  }
+
+  test("m4 audio windows: geometry and features match a direct decode") {
+    val out = SparkEntry.queries("m4_audio_windows")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    texts.filter(_._2.length >= 2).foreach { case (id, text) =>
+      val b = text.getBytes("US-ASCII")
+      val ks = (0 until b.length / 2)
+        .map(i => (b(2 * i) & 0xff) + 256L * (b(2 * i + 1) & 0xff))
+      val nWin = (ks.length + 63) / 64
+      (0 until nWin).foreach { w =>
+        val win = ks.slice(w * 64, w * 64 + 64)
+        val rising = win.indices.drop(1).count(j => win(j) > win(j - 1))
+        val got = out((id, w.toLong))
+        assert(got == ((win.length.toLong, win.map(k => k * k).sum,
+          win.max, rising.toLong)),
+          s"doc $id window $w mismatch")
+        checked += 1
+      }
+    }
+    assert(checked == out.size, "no extra windows beyond the decode")
+  }
 }

@@ -167,7 +167,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // subtree appears in both the ADC and re-rank branches) and 9
     // broadcasts; every build side is structurally bounded and must
     // never become a shuffle join (the s5 rule, one more join deep)
-    Shape("s6_ann_ivfpq", maxShuffles = 19, minBroadcasts = 9))
+    Shape("s6_ann_ivfpq", maxShuffles = 19, minBroadcasts = 9),
+    // r9b: the rule battery is one codegen'd scan projection — any
+    // Exchange means a metric started computing post-shuffle
+    Shape("t13_gopher_filter", maxShuffles = 0),
+    // r9b: windowing happens inside the decode partition (the m2b
+    // contract with a fan-out tail) — payload bytes must never shuffle
+    Shape("m4_audio_windows", maxShuffles = 0),
+    // r9b: p2 rides t12's bucketed prefix-sum machinery with a
+    // computed stratum — same ceiling, offsets stay a broadcast join
+    Shape("p2_shuffle_shard", maxShuffles = 3, minBroadcasts = 1),
+    // r9b: d12's returned frame hangs off the checkpointed assignment
+    // table (the expensive centroid subtree runs ONCE, before the
+    // plan) — set build + balanced expansion + two pair joins + drop
+    // agg + verdict join; a blowup past 8 means a consumer started
+    // re-deriving the assignment
+    Shape("d12_semdedup", maxShuffles = 8))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
