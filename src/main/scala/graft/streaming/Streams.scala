@@ -208,6 +208,85 @@ object Streams {
         col("ts"))
   }
 
+  final case class BandRow(
+    doc_id: Long, ts: java.sql.Timestamp, band: Int, key: String)
+  final case class BandState(first_doc_id: Long, last_seen_ms: Long)
+  final case class NearDupHit(
+    doc_id: Long, band: Int, key: String, first_doc_id: Long)
+
+  /** st12 — streaming NEAR-dup guard: the continuous-ingest face of
+    * batch d3 (MinHash-LSH). Each arriving document expands to its LSH
+    * band keys inside the micro-batch scan — the SAME fused
+    * words→shingles→signature→bands kernel as batch d3, so a batch
+    * backfill and the live stream compute identical keys — and a keyed
+    * state store remembers, per band key, the FIRST document that
+    * claimed it inside the horizon. Every later arrival sharing a key
+    * emits a candidate row against that first claimant (d3's bucket
+    * semantics; exact Jaccard verification joins the texts downstream,
+    * exactly as in batch — and a pair colliding in several bands emits
+    * one row per band, batch d3's pre-distinct stream).
+    *
+    * State is ONE small record per distinct band key with activity
+    * inside the horizon, evicted on event-time timeout `horizonMs`
+    * after the key's last activity once the watermark passes — bounded
+    * by per-horizon key cardinality, never corpus history. Arrival
+    * order decides the first claimant (ties within a micro-batch break
+    * deterministically by (ts, doc_id)); a late-but-earlier event
+    * cannot retract an already-claimed key — the st11 first-arrival
+    * semantic, the one a bounded-state stream cannot share with batch.
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      watermark: String = "10 minutes",
+      horizonMs: Long = 10 * 60 * 1000,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 2): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val bands = docs
+      .filter(size(Dedup.words(col("text"))) >= 3)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), posexplode(
+        graft.functions.MinHashSignatureExpression.minhashBands(
+          Dedup.words(col("text")), 3, numHashes, rowsPerBand)))
+      .select(col("doc_id"), col("ts"), col("pos").as("band"),
+        col("col").as("key"))
+      .as[BandRow]
+    bands
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BandState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), it: Iterator[BandRow],
+            state: GroupState[BandState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            // timeout processing only fires for keys with NO data in
+            // the batch — a key idle past the horizon then revived in
+            // one batch would resurrect its stale claimant. Expire by
+            // the watermark directly so the horizon holds regardless
+            // of timeout scheduling.
+            val wm = state.getCurrentWatermarkMs()
+            val live = state.getOption
+              .filter(_.last_seen_ms + horizonMs >= wm)
+            val (st, later) = live match {
+              case Some(s) => (s, rows)
+              case None =>
+                val head = rows.head
+                (BandState(head.doc_id, head.ts.getTime), rows.tail)
+            }
+            val lastMs = (st.last_seen_ms +: rows.map(_.ts.getTime)).max
+            state.update(BandState(st.first_doc_id, lastMs))
+            state.setTimeoutTimestamp(lastMs + horizonMs)
+            later.iterator
+              .filter(_.doc_id != st.first_doc_id)
+              .map(r => NearDupHit(r.doc_id, r.band, r.key, st.first_doc_id))
+          }
+      }
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

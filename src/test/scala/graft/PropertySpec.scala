@@ -470,4 +470,57 @@ class PropertySpec extends AnyFunSuite {
     // zero-token docs are dropped, everything else packs exactly once
     assert(out.length == rows.count(_._3 > 0))
   }
+
+  test("t13 gopher verdicts == a pure-Scala rule model on random docs (one batched job)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // mix stopwords in so r_stopwords can pass; vary word lengths so
+    // the word-len band has both sides; occasional repeats drive the
+    // repetition rule; blank/empty docs exercise the zero guards
+    val stops = TextAnalysis.stopwords.flatMap(_._2)
+    val word: Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf(stops),
+      5 -> Gen.choose(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
+      1 -> Gen.const("ab!de"))
+    val docGen: Gen[String] = Gen.frequency(
+      10 -> Gen.choose(0, 120).flatMap(n =>
+        Gen.listOfN(n, word).map(_.mkString(" "))),
+      1 -> Gen.const(""), 1 -> Gen.const("   "))
+    val texts = Gen.listOfN(300, docGen).sample.get
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.gopherFilter(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val nChars = t.length.toLong
+      val nWords = ws.length.toLong
+      val nPunct = t.count(c => !(('a' to 'z').contains(c) ||
+        ('0' to '9').contains(c) || c == ' ')).toLong
+      val stopHits = ws.count(stops.contains).toLong
+      val charSum = ws.map(_.length.toLong).sum
+      val grams = if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      val nGrams = grams.length.toLong
+      val nDup = nGrams - grams.distinct.length.toLong
+      val rules = Seq(
+        nWords >= 20 && nWords <= 90,
+        charSum >= nWords * 4 && charSum <= nWords * 5,
+        nPunct * 10 <= nChars,
+        stopHits >= 2,
+        nDup * 20 <= nGrams)
+      val r = got(i.toLong)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == ((nWords, charSum, stopHits, nGrams, nDup)),
+        s"metrics mismatch on doc $i: '$t'")
+      rules.zipWithIndex.foreach { case (want, k) =>
+        assert(r.getBoolean(6 + k) == want,
+          s"rule $k mismatch on doc $i: '$t'")
+      }
+      assert(r.getBoolean(11) == rules.forall(identity))
+      assert(r.getLong(12) == rules.count(!_).toLong)
+    }
+  }
 }

@@ -376,4 +376,79 @@ class StreamingSpec extends AnyFunSuite {
       assert(q.recentProgress.exists(_.stateOperators.nonEmpty))
     } finally q.stop()
   }
+
+  test("st12 streaming near-dup guard flags band collisions, horizon evicts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textC = "completely different content with no shared phrases at all"
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      watermark = "10 minutes", horizonMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("st12_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def hits(): Seq[(Long, Long)] = spark.table("st12_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    try {
+      in.addData((1L, t(10, 1), textA))
+      q.processAllAvailable()
+      assert(hits().isEmpty, "first claimant emits nothing")
+      // identical text shares EVERY band key; unrelated text shares none
+      in.addData((2L, t(10, 2), textA), (3L, t(10, 2), textC))
+      q.processAllAvailable()
+      val h1 = hits()
+      assert(h1.nonEmpty && h1.forall(_ == ((2L, 1L))),
+        s"near-twin must flag against the first claimant only: $h1")
+      assert(h1.size == 6, s"identical docs collide in all 6 bands: $h1")
+      // push the watermark past the horizon (band keys from 10:0x
+      // expire at last_seen + 10 min ≪ the new watermark 11:20); the
+      // pusher doc shares no shingles with anything before it
+      in.addData((4L, t(11, 30),
+        "unrelated watermark pusher sentence nothing shingles here match"))
+      q.processAllAvailable()
+      // a revived key must NOT resurrect its stale claimant: doc 5
+      // claims fresh (no hits), doc 6 then flags against doc 5
+      in.addData((5L, t(11, 31), textA))
+      q.processAllAvailable()
+      assert(hits().size == h1.size, "expired keys cannot emit hits")
+      in.addData((6L, t(11, 32), textA))
+      q.processAllAvailable()
+      val h2 = hits().diff(h1)
+      assert(h2.nonEmpty && h2.forall(_ == ((6L, 5L))),
+        s"post-eviction hits must point at the fresh claimant: $h2")
+    } finally q.stop()
+  }
+
+  test("st12 hits on the sf corpus are always batch-d3 candidate pairs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // same kernel, same corpus, one micro-batch: the stream links each
+    // later doc to its bucket's FIRST claimant only (a guard, not a
+    // pair miner), so its pair set must be a SUBSET of batch d3's full
+    // bucket expansion — and non-trivial on this corpus
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), ts(1), r.getString(1)))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("st12_parity_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamPairs = spark.table("st12_parity_out").collect()
+        .map(r => (r.getLong(0) min r.getLong(3),
+          r.getLong(0) max r.getLong(3))).toSet
+      val batchPairs = graft.operators.Dedup.minhashLsh(
+        Tables.load(spark, sf, "documents")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs.nonEmpty, "sf corpus must produce stream hits")
+      assert(streamPairs.subsetOf(batchPairs),
+        s"stream-only pairs: ${streamPairs -- batchPairs}")
+    } finally q.stop()
+  }
 }
