@@ -1110,23 +1110,26 @@ object PipelineQueries {
     * shuffles: synth → encode → decode → reduce all happen in the scan
     * partition, one output row per document.
     */
-  def m2bFrameDecode(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc WAV synth m2b and m4 share (doc bytes → PCM payload,
+    * one Frame per doc): < 2 chars yields zero s16 samples; both
+    * engines drop those docs — char-count (`length`), matching the
+    * twins' char-based gate, so a non-ASCII corpus diverges loudly in
+    * the require below rather than silently disagreeing on which docs
+    * pass (the char-position arithmetic of the DuckDB twins is only
+    * byte-position arithmetic on ASCII; refuse anything else instead
+    * of letting getBytes substitute '?' and skew features).
+    */
+  private def wavFrames(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Frame] = {
     import s.implicits._
     import java.nio.{ByteBuffer, ByteOrder}
-    val frames = docs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"), col("text"))
-      // < 2 chars yields zero s16 samples; both engines drop those
-      // docs — char-count (`length`), matching the twin's char-based
-      // gate, so a non-ASCII corpus diverges loudly below rather than
-      // silently disagreeing on which docs pass
       .filter(length(col("text")) >= 2)
       .as[(Long, String)]
       .map { case (id, text) =>
-        // the char-position arithmetic of the DuckDB twin is only
-        // byte-position arithmetic on ASCII; refuse anything else
-        // instead of letting getBytes substitute '?' and skew features
         require(text.forall(_ < 128),
-          s"m2b requires an ASCII corpus; doc $id has non-ASCII text")
+          s"WAV synth requires an ASCII corpus; doc $id has non-ASCII text")
         val b = text.getBytes("US-ASCII")
         val n = b.length / 2
         val pcm = new Array[Short](n)
@@ -1135,7 +1138,11 @@ object PipelineQueries {
         while (i < n) { pcm(i) = bb.getShort(i * 2); i += 1 }
         Multimodal.Frame(id, 0L, Codecs.wavPcm16Encode(pcm))
       }
-    Multimodal.decodeFrames(frames)(Codecs.wavPcm16)
+  }
+
+  def m2bFrameDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decodeFrames(wavFrames(s, dir))(Codecs.wavPcm16)
       .map { f =>
         var energy = 0L
         var peak = 0L
@@ -1353,23 +1360,7 @@ object PipelineQueries {
     */
   def m4AudioWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import java.nio.{ByteBuffer, ByteOrder}
-    val frames = docs(s, dir)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 2)
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        require(text.forall(_ < 128),
-          s"m4 requires an ASCII corpus; doc $id has non-ASCII text")
-        val b = text.getBytes("US-ASCII")
-        val n = b.length / 2
-        val pcm = new Array[Short](n)
-        val bb = ByteBuffer.wrap(b, 0, n * 2).order(ByteOrder.LITTLE_ENDIAN)
-        var i = 0
-        while (i < n) { pcm(i) = bb.getShort(i * 2); i += 1 }
-        Multimodal.Frame(id, 0L, Codecs.wavPcm16Encode(pcm))
-      }
-    Multimodal.decodeFrames(frames)(Codecs.wavPcm16)
+    Multimodal.decodeFrames(wavFrames(s, dir))(Codecs.wavPcm16)
       .flatMap { f =>
         val ks = new Array[Long](f.feature.length)
         var i = 0

@@ -351,4 +351,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(byProp("name").head.getAs[String]("prop_type") == "name")
     assert(byProp("country").head.getAs[String]("prop_type") == "string")
   }
+
+  test("doc store: double-insert index, incremental probe, compact rebuild") {
+    import spark.implicits._
+    import graft.sources.DocStore
+    dropTable("doc_spec")
+    dropTable("doc_spec_bands")
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val stored = Seq(
+      (1L, textA, "s"),
+      (2L, "completely different content with no shared phrases at all", "s"),
+      (3L, "a third unrelated document mentioning other things entirely", "s"))
+      .toDF("doc_id", "text", "source")
+    DocStore.append(stored, "doc_spec", buckets = 4)
+    // double insert: one index row per (doc, band) — 6 bands at 12/2
+    assert(DocStore.bands(spark, "doc_spec").count() == 3L * 6)
+    // the probe: a near-twin of stored doc 1, a novel doc, and stored
+    // doc 1 itself (self-match must be excluded by id)
+    val newDocs = Seq(
+      (10L, textA, "s"),
+      (11L, "novel text with fresh vocabulary nothing before matches", "s"),
+      (1L, textA, "s"))
+      .toDF("doc_id", "text", "source")
+    val cands = DocStore.nearDupCandidates(spark, "doc_spec", newDocs)
+    assert(cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L)))
+    // probe plan: the batch keys broadcast onto ONE stored-index scan;
+    // nothing below the first aggregate may shuffle the corpus side
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"batch keys must broadcast onto the stored index:\n$plan")
+    // FINAL read dedups a re-delivery (in-bucket, no Exchange)
+    DocStore.append(stored, "doc_spec", buckets = 4)
+    assert(DocStore.read(spark, "doc_spec").count() == 6L)
+    assert(DocStore.readFinal(spark, "doc_spec").count() == 3L)
+    val finalPlan = DocStore.readFinal(spark, "doc_spec")
+      .queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("Exchange"),
+      s"FINAL over the id-bucketed store must not shuffle:\n$finalPlan")
+    // compact: durable dedup, index rebuilt from the deduped docs,
+    // probe still answers identically
+    DocStore.compact(spark, "doc_spec", buckets = 4)
+    assert(DocStore.read(spark, "doc_spec").count() == 3L)
+    assert(DocStore.bands(spark, "doc_spec").count() == 3L * 6)
+    assert(DocStore.nearDupCandidates(spark, "doc_spec", newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L)))
+  }
 }
