@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.{DocStore, TableSwap}
+
+/** Measures the DocStore incremental-dedup claim on real data: probing
+  * a STORED corpus with an ingest-sized batch versus re-blocking the
+  * whole corpus with batch d3 (what a pipeline without the index must
+  * do every ingest). Median of 3 per path, one untimed warmup.
+  *
+  *   sbt "runMain graft.DocStoreProbe [sfDir] [batchSize]"
+  *
+  * The probe also cross-checks correctness: every (stored, new)
+  * candidate the index probe reports must appear in the full d3
+  * re-block of (stored ∪ new), restricted to cross pairs.
+  */
+object DocStoreProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchSize = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val table = "docstore_probe"
+    for (t <- Seq(table, s"${table}_bands")) {
+      TableSwap.dropAllStages(spark, t)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    DocStore.append(docs, table)
+    // the ingest batch: copies of existing docs under fresh ids (known
+    // near-dups of the store) — the worst probe case, every batch doc
+    // collides in every band
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val batch = docs.filter(col("doc_id") < batchSize)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
+    batch.localCheckpoint().count()
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def median3(f: => Long): (Double, Long) = {
+      timed(f) // warmup
+      val runs = (1 to 3).map(_ => timed(f))
+      (runs.map(_._1).sorted.apply(1), runs.head._2)
+    }
+    val (probeSec, probeN) = median3 {
+      DocStore.nearDupCandidates(spark, table, batch).count()
+    }
+    val (fullSec, fullN) = median3 {
+      Dedup.minhashLsh(docs.unionByName(batch)).count()
+    }
+    // correctness: index-probe candidates ⊆ full re-block cross pairs
+    val probePairs = DocStore.nearDupCandidates(spark, table, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossPairs = Dedup.minhashLsh(docs.unionByName(batch))
+      .filter(col("right_id") > maxId && col("left_id") <= maxId)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = probePairs -- crossPairs
+    require(missing.isEmpty, s"probe pairs not in full re-block: $missing")
+    println(
+      s"""{"probe_sec":$probeSec,"probe_pairs":$probeN,""" +
+        s""""full_d3_sec":$fullSec,"full_d3_pairs":$fullN,""" +
+        s""""batch":$batchSize,"sf":"$sfDir","subset_check":"ok"}""")
+    spark.stop()
+  }
+}

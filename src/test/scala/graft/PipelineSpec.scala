@@ -79,6 +79,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("d3 hot-bucket guard engages on an all-identical corpus") {
+    import spark.implicits._
+    // the adversarial dedup shape: N byte-identical docs put ALL of
+    // them in every band bucket — without the cutoff that's an O(N²)
+    // expansion out of one bucket
+    val df = (1L to 50L).map(i =>
+      (i, "same exact words repeated in every single document here", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.minhashLsh(df, maxBucket = 10).collect().isEmpty,
+      "buckets past the cutoff must drop entirely")
+    assert(Dedup.minhashLsh(df, maxBucket = 100).count() == 50L * 49 / 2,
+      "with headroom the same corpus yields every pair exactly once")
+  }
+
   test("d3 minhash-lsh: exact duplicates always collide; has candidates on sf") {
     import spark.implicits._
     val dup = Seq(
