@@ -1415,6 +1415,77 @@ object PipelineQueries {
       |    AS BIGINT) AS n_rising
       |FROM v GROUP BY doc_id, win_idx""".stripMargin
 
+  /** p3 — the corpus AUDIT report: per (source, lang) — document and
+    * token counts, the t13 quality-gate pass rate, and exact-dup
+    * exposure (docs whose normalized text has ≥2 copies + distinct
+    * text count). The dashboard a pipeline reads before every
+    * training-mix decision, computed in one query: the signal
+    * projection is one scan (t13's staged metrics with source/lang/
+    * content-hash carried through), the dup exposure is one window on
+    * the content hash, and the report is one bounded aggregation —
+    * only narrow signal rows ever shuffle, text stays in the scan.
+    * keep_rate's AVG divides an exactly-represented 0/1 sum by the
+    * group count (one correctly-rounded binary64 op), so the DuckDB
+    * twin reproduces it bit-for-bit.
+    */
+  def p3CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = docs(s, dir).select(col("doc_id"), col("text"),
+      col("source"), col("lang"),
+      md5(Dedup.normText(col("text"))).as("content_hash"))
+    val sig = TextAnalysis.gopherFilter(pre,
+      carry = Seq("source", "lang", "content_hash"))
+    val withDup = sig.withColumn("n_copies",
+      count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+    withDup.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_tokens"),
+      round(avg(col("keep").cast("double")), 6).as("keep_rate"),
+      sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+      countDistinct(col("content_hash")).as("n_distinct_texts"))
+  }
+
+  val p3Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang, text,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       |    ${duckWords("text")} AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT *, CASE WHEN len(ws) >= 2 THEN
+       |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+       |    ELSE [] END AS grams
+       |  FROM toks),
+       |m AS (
+       |  SELECT doc_id, source, lang, content_hash,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(ws, w -> list_contains(${duckAllStops}, w))) AS BIGINT) AS stop_hits,
+       |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS char_sum,
+       |    CAST(len(grams) AS BIGINT) AS n_grams,
+       |    CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
+       |  FROM g),
+       |k AS (
+       |  SELECT *,
+       |    (n_words BETWEEN 20 AND 90)
+       |      AND (char_sum >= n_words * 4 AND char_sum <= n_words * 5)
+       |      AND (n_punct * 10 <= n_chars)
+       |      AND (stop_hits >= 2)
+       |      AND (n_dup_grams * 20 <= n_grams) AS keep
+       |  FROM m),
+       |d AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+       |  FROM k)
+       |SELECT source, lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |  round(AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+       |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_texts
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
@@ -1459,6 +1530,7 @@ object PipelineQueries {
     "m4_audio_windows" -> (m4AudioWindows _),
     "p1_preprocess" -> (p1Preprocess _),
     "p2_shuffle_shard" -> (p2ShuffleShard _),
+    "p3_corpus_report" -> (p3CorpusReport _),
     "d12_semdedup" -> (d12SemDedup _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
@@ -1502,6 +1574,7 @@ object PipelineQueries {
     "m4_audio_windows" -> m4Sql,
     "p1_preprocess" -> p1Sql,
     "p2_shuffle_shard" -> p2Sql,
+    "p3_corpus_report" -> p3Sql,
     "d12_semdedup" -> d12Sql,
     "t13_gopher_filter" -> t13Sql
   )

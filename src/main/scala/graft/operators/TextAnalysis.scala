@@ -109,26 +109,30 @@ object TextAnalysis {
     * bigram-stats pass), zero shuffle — the same shape as t2; at 100 TB
     * this is scan-bound and embarrassingly parallel.
     */
-  def gopherFilter(documents: DataFrame): DataFrame = {
-    val withWs = documents.select(col("doc_id"), col("text"),
-      Dedup.words(col("text")).as("ws"))
+  def gopherFilter(
+      documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
+    val withWs = documents.select(col("doc_id") +: col("text") +:
+      Dedup.words(col("text")).as("ws") +: carryCols: _*)
     val counted = withWs.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(col("ws")).cast("long").as("n_words"),
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-        .cast("long").as("n_punct"),
-      hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
-      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
-        .as("char_sum"),
-      graft.functions.BigramStatsExpression.bigramStats(col("ws")).as("st"))
+      Seq(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("ws")).cast("long").as("n_words"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("long").as("n_punct"),
+        hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + length(w).cast("long")).as("char_sum"),
+        graft.functions.BigramStatsExpression.bigramStats(col("ws"))
+          .as("st")) ++ carryCols: _*)
     val staged = counted.select(
-      col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"),
-      col("stop_hits"), col("char_sum"),
-      col("st").getField("n_grams").as("n_grams"),
-      (col("st").getField("n_grams") - col("st").getField("n_distinct"))
-        .as("n_dup_grams"))
+      Seq(col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"),
+        col("stop_hits"), col("char_sum"),
+        col("st").getField("n_grams").as("n_grams"),
+        (col("st").getField("n_grams") - col("st").getField("n_distinct"))
+          .as("n_dup_grams")) ++ carryCols: _*)
     val rules = Seq(
       "r_word_count" -> col("n_words").between(20L, 90L),
       "r_word_len" -> (col("char_sum") >= col("n_words") * 4L &&
@@ -139,7 +143,7 @@ object TextAnalysis {
     val flagged = staged.select(
       Seq(col("doc_id"), col("n_words"), col("char_sum"), col("stop_hits"),
         col("n_grams"), col("n_dup_grams")) ++
-        rules.map { case (name, c) => c.as(name) }: _*)
+        rules.map { case (name, c) => c.as(name) } ++ carryCols: _*)
     flagged.select(
       (flagged.columns.map(col) :+
         rules.map { case (name, _) => col(name) }.reduce(_ && _).as("keep") :+

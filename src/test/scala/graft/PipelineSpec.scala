@@ -1085,6 +1085,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p3 corpus report: totals reconcile with the standalone operators") {
+    val report = SparkEntry.queries("p3_corpus_report")(spark, sf).collect()
+    assert(report.map(_.getLong(2)).sum == docs.count(),
+      "every document lands in exactly one report row")
+    // token total equals t3's whitespace-token total
+    val t3Total = TextAnalysis.tokenCount(docs)
+      .agg(sum(col("ws_tokens"))).head().getLong(0)
+    assert(report.map(_.getLong(3)).sum == t3Total)
+    // dup exposure reconciles with d1: docs in multi-copy hash groups
+    val d1Dups = graft.operators.Dedup.exact(docs)
+      .filter(col("n_dups") > 1).count()
+    assert(report.map(_.getLong(5)).sum == d1Dups)
+    // keep_rate is a genuine mix: not all 0.0, not all 1.0
+    val rates = report.map(_.getDouble(4))
+    assert(rates.exists(_ > 0.0) && rates.exists(_ < 1.0))
+  }
+
   test("m4 audio windows: geometry and features match a direct decode") {
     val out = SparkEntry.queries("m4_audio_windows")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

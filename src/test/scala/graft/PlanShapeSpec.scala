@@ -177,6 +177,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // r9b: p2 rides t12's bucketed prefix-sum machinery with a
     // computed stratum — same ceiling, offsets stay a broadcast join
     Shape("p2_shuffle_shard", maxShuffles = 3, minBroadcasts = 1),
+    // r9b: p3 = ONE scan of doc signals → content-hash window →
+    // bounded (source, lang) report agg; a third Exchange means a
+    // signal started computing post-shuffle or text reached a window
+    Shape("p3_corpus_report", maxShuffles = 2),
     // r9b: d12's returned frame hangs off the checkpointed assignment
     // table (the expensive centroid subtree runs ONCE, before the
     // plan) — set build + balanced expansion + two pair joins + drop
