@@ -26,6 +26,17 @@ object DocStoreProbe {
     for (t <- Seq(table, s"${table}_bands")) {
       TableSwap.dropAllStages(spark, t)
       spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the in-memory catalog forgets tables between JVMs but their
+      // warehouse dirs persist — a stale dir fails the next
+      // saveAsTable with LOCATION_ALREADY_EXISTS
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      rm(new java.io.File(wh, t))
     }
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
@@ -34,9 +45,10 @@ object DocStoreProbe {
     // near-dups of the store) — the worst probe case, every batch doc
     // collides in every band
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // checkpoint the batch so no timed run pays its derivation scan
     val batch = docs.filter(col("doc_id") < batchSize)
       .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
-    batch.localCheckpoint().count()
+      .localCheckpoint()
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -54,10 +66,17 @@ object DocStoreProbe {
     val (fullSec, fullN) = median3 {
       Dedup.minhashLsh(docs.unionByName(batch)).count()
     }
-    // correctness: index-probe candidates ⊆ full re-block cross pairs
+    // correctness: index-probe candidates ⊆ full re-block cross pairs.
+    // The caps must be aligned for this to be a theorem: the probe
+    // bounds DISTINCT STORED docs per key (≤ 1000) while the full
+    // re-block bounds the UNION bucket, which additionally holds up to
+    // batchSize colliding batch docs — so the full pass gets that much
+    // headroom or a bucket the probe kept could drop wholesale from
+    // the reference set (a cutoff asymmetry, not an index bug).
     val probePairs = DocStore.nearDupCandidates(spark, table, batch)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val crossPairs = Dedup.minhashLsh(docs.unionByName(batch))
+    val crossPairs = Dedup.minhashLsh(
+      docs.unionByName(batch), maxBucket = 1000 + batchSize)
       .filter(col("right_id") > maxId && col("left_id") <= maxId)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missing = probePairs -- crossPairs

@@ -716,17 +716,24 @@ object PipelineQueries {
   def t13GopherFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherFilter(docs(s, dir))
 
-  val t13Sql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents),
+  /** DuckDB: the shared t13/p3 metric CTE block (toks → g → m) — the
+    * ONE definition of the gate's base metrics, so the two oracles
+    * cannot drift on the same rule arithmetic. `extraToks` is a
+    * computed-column fragment added to toks (trailing comma included
+    * by the caller); `extraM` re-selects those names through m.
+    */
+  private def duckGopherMetrics(
+      extraToks: String, extraM: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, text,$extraToks ${duckWords("text")} AS ws
+       |  FROM documents),
        |g AS (
-       |  SELECT doc_id, text, ws,
-       |    CASE WHEN len(ws) >= 2 THEN
+       |  SELECT *, CASE WHEN len(ws) >= 2 THEN
        |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
        |    ELSE [] END AS grams
        |  FROM toks),
        |m AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id,$extraM
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(len(ws) AS BIGINT) AS n_words,
        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
@@ -734,14 +741,25 @@ object PipelineQueries {
        |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS char_sum,
        |    CAST(len(grams) AS BIGINT) AS n_grams,
        |    CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
-       |  FROM g),
+       |  FROM g)""".stripMargin
+
+  /** The five Gopher rules as DuckDB predicates over m's columns —
+    * shared verbatim by t13Sql (per-rule verdicts) and p3Sql (the
+    * combined keep). Order matches [[TextAnalysis.gopherFilter]].
+    */
+  private val duckGopherRules: Seq[(String, String)] = Seq(
+    "r_word_count" -> "n_words BETWEEN 20 AND 90",
+    "r_word_len" -> "char_sum >= n_words * 4 AND char_sum <= n_words * 5",
+    "r_symbol" -> "n_punct * 10 <= n_chars",
+    "r_stopwords" -> "stop_hits >= 2",
+    "r_repetition" -> "n_dup_grams * 20 <= n_grams")
+
+  val t13Sql: String =
+    s"""WITH ${duckGopherMetrics("", "")},
        |r AS (
        |  SELECT doc_id, n_words, char_sum, stop_hits, n_grams, n_dup_grams,
-       |    n_words BETWEEN 20 AND 90 AS r_word_count,
-       |    char_sum >= n_words * 4 AND char_sum <= n_words * 5 AS r_word_len,
-       |    n_punct * 10 <= n_chars AS r_symbol,
-       |    stop_hits >= 2 AS r_stopwords,
-       |    n_dup_grams * 20 <= n_grams AS r_repetition
+       |${duckGopherRules.map { case (n, p) => s"    $p AS $n," }
+        .mkString("\n").dropRight(1)}
        |  FROM m)
        |SELECT doc_id, n_words, char_sum, stop_hits, n_grams, n_dup_grams,
        |  r_word_count, r_word_len, r_symbol, r_stopwords, r_repetition,
@@ -1099,17 +1117,6 @@ object PipelineQueries {
       |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_feature
       |FROM ex""".stripMargin
 
-  /** m2b — REAL decode through the plug-point: each document's bytes
-    * become the PCM payload of a synthesized WAV (the corpus ships no
-    * media, so the media is made from the corpus — deterministically),
-    * and [[Codecs.wavPcm16]] decodes it back inside the partition via
-    * [[Multimodal.decodeFrames]] — the same mapPartitions contract a
-    * JNI/`mapInPandas` codec plugs into. Features are exact integers
-    * (sample count, Σk², max |k| over the s16 samples) so the DuckDB
-    * twin hash-matches with no float-summation-order hazard. Zero
-    * shuffles: synth → encode → decode → reduce all happen in the scan
-    * partition, one output row per document.
-    */
   /** The per-doc WAV synth m2b and m4 share (doc bytes → PCM payload,
     * one Frame per doc): < 2 chars yields zero s16 samples; both
     * engines drop those docs — char-count (`length`), matching the
@@ -1140,6 +1147,18 @@ object PipelineQueries {
       }
   }
 
+  /** m2b — REAL decode through the plug-point: each document's bytes
+    * become the PCM payload of a synthesized WAV ([[wavFrames]] — the
+    * corpus ships no media, so the media is made from the corpus,
+    * deterministically), and [[Codecs.wavPcm16]] decodes it back
+    * inside the partition via [[Multimodal.decodeFrames]] — the same
+    * mapPartitions contract a JNI/`mapInPandas` codec plugs into.
+    * Features are exact integers (sample count, Σk², max |k| over the
+    * s16 samples) so the DuckDB twin hash-matches with no
+    * float-summation-order hazard. Zero shuffles: synth → encode →
+    * decode → reduce all happen in the scan partition, one output row
+    * per document.
+    */
   def m2bFrameDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.decodeFrames(wavFrames(s, dir))(Codecs.wavPcm16)
@@ -1446,33 +1465,13 @@ object PipelineQueries {
   }
 
   val p3Sql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, source, lang, text,
-       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
-       |    ${duckWords("text")} AS ws
-       |  FROM documents),
-       |g AS (
-       |  SELECT *, CASE WHEN len(ws) >= 2 THEN
-       |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-       |    ELSE [] END AS grams
-       |  FROM toks),
-       |m AS (
-       |  SELECT doc_id, source, lang, content_hash,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len(ws) AS BIGINT) AS n_words,
-       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-       |    CAST(len(list_filter(ws, w -> list_contains(${duckAllStops}, w))) AS BIGINT) AS stop_hits,
-       |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS char_sum,
-       |    CAST(len(grams) AS BIGINT) AS n_grams,
-       |    CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
-       |  FROM g),
+    s"""WITH ${duckGopherMetrics(
+        "\n    source, lang,\n    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,",
+        " source, lang, content_hash,")},
        |k AS (
        |  SELECT *,
-       |    (n_words BETWEEN 20 AND 90)
-       |      AND (char_sum >= n_words * 4 AND char_sum <= n_words * 5)
-       |      AND (n_punct * 10 <= n_chars)
-       |      AND (stop_hits >= 2)
-       |      AND (n_dup_grams * 20 <= n_grams) AS keep
+       |    ${duckGopherRules.map { case (_, p) => s"($p)" }
+        .mkString("\n      AND ")} AS keep
        |  FROM m),
        |d AS (
        |  SELECT *, COUNT(*) OVER (PARTITION BY content_hash) AS n_copies

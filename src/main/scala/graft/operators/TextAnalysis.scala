@@ -57,25 +57,40 @@ object TextAnalysis {
       en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
   }
 
-  /** t2 — quality scoring: length / punctuation / stopword / word-length
-    * ratios, the standard cheap pre-filters of a data pipeline.
+  /** The ONE staged projection of the t2/t13 base metrics (tokenize
+    * once, count once): n_chars, n_words, n_punct, stop_hits,
+    * char_sum, optionally the compiled bigram stats — shared so the
+    * quality SCORES (t2) and the quality GATE (t13/p3) can never
+    * silently disagree on a metric definition.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    // same staging as langId: tokenize once, count once, then derive
-    // the ratios from plain attribute references
-    val withWs = documents.select(col("doc_id"), col("text"),
-      Dedup.words(col("text")).as("ws"))
-    val counted = withWs.select(
+  private def countedMetrics(
+      documents: DataFrame, carry: Seq[Column],
+      withBigrams: Boolean): DataFrame = {
+    val withWs = documents.select(col("doc_id") +: col("text") +:
+      Dedup.words(col("text")).as("ws") +: carry: _*)
+    val base = Seq(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_m"),
+      length(col("text")).cast("long").as("n_chars"),
       size(col("ws")).cast("long").as("n_words"),
       (length(col("text")) -
         length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
         .cast("long").as("n_punct"),
       hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
-      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
-        .as("word_len_sum"))
-    val nChars = col("n_chars_m"); val nWords = col("n_words")
+      aggregate(col("ws"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")).as("char_sum"))
+    val st = if (withBigrams)
+      Seq(graft.functions.BigramStatsExpression.bigramStats(col("ws"))
+        .as("st"))
+    else Nil
+    withWs.select(base ++ st ++ carry: _*)
+  }
+
+  /** t2 — quality scoring: length / punctuation / stopword / word-length
+    * ratios, the standard cheap pre-filters of a data pipeline.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val counted = countedMetrics(documents, Nil, withBigrams = false)
+    val nChars = col("n_chars"); val nWords = col("n_words")
     counted.select(
       col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
       col("n_punct").as("n_punct"),
@@ -84,7 +99,7 @@ object TextAnalysis {
       round(when(nWords > 0, col("stop_hits").cast("double") / nWords.cast("double"))
         .otherwise(lit(0.0)), 6).as("stopword_ratio"),
       round(when(nWords > 0,
-        col("word_len_sum").cast("double") / nWords.cast("double"))
+        col("char_sum").cast("double") / nWords.cast("double"))
         .otherwise(lit(0.0)), 6).as("avg_word_len"))
   }
 
@@ -112,21 +127,7 @@ object TextAnalysis {
   def gopherFilter(
       documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val carryCols = carry.map(col)
-    val withWs = documents.select(col("doc_id") +: col("text") +:
-      Dedup.words(col("text")).as("ws") +: carryCols: _*)
-    val counted = withWs.select(
-      Seq(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(col("ws")).cast("long").as("n_words"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-          .cast("long").as("n_punct"),
-        hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
-        aggregate(col("ws"), lit(0L),
-          (acc, w) => acc + length(w).cast("long")).as("char_sum"),
-        graft.functions.BigramStatsExpression.bigramStats(col("ws"))
-          .as("st")) ++ carryCols: _*)
+    val counted = countedMetrics(documents, carryCols, withBigrams = true)
     val staged = counted.select(
       Seq(col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"),
         col("stop_hits"), col("char_sum"),

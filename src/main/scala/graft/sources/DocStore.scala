@@ -24,8 +24,10 @@ import graft.operators.Dedup
   *     candidates. Narrow columns only; text never enters the index.
   *
   * [[append]] double-inserts docs AND their band keys in one call
-  * (the st8/FpxStore discipline) so the index cannot drift from the
-  * corpus.
+  * (the st8/FpxStore discipline) so normal operation never drifts
+  * them; a crash BETWEEN the two writes can — see [[append]] for why
+  * the index-first order makes that state loud rather than silently
+  * lossy, and [[compact]] for the durable repair.
   *
   * The probe ([[nearDupCandidates]]) broadcasts the NEW batch's band
   * keys onto one scan of the stored index: the corpus side never
@@ -38,25 +40,33 @@ import graft.operators.Dedup
   */
 object DocStore {
 
-  /** Append a document batch and its band-key index rows. */
+  /** Append a document batch and its band-key index rows. The INDEX
+    * lands first: the two writes are not atomic, and the two possible
+    * crash states are not symmetric — orphan index rows (index landed,
+    * docs did not) can only produce candidates that die loudly at the
+    * text-verification join, while missing index rows (docs landed,
+    * index did not) are SILENT false negatives on every later probe.
+    * [[compact]] rebuilds the index from the deduped docs, repairing
+    * either drift durably.
+    */
   def append(
       docs: DataFrame,
       table: String,
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       buckets: Int = 64): Unit = {
-    docs.write
-      .mode(SaveMode.Append)
-      .bucketBy(buckets, "doc_id")
-      .sortBy("doc_id")
-      .format("parquet")
-      .saveAsTable(table)
     bandKeys(docs, numHashes, rowsPerBand).write
       .mode(SaveMode.Append)
       .bucketBy(buckets, "band", "key")
       .sortBy("band", "key")
       .format("parquet")
       .saveAsTable(s"${table}_bands")
+    docs.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable(table)
   }
 
   /** The ONE band-key projection all faces of the store share. */
@@ -108,16 +118,16 @@ object DocStore {
     val hits = stored.join(
       broadcast(probe.select(col("band"), col("key")).distinct()),
       Seq("band", "key"))
-    // cutoff over probed keys only: distinct stored members per key
-    val inRange = hits
-      .groupBy(col("band"), col("key"))
-      .agg(approx_count_distinct(col("doc_id")).as("approx"))
-      .filter(col("approx") <= maxBucket * 2L)
-      .select(col("band"), col("key"))
-    val bounded = hits.join(broadcast(inRange), Seq("band", "key"))
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
+    // cutoff over probed keys only, through the SAME guarded set-build
+    // as d3/f8 ([[graft.operators.Fpx.boundedMemberSets]]): its keyed
+    // repartition lets the sketch pass and the set build share one
+    // Exchange (ReuseExchange), so the stored index is scanned ONCE —
+    // a hand-rolled guard here was measured planning the scan twice.
+    // min = 1: a stored doc alone on a probed key still pairs with the
+    // batch doc that probed it (pairs are stored×new, never stored×
+    // stored).
+    val bounded = graft.operators.Fpx.boundedMemberSets(
+      hits, Seq("band", "key"), "doc_id", 1, maxBucket)
       .select(col("band"), col("key"), explode(col("ids")).as("doc_id"))
     bounded
       .join(probe, Seq("band", "key"))
