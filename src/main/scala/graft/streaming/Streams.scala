@@ -133,6 +133,25 @@ object Streams {
         finally { batch.unpersist(); () }
     }
 
+  /** st13 — streaming document ingest into the [[graft.sources.DocStore]]:
+    * each micro-batch double-inserts the documents AND their band-key
+    * index rows ([[graft.sources.DocStore.append]] — index first, the
+    * loud-failure order), completing the st8/st9 write-path trio for
+    * every store the engine maintains. The batch is persisted because
+    * one batch feeds two bucketed tables. Exactly-once: replays
+    * collapse in the FINAL read (dedup by doc_id), and a replayed
+    * index row is a duplicate (band, key, doc_id) the probe's set
+    * build absorbs — same guarantee as the batch append.
+    */
+  def ingestDocs(docs: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try graft.sources.DocStore.append(batch, table)
+        finally { batch.unpersist(); () }
+    }
+
   /** st10 — streaming contamination guard: every incoming document is
     * scored against a STATIC probe n-gram set (the eval/benchmark
     * suite) as it arrives — the continuous-ingest face of batch t5,

@@ -421,6 +421,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st13 streaming doc ingest double-inserts docs + band index per batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st13_docs", "st13_docs_bands")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() }
+        dir.delete() }
+    }
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.ingestDocs(
+      in.toDF().toDF("doc_id", "text", "source"), "st13_docs")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st13_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, textA, "s"),
+        (2L, "completely different content with no shared phrases", "s"))
+      q.processAllAvailable()
+      in.addData((3L, "a third unrelated document about other things", "s"))
+      q.processAllAvailable()
+      assert(spark.table("st13_docs").count() == 3)
+      // index rows landed for BOTH batches (6 bands per doc at 12/2)
+      assert(spark.table("st13_docs_bands").count() == 3L * 6)
+      // the store is immediately probe-able: a near-twin of streamed
+      // doc 1 flags against it
+      val cands = graft.sources.DocStore.nearDupCandidates(
+        spark, "st13_docs", Seq((10L, textA, "s"))
+          .toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("st12 hits on the sf corpus are always batch-d3 candidate pairs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
