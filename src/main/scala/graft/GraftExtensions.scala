@@ -10,7 +10,7 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   MinHashBandsExpression, MinHashSignatureExpression,
   MinHashWordsExpression, NgramHashesExpression, Phonetics,
   ShinglesExpression, SimHashExpression, TokenHashesExpression,
-  VectorSumAggregate}
+  VectorSumAggregate, WordStatsExpression}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -22,7 +22,8 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   *     `graft_minhash_bands`,
   *     `graft_simhash(arr)`, `graft_fingerprint`, `graft_fpx_tokens`,
   *     `graft_shingles`, `graft_ngram_hashes`, `graft_token_hashes`,
-  *     `graft_bigram_stats`, `graft_vec_sum`, `graft_vec_dot`
+  *     `graft_bigram_stats`, `graft_word_stats`, `graft_vec_sum`,
+  *     `graft_vec_dot`
   */
 object GraftFunctionRegistry {
 
@@ -60,6 +61,13 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_simhash takes one argument")
         SimHashExpression(children.head)
+      }),
+    (FunctionIdentifier("graft_word_stats"),
+      new ExpressionInfo(
+        classOf[WordStatsExpression].getName, "graft_word_stats"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_word_stats takes one argument")
+        WordStatsExpression(children.head)
       }),
     (FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(

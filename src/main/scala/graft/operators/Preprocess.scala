@@ -62,23 +62,26 @@ object Preprocess {
       maxPunctRatio: Double,
       carry: Seq[String] = Nil): DataFrame = {
     val carried = carry.map(col)
+    // ONE compiled pass computes every word counter (per-language hits,
+    // all-stopword hits, n_words) — the composed form walked the word
+    // array six times through interpreted HOFs per row
     val staged = documents.select(Seq(col("doc_id"), col("lang"),
-      col("text"), Dedup.words(col("text")).as("ws")) ++ carried: _*)
-    val langHits = TextAnalysis.stopwords.map { case (l, list) =>
-      TextAnalysis.hits(col("ws"), list).as(s"${l}_hits")
-    }
+      col("text"), graft.functions.WordStatsExpression.wordStats(
+        Dedup.words(col("text"))).as("wst")) ++ carried: _*)
     val sigs = staged.select(Seq(
       col("doc_id"), col("lang"),
       md5(Dedup.normText(col("text"))).as("content_hash"),
       length(col("text")).cast("long").as("n_chars"),
-      size(col("ws")).cast("long").as("n_words"),
+      col("wst").getField("n_words").as("n_words"),
       (length(col("text")) -
         length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
         .cast("long").as("n_punct"),
-      TextAnalysis.hits(col("ws"),
-        TextAnalysis.stopwords.flatMap(_._2).distinct).as("stop_hits"),
+      col("wst").getField("stop_hits").as("stop_hits"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
-        .cast("long").as("bpe_tokens")) ++ langHits ++ carried: _*)
+        .cast("long").as("bpe_tokens")) ++
+      TextAnalysis.stopwords.map { case (l, _) =>
+        col("wst").getField(s"${l}_hits").as(s"${l}_hits") } ++
+      carried: _*)
     val Seq(en, de, es, fr) =
       TextAnalysis.stopwords.map { case (l, _) => col(s"${l}_hits") }
     val pred = TextAnalysis.langPred(en, de, es, fr)

@@ -14,13 +14,12 @@ object TextAnalysis {
 
   /** Tiny per-language stopword lists (function words only). The
     * heuristic: the language whose stopwords hit the most tokens wins;
-    * zero hits anywhere → "und" (undetermined).
+    * zero hits anywhere → "und" (undetermined). The single definition
+    * lives in [[graft.functions.WordStatsExpression.languages]] so the
+    * native one-pass counter and every composed twin share it.
     */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "von"),
-    "es" -> Seq("el", "los", "las", "es", "y", "que", "un", "una"),
-    "fr" -> Seq("le", "les", "et", "est", "une", "que", "des", "du"))
+  val stopwords: Seq[(String, Seq[String])] =
+    graft.functions.WordStatsExpression.languages
 
   private[operators] def hits(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => w.isin(list.map(lit): _*))).cast("long")
@@ -38,13 +37,28 @@ object TextAnalysis {
       .otherwise(lit("fr"))
 
   /** t1 — language ID. Deterministic argmax with fixed preference order
-    * en > de > es > fr on ties.
+    * en > de > es > fr on ties. The four hit counts come from ONE
+    * compiled pass ([[graft.functions.WordStatsExpression]] — the
+    * composed four-filter form walked the array once per language);
+    * the struct is hoisted to its own projection so the argmax's
+    * multiple field references stay cheap attribute reads.
     */
   def langId(documents: DataFrame): DataFrame = {
-    // staged projections: the tokenization and the four hit counts are
-    // each referenced several times downstream, and codegen's
-    // subexpression elimination can't dedup higher-order-function
-    // trees — hoisting keeps split+filter at once-per-row
+    val withSt = documents.select(col("doc_id"), col("lang"),
+      graft.functions.WordStatsExpression.wordStats(
+        Dedup.words(col("text"))).as("st"))
+    val Seq(en, de, es, fr) =
+      stopwords.map { case (lang, _) =>
+        col("st").getField(s"${lang}_hits") }
+    val pred = langPred(en, de, es, fr)
+    withSt.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
+  }
+
+  /** t1's composed `functions._`-only twin (four interpreted
+    * filter+isin passes) — kept for the parity spec.
+    */
+  private[graft] def langIdComposed(documents: DataFrame): DataFrame = {
     val withWs = documents.select(col("doc_id"), col("lang"),
       Dedup.words(col("text")).as("ws"))
     val withHits = withWs.select(col("doc_id") +: col("lang") +:
@@ -66,23 +80,46 @@ object TextAnalysis {
   private def countedMetrics(
       documents: DataFrame, carry: Seq[Column],
       withBigrams: Boolean): DataFrame = {
+    // ws materializes once and feeds both native passes (codegen's
+    // subexpression elimination can't dedup the words() HOF tree, so
+    // inlining it into each native call would re-split the text)
     val withWs = documents.select(col("doc_id") +: col("text") +:
       Dedup.words(col("text")).as("ws") +: carry: _*)
-    val base = Seq(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(col("ws")).cast("long").as("n_words"),
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-        .cast("long").as("n_punct"),
-      hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
-      aggregate(col("ws"), lit(0L),
-        (acc, w) => acc + length(w).cast("long")).as("char_sum"))
-    val st = if (withBigrams)
+    val bg = if (withBigrams)
       Seq(graft.functions.BigramStatsExpression.bigramStats(col("ws"))
         .as("st"))
     else Nil
-    withWs.select(base ++ st ++ carry: _*)
+    val counted = withWs.select(Seq(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        .cast("long").as("n_punct"),
+      graft.functions.WordStatsExpression.wordStats(col("ws"))
+        .as("wst")) ++ bg ++ carry: _*)
+    counted.select(Seq(
+      col("doc_id"), col("n_chars"),
+      col("wst").getField("n_words").as("n_words"),
+      col("n_punct"),
+      col("wst").getField("stop_hits").as("stop_hits"),
+      col("wst").getField("char_sum").as("char_sum")) ++
+      bg.map(_ => col("st")) ++ carry: _*)
+  }
+
+  /** The composed twin of [[countedMetrics]]'s word counters (the five
+    * interpreted passes the native expression replaces) — kept for the
+    * parity spec.
+    */
+  private[graft] def countedMetricsComposed(
+      documents: DataFrame): DataFrame = {
+    val withWs = documents.select(col("doc_id"), col("text"),
+      Dedup.words(col("text")).as("ws"))
+    withWs.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      hits(col("ws"), stopwords.flatMap(_._2).distinct).as("stop_hits"),
+      aggregate(col("ws"), lit(0L),
+        (acc, w) => acc + length(w).cast("long")).as("char_sum"))
   }
 
   /** t2 — quality scoring: length / punctuation / stopword / word-length

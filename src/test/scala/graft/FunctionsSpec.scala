@@ -265,4 +265,58 @@ class FunctionsSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT graft_metaphone('Tchibo')").collect()(0)
     assert(viaSql.getString(0) == Phonetics.metaphone("Tchibo"))
   }
+
+  test("native word_stats == composed hit/fold passes on docs and unicode") {
+    import spark.implicits._
+    import graft.functions.WordStatsExpression
+    import graft.operators.{Dedup, TextAnalysis}
+    // t1 full-row parity on the real corpus: the native single-pass
+    // counts drive the same argmax the composed four-filter form did
+    val docs = Tables.load(spark, sf, "documents")
+    val nat = TextAnalysis.langId(docs).collect().map(_.toSeq).toSet
+    val comp = TextAnalysis.langIdComposed(docs).collect().map(_.toSeq).toSet
+    assert(nat == comp)
+    // synthetic corpus mixing stopwords, unicode words, digits, runs of
+    // whitespace and empties — the struct vs composed counters AND a
+    // pure-Scala model of the per-language hits
+    val stops = TextAnalysis.stopwords.flatMap(_._2)
+    val rnd = new scala.util.Random(7)
+    val texts = (0L until 300L).map { i =>
+      val k = rnd.nextInt(30)
+      (i, (0 until k).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => stops(rnd.nextInt(stops.size))
+          case 1 => "ä中é" + rnd.nextInt(10)
+          case _ => (1 to 1 + rnd.nextInt(6))
+            .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        }
+      }.mkString(if (rnd.nextBoolean()) " " else "  \t"))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val natRows = df.select(col("doc_id"),
+      WordStatsExpression.wordStats(Dedup.words(col("text"))).as("st"))
+      .select(col("doc_id"), col("st.en_hits"), col("st.de_hits"),
+        col("st.es_hits"), col("st.fr_hits"), col("st.stop_hits"),
+        col("st.char_sum"), col("st.n_words"))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 7).map(r.getLong).toVector).toMap
+    val compRows = TextAnalysis.countedMetricsComposed(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    texts.foreach { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val model = TextAnalysis.stopwords.map { case (_, list) =>
+        ws.count(list.contains).toLong }
+      val got = natRows(id)
+      assert(got.take(4) == model, s"doc $id: '$text'")
+      assert(got(4) == ws.count(stops.contains).toLong)
+      // composed twin agrees on (n_words, stop_hits, char_sum)
+      assert(compRows(id) == ((got(6), got(4), got(5))))
+    }
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_word_stats(array('the', 'der', 'xyz')).stop_hits")
+      .collect()(0)
+    assert(viaSql.getLong(0) == 2L)
+  }
 }
