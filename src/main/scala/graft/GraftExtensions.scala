@@ -10,7 +10,7 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   MinHashBandsExpression, MinHashSignatureExpression,
   MinHashWordsExpression, NgramHashesExpression, Phonetics,
   ShinglesExpression, SimHashExpression, TokenHashesExpression,
-  VectorSumAggregate, WordStatsExpression}
+  TopKAggregate, VectorSumAggregate, WordStatsExpression}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -61,6 +61,20 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_simhash takes one argument")
         SimHashExpression(children.head)
+      }),
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(
+        classOf[TopKAggregate].getName, "graft_top_k"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, Literal(k: Int, IntegerType)) =>
+            TopKAggregate(v, k, 4096).toAggregateExpression()
+          case Seq(v, Literal(k: Int, IntegerType),
+              Literal(cap: Int, IntegerType)) =>
+            TopKAggregate(v, k, cap).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_top_k(value, k: int literal[, capacity: int literal])")
+        }
       }),
     (FunctionIdentifier("graft_word_stats"),
       new ExpressionInfo(

@@ -1485,6 +1485,40 @@ object PipelineQueries {
        |  CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_texts
        |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** q23 — heavy hitters per source through the MERGEABLE top-k
+    * sketch ([[graft.functions.TopKAggregate]] — the ClickHouse
+    * `topK()` surface): top-5 terms per source as ONE aggregation
+    * whose shuffle carries at most `capacity` counters per
+    * (task, group) with map-side combine — never the full
+    * (source, term) grain t8's exact path exchanges. On this corpus
+    * the per-source vocabulary sits far under the 4096-counter
+    * capacity, so no Misra–Gries decrement ever fires and the sketch
+    * is EXACT — the DuckDB oracle gates it; the approx regime
+    * (distinct ≫ capacity) is spec-gated against brute force with the
+    * N/(capacity+1) error bound.
+    */
+  def q23TopkSketch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(Dedup.words(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAggregate.topK(col("term"), 5, 4096)
+        .as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.value").as("term"), col("col.n").as("n"))
+
+  val q23Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${duckWords("text")}) AS term
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM toks GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY n DESC, term) AS BIGINT) AS rank FROM c)
+       |SELECT source, rank, term, n FROM r WHERE rank <= 5""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
@@ -1530,6 +1564,7 @@ object PipelineQueries {
     "p1_preprocess" -> (p1Preprocess _),
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
+    "q23_topk_sketch" -> (q23TopkSketch _),
     "d12_semdedup" -> (d12SemDedup _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
@@ -1574,6 +1609,7 @@ object PipelineQueries {
     "p1_preprocess" -> p1Sql,
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,
+    "q23_topk_sketch" -> q23Sql,
     "d12_semdedup" -> d12Sql,
     "t13_gopher_filter" -> t13Sql
   )

@@ -1,0 +1,184 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native heavy-hitters aggregate: `graft_top_k(value, k, capacity)` —
+  * the ClickHouse `topK()` surface as a MERGEABLE Misra–Gries summary
+  * (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+  * Summaries", PODS 2012): each partial keeps at most `capacity`
+  * counters, a miss against a full summary decrements every counter
+  * (amortized O(1) per row — each decrement pass pays for prior
+  * increments), and merge sums counters then subtracts the
+  * (capacity+1)-th largest to re-bound the size.
+  *
+  * Guarantees:
+  *  - counts are UNDERestimates with error ≤ N/(capacity+1) (N = group
+  *    row count), so any value with true frequency > N/(capacity+1)
+  *    survives to the merged summary;
+  *  - when a group's distinct-value count never exceeds `capacity`
+  *    (across every partial), no decrement ever fires and the result
+  *    is EXACT — the regime the DuckDB oracle gates; the approx regime
+  *    is spec-gated against a brute-force count on a skewed synthetic
+  *    stream.
+  *
+  * Output: the top `k` entries as `array<struct<value, n>>` ordered by
+  * (n desc, value asc) — a deterministic tie-break both engines share.
+  *
+  * The 100 TB shape this exists for: "top terms per source/domain" as
+  * ONE aggregation whose shuffle carries at most `capacity` counters
+  * per (task, group) with map-side combine — t8's exact path shuffles
+  * the full (source, term) grain, which is the right tool for exact
+  * lift analytics but a 30× heavier exchange when only the heads are
+  * wanted.
+  */
+case class TopKAggregate(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"graft_top_k: k must be positive, got $k")
+  require(capacity >= k,
+    s"graft_top_k: capacity ($capacity) must be >= k ($k)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_top_k requires STRING, got ${other.sql}")
+    }
+
+  override def dataType: DataType = TopKAggregate.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf // null values are skipped, like count(col)
+    val s = v.asInstanceOf[UTF8String]
+    buf.get(s) match {
+      case Some(c) => buf.update(s, c + 1)
+      case None if buf.size < capacity =>
+        // the input UTF8String may view a reused row buffer — copy
+        buf.update(s.clone(), 1L)
+      case None =>
+        // Misra–Gries miss on a full summary: decrement everything,
+        // drop zeros (this pass pays for at least `capacity` prior
+        // increments, so total work stays ~2 passes over the stream)
+        val dead = mutable.ArrayBuffer.empty[UTF8String]
+        buf.keysIterator.foreach { key =>
+          val c = buf(key) - 1
+          if (c == 0L) dead += key else buf.update(key, c)
+        }
+        dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def merge(
+      b: mutable.HashMap[UTF8String, Long],
+      o: mutable.HashMap[UTF8String, Long])
+      : mutable.HashMap[UTF8String, Long] = {
+    o.foreach { case (v, c) =>
+      b.update(v, b.getOrElse(v, 0L) + c)
+    }
+    if (b.size > capacity) {
+      // subtract the (capacity+1)-th largest count and drop <= 0 —
+      // the PODS'12 mergeable-summaries rule; at most `capacity`
+      // entries survive and every error stays within the MG bound
+      val counts = b.values.toArray
+      java.util.Arrays.sort(counts)
+      val t = counts(counts.length - capacity - 1)
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
+      b.keysIterator.foreach { key =>
+        val c = b(key) - t
+        if (c <= 0L) dead += key else b.update(key, c)
+      }
+      dead.foreach(b.remove)
+    }
+    b
+  }
+
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    val top = buf.toArray
+      .sortWith { case ((v1, c1), (v2, c2)) =>
+        c1 > c2 || (c1 == c2 && v1.compareTo(v2) < 0) }
+      .take(k)
+      .map { case (v, c) =>
+        new GenericInternalRow(Array[Any](v, c)): InternalRow
+      }
+    new GenericArrayData(top.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(
+      buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    var size = 4
+    buf.foreach { case (v, _) => size += 4 + v.numBytes() + 8 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.size)
+    buf.foreach { case (v, c) =>
+      val bytes = v.getBytes
+      bb.putInt(bytes.length)
+      bb.put(bytes)
+      bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val vb = new Array[Byte](len)
+      bb.get(vb)
+      out.update(UTF8String.fromBytes(vb), bb.getLong)
+      i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): TopKAggregate = copy(child = newChild)
+}
+
+object TopKAggregate {
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Column form (aggregate function). */
+  def topK(c: Column, k: Int, capacity: Int = 4096): Column =
+    GraftSqlBridge.column(
+      TopKAggregate(GraftSqlBridge.expression(c), k, capacity)
+        .toAggregateExpression())
+}

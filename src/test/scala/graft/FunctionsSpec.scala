@@ -266,6 +266,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.getString(0) == Phonetics.metaphone("Tchibo"))
   }
 
+  test("top_k sketch: exact under capacity, MG-bounded past it, merge-stable") {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    // approx regime: zipf-ish stream with distinct >> capacity —
+    // counts must be underestimates within N/(capacity+1), and the
+    // heavy head must survive
+    val rnd = new scala.util.Random(11)
+    val stream = Seq.fill(2000)("head") ++
+      Seq.fill(600)("second") ++
+      (1 to 3000).map(_ => s"tail${rnd.nextInt(800)}")
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val cap = 16
+    val df = rnd.shuffle(stream).toDF("v")
+    val got = df.agg(TopKAggregate.topK(col("v"), 5, cap).as("top"))
+      .select(explode(col("top"))).select("col.value", "col.n")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(_._1).take(2).toSet == Set("head", "second"),
+      s"heavy head must survive the sketch: ${got.toSeq}")
+    got.foreach { case (v, c) =>
+      assert(c <= truth(v), s"$v: MG counts are underestimates")
+      assert(c >= truth(v) - n / (cap + 1),
+        s"$v: count $c breaches the N/(cap+1) bound vs ${truth(v)}")
+    }
+    // merge stability: in the EXACT regime (distinct <= capacity) the
+    // result is identical at any parallelism
+    val small = (1 to 500).map(i => s"w${i % 20}").toDF("v")
+    def run(parts: Int) = small.repartition(parts)
+      .agg(TopKAggregate.topK(col("v"), 20, 64).as("t"))
+      .select(explode(col("t"))).select("col.value", "col.n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(1) == run(8))
+    assert(run(1).map(_._2).sum == 500L, "exact regime counts sum to N")
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_top_k(v, 1) FROM VALUES ('a'),('b'),('a') AS t(v)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.head.getString(0) == "a" && viaSql.head.getLong(1) == 2L)
+  }
+
   test("native word_stats == composed hit/fold passes on docs and unicode") {
     import spark.implicits._
     import graft.functions.WordStatsExpression

@@ -181,6 +181,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded (source, lang) report agg; a third Exchange means a
     // signal started computing post-shuffle or text reached a window
     Shape("p3_corpus_report", maxShuffles = 2),
+    // r9b: q23 = explode scan → ONE sketch aggregate (partial
+    // map-side combine + final), its shuffle carrying at most
+    // `capacity` counters per (task, source) — a second Exchange
+    // means the sketch regressed into a term-grain plan
+    Shape("q23_topk_sketch", maxShuffles = 1),
     // r9b: d12's returned frame hangs off the checkpointed assignment
     // table (the expensive centroid subtree runs ONCE, before the
     // plan) — set build + balanced expansion + two pair joins + drop
