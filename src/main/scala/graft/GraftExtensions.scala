@@ -22,8 +22,8 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   *     `graft_minhash_bands`,
   *     `graft_simhash(arr)`, `graft_fingerprint`, `graft_fpx_tokens`,
   *     `graft_shingles`, `graft_ngram_hashes`, `graft_token_hashes`,
-  *     `graft_bigram_stats`, `graft_word_stats`, `graft_vec_sum`,
-  *     `graft_vec_dot`
+  *     `graft_bigram_stats`, `graft_word_stats`, `graft_top_k`,
+  *     `graft_vec_sum`, `graft_vec_dot`
   */
 object GraftFunctionRegistry {
 

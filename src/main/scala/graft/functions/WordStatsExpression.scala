@@ -116,7 +116,13 @@ object WordStatsExpression {
       }
       i += 1
     }
-    new GenericInternalRow(
-      (counts.toSeq ++ Seq(all, charSum, n.toLong)).toArray[Any])
+    // one allocation on the per-document hot path
+    val out = new Array[Any](counts.length + 3)
+    var j = 0
+    while (j < counts.length) { out(j) = counts(j); j += 1 }
+    out(counts.length) = all
+    out(counts.length + 1) = charSum
+    out(counts.length + 2) = n.toLong
+    new GenericInternalRow(out)
   }
 }

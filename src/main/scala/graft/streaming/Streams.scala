@@ -99,18 +99,28 @@ object Streams {
     * replays collapse in [[graft.sources.StatementStore.readFinal]] /
     * the fpx freq view), the same guarantee the batch upsert path has.
     */
-  def ingestStatements(statements: DataFrame, table: String)
+  /** The shared foreachBatch double-insert scaffold of every store's
+    * streaming write path (st8/st9/st13): the batch persists because
+    * one micro-batch feeds two bucketed tables, and unpersists even
+    * when a write throws.
+    */
+  private def ingestInto(source: DataFrame)(write: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    statements.writeStream.foreachBatch {
+    source.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         batch.persist()
-        try {
-          graft.sources.StatementStore.append(batch, table)
-          graft.sources.FpxStore.append(
-            graft.operators.Fpx.fromStatements(
-              batch, schemas = graft.operators.Fpx.DefaultSchemas),
-            s"${table}_fpx")
-        } finally { batch.unpersist(); () }
+        try write(batch)
+        finally { batch.unpersist(); () }
+    }
+
+  def ingestStatements(statements: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(statements) { batch =>
+      graft.sources.StatementStore.append(batch, table)
+      graft.sources.FpxStore.append(
+        graft.operators.Fpx.fromStatements(
+          batch, schemas = graft.operators.Fpx.DefaultSchemas),
+        s"${table}_fpx")
     }
 
   /** st9 — streaming xref ingest: a judgement stream lands in the main
@@ -126,12 +136,8 @@ object Streams {
     */
   def ingestXref(judgements: DataFrame, table: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    judgements.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try graft.sources.XrefStore.append(batch, table)
-        finally { batch.unpersist(); () }
-    }
+    ingestInto(judgements)(batch =>
+      graft.sources.XrefStore.append(batch, table))
 
   /** st13 — streaming document ingest into the [[graft.sources.DocStore]]:
     * each micro-batch double-inserts the documents AND their band-key
@@ -145,12 +151,8 @@ object Streams {
     */
   def ingestDocs(docs: DataFrame, table: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try graft.sources.DocStore.append(batch, table)
-        finally { batch.unpersist(); () }
-    }
+    ingestInto(docs)(batch =>
+      graft.sources.DocStore.append(batch, table))
 
   /** st10 — streaming contamination guard: every incoming document is
     * scored against a STATIC probe n-gram set (the eval/benchmark
