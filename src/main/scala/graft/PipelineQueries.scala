@@ -298,7 +298,7 @@ object PipelineQueries {
        |  SELECT vec_id, v, list_id FROM (
        |    SELECT e.vec_id, e.v, cl.list_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
        |    FROM e, clist cl) WHERE r = 1),
        |sz AS (
        |  SELECT list_id FROM assigned GROUP BY 1 HAVING COUNT(*) <= 10000),
@@ -428,13 +428,13 @@ object PipelineQueries {
        |  SELECT neighbor_id, cv, list_id FROM (
        |    SELECT e.vec_id AS neighbor_id, e.v AS cv, cl.list_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
        |    FROM e, clist cl) WHERE r = 1),
        |probes AS (
        |  SELECT query_id, qv, list_id FROM (
        |    SELECT e.vec_id AS query_id, e.v AS qv, cl.list_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
        |    FROM e, clist cl WHERE e.vec_id < 10) WHERE r <= 3),
        |scored AS (
        |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cos
@@ -567,13 +567,13 @@ object PipelineQueries {
        |  SELECT vec_id, list_id FROM (
        |    SELECT e.vec_id, cl.list_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
        |    FROM e, clist cl) WHERE r = 1),
        |probes AS (
        |  SELECT query_id, list_id FROM (
        |    SELECT e.vec_id AS query_id, cl.list_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${duckCos("e.v", "cl.c")} DESC, cl.list_id) AS r
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
        |    FROM e, clist cl WHERE e.vec_id < 10) WHERE r <= 5),
        |subs AS (
        |  SELECT vec_id, s.sub AS sub, v[s.sub*8+1 : s.sub*8+8] AS sv

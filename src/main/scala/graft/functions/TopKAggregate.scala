@@ -27,11 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - counts are UNDERestimates with error ≤ N/(capacity+1) (N = group
   *    row count), so any value with true frequency > N/(capacity+1)
   *    survives to the merged summary;
-  *  - when a group's distinct-value count never exceeds `capacity`
-  *    (across every partial), no decrement ever fires and the result
-  *    is EXACT — the regime the DuckDB oracle gates; the approx regime
-  *    is spec-gated against a brute-force count on a skewed synthetic
-  *    stream.
+  *  - when a group's GLOBAL distinct-value count is ≤ `capacity`, no
+  *    update-time decrement fires and no merge overflows (every partial
+  *    holds a subset of ≤ capacity global values, so the merged map
+  *    never exceeds capacity), and the result is EXACT — the regime the
+  *    DuckDB oracle gates. Per-partial under-capacity is NOT enough:
+  *    partials with disjoint value sets can merge past capacity and pay
+  *    the merge-time subtraction. The approx regime is spec-gated
+  *    against a brute-force count on a skewed synthetic stream.
   *
   * Output: the top `k` entries as `array<struct<value, n>>` ordered by
   * (n desc, value asc) — a deterministic tie-break both engines share.

@@ -557,7 +557,11 @@ object Dedup {
     * Cosines are rounded to 4dp BEFORE thresholding (the d5
     * convention) so a near-threshold pair cannot flip between engines
     * on float-summation drift — the DuckDB twin takes the identical
-    * decision on every pair.
+    * decision on every pair. The cluster-assignment argmax rounds its
+    * choice score the same way ([[Similarity.nearestLists]]): a vector
+    * near-equidistant between two centroids ties at 4dp and falls to
+    * the list_id tie-break identically in both engines, so assignment
+    * (and with it every keep/drop verdict) cannot flip either.
     *
     * Scale shape: centroids broadcast (k is chosen, not data-sized);
     * the corpus shuffles once on the learned int cluster id; the

@@ -249,11 +249,17 @@ object Similarity {
   private[operators] def nearestLists(
       df: DataFrame, cn: DataFrame, idCol: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The list-choice score rounds to 4dp (the d5/d12 threshold
+    // convention) BEFORE the argmax: two centroids near-equidistant
+    // from a vector tie at 4dp and fall to the deterministic list_id
+    // tie-break in BOTH engines, instead of flipping on float-summation
+    // drift between Spark and the DuckDB twin. Only the choice score is
+    // rounded — `__n` and downstream scoring stay exact.
     val paired = df
       .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
       .crossJoin(cn)
-      .withColumn("d", Dedup.cosineWithNorms(
-        col("embedding"), col("centroid"), col("__n"), col("cent_n")))
+      .withColumn("d", round(Dedup.cosineWithNorms(
+        col("embedding"), col("centroid"), col("__n"), col("cent_n")), 4))
     if (keep == 1) {
       // corpus assignment: argmax as an aggregate, not a window. The
       // window form shuffles the full |rows|·|cents| pair expansion
@@ -511,10 +517,13 @@ object Similarity {
     val cn = broadcast(cents.select(col("list_id"), col("centroid"),
       sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
     // |v| = 1, so cos(v, c) = dot(v, c)/|c|; same argmax-as-aggregate
-    // shape as ivfTopK's corpus assignment
+    // shape as ivfTopK's corpus assignment, and the same 4dp-rounded
+    // choice score ([[nearestLists]]) so near-tied list picks break on
+    // list_id identically in both engines
     def lists(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val paired = df.crossJoin(cn)
-        .withColumn("d", Dedup.dot(col("v"), col("centroid")) / col("cent_n"))
+        .withColumn("d",
+          round(Dedup.dot(col("v"), col("centroid")) / col("cent_n"), 4))
       if (keep == 1)
         paired.groupBy(col(idCol))
           .agg(min_by(col("list_id"),

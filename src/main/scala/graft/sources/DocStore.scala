@@ -112,8 +112,15 @@ object DocStore {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
+    // Materialize the batch's band keys ONCE: the projection feeds two
+    // plan subtrees (the broadcast distinct key set and the final
+    // join), and without the checkpoint each subtree recomputes the
+    // batch MinHash signatures — twice the kernel work, and an
+    // inconsistent key set if newDocs is backed by a non-deterministic
+    // source. Batch-sized, so the eager materialization is cheap.
     val probe = bandKeys(newDocs, numHashes, rowsPerBand)
       .withColumnRenamed("doc_id", "new_doc_id")
+      .localCheckpoint()
     val stored = bands(spark, table)
     val hits = stored.join(
       broadcast(probe.select(col("band"), col("key")).distinct()),
