@@ -1519,6 +1519,71 @@ object PipelineQueries {
        |    ORDER BY n DESC, term) AS BIGINT) AS rank FROM c)
        |SELECT source, rank, term, n FROM r WHERE rank <= 5""".stripMargin
 
+  /** d13 — the incremental face of d12 ([[Dedup.semDedupIncremental]],
+    * the pure-DataFrame twin of [[graft.sources.VecStore]]'s probe —
+    * VecStoreSpec asserts the store answers identically): the corpus
+    * splits into a STORED majority (vec_id % 10 ≠ 0) and an ingest
+    * batch (vec_id % 10 = 0), the quantizer trains on the stored side
+    * only (production: trained at init, batches arrive later), and
+    * each batch vector gets its d12-style verdict against the stored
+    * corpus alone.
+    */
+  def d13SemdedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val stored = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    Dedup.semDedupIncremental(stored, batch,
+      Similarity.centroids(stored, col("label")), minCos = 0.35)
+  }
+
+  /** d13's DuckDB twin: d12Sql's machinery with centroids trained on
+    * the stored split, both sides assigned by the 4dp-rounded argmax,
+    * and pairs restricted to stored×batch. The oversize cutoff (HAVING
+    * > 10000) removes lists wholesale; a batch vector whose list has
+    * no stored member keeps its is_dup = false row (LEFT JOINs). */
+  val d13Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |st AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+       |bt AS (SELECT vec_id AS new_vec_id, v FROM e WHERE vec_id % 10 = 0),
+       |cents AS (
+       |  SELECT e.label, p.pos AS pos, AVG(e.v[p.pos]) AS m
+       |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+       |  WHERE e.vec_id % 10 <> 0
+       |  GROUP BY 1, 2),
+       |clist AS (
+       |  SELECT label AS list_id, list(m ORDER BY pos) AS c
+       |  FROM cents GROUP BY label),
+       |sa AS (
+       |  SELECT vec_id, v, list_id FROM (
+       |    SELECT st.vec_id, st.v, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY st.vec_id
+       |        ORDER BY round(${duckCos("st.v", "cl.c")}, 4) DESC, cl.list_id) AS r
+       |    FROM st, clist cl) WHERE r = 1),
+       |ba AS (
+       |  SELECT new_vec_id, v, list_id FROM (
+       |    SELECT bt.new_vec_id, bt.v, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY bt.new_vec_id
+       |        ORDER BY round(${duckCos("bt.v", "cl.c")}, 4) DESC, cl.list_id) AS r
+       |    FROM bt, clist cl) WHERE r = 1),
+       |big AS (
+       |  SELECT sa.list_id FROM sa
+       |  JOIN (SELECT DISTINCT list_id FROM ba) p USING (list_id)
+       |  GROUP BY 1 HAVING COUNT(*) > 10000),
+       |pr AS (
+       |  SELECT b.new_vec_id, s.vec_id,
+       |    round(${duckCos("s.v", "b.v")}, 4) AS cos
+       |  FROM sa s JOIN ba b USING (list_id)
+       |  WHERE s.list_id NOT IN (SELECT list_id FROM big)
+       |    AND s.vec_id <> b.new_vec_id),
+       |drp AS (
+       |  SELECT new_vec_id, min(vec_id) AS dup_of, max(cos) AS best_cos
+       |  FROM pr WHERE cos >= 0.35 GROUP BY 1)
+       |SELECT ba.new_vec_id, ba.list_id, drp.dup_of IS NOT NULL AS is_dup,
+       |  drp.dup_of, drp.best_cos
+       |FROM ba LEFT JOIN drp USING (new_vec_id)
+       |WHERE ba.list_id NOT IN (SELECT list_id FROM big)""".stripMargin
+
   // ===========================================================
   // Registry
   // ===========================================================
@@ -1566,6 +1631,7 @@ object PipelineQueries {
     "p3_corpus_report" -> (p3CorpusReport _),
     "q23_topk_sketch" -> (q23TopkSketch _),
     "d12_semdedup" -> (d12SemDedup _),
+    "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -1611,6 +1677,7 @@ object PipelineQueries {
     "p3_corpus_report" -> p3Sql,
     "q23_topk_sketch" -> q23Sql,
     "d12_semdedup" -> d12Sql,
+    "d13_semdedup_incremental" -> d13Sql,
     "t13_gopher_filter" -> t13Sql
   )
 }

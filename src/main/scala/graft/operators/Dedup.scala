@@ -630,4 +630,122 @@ object Dedup {
       member.select(col("list_id"), col("vec_id")),
       Seq("list_id"), "vec_id", 2, maxList)
       .select(col("ids"))
+
+  /** d13 — the INCREMENTAL face of [[semDedup]], the question a vector
+    * store answers per ingest batch: which vectors of `batch` are
+    * semantic near-dups of the STORED corpus, under a FIXED coarse
+    * quantizer `cents` (trained once at store init — a production
+    * pipeline does not retrain the quantizer per batch, it retrains on
+    * drift; see [[graft.sources.VecStore]] for the stored form whose
+    * inverted lists make this probe near-flat in corpus size).
+    *
+    * Semantics are d12's restricted to cross pairs: both sides assign
+    * to their nearest centroid (the same 4dp-rounded argmax with
+    * list_id tie-break, [[Similarity.nearestLists]]), and a batch
+    * vector is a dup when some STORED vector in its list sits at
+    * cosine ≥ `minCos` (4dp-rounded, the d5 convention). Batch×batch
+    * pairs are deliberately out of scope — they are the NEXT append's
+    * stored×batch pairs, and st11's first-arrival rule handles
+    * in-batch collisions. One row per batch vector: (new_vec_id,
+    * list_id, is_dup, dup_of = smallest qualifying stored id,
+    * best_cos) — a vector whose list holds no stored member keeps its
+    * is_dup = false row. Only lists with more than `maxList` STORED
+    * members are excluded wholesale (the d5/d12 cutoff semantics,
+    * counted over probed lists only).
+    */
+  def semDedupIncremental(
+      stored: DataFrame,
+      batch: DataFrame,
+      cents: DataFrame,
+      minCos: Double,
+      maxList: Int = 10000): DataFrame = {
+    val cn = Similarity.centNorms(cents)
+    // the full-corpus argmax feeds two consumers (list sizes + member
+    // join) — materialize once, the d12 lesson. The store path reads
+    // this from its partition layout instead and skips the job.
+    val storedA = Similarity.nearestLists(
+      stored.select(col("vec_id"), col("embedding")), cn, "vec_id",
+      keep = 1)
+      .localCheckpoint()
+    val batchA = Similarity.nearestLists(
+      batch.select(col("vec_id").as("new_vec_id"), col("embedding")),
+      cn, "new_vec_id", keep = 1)
+      .localCheckpoint()
+    crossVerdicts(storedA, batchA, minCos, maxList)
+  }
+
+  /** The stored×batch verdict core shared by [[semDedupIncremental]]
+    * and [[graft.sources.VecStore.nearDupVerdicts]]: both sides arrive
+    * pre-assigned as (id, list_id, embedding, __n) — from a live
+    * argmax here, from the partition layout there — so the two faces
+    * flag identical dups by construction.
+    *
+    * Scale shape: the batch side is ingest-sized and BROADCAST (probed
+    * list set, then the assigned batch rows themselves); the stored
+    * side is filtered to probed lists by that broadcast — with the
+    * VecStore's list_id-partitioned layout this prunes the scan to the
+    * probed partitions — and then never shuffles: pair scoring happens
+    * in the scan tasks against the broadcast batch, and only narrow
+    * (new_vec_id, stored id, cos) survivors reach the one verdict
+    * aggregation.
+    */
+  private[graft] def crossVerdicts(
+      storedA: DataFrame,
+      batchA: DataFrame,
+      minCos: Double,
+      maxList: Int,
+      fromStore: Boolean = false): DataFrame = {
+    // The two callers hand over different storedA contracts:
+    //  - the DataFrame twin (fromStore = false): a live assignment,
+    //    UNIQUE by vec_id but unfiltered — restrict it to probed lists
+    //    here (broadcast batch-distinct join);
+    //  - the VecStore (fromStore = true): the raw partitioned table,
+    //    already statically pruned to the probed lists (a filter here
+    //    would only re-shuffle the batch) but possibly carrying
+    //    re-delivered duplicates — FINAL-dedup by id here, AFTER the
+    //    pruning (a dedup below the partition filter would block the
+    //    pruning and read every list; duplicates of a vec_id are
+    //    byte-identical, same embedding ⇒ same list, and in-bucket the
+    //    dedup costs no Exchange).
+    val hits =
+      if (fromStore) storedA.dropDuplicates("vec_id")
+      else storedA.join(
+        broadcast(batchA.select(col("list_id")).distinct()),
+        Seq("list_id"))
+    // oversize cutoff over STORED members of probed lists only; the
+    // count aggregates map-side (narrow int rows), ≤ |batch| lists
+    // out. Exclusion is for OVERSIZE lists alone — a batch vector in
+    // a list with no stored members keeps its (is_dup = false) row,
+    // unlike the in-range form which would silently drop it.
+    // Materialized ONCE (tiny): three anti-join consumers would each
+    // replay the counting subtree — and its exchange — otherwise.
+    val over = broadcast(hits.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxList)
+      .select(col("list_id"))
+      .localCheckpoint())
+    val members = hits.join(over, Seq("list_id"), "left_anti")
+      .select(col("list_id"), col("vec_id"),
+        col("embedding").as("sv"), col("__n").as("sn"))
+    val frame = batchA.join(over, Seq("list_id"), "left_anti")
+    val probeSide = broadcast(frame
+      .select(col("list_id"), col("new_vec_id"),
+        col("embedding").as("nv"), col("__n").as("nn")))
+    val dup = members.join(probeSide, Seq("list_id"))
+      .filter(col("vec_id") =!= col("new_vec_id"))
+      .withColumn("cos", round(
+        cosineWithNorms(col("sv"), col("nv"), col("sn"), col("nn")), 4))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("new_vec_id"))
+      .agg(min(col("vec_id")).as("dup_of"), max(col("cos")).as("best_cos"))
+    // dup is batch-bounded (≤ one row per batch vector) — broadcast it
+    // so the verdict frame never shuffles; the whole probe then costs
+    // exactly ONE exchange (dup's aggregation)
+    frame
+      .select(col("new_vec_id"), col("list_id"))
+      .join(broadcast(dup), Seq("new_vec_id"), "left")
+      .select(col("new_vec_id"), col("list_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
+        col("best_cos"))
+  }
 }

@@ -235,7 +235,7 @@ object Similarity {
   /** The broadcast centroid side every coarse-quantizer consumer
     * shares: list ids, centroid vectors and their precomputed norms.
     */
-  private[operators] def centNorms(cents: DataFrame): DataFrame =
+  private[graft] def centNorms(cents: DataFrame): DataFrame =
     broadcast(cents.select(col("list_id"), col("centroid"),
       sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("cent_n")))
 
@@ -246,7 +246,7 @@ object Similarity {
     * Shared by IVF search (s3/s3b assignment + probes) and semantic
     * dedup (d12's cluster assignment).
     */
-  private[operators] def nearestLists(
+  private[graft] def nearestLists(
       df: DataFrame, cn: DataFrame, idCol: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The list-choice score rounds to 4dp (the d5/d12 threshold

@@ -1,0 +1,213 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** The embedding corpus as a managed table WITH its IVF coarse-
+  * quantizer index — the vector-side sibling of [[DocStore]], and the
+  * INCREMENTAL storage face of d12/s3: a daily ingest asks "which
+  * stored vectors are semantic near-dups of this batch?" and the
+  * answer must touch only the batch's own inverted lists, never
+  * re-assign (or even re-read) the whole corpus.
+  *
+  * Layout — two tables, one physical index:
+  *
+  *   - `<table>_cents`: the coarse quantizer, trained ONCE at
+  *     [[init]] ([[Similarity.centroids]] — the same table d12/s3
+  *     broadcast). k is chosen, not data-sized, so this stays tiny.
+  *   - `<table>`: (vec_id, embedding, __n, list_id) PARTITIONED BY
+  *     list_id and bucketed by vec_id. The partition layout IS the
+  *     inverted-list index: unlike [[DocStore]]'s sibling band table,
+  *     there is no second table to double-insert and therefore no
+  *     crash window in which index and data can drift — every row
+  *     physically lives in its list. `__n` is the precomputed vector
+  *     norm (the SURVEY §5 norms-once rule, paid at write time).
+  *
+  * [[append]] assigns each incoming vector to its nearest centroid
+  * with a SCAN-LOCAL literal-matrix argmax ([[assignExpr]] — the
+  * centroid table is structurally bounded, so it rides in the plan
+  * like s2's hyperplane matrix): ingest is zero-shuffle, and the
+  * assignment is bit-identical to [[Similarity.nearestLists]]'s
+  * exchange-based argmax (same 4dp-rounded score, same list_id
+  * tie-break; spec-asserted), so the store, batch d12, and the d13
+  * DataFrame twin flag identical dups.
+  *
+  * [[nearDupVerdicts]] broadcasts the batch's assignments onto the
+  * stored lists: the broadcast list-id join prunes the scan to the
+  * PROBED PARTITIONS (dynamic partition pruning — probe cost is
+  * nProbe-lists/|lists| of the corpus, near-flat in corpus size), the
+  * corpus side never shuffles, and only narrow verdict rows leave the
+  * scan tasks ([[Dedup.crossVerdicts]]).
+  *
+  * The quantizer is FIXED after init (production semantics — retrain
+  * is a deliberate rebuild via [[init]] + re-append, triggered by
+  * drift, not by ingest). [[compact]] dedups re-delivered appends
+  * durably and never needs the quantizer: list_id is already a column
+  * of every row.
+  */
+object VecStore {
+
+  /** Create the store: train the coarse quantizer on the initial
+    * corpus (grouped by `key` — a label, shard, or clustering column,
+    * exactly [[Similarity.centroids]]' contract), persist it, then
+    * append the corpus through the normal write path.
+    */
+  def init(
+      spark: SparkSession,
+      table: String,
+      embeddings: DataFrame,
+      key: Column,
+      buckets: Int = 16): Unit = {
+    Similarity.centroids(embeddings, key).write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(s"${table}_cents")
+    append(spark, embeddings.select(col("vec_id"), col("embedding")),
+      table, buckets)
+  }
+
+  /** The stored coarse quantizer. */
+  def centroids(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_cents")
+
+  /** Append a vector batch: scan-local nearest-centroid assignment
+    * against the stored quantizer, then one partitioned + bucketed
+    * write. No index table to keep in step — the row lands IN its
+    * inverted list.
+    */
+  def append(
+      spark: SparkSession,
+      vectors: DataFrame,
+      table: String,
+      buckets: Int = 16): Unit =
+    withAssignment(spark, vectors, table).write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .partitionBy("list_id")
+      .bucketBy(buckets, "vec_id")
+      .sortBy("vec_id")
+      .saveAsTable(table)
+
+  /** Raw read — may contain duplicate vec_ids from re-delivered
+    * appends (byte-identical rows: same embedding ⇒ same list).
+    */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** FINAL read: one row per vec_id. In-bucket dedup — the bucketed
+    * scan reports hash clustering on vec_id, so no Exchange.
+    */
+  def readFinal(spark: SparkSession, table: String): DataFrame =
+    read(spark, table).dropDuplicates("vec_id")
+
+  /** Which vectors of `newVecs` are semantic near-dups of the STORED
+    * corpus — the d12 verdict frame restricted to stored×batch pairs
+    * (one row per batch vector: is_dup, dup_of, best_cos at ≥
+    * `minCos`, 4dp-rounded). Only lists with more than `maxList`
+    * stored members are excluded wholesale (the d5/d12 cutoff,
+    * counted over probed lists only).
+    *
+    * The batch assigns scan-locally and is materialized ONCE (the
+    * DocStore probe lesson); the stored side is the partition-pruned
+    * table scan — see [[Dedup.crossVerdicts]] for the shared verdict
+    * core and its scale shape.
+    */
+  def nearDupVerdicts(
+      spark: SparkSession,
+      table: String,
+      newVecs: DataFrame,
+      minCos: Double,
+      maxList: Int = 10000): DataFrame = {
+    val batchA = withAssignment(spark,
+      newVecs.select(col("vec_id").as("new_vec_id"), col("embedding")),
+      table, idCol = "new_vec_id")
+      .localCheckpoint()
+    // STATIC partition pruning: the probed list set is a subset of the
+    // centroid ids (assignment takes values in the quantizer), so this
+    // collect is bounded by k — the same structurally-bounded class as
+    // [[litCents]] itself. A literal IN filter prunes the scan to the
+    // probed partitions unconditionally; the dynamic-pruning rule was
+    // measured NOT firing against the checkpointed batch side (no
+    // stats, no selective predicate), which would silently read every
+    // list at 100 TB. crossVerdicts FINAL-dedups after this filter.
+    val probedIds = batchA.select(col("list_id")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val storedHits = read(spark, table)
+      .filter(col("list_id").isInCollection(probedIds))
+    Dedup.crossVerdicts(storedHits, batchA, minCos, maxList,
+      fromStore = true)
+  }
+
+  /** Durable dedup of re-delivered appends via the shared staged swap
+    * ([[TableSwap]] crash-window policy). The index needs no rebuild:
+    * list_id is a column, so the deduped rows re-partition into the
+    * identical lists.
+    */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = 16): Unit = {
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropAllStages(spark, table)
+    readFinal(spark, table).write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy("list_id")
+      .bucketBy(buckets, "vec_id")
+      .sortBy("vec_id")
+      .saveAsTable(tmp)
+    TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
+      df.write.mode(SaveMode.Append).format("parquet")
+        .partitionBy("list_id").bucketBy(buckets, "vec_id")
+        .sortBy("vec_id").saveAsTable(table))
+  }
+
+  /** `vectors` (idCol, embedding) with the stored quantizer's
+    * assignment attached: (idCol, embedding, __n, list_id), all
+    * scan-local. Shared by the write path and the probe's batch side.
+    */
+  private[graft] def withAssignment(
+      spark: SparkSession,
+      vectors: DataFrame,
+      table: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val lc = litCents(spark, table)
+    vectors
+      .select(col(idCol), col("embedding"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("__n"))
+      .withColumn("list_id", assignExpr(lc))
+  }
+
+  /** The quantizer as driver-side literals: (list_id, centroid,
+    * cent_n), cent_n computed by the SAME Spark expression as
+    * [[Similarity.centNorms]] so the division below is bitwise the one
+    * nearestLists performs. The collect is structurally bounded — k is
+    * chosen at init, the same class as s2's hyperplane matrix and t5's
+    * probe set.
+    */
+  private def litCents(
+      spark: SparkSession, table: String): Array[(Any, Seq[Double], Double)] =
+    Similarity.centNorms(centroids(spark, table))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  /** Nearest-list choice as ONE scan-local expression over the literal
+    * centroid matrix: per candidate round(cos, 4) (the drift-proof
+    * convention of [[Similarity.nearestLists]]), argmax by
+    * (score desc, list_id asc) via array_min over (−score, list_id)
+    * structs. Zero shuffle — the exchange-based argmax exists for
+    * data-sized centroid sets; a trained quantizer is not one.
+    */
+  private def assignExpr(lc: Array[(Any, Seq[Double], Double)]): Column = {
+    require(lc.nonEmpty, "VecStore: empty centroid table")
+    val cands = lc.map { case (id, c, cn) =>
+      struct(
+        (-round(Dedup.dot(col("embedding"), typedLit(c)) /
+          (col("__n") * lit(cn)), 4)).as("nd"),
+        lit(id).as("list_id"))
+    }
+    array_min(array(cands.toIndexedSeq: _*)).getField("list_id")
+  }
+}

@@ -191,7 +191,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // plan) — set build + balanced expansion + two pair joins + drop
     // agg + verdict join; a blowup past 8 means a consumer started
     // re-deriving the assignment
-    Shape("d12_semdedup", maxShuffles = 8))
+    Shape("d12_semdedup", maxShuffles = 8),
+    // r10: d13's final frame hangs off the two checkpointed assignment
+    // tables — the probed-list distinct and the one verdict aggregation
+    // are the only shuffles; everything stored-side joins broadcast
+    // (probed set, oversize set, batch rows, verdict rows), so the
+    // stored side never shuffles. A blowup means a consumer started
+    // re-deriving an assignment or the verdict frame began sort-merging
+    Shape("d13_semdedup_incremental", maxShuffles = 2, minBroadcasts = 3))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
