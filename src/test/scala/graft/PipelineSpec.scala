@@ -756,6 +756,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.count(_._2) == 3)
   }
 
+  // the d8 path a real pipeline runs: d6's cluster map is PERSISTED (it
+  // feeds d8, the corpus report, and every retention audit), and
+  // keepBest consumes the stored table — the fused registry form exists
+  // so the oracle can gate end-to-end. The split must change nothing:
+  // same verdicts through a parquet round-trip of the cluster map.
+  // KeepBestTailProbe measures the cost split (tail 0.15s vs fused
+  // 2.1s at sf0.1 — the tail is 7% of the fused query).
+  test("d8 split API: keepBest over a stored cluster table equals fused") {
+    val clusters = Dedup.nearDupClusters(docs, numHashes = 12,
+      rowsPerBand = 2)
+    val path = "/tmp/graft_d8_clusters_spec"
+    clusters.write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val fused = Dedup.keepBest(docs, clusters)
+      .collect().map(_.toString).sorted.toSeq
+    val split = Dedup.keepBest(docs, stored)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fused.nonEmpty && fused == split)
+  }
+
   test("d10 token budget: hash-ordered prefix kept, budget never exceeded") {
     import spark.implicits._
     val df = Seq(
