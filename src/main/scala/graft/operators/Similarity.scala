@@ -391,18 +391,23 @@ object Similarity {
       numSub: Int = 8,
       codebookK: Int = 16,
       dims: Int = 64,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50,
+      codebook: Option[DataFrame] = None): DataFrame = {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
     val subDim = dims / numSub
     val corpusV = unitVectors(corpus, "vec_id", dims)
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
-    val codebook = pqCodebook(corpusV, numSub, subDim, codebookK)
-    val codes = pqEncode(subsAll, codebook)
+    // a persisted codebook ([[trainPqCodebook]] / VecStore `_pq`) skips
+    // the in-query train — the production lifecycle: train once, reuse
+    // per query, RETRAIN on drift (PqDriftProbe measures when)
+    val codebook0 = codebook.getOrElse(
+      pqCodebook(corpusV, numSub, subDim, codebookK))
+    val codes = pqEncode(subsAll, codebook0)
     // ADC lookup table: query subvector · codeword, numSub·codebookK
     // rows per query — bounded by the probe set, broadcast
     val dtable = subVectors(unitVectors(queries, "query_id", dims),
       "query_id", numSub, subDim)
-      .join(codebook, Seq("sub"))
+      .join(codebook0, Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         Dedup.dot(col("sv"), col("cw")).as("pd"))
     val scored = codes.join(broadcast(dtable), Seq("sub", "code"))
@@ -448,6 +453,52 @@ object Similarity {
     * (id, sub)) and take the dim-major mean per cluster (the
     * cross-engine-exact form, as in [[centroids]]).
     */
+  /** The codebook LIFECYCLE entry: train a PQ codebook from a raw
+    * (vec_id, embedding) corpus for persistence and cross-query reuse
+    * (VecStore stores it as `<table>_pq`). Passing the result to
+    * [[pqTopK]]/[[ivfPqTopK]] `codebook =` skips the in-query train and
+    * is bit-identical to it on unchanged data (spec-asserted): the
+    * train here is the SAME deterministic pipeline the queries run.
+    * Production cadence: train once, reuse per query, retrain when the
+    * corpus drifts — `graft.PqDriftProbe` measures the recall decay
+    * that triggers it.
+    */
+  def trainPqCodebook(
+      corpus: DataFrame,
+      numSub: Int = 8,
+      codebookK: Int = 16,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
+    pqCodebook(unitVectors(corpus, "vec_id", dims), numSub,
+      dims / numSub, codebookK)
+  }
+
+  /** The codebook DRIFT MONITOR: mean squared quantization residual of
+    * `corpus` under `codebook` — one row, `mean_sq_residual`. This is
+    * the retrain trigger a production deployment alarms on: unlike
+    * recall it needs no ground truth, so it can run per ingest batch
+    * against the persisted codebook and compare to the trained-time
+    * baseline (PqDriftProbe measures the separation: recall stays flat
+    * under drift because the exact re-rank absorbs shortlist noise,
+    * while this residual rises the moment the corpus's subspace
+    * distributions leave the codebook's support). Scale shape: one
+    * scan, broadcast codebook, map-side min + one global avg.
+    */
+  def pqQuantizationError(
+      corpus: DataFrame,
+      codebook: DataFrame,
+      numSub: Int = 8,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
+    subVectors(unitVectors(corpus, "vec_id", dims), "vec_id", numSub,
+      dims / numSub)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", l2sq(col("sv"), col("cw")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d")).as("d"))
+      .agg(avg(col("d")).as("mean_sq_residual"))
+  }
+
   private def pqCodebook(
       corpusV: DataFrame, numSub: Int, subDim: Int,
       codebookK: Int): DataFrame = {
@@ -507,7 +558,8 @@ object Similarity {
       numSub: Int = 8,
       codebookK: Int = 16,
       dims: Int = 64,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50,
+      codebook: Option[DataFrame] = None): DataFrame = {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val subDim = dims / numSub
@@ -539,13 +591,14 @@ object Similarity {
     val corpusLists = lists(corpusV, "vec_id", 1)
     val probeLists = lists(queriesV, "query_id", nProbe)
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
-    val codebook = pqCodebook(corpusV, numSub, subDim, codebookK)
+    val codebook0 = codebook.getOrElse(
+      pqCodebook(corpusV, numSub, subDim, codebookK))
     // narrow (vec_id, sub, code) rows pick up their list id — ints
     // only, never the vectors
-    val codes = pqEncode(subsAll, codebook)
+    val codes = pqEncode(subsAll, codebook0)
       .join(corpusLists, Seq("vec_id"))
     val dtable = subVectors(queriesV, "query_id", numSub, subDim)
-      .join(codebook, Seq("sub"))
+      .join(codebook0, Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         Dedup.dot(col("sv"), col("cw")).as("pd"))
       .join(probeLists, Seq("query_id")) // × nProbe — still bounded

@@ -140,6 +140,32 @@ object VecStore {
       fromStore = true)
   }
 
+  /** Train and persist the PQ codebook from the stored corpus
+    * ([[graft.operators.Similarity.trainPqCodebook]] → `<table>_pq`) —
+    * the codebook LIFECYCLE the in-query training hides: train once
+    * over the store, reuse across every s5/s6-style query (pass
+    * [[codebook]] as their `codebook =`), and re-run THIS on drift
+    * (the retrain is a deliberate operation, like [[init]]'s quantizer
+    * — `graft.PqDriftProbe` measures the recall decay that triggers
+    * it). Reuse is bit-identical to in-query training on unchanged
+    * data (spec-asserted).
+    */
+  def trainPqCodebook(
+      spark: SparkSession,
+      table: String,
+      numSub: Int = 8,
+      codebookK: Int = 16,
+      dims: Int = 64): Unit =
+    Similarity.trainPqCodebook(
+      readFinal(spark, table).select(col("vec_id"), col("embedding")),
+      numSub, codebookK, dims)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_pq")
+
+  /** The stored PQ codebook ([[trainPqCodebook]]). */
+  def codebook(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_pq")
+
   /** Durable dedup of re-delivered appends via the shared staged swap
     * ([[TableSwap]] crash-window policy). The index needs no rebuild:
     * list_id is a column, so the deduped rows re-partition into the

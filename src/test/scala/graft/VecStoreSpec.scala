@@ -15,7 +15,7 @@ class VecStoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def dropStore(name: String): Unit = {
-    for (t <- Seq(name, s"${name}_cents")) {
+    for (t <- Seq(name, s"${name}_cents", s"${name}_pq")) {
       graft.sources.TableSwap.dropAllStages(spark, t)
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val wh = new java.io.File("/tmp/graft_warehouse")
@@ -133,6 +133,49 @@ class VecStoreSpec extends AnyFunSuite {
     assert(!out.contains(100L), "oversize list must drop wholesale")
     assert(out(101L)._2 && out(101L)._3.contains("4"))
     assert(out(102L)._1 == 2 && !out(102L)._2 && out(102L)._3.isEmpty)
+  }
+
+  test("persisted PQ codebook: reused search equals in-query training") {
+    dropStore("vec_pq")
+    // init with the FULL corpus so the stored codebook trains on the
+    // same rows the in-query path sees
+    VecStore.init(spark, "vec_pq", emb, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_pq")
+    val queries = emb.filter(col("vec_id") < 10)
+    val stored = VecStore.codebook(spark, "vec_pq")
+    val reused5 = Similarity.pqTopK(emb, queries, k = 5,
+      codebook = Some(stored)).collect().map(_.toString).sorted.toSeq
+    val fresh5 = Similarity.pqTopK(emb, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(reused5.nonEmpty && reused5 == fresh5)
+    val cents = VecStore.centroids(spark, "vec_pq")
+    val reused6 = Similarity.ivfPqTopK(emb, queries, cents, k = 5,
+      nProbe = 3, codebook = Some(stored))
+      .collect().map(_.toString).sorted.toSeq
+    val fresh6 = Similarity.ivfPqTopK(emb, queries, cents, k = 5,
+      nProbe = 3).collect().map(_.toString).sorted.toSeq
+    assert(reused6.nonEmpty && reused6 == fresh6)
+  }
+
+  // the drift monitor's exactness anchor: when the corpus IS the seed
+  // set (16 vectors), every subvector cluster holds exactly its seed,
+  // the Lloyd mean equals the member, and the residual is exactly 0 —
+  // and any disjoint extra vector makes it strictly positive
+  test("pq quantization error: zero on the seed corpus, positive past it") {
+    import spark.implicits._
+    val seeds = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (math.sin(i * 64 + d + 1) * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val zero = Similarity.pqQuantizationError(
+      seeds, Similarity.trainPqCodebook(seeds)).head().getDouble(0)
+    assert(zero == 0.0)
+    val extra = seeds.unionByName(Seq(
+      (99L, Array.tabulate(64)(d => (math.cos(d * 7 + 1) * 0.3).toFloat)))
+      .toDF("vec_id", "embedding"))
+    val pos = Similarity.pqQuantizationError(
+      extra, Similarity.trainPqCodebook(seeds)).head().getDouble(0)
+    assert(pos > 0.0)
   }
 
   test("probe plan: corpus partition-pruned, one shuffle, no corpus exchange") {
