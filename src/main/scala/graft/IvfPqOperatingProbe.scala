@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Measures s6's OPERATING CURVE: recall@5 and latency across the
+  * (lists × nProbe) grid, so the 100 TB operating point is a measured
+  * trade instead of an assumed one (the recall floor spec holds one
+  * setting; this probe maps the surface around it).
+  *
+  *   sbt "runMain graft.IvfPqOperatingProbe [sfDir]"
+  *
+  * List count varies by coarsening the label key (label % L — merged
+  * cluster means, the way a deployment would re-bucket its quantizer);
+  * recall is against the exact brute-force top-5 of the same corpus;
+  * latency is the min of 2 timed runs after a collect that doubles as
+  * warmup. Deterministic end to end.
+  */
+object IvfPqOperatingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = Similarity.bruteTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+    def timed(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = for {
+      lists <- Seq(10, 25, 100)
+      nProbe <- Seq(1, 2, 5, 10)
+    } yield {
+      val cents = Similarity.centroids(emb, pmod(col("label"), lit(lists)))
+      def q = Similarity.ivfPqTopK(emb, queries, cents, k = 5,
+        nProbe = nProbe)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qq, rs) => qq -> rs.map(_._2).toSet }
+      val per = truth.map { case (qq, t) =>
+        got.getOrElse(qq, Set.empty).intersect(t).size.toDouble / t.size }
+      val recall = per.sum / per.size
+      val sec = Seq(
+        timed(q.queryExecution.toRdd.count()),
+        timed(q.queryExecution.toRdd.count())).min
+      s"""{"lists":$lists,"nProbe":$nProbe,""" +
+        s""""recall5":${"%.3f".format(recall)},""" +
+        s""""sec":${"%.2f".format(sec)}}"""
+    }
+    println(s"""{"grid":${rows.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -104,18 +104,18 @@ object Streams {
     * one micro-batch feeds two bucketed tables, and unpersists even
     * when a write throws.
     */
-  private def ingestInto(source: DataFrame)(write: DataFrame => Unit)
+  private def ingestInto(source: DataFrame)(write: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     source.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try write(batch)
+        try write(batch, batchId)
         finally { batch.unpersist(); () }
     }
 
   def ingestStatements(statements: DataFrame, table: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    ingestInto(statements) { batch =>
+    ingestInto(statements) { (batch, _) =>
       graft.sources.StatementStore.append(batch, table)
       graft.sources.FpxStore.append(
         graft.operators.Fpx.fromStatements(
@@ -136,7 +136,7 @@ object Streams {
     */
   def ingestXref(judgements: DataFrame, table: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    ingestInto(judgements)(batch =>
+    ingestInto(judgements)((batch, _) =>
       graft.sources.XrefStore.append(batch, table))
 
   /** st13 — streaming document ingest into the [[graft.sources.DocStore]]:
@@ -148,11 +148,38 @@ object Streams {
     * collapse in the FINAL read (dedup by doc_id), and a replayed
     * index row is a duplicate (band, key, doc_id) the probe's set
     * build absorbs — same guarantee as the batch append.
+    *
+    * `compactEvery` > 0 schedules the OPTIMIZE cadence inside the
+    * stream (the reference's periodic `OPTIMIZE TABLE ... FINAL`,
+    * engine.py:114-125): every `compactEvery` micro-batches the store
+    * is FINAL-rewritten via [[graft.sources.DocStore.compact]]'s
+    * staged swap — reads stay available across the compact (the
+    * TableSwap no-absent-window guarantee, spec-asserted mid-stream) —
+    * but ONLY when re-deliveries actually accumulated (raw > FINAL
+    * count; the check is a row-group-stats count plus one in-bucket
+    * dedup count, no Exchange), so an idle cadence tick never pays a
+    * rewrite. The cadence bounds read amplification: between compacts
+    * a FINAL read dedups at most `compactEvery` batches of replays.
+    *
+    * Cross-session visibility: foreachBatch runs in the stream's
+    * CLONED session, whose swap-time refresh cannot reach other
+    * sessions' relation caches — an observer session that cached the
+    * table's file list before a mid-stream compact must `REFRESH
+    * TABLE` before its next read (Spark's standard contract after any
+    * external rewrite; the stream's own reads, appends and cadence
+    * checks refresh inside the swap and never see the stale list).
     */
-  def ingestDocs(docs: DataFrame, table: String)
+  def ingestDocs(docs: DataFrame, table: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    ingestInto(docs)(batch =>
-      graft.sources.DocStore.append(batch, table))
+    ingestInto(docs) { (batch, batchId) =>
+      graft.sources.DocStore.append(batch, table)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        val spark = batch.sparkSession
+        val raw = graft.sources.DocStore.read(spark, table).count()
+        val fin = graft.sources.DocStore.readFinal(spark, table).count()
+        if (raw > fin) graft.sources.DocStore.compact(spark, table)
+      }
+    }
 
   /** st10 — streaming contamination guard: every incoming document is
     * scored against a STATIC probe n-gram set (the eval/benchmark

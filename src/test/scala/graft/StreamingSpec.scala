@@ -457,6 +457,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st13b cadence compaction: mid-stream compact collapses replays, store stays readable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st13b_docs", "st13b_docs_bands")) {
+      graft.sources.TableSwap.dropAllStages(spark, t)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // stage/compacted SIBLING dirs survive a crashed prior run too
+      val wh = new java.io.File("/tmp/graft_warehouse")
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.getName == t || d.getName == t + "_compacted" ||
+          d.getName.startsWith(t + "_stage_"))
+        .foreach { dir =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        }
+    }
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content with no shared phrases here"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.ingestDocs(
+      in.toDF().toDF("doc_id", "text", "source"), "st13b_docs",
+      compactEvery = 2)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st13b_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 0: two docs; no cadence tick yet → raw keeps both rows
+      in.addData((1L, textA, "s"), (2L, textB, "s"))
+      q.processAllAvailable()
+      assert(spark.table("st13b_docs").count() == 2)
+      // batch 1: doc 1 re-delivered; cadence fires (batchId 1), bloat
+      // detected → compact collapses the replay in BOTH tables
+      in.addData((1L, textA, "s"))
+      q.processAllAvailable()
+      // the compact ran in the stream's CLONED session: this observer
+      // session cached the pre-compact file list above, so it refreshes
+      // before re-reading (the documented cross-session contract)
+      spark.catalog.refreshTable("st13b_docs")
+      spark.catalog.refreshTable("st13b_docs_bands")
+      assert(spark.table("st13b_docs").count() == 2,
+        "compact must collapse the re-delivered row")
+      assert(spark.table("st13b_docs_bands").count() == 2L * 6,
+        "compact must rebuild the index from the deduped docs")
+      // the just-compacted store answers probes immediately
+      val cands = graft.sources.DocStore.nearDupCandidates(
+        spark, "st13b_docs",
+        Seq((10L, textA, "s")).toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands == Set((1L, 10L)))
+      // batch 2: appends keep working after the swap; batch 3 cadence
+      // tick with NO bloat must not rewrite (count stays consistent)
+      in.addData((3L, "a third unrelated document about other things", "s"))
+      q.processAllAvailable()
+      in.addData((4L, "a fourth document entirely distinct from all", "s"))
+      q.processAllAvailable()
+      // cross-session again: the clone's post-compact appends added
+      // files this session's refreshed-then-recached list missed
+      spark.catalog.refreshTable("st13b_docs")
+      assert(spark.table("st13b_docs").count() == 4)
+      assert(graft.sources.DocStore.readFinal(spark, "st13b_docs")
+        .count() == 4)
+    } finally q.stop()
+  }
+
   test("st12 hits on the sf corpus are always batch-d3 candidate pairs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
