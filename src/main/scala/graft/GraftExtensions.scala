@@ -10,7 +10,8 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   MinHashBandsExpression, MinHashSignatureExpression,
   MinHashWordsExpression, NgramHashesExpression, Phonetics,
   ShinglesExpression, SimHashExpression, TokenHashesExpression,
-  TopKAggregate, VectorSumAggregate, WordStatsExpression}
+  TopKAggregate, TopKWeightedAggregate, VectorSumAggregate,
+  WordStatsExpression}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -74,6 +75,21 @@ object GraftFunctionRegistry {
             TopKAggregate(v, k, cap).toAggregateExpression()
           case _ => throw new IllegalArgumentException(
             "graft_top_k(value, k: int literal[, capacity: int literal])")
+        }
+      }),
+    (FunctionIdentifier("graft_top_k_weighted"),
+      new ExpressionInfo(
+        classOf[TopKWeightedAggregate].getName, "graft_top_k_weighted"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, w, Literal(k: Int, IntegerType)) =>
+            TopKWeightedAggregate(v, w, k, 4096).toAggregateExpression()
+          case Seq(v, w, Literal(k: Int, IntegerType),
+              Literal(cap: Int, IntegerType)) =>
+            TopKWeightedAggregate(v, w, k, cap).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_top_k_weighted(value, weight, k: int literal" +
+              "[, capacity: int literal])")
         }
       }),
     (FunctionIdentifier("graft_word_stats"),

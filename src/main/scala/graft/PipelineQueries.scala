@@ -1519,6 +1519,43 @@ object PipelineQueries {
        |    ORDER BY n DESC, term) AS BIGINT) AS rank FROM c)
        |SELECT source, rank, term, n FROM r WHERE rank <= 5""".stripMargin
 
+  /** q23b — WEIGHTED heavy hitters (the ClickHouse `topKWeighted()`
+    * surface, [[graft.functions.TopKWeightedAggregate]]): top sources
+    * per language by TOKEN volume — the mix-audit question ("who
+    * contributes the training tokens?") a row-count top-k answers
+    * wrongly when documents vary 10–100 words. One update per
+    * DOCUMENT (value = source, weight = scan-local token count), one
+    * aggregation whose shuffle carries ≤ capacity counters per
+    * (task, lang) — never the token grain, never even the doc grain
+    * past the map side. Source cardinality sits far under capacity,
+    * so no subtraction fires and the sketch is EXACT — oracle-gated;
+    * the approx regime is spec-bounded (W/(capacity+1) underestimates
+    * on a skewed weighted stream).
+    */
+  def q23bTopkWeighted(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("w"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAggregate.topKWeighted(
+        col("source"), col("w"), 5, 4096).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.value").as("source"), col("col.n").as("n_tokens"))
+
+  val q23bSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, source,
+       |    CAST(len(${duckWords("text")}) AS BIGINT) AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, source, CAST(SUM(w) AS BIGINT) AS n_tokens
+       |  FROM d WHERE w > 0 GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY n_tokens DESC, source) AS BIGINT) AS rank FROM c)
+       |SELECT lang, rank, source, n_tokens FROM r WHERE rank <= 5""".stripMargin
+
   /** d13 — the incremental face of d12 ([[Dedup.semDedupIncremental]],
     * the pure-DataFrame twin of [[graft.sources.VecStore]]'s probe —
     * VecStoreSpec asserts the store answers identically): the corpus
@@ -1630,6 +1667,7 @@ object PipelineQueries {
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
     "q23_topk_sketch" -> (q23TopkSketch _),
+    "q23b_topk_weighted" -> (q23bTopkWeighted _),
     "d12_semdedup" -> (d12SemDedup _),
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "t13_gopher_filter" -> (t13GopherFilter _)
@@ -1676,6 +1714,7 @@ object PipelineQueries {
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,
     "q23_topk_sketch" -> q23Sql,
+    "q23b_topk_weighted" -> q23bSql,
     "d12_semdedup" -> d12Sql,
     "d13_semdedup_incremental" -> d13Sql,
     "t13_gopher_filter" -> t13Sql

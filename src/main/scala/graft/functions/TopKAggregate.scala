@@ -101,68 +101,19 @@ case class TopKAggregate(
   override def merge(
       b: mutable.HashMap[UTF8String, Long],
       o: mutable.HashMap[UTF8String, Long])
-      : mutable.HashMap[UTF8String, Long] = {
-    o.foreach { case (v, c) =>
-      b.update(v, b.getOrElse(v, 0L) + c)
-    }
-    if (b.size > capacity) {
-      // subtract the (capacity+1)-th largest count and drop <= 0 —
-      // the PODS'12 mergeable-summaries rule; at most `capacity`
-      // entries survive and every error stays within the MG bound
-      val counts = b.values.toArray
-      java.util.Arrays.sort(counts)
-      val t = counts(counts.length - capacity - 1)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      b.keysIterator.foreach { key =>
-        val c = b(key) - t
-        if (c <= 0L) dead += key else b.update(key, c)
-      }
-      dead.foreach(b.remove)
-    }
-    b
-  }
+      : mutable.HashMap[UTF8String, Long] =
+    TopKAggregate.mergeSummaries(b, o, capacity)
 
-  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
-    val top = buf.toArray
-      .sortWith { case ((v1, c1), (v2, c2)) =>
-        c1 > c2 || (c1 == c2 && v1.compareTo(v2) < 0) }
-      .take(k)
-      .map { case (v, c) =>
-        new GenericInternalRow(Array[Any](v, c)): InternalRow
-      }
-    new GenericArrayData(top.asInstanceOf[Array[Any]])
-  }
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+    TopKAggregate.evalTop(buf, k)
 
   override def serialize(
-      buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
-    var size = 4
-    buf.foreach { case (v, _) => size += 4 + v.numBytes() + 8 }
-    val bb = ByteBuffer.allocate(size)
-    bb.putInt(buf.size)
-    buf.foreach { case (v, c) =>
-      val bytes = v.getBytes
-      bb.putInt(bytes.length)
-      bb.put(bytes)
-      bb.putLong(c)
-    }
-    bb.array()
-  }
+      buf: mutable.HashMap[UTF8String, Long]): Array[Byte] =
+    TopKAggregate.ser(buf)
 
   override def deserialize(
-      bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = mutable.HashMap.empty[UTF8String, Long]
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val vb = new Array[Byte](len)
-      bb.get(vb)
-      out.update(UTF8String.fromBytes(vb), bb.getLong)
-      i += 1
-    }
-    out
-  }
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] =
+    TopKAggregate.de(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): TopKAggregate =
     copy(mutableAggBufferOffset = o)
@@ -170,6 +121,110 @@ case class TopKAggregate(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(
       newChild: Expression): TopKAggregate = copy(child = newChild)
+}
+
+/** The WEIGHTED heavy-hitters aggregate:
+  * `graft_top_k_weighted(value, weight, k, capacity)` — the ClickHouse
+  * `topKWeighted()` surface, the form a corpus audit actually wants
+  * ("top sources by TOKEN volume", not by row count). Same mergeable
+  * Misra–Gries summary as [[TopKAggregate]] with weighted updates: an
+  * update of weight w adds w to the value's counter, and an overflow
+  * past `capacity` subtracts the (capacity+1)-th largest count from
+  * every counter (the identical PODS 2012 merge rule, which is weight-
+  * agnostic), so:
+  *
+  *  - counts are UNDERestimates with error ≤ W/(capacity+1) where W is
+  *    the group's TOTAL weight — any value with true weight share
+  *    above 1/(capacity+1) survives;
+  *  - when the group's GLOBAL distinct-value count is ≤ `capacity`, no
+  *    subtraction ever fires and the result is EXACT (the q23b
+  *    oracle-gated regime — same argument as the unweighted sketch).
+  *
+  * Null values are skipped like count(col); null or non-positive
+  * weights are skipped (a zero-weight update carries no information,
+  * and negative weights would break the underestimate invariant).
+  * Unweighted topK is the w = 1 special case (spec-asserted equal).
+  */
+case class TopKWeightedAggregate(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, s"graft_top_k_weighted: k must be positive, got $k")
+  require(capacity >= k,
+    s"graft_top_k_weighted: capacity ($capacity) must be >= k ($k)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType | org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_top_k_weighted requires (STRING, INT/BIGINT), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = TopKAggregate.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k_weighted"
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = left.eval(input)
+    val wv = right.eval(input)
+    if (v == null || wv == null) return buf
+    val w = wv match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    if (w <= 0L) return buf
+    val s = v.asInstanceOf[UTF8String]
+    buf.get(s) match {
+      case Some(c) => buf.update(s, c + w)
+      case None =>
+        buf.update(s.clone(), w)
+        // weighted overflow reuses the merge-time subtraction (an
+        // update IS a merge with the singleton {s: w}); the classic
+        // decrement-by-one loop has no weighted analogue with the
+        // same amortization, and the merge rule's bound covers both
+        if (buf.size > capacity)
+          TopKAggregate.subtractOverflow(buf, capacity)
+    }
+    buf
+  }
+
+  override def merge(
+      b: mutable.HashMap[UTF8String, Long],
+      o: mutable.HashMap[UTF8String, Long])
+      : mutable.HashMap[UTF8String, Long] =
+    TopKAggregate.mergeSummaries(b, o, capacity)
+
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+    TopKAggregate.evalTop(buf, k)
+
+  override def serialize(
+      buf: mutable.HashMap[UTF8String, Long]): Array[Byte] =
+    TopKAggregate.ser(buf)
+
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] =
+    TopKAggregate.de(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKWeightedAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKWeightedAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKWeightedAggregate =
+    copy(left = newLeft, right = newRight)
 }
 
 object TopKAggregate {
@@ -184,4 +239,85 @@ object TopKAggregate {
     GraftSqlBridge.column(
       TopKAggregate(GraftSqlBridge.expression(c), k, capacity)
         .toAggregateExpression())
+
+  /** Column form of the weighted aggregate. */
+  def topKWeighted(
+      c: Column, w: Column, k: Int, capacity: Int = 4096): Column =
+    GraftSqlBridge.column(
+      TopKWeightedAggregate(GraftSqlBridge.expression(c),
+        GraftSqlBridge.expression(w), k, capacity)
+        .toAggregateExpression())
+
+  /** Subtract the (capacity+1)-th largest count and drop ≤ 0 — the
+    * PODS'12 mergeable-summaries rule; at most `capacity` entries
+    * survive and every error stays within the MG bound. Shared by
+    * merge (both sketches) and the weighted update's overflow.
+    */
+  private[functions] def subtractOverflow(
+      b: mutable.HashMap[UTF8String, Long], capacity: Int): Unit = {
+    val counts = b.values.toArray
+    java.util.Arrays.sort(counts)
+    val t = counts(counts.length - capacity - 1)
+    val dead = mutable.ArrayBuffer.empty[UTF8String]
+    b.keysIterator.foreach { key =>
+      val c = b(key) - t
+      if (c <= 0L) dead += key else b.update(key, c)
+    }
+    dead.foreach(b.remove)
+  }
+
+  private[functions] def mergeSummaries(
+      b: mutable.HashMap[UTF8String, Long],
+      o: mutable.HashMap[UTF8String, Long],
+      capacity: Int): mutable.HashMap[UTF8String, Long] = {
+    o.foreach { case (v, c) =>
+      b.update(v, b.getOrElse(v, 0L) + c)
+    }
+    if (b.size > capacity) subtractOverflow(b, capacity)
+    b
+  }
+
+  /** Top `k` as array<struct<value, n>> ordered (n desc, value asc). */
+  private[functions] def evalTop(
+      buf: mutable.HashMap[UTF8String, Long], k: Int): Any = {
+    val top = buf.toArray
+      .sortWith { case ((v1, c1), (v2, c2)) =>
+        c1 > c2 || (c1 == c2 && v1.compareTo(v2) < 0) }
+      .take(k)
+      .map { case (v, c) =>
+        new GenericInternalRow(Array[Any](v, c)): InternalRow
+      }
+    new GenericArrayData(top.asInstanceOf[Array[Any]])
+  }
+
+  private[functions] def ser(
+      buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    var size = 4
+    buf.foreach { case (v, _) => size += 4 + v.numBytes() + 8 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.size)
+    buf.foreach { case (v, c) =>
+      val bytes = v.getBytes
+      bb.putInt(bytes.length)
+      bb.put(bytes)
+      bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  private[functions] def de(
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val vb = new Array[Byte](len)
+      bb.get(vb)
+      out.update(UTF8String.fromBytes(vb), bb.getLong)
+      i += 1
+    }
+    out
+  }
 }

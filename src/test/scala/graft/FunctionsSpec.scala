@@ -306,6 +306,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.head.getString(0) == "a" && viaSql.head.getLong(1) == 2L)
   }
 
+  test("top_k_weighted: exact under capacity, W-bounded past it, w=1 = topK") {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    // approx regime: skewed WEIGHTED stream with distinct >> capacity
+    // — estimates must be underestimates within W/(capacity+1) (W =
+    // total weight), and the weight-heavy head must survive even
+    // though it is row-count-light (the case row-count topK misses)
+    val rnd = new scala.util.Random(23)
+    val stream = Seq.fill(20)(("head", 500L)) ++          // few rows, heavy
+      Seq.fill(400)(("second", 20L)) ++                   // many rows, medium
+      (1 to 3000).map(_ => (s"tail${rnd.nextInt(800)}", 3L))
+    val truth = stream.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val totalW = stream.map(_._2).sum
+    val cap = 16
+    val df = rnd.shuffle(stream).toDF("v", "w")
+    val got = df
+      .agg(TopKAggregate.topKWeighted(col("v"), col("w"), 5, cap).as("top"))
+      .select(explode(col("top"))).select("col.value", "col.n")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(_._1).take(2).toSet == Set("head", "second"),
+      s"weight-heavy head must survive the sketch: ${got.toSeq}")
+    got.foreach { case (v, c) =>
+      assert(c <= truth(v), s"$v: weighted MG counts are underestimates")
+      assert(c >= truth(v) - totalW / (cap + 1),
+        s"$v: count $c breaches the W/(cap+1) bound vs ${truth(v)}")
+    }
+    // exact regime: distinct <= capacity → exact sums at any
+    // parallelism, and w = 1 reproduces the unweighted sketch
+    val small = (1 to 500).map(i => (s"w${i % 20}", (i % 7 + 1).toLong))
+      .toDF("v", "w")
+    def run(parts: Int) = small.repartition(parts)
+      .agg(TopKAggregate.topKWeighted(col("v"), col("w"), 20, 64).as("t"))
+      .select(explode(col("t"))).select("col.value", "col.n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(1) == run(8))
+    val exactSums = (1 to 500).map(i => (s"w${i % 20}", (i % 7 + 1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    run(1).foreach { case (v, c) => assert(c == exactSums(v)) }
+    val ones = (1 to 500).map(i => (s"w${i % 20}", 1L)).toDF("v", "w")
+    val viaWeighted = ones
+      .agg(TopKAggregate.topKWeighted(col("v"), col("w"), 20, 64).as("t"))
+      .select(explode(col("t"))).select("col.value", "col.n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaPlain = ones
+      .agg(TopKAggregate.topK(col("v"), 20, 64).as("t"))
+      .select(explode(col("t"))).select("col.value", "col.n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaWeighted == viaPlain)
+    // null/non-positive weights skip; SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_top_k_weighted(v, w, 1) FROM VALUES " +
+        "('a', 5L),('b', 2L),('a', CAST(NULL AS BIGINT)),('b', 0L) AS t(v, w)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.head.getString(0) == "a" && viaSql.head.getLong(1) == 5L)
+  }
+
   test("native word_stats == composed hit/fold passes on docs and unicode") {
     import spark.implicits._
     import graft.functions.WordStatsExpression

@@ -186,6 +186,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // `capacity` counters per (task, source) — a second Exchange
     // means the sketch regressed into a term-grain plan
     Shape("q23_topk_sketch", maxShuffles = 1),
+    // r10: q23b updates at DOC grain (value = source, weight = scan-
+    // local token count) — one sketch aggregate, shuffle carries ≤
+    // capacity counters per (task, lang); a second Exchange means the
+    // weights started pre-aggregating through a real shuffle
+    Shape("q23b_topk_weighted", maxShuffles = 1),
     // r9b: d12's returned frame hangs off the checkpointed assignment
     // table (the expensive centroid subtree runs ONCE, before the
     // plan) — set build + balanced expansion + two pair joins + drop
