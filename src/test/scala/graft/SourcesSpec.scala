@@ -398,4 +398,110 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 10L)))
   }
+
+  // r10: the ONE crash that matters for a double-insert write path is
+  // the one BETWEEN the two inserts. Drive every multi-table store
+  // through it in a single spec — a regular file squatting on the
+  // SECOND table's location makes that insert throw after the first
+  // landed, which is exactly the crash state — and assert each
+  // store's documented direction: the failure is LOUD (append
+  // throws, nothing is silently swallowed), the surviving state is
+  // the documented safe side, and plain re-delivery repairs it (the
+  // at-least-once contract every streaming ingest already relies on).
+  test("crash between inserts: every store fails loud, lands its documented side, repairs on re-delivery") {
+    import spark.implicits._
+    import graft.sources.{DocStore, VecStore}
+    val wh = new java.io.File("/tmp/graft_warehouse")
+
+    // --- DocStore: INDEX first. Orphan index rows are the loud
+    // direction (candidates referencing absent docs die at text
+    // verification); docs-without-index would be silent false
+    // negatives on every later probe.
+    Seq("crash_docs", "crash_docs_bands").foreach(dropTable)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "completely different content with no shared phrases", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(new java.io.File(wh, "crash_docs").createNewFile())
+    intercept[Exception] { DocStore.append(docs, "crash_docs", buckets = 4) }
+    assert(spark.table("crash_docs_bands").count() == 2L * 6,
+      "the index (first insert) must have landed before the crash")
+    assert(!spark.catalog.tableExists("crash_docs"),
+      "the docs (second insert) must not exist after the crash")
+    assert(new java.io.File(wh, "crash_docs").delete())
+    DocStore.append(docs, "crash_docs", buckets = 4)
+    assert(DocStore.readFinal(spark, "crash_docs").count() == 2)
+    // replayed index rows are duplicates the probe's set build absorbs;
+    // compact makes the repair durable and exact
+    DocStore.compact(spark, "crash_docs", buckets = 4)
+    assert(DocStore.bands(spark, "crash_docs").count() == 2L * 6)
+
+    // --- XrefStore: MAIN (source of truth) first. The projection can
+    // only LAG (reverse ⊆ main — stale lookups until repair), never
+    // hold phantom judgements main does not have.
+    Seq("crash_xref", "crash_xref_reverse").foreach(dropTable)
+    val mk = (l: String, r: String, j: String, ts: Long) =>
+      ("ds", l, "Person", "de", s"cap-$l", "ds", r, "Person", "fr",
+        s"cap-$r", j, 0.5, ts, "graft")
+    val xref = Seq(mk("a", "b", "positive", 1L)).toDF(Xref.columns: _*)
+    assert(new java.io.File(wh, "crash_xref_reverse").createNewFile())
+    intercept[Exception] {
+      graft.sources.XrefStore.append(xref, "crash_xref", buckets = 4)
+    }
+    assert(spark.table("crash_xref").count() == 1,
+      "main (first insert) must have landed before the crash")
+    assert(!spark.catalog.tableExists("crash_xref_reverse"))
+    assert(new java.io.File(wh, "crash_xref_reverse").delete())
+    graft.sources.XrefStore.append(xref, "crash_xref", buckets = 4)
+    // re-delivery dupes collapse in the FINAL window on both sides
+    assert(graft.sources.XrefStore.readLatest(spark, "crash_xref")
+      .count() == 1)
+    assert(graft.sources.XrefStore.lookupByRight(spark, "crash_xref", "b")
+      .count() == 1)
+
+    // --- Statements + fpx (the st8/Cli double insert): STATEMENTS
+    // (source of truth) first. A crash leaves the blocking index
+    // behind (missed xref candidates until repair) but never fpx rows
+    // pointing at statements that do not exist.
+    Seq("crash_stmt", "crash_stmt_fpx").foreach(dropTable)
+    val stmts = sampleStatements
+    assert(new java.io.File(wh, "crash_stmt_fpx").createNewFile())
+    intercept[Exception] {
+      StatementStore.append(stmts, "crash_stmt", buckets = 4)
+      FpxStore.append(
+        Fpx.fromStatements(stmts, schemas = Fpx.DefaultSchemas),
+        "crash_stmt_fpx", buckets = 4)
+    }
+    assert(spark.table("crash_stmt").count() == 4,
+      "statements (first insert) must have landed before the crash")
+    assert(!spark.catalog.tableExists("crash_stmt_fpx"))
+    assert(new java.io.File(wh, "crash_stmt_fpx").delete())
+    StatementStore.append(stmts, "crash_stmt", buckets = 4)
+    FpxStore.append(
+      Fpx.fromStatements(stmts, schemas = Fpx.DefaultSchemas),
+      "crash_stmt_fpx", buckets = 4)
+    assert(StatementStore.readFinal(spark, "crash_stmt").count() == 3,
+      "re-delivered statements must collapse at FINAL")
+    assert(spark.table("crash_stmt_fpx").count() > 0)
+
+    // --- VecStore: NO second table to drift — the inverted-list index
+    // is the partition layout of the one vector table. The only
+    // multi-write is init's (cents, corpus) pair, and a crash between
+    // them leaves a store every read/probe refuses LOUDLY (the table
+    // does not resolve) rather than answering incompletely.
+    Seq("crash_vec", "crash_vec_cents").foreach(dropTable)
+    val vecs = Tables.load(spark, sf, "embeddings")
+    assert(new java.io.File(wh, "crash_vec").createNewFile())
+    intercept[Exception] {
+      VecStore.init(spark, "crash_vec", vecs,
+        org.apache.spark.sql.functions.col("label"), buckets = 4)
+    }
+    assert(spark.catalog.tableExists("crash_vec_cents"))
+    assert(!spark.catalog.tableExists("crash_vec"))
+    intercept[Exception] { VecStore.readFinal(spark, "crash_vec").count() }
+    assert(new java.io.File(wh, "crash_vec").delete())
+    VecStore.init(spark, "crash_vec", vecs,
+      org.apache.spark.sql.functions.col("label"), buckets = 4)
+    assert(VecStore.readFinal(spark, "crash_vec").count() == vecs.count())
+  }
 }
