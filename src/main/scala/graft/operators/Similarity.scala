@@ -42,7 +42,7 @@ object Similarity {
     * every global top-k row is in its salt's local top-k — output is
     * identical to the single-window plan (spec-asserted).
     */
-  private def topKPerQuery(
+  private[graft] def topKPerQuery(
       scored: DataFrame,
       k: Int,
       salts: Int = 64,

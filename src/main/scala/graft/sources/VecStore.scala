@@ -140,6 +140,51 @@ object VecStore {
       fromStore = true)
   }
 
+  /** IVF ANN search SERVED FROM THE STORE (the s3 read face of the
+    * layout): each query picks its `nProbe` nearest stored lists with
+    * the same scan-local literal argmax the write path uses, the
+    * corpus scan statically prunes to those partitions (the
+    * [[nearDupVerdicts]] IN-filter — probe cost is the probed lists,
+    * not the corpus), and candidates score EXACTLY (cosine over the
+    * stored vectors and their write-time norms). Output is identical
+    * to [[graft.operators.Similarity.ivfTopK]] over the FINAL corpus
+    * with the stored centroids (spec-asserted): same list choices
+    * (shared 4dp-rounded score + list_id tie-break), same scoring
+    * arithmetic, same two-phase top-k.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val lc = litCents(spark, table)
+    val cands = candStructs(lc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("__n"))
+      .withColumn("__c", slice(
+        array_sort(array(cands.toIndexedSeq: _*)), 1, nProbe))
+      .select(col("query_id"), col("embedding").as("qv"),
+        col("__n").as("qn"), explode(col("__c")).as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("pc.list_id").as("list_id"))
+      .localCheckpoint()
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val stored = read(spark, table)
+      .filter(col("list_id").isInCollection(probedIds))
+      .dropDuplicates("vec_id")
+    val scored = stored.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosineWithNorms(
+        col("qv"), col("embedding"), col("qn"), col("__n")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** Train and persist the PQ codebook from the stored corpus
     * ([[graft.operators.Similarity.trainPqCodebook]] → `<table>_pq`) —
     * the codebook LIFECYCLE the in-query training hides: train once
@@ -226,14 +271,22 @@ object VecStore {
     * structs. Zero shuffle — the exchange-based argmax exists for
     * data-sized centroid sets; a trained quantizer is not one.
     */
-  private def assignExpr(lc: Array[(Any, Seq[Double], Double)]): Column = {
+  private def assignExpr(lc: Array[(Any, Seq[Double], Double)]): Column =
+    array_min(array(candStructs(lc).toIndexedSeq: _*)).getField("list_id")
+
+  /** The per-centroid (−score, list_id) candidate structs both the
+    * keep-1 argmax ([[assignExpr]]) and the nProbe probe selection
+    * ([[ivfTopK]]) rank — one definition, so write-time assignment and
+    * read-time probing can never disagree on a list choice.
+    */
+  private def candStructs(
+      lc: Array[(Any, Seq[Double], Double)]): Array[Column] = {
     require(lc.nonEmpty, "VecStore: empty centroid table")
-    val cands = lc.map { case (id, c, cn) =>
+    lc.map { case (id, c, cn) =>
       struct(
         (-round(Dedup.dot(col("embedding"), typedLit(c)) /
           (col("__n") * lit(cn)), 4)).as("nd"),
         lit(id).as("list_id"))
     }
-    array_min(array(cands.toIndexedSeq: _*)).getField("list_id")
   }
 }

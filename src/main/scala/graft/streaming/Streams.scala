@@ -181,6 +181,33 @@ object Streams {
       }
     }
 
+  /** st14 — streaming vector ingest into the
+    * [[graft.sources.VecStore]]: each micro-batch assigns scan-locally
+    * against the persisted quantizer and lands IN its inverted list —
+    * there is no second table, so unlike st8/st9/st13 this write path
+    * has no between-inserts crash window at all (the partition layout
+    * is the index). Exactly-once: replays collapse in the FINAL read;
+    * the store answers [[graft.sources.VecStore.nearDupVerdicts]] and
+    * [[graft.sources.VecStore.ivfTopK]] immediately (spec).
+    * `compactEvery` is st13's bloat-gated OPTIMIZE cadence; the same
+    * cross-session REFRESH TABLE contract applies.
+    */
+  def ingestVecs(
+      vecs: DataFrame, table: String, compactEvery: Int = 0,
+      buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(vecs) { (batch, batchId) =>
+      graft.sources.VecStore.append(batch.sparkSession, batch, table,
+        buckets)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        val spark = batch.sparkSession
+        val raw = graft.sources.VecStore.read(spark, table).count()
+        val fin = graft.sources.VecStore.readFinal(spark, table).count()
+        if (raw > fin)
+          graft.sources.VecStore.compact(spark, table, buckets)
+      }
+    }
+
   /** st10 — streaming contamination guard: every incoming document is
     * scored against a STATIC probe n-gram set (the eval/benchmark
     * suite) as it arrives — the continuous-ingest face of batch t5,

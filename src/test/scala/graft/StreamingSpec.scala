@@ -525,6 +525,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st14 streaming vector ingest: store probe-able, cadence compact collapses replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st14_vecs", "st14_vecs_cents")) {
+      graft.sources.TableSwap.dropAllStages(spark, t)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new java.io.File("/tmp/graft_warehouse")
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.getName == t || d.getName == t + "_compacted" ||
+          d.getName.startsWith(t + "_stage_"))
+        .foreach { dir =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        }
+    }
+    val emb = Tables.load(spark, sf, "embeddings")
+    val storedSide = emb.filter(col("vec_id") % 10 =!= 0)
+    val batchSide = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    // init (quantizer + initial corpus) is a batch operation; the
+    // STREAM is the ongoing ingest
+    graft.sources.VecStore.init(spark, "st14_vecs", storedSide,
+      col("label"), buckets = 4)
+    val n0 = graft.sources.VecStore.readFinal(spark, "st14_vecs").count()
+    val rows = batchSide.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestVecs(
+      in.toDF().toDF("vec_id", "embedding"), "st14_vecs",
+      compactEvery = 2, buckets = 4)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st14_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("st14_vecs")
+      assert(graft.sources.VecStore.readFinal(spark, "st14_vecs")
+        .count() == n0 + rows.length)
+      // batch 1: the SAME rows re-delivered; cadence fires, bloat
+      // detected, compact collapses the replay
+      in.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("st14_vecs")
+      assert(graft.sources.VecStore.read(spark, "st14_vecs")
+        .count() == n0 + rows.length,
+        "cadence compact must collapse the replayed batch")
+      // the streamed-into store answers BOTH read faces, identically
+      // to the oracle-gated DataFrame twin / operator form
+      val probeQ = batchSide.limit(5).localCheckpoint()
+      val viaStore = graft.sources.VecStore.nearDupVerdicts(
+        spark, "st14_vecs",
+        probeQ.select(col("vec_id") + lit(100000), col("embedding"))
+          .toDF("vec_id", "embedding"), minCos = 0.35)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaStore.nonEmpty)
+      val top = graft.sources.VecStore.ivfTopK(spark, "st14_vecs",
+        probeQ, k = 3, nProbe = 2)
+      assert(top.count() > 0)
+    } finally q.stop()
+  }
+
   test("st12 hits on the sf corpus are always batch-d3 candidate pairs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

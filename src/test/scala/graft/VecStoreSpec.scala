@@ -157,6 +157,27 @@ class VecStoreSpec extends AnyFunSuite {
     assert(reused6.nonEmpty && reused6 == fresh6)
   }
 
+  test("store-served IVF search equals Similarity.ivfTopK exactly, pruned") {
+    dropStore("vec_search")
+    VecStore.init(spark, "vec_search", stored, col("label"), buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    val viaStore = VecStore.ivfTopK(spark, "vec_search", queries,
+      k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val viaOp = Similarity.ivfTopK(
+      stored.select(col("vec_id"), col("embedding")), queries,
+      VecStore.centroids(spark, "vec_search"), k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore.nonEmpty && viaStore == viaOp)
+    // the search scan is partition-pruned like the dedup probe
+    val plan = VecStore.ivfTopK(spark, "vec_search", queries, 5, 3)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan parquet"))
+    assert(scans.nonEmpty && scans.forall(_.contains("list_id#")),
+      s"search scans must partition-prune on list_id:\n${scans.mkString("\n")}")
+  }
+
   // the drift monitor's exactness anchor: when the corpus IS the seed
   // set (16 vectors), every subvector cluster holds exactly its seed,
   // the Lloyd mean equals the member, and the residual is exactly 0 —
