@@ -339,7 +339,7 @@ object Similarity {
     * full vector. The explode multiplier is `numSub` — a query-chosen
     * constant, not data-driven.
     */
-  private def subVectors(
+  private[graft] def subVectors(
       df: DataFrame, idCol: String, numSub: Int, subDim: Int): DataFrame =
     df.select(col(idCol),
       explode(sequence(lit(0), lit(numSub - 1))).as("sub"), col("v"))
@@ -435,7 +435,7 @@ object Similarity {
     * the common entry of the PQ family (zero-norm and wrong-width
     * rows are dropped; cosine over the survivors is a plain dot).
     */
-  private def unitVectors(df: DataFrame, idCol: String, dims: Int): DataFrame =
+  private[graft] def unitVectors(df: DataFrame, idCol: String, dims: Int): DataFrame =
     df.filter(size(col("embedding")) === dims)
       .select(col("vec_id").as(idCol),
         transform(col("embedding"), _.cast("double")).as("v0"))
@@ -525,7 +525,7 @@ object Similarity {
   /** PQ encode: nearest refined codeword per (id, sub) — same
     * broadcast + map-side-argmin shape as the codebook assignment.
     */
-  private def pqEncode(subsAll: DataFrame, codebook: DataFrame): DataFrame =
+  private[graft] def pqEncode(subsAll: DataFrame, codebook: DataFrame): DataFrame =
     subsAll.join(broadcast(codebook), Seq("sub"))
       .withColumn("d", l2sq(col("sv"), col("cw")))
       .groupBy(col("vec_id"), col("sub"))
@@ -559,7 +559,8 @@ object Similarity {
       codebookK: Int = 16,
       dims: Int = 64,
       shortlist: Int = 50,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      corpusLists: Option[DataFrame] = None): DataFrame = {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val subDim = dims / numSub
@@ -588,7 +589,9 @@ object Similarity {
           .select(col(idCol), col("list_id"))
       }
     }
-    val corpusLists = lists(corpusV, "vec_id", 1)
+    // a VecStore supplies its stored (vec_id, list_id) layout here —
+    // the assignment is then a narrow read instead of a corpus argmax
+    val corpusLists0 = corpusLists.getOrElse(lists(corpusV, "vec_id", 1))
     val probeLists = lists(queriesV, "query_id", nProbe)
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
     val codebook0 = codebook.getOrElse(
@@ -596,7 +599,7 @@ object Similarity {
     // narrow (vec_id, sub, code) rows pick up their list id — ints
     // only, never the vectors
     val codes = pqEncode(subsAll, codebook0)
-      .join(corpusLists, Seq("vec_id"))
+      .join(corpusLists0, Seq("vec_id"))
     val dtable = subVectors(queriesV, "query_id", numSub, subDim)
       .join(codebook0, Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),

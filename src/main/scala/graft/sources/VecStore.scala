@@ -81,14 +81,27 @@ object VecStore {
       spark: SparkSession,
       vectors: DataFrame,
       table: String,
-      buckets: Int = 16): Unit =
-    withAssignment(spark, vectors, table).write
+      buckets: Int = 16): Unit = {
+    val hasPq = spark.catalog.tableExists(s"${table}_pq")
+    val assigned0 = withAssignment(spark, vectors, table)
+    // with a codebook present this batch feeds TWO tables — materialize
+    // once so a non-deterministic source cannot desync codes from
+    // vectors (the DocStore probe lesson)
+    val assigned = if (hasPq) assigned0.localCheckpoint() else assigned0
+    assigned.write
       .mode(SaveMode.Append)
       .format("parquet")
       .partitionBy("list_id")
       .bucketBy(buckets, "vec_id")
       .sortBy("vec_id")
       .saveAsTable(table)
+    // VECTORS first (source of truth): a crash here leaves the codes
+    // cache lagging — PQ search misses the batch until the next
+    // encode/retrain — but codes can never reference vectors that do
+    // not exist (the xref/statements direction; the exact-search and
+    // dedup faces read the main table and never lag)
+    if (hasPq) appendCodes(spark, assigned, table, buckets)
+  }
 
   /** Raw read — may contain duplicate vec_ids from re-delivered
     * appends (byte-identical rows: same embedding ⇒ same list).
@@ -200,16 +213,144 @@ object VecStore {
       table: String,
       numSub: Int = 8,
       codebookK: Int = 16,
-      dims: Int = 64): Unit =
+      dims: Int = 64,
+      buckets: Int = 16): Unit = {
     Similarity.trainPqCodebook(
       readFinal(spark, table).select(col("vec_id"), col("embedding")),
       numSub, codebookK, dims)
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}_pq")
+    // materialize the codes CACHE for the existing corpus (`_codes`,
+    // partitioned by list like the vectors): PQ serving reads codes,
+    // never corpus floats. Retraining lands here too, so a retrain
+    // atomically re-encodes — codes always match the live codebook.
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_codes")
+    writeCodes(spark,
+      readFinal(spark, table)
+        .select(col("vec_id"), col("embedding"), col("list_id")),
+      table, buckets, SaveMode.Overwrite)
+  }
 
   /** The stored PQ codebook ([[trainPqCodebook]]). */
   def codebook(spark: SparkSession, table: String): DataFrame =
     spark.table(s"${table}_pq")
+
+  /** The stored PQ codes cache (vec_id, sub, code, list_id). */
+  def codes(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_codes")
+
+  private def appendCodes(
+      spark: SparkSession,
+      assigned: DataFrame,
+      table: String,
+      buckets: Int): Unit =
+    writeCodes(spark,
+      assigned.select(col("vec_id"), col("embedding"), col("list_id")),
+      table, buckets, SaveMode.Append)
+
+  private def writeCodes(
+      spark: SparkSession,
+      vecsWithList: DataFrame,
+      table: String,
+      buckets: Int,
+      mode: SaveMode): Unit = {
+    val cb = codebook(spark, table)
+    val (numSub, subDim) = pqShape(cb)
+    Similarity.pqEncode(
+      Similarity.subVectors(
+        Similarity.unitVectors(
+          vecsWithList.select(col("vec_id"), col("embedding")),
+          "vec_id", numSub * subDim),
+        "vec_id", numSub, subDim), cb)
+      .join(vecsWithList.select(col("vec_id"), col("list_id")),
+        Seq("vec_id"))
+      .write.mode(mode).format("parquet")
+      .partitionBy("list_id")
+      .bucketBy(buckets, "vec_id")
+      .sortBy("vec_id")
+      .saveAsTable(s"${table}_codes")
+  }
+
+  /** (numSub, subDim) read off the stored codebook itself — the shape
+    * is data, not configuration, so append/search can never encode
+    * with a different geometry than training did.
+    */
+  private def pqShape(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max(col("sub")), max(size(col("cw")))).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** IVF+PQ ANN search SERVED FROM THE STORE — the full production
+    * path: the query's `nProbe` lists come from the shared candidate
+    * ranking ([[candStructs]]), the CODES cache is read partition-
+    * pruned (corpus floats untouched by the ADC stage), ADC scores
+    * against the stored codebook, and only the capped shortlist
+    * re-reads true vectors (bucketed vec_id join on the main table —
+    * no store-side shuffle) for the exact re-rank. Output matches
+    * [[graft.operators.Similarity.ivfPqTopK]] over the FINAL corpus
+    * with the stored centroids, codebook, and list layout
+    * (spec-asserted).
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val cb = codebook(spark, table)
+    val (numSub, subDim) = pqShape(cb)
+    val dims = numSub * subDim
+    val lc = litCents(spark, table)
+    val cands = candStructs(lc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("__n"))
+      .withColumn("__c", slice(
+        array_sort(array(cands.toIndexedSeq: _*)), 1, nProbe))
+      .select(col("query_id"), col("embedding"),
+        explode(col("__c")).as("pc"))
+      .select(col("query_id"), col("embedding"),
+        col("pc.list_id").as("list_id"))
+      .localCheckpoint()
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    // ADC: pruned codes × the per-query dot table (both sides narrow)
+    val storedCodes = codes(spark, table)
+      .filter(col("list_id").isInCollection(probedIds))
+      .dropDuplicates("vec_id", "sub")
+    val queriesV = Similarity.unitVectors(
+      queries.select(col("vec_id"), col("embedding")), "query_id", dims)
+    val dtable = Similarity
+      .subVectors(queriesV, "query_id", numSub, subDim)
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        Dedup.dot(col("sv"), col("cw")).as("pd"))
+      .join(probes.select(col("query_id"), col("list_id")),
+        Seq("query_id"))
+    val scored = storedCodes
+      .join(broadcast(dtable), Seq("sub", "code", "list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+    val short = Similarity.topKPerQuery(scored, shortlist,
+      scoreName = "adc")
+      .select(col("query_id"), col("neighbor_id"))
+    val corpusV = Similarity.unitVectors(
+      readFinal(spark, table).select(col("vec_id"), col("embedding")),
+      "vec_id", dims)
+    val rescored = corpusV
+      .select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queriesV.select(col("query_id"),
+        col("v").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.dot(col("qv"), col("v")).as("cos"))
+    Similarity.topKPerQuery(rescored, k)
+  }
 
   /** Durable dedup of re-delivered appends via the shared staged swap
     * ([[TableSwap]] crash-window policy). The index needs no rebuild:

@@ -15,7 +15,8 @@ class VecStoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def dropStore(name: String): Unit = {
-    for (t <- Seq(name, s"${name}_cents", s"${name}_pq")) {
+    for (t <- Seq(name, s"${name}_cents", s"${name}_pq",
+        s"${name}_codes")) {
       graft.sources.TableSwap.dropAllStages(spark, t)
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val wh = new java.io.File("/tmp/graft_warehouse")
@@ -176,6 +177,40 @@ class VecStoreSpec extends AnyFunSuite {
     val scans = plan.split("\n").filter(_.contains("FileScan parquet"))
     assert(scans.nonEmpty && scans.forall(_.contains("list_id#")),
       s"search scans must partition-prune on list_id:\n${scans.mkString("\n")}")
+  }
+
+  test("store-served IVF+PQ equals the operator on stored artifacts; codes follow appends") {
+    dropStore("vec_pqserve")
+    VecStore.init(spark, "vec_pqserve", stored, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_pqserve", buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    val viaStore = VecStore.ivfPqTopK(spark, "vec_pqserve", queries,
+      k = 5, nProbe = 3).collect().map(_.toString).sorted.toSeq
+    val storedFinal = VecStore.readFinal(spark, "vec_pqserve")
+    val viaOp = Similarity.ivfPqTopK(
+      storedFinal.select(col("vec_id"), col("embedding")), queries,
+      VecStore.centroids(spark, "vec_pqserve"), k = 5, nProbe = 3,
+      codebook = Some(VecStore.codebook(spark, "vec_pqserve")),
+      corpusLists = Some(
+        storedFinal.select(col("vec_id"), col("list_id"))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore.nonEmpty && viaStore == viaOp)
+    // the codes cache prunes to the probed lists like every store scan
+    val plan = VecStore.ivfPqTopK(spark, "vec_pqserve", queries, 5, 3)
+      .queryExecution.executedPlan.toString
+    val codeScans = plan.split("\n")
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("vec_pqserve_codes"))
+    assert(codeScans.nonEmpty && codeScans.forall(_.contains("list_id#")),
+      s"codes scans must partition-prune:\n${codeScans.mkString("\n")}")
+    // append AFTER the codebook exists double-inserts codes — the new
+    // vector is PQ-searchable immediately (8 code rows at 8 subspaces)
+    val extra = batch.limit(1)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    VecStore.append(spark, extra, "vec_pqserve", buckets = 4)
+    assert(VecStore.codes(spark, "vec_pqserve")
+      .filter(col("vec_id") >= 500000).count() == 8)
   }
 
   // the drift monitor's exactness anchor: when the corpus IS the seed
