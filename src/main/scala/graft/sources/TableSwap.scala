@@ -35,6 +35,13 @@ import scala.util.control.NonFatal
   * runs (metadata-only, but with the absent-name window); if it also
   * refuses the RENAME, the staged rows are copied back through the
   * caller's canonical writer (2× write, correctness preserved).
+  *
+  * Cross-session visibility: the swap refreshes THIS session's
+  * relation cache; another Spark session (including a streaming
+  * query's clone — see `Streams.ingestDocs`) that cached the table's
+  * file list before the swap must `REFRESH TABLE` before its next
+  * read, Spark's standard contract after any external rewrite. The
+  * swapping session itself never sees the stale list.
   */
 object TableSwap {
 

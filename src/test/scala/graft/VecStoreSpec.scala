@@ -179,6 +179,27 @@ class VecStoreSpec extends AnyFunSuite {
       s"search scans must partition-prune on list_id:\n${scans.mkString("\n")}")
   }
 
+  // the degenerate shapes of a production deployment: an empty ingest
+  // batch, an empty query set, and an uninitialized store
+  test("degenerate inputs: empty batch/query frames answer empty, missing store refuses loudly") {
+    import spark.implicits._
+    dropStore("vec_degen")
+    VecStore.init(spark, "vec_degen", stored, col("label"), buckets = 4)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(VecStore.nearDupVerdicts(spark, "vec_degen", empty, 0.35)
+      .count() == 0)
+    assert(VecStore.ivfTopK(spark, "vec_degen", empty, k = 5).count() == 0)
+    // appending an empty batch is a no-op, not an error
+    val n = VecStore.readFinal(spark, "vec_degen").count()
+    VecStore.append(spark, empty, "vec_degen", buckets = 4)
+    assert(VecStore.readFinal(spark, "vec_degen").count() == n)
+    // a store that was never initialized refuses loudly
+    intercept[Exception] {
+      VecStore.nearDupVerdicts(spark, "vec_degen_missing",
+        stored.select(col("vec_id"), col("embedding")), 0.35).count()
+    }
+  }
+
   test("store-served IVF+PQ equals the operator on stored artifacts; codes follow appends") {
     dropStore("vec_pqserve")
     VecStore.init(spark, "vec_pqserve", stored, col("label"), buckets = 4)
