@@ -23,21 +23,8 @@ object DocStoreProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val table = "docstore_probe"
-    for (t <- Seq(table, s"${table}_bands")) {
-      TableSwap.dropAllStages(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      // the in-memory catalog forgets tables between JVMs but their
-      // warehouse dirs persist — a stale dir fails the next
-      // saveAsTable with LOCATION_ALREADY_EXISTS
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      rm(new java.io.File(wh, t))
-    }
+    for (t <- Seq(table, s"${table}_bands"))
+      Probes.dropManaged(spark, t)
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
     DocStore.append(docs, table)
@@ -50,16 +37,7 @@ object DocStoreProbe {
       .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
       .localCheckpoint()
 
-    def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    def median3(f: => Long): (Double, Long) = {
-      timed(f) // warmup
-      val runs = (1 to 3).map(_ => timed(f))
-      (runs.map(_._1).sorted.apply(1), runs.head._2)
-    }
+    import Probes.median3
     val (probeSec, probeN) = median3 {
       DocStore.nearDupCandidates(spark, table, batch).count()
     }

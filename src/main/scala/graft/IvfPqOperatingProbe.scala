@@ -28,11 +28,7 @@ object IvfPqOperatingProbe {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
 
-    def timed(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
+    def timed(f: => Long): Double = Probes.timed(f)._1
     val rows = for {
       lists <- Seq(10, 25, 100)
       nProbe <- Seq(1, 2, 5, 10)

@@ -20,16 +20,7 @@ object KeepBestTailProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val d = Tables.load(spark, sfDir, "documents")
-    def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    def median3(f: => Long): (Double, Long) = {
-      timed(f)
-      val runs = (1 to 3).map(_ => timed(f))
-      (runs.map(_._1).sorted.apply(1), runs.head._2)
-    }
+    import Probes.median3
     val (fusedSec, fusedN) = median3 {
       Dedup.keepBest(d,
         Dedup.nearDupClusters(d, numHashes = 12, rowsPerBand = 2))

@@ -20,17 +20,8 @@ object VecServeProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val table = "vecserve_probe"
     for (t <- Seq(table, s"${table}_cents", s"${table}_pq",
-        s"${table}_codes")) {
-      TableSwap.dropAllStages(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
-    }
+        s"${table}_codes"))
+      Probes.dropManaged(spark, t)
     val emb = Tables.load(spark, sfDir, "embeddings")
     VecStore.init(spark, table, emb, col("label"), buckets = 16)
     VecStore.trainPqCodebook(spark, table, buckets = 16)
@@ -39,16 +30,7 @@ object VecServeProbe {
     val corpus = emb.select(col("vec_id"), col("embedding"))
     val cents = Similarity.centroids(emb, col("label"))
 
-    def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    def median3(f: => Long): (Double, Long) = {
-      timed(f)
-      val runs = (1 to 3).map(_ => timed(f))
-      (runs.map(_._1).sorted.apply(1), runs.head._2)
-    }
+    import Probes.median3
     val (ivfStoreSec, n1) = median3 {
       VecStore.ivfTopK(spark, table, queries, k = 5, nProbe = 3)
         .queryExecution.toRdd.count()

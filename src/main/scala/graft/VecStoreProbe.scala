@@ -24,18 +24,8 @@ object VecStoreProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val table = "vecstore_probe"
-    for (t <- Seq(table, s"${table}_cents")) {
-      TableSwap.dropAllStages(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      rm(new java.io.File(wh, t))
-    }
+    for (t <- Seq(table, s"${table}_cents"))
+      Probes.dropManaged(spark, t)
     val emb = Tables.load(spark, sfDir, "embeddings")
     VecStore.init(spark, table, emb, col("label"), buckets = 16)
     // the ingest batch: copies of existing vectors under fresh ids
@@ -47,16 +37,7 @@ object VecStoreProbe {
         col("embedding"), col("label"))
       .localCheckpoint()
 
-    def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    def median3(f: => Long): (Double, Long) = {
-      timed(f) // warmup
-      val runs = (1 to 3).map(_ => timed(f))
-      (runs.map(_._1).sorted.apply(1), runs.head._2)
-    }
+    import Probes.median3
     val (probeSec, probeN) = median3 {
       VecStore.nearDupVerdicts(spark, table,
         batch.select(col("vec_id"), col("embedding")), minCos = 0.35)

@@ -191,12 +191,24 @@ case class TopKWeightedAggregate(
       case Some(c) => buf.update(s, c + w)
       case None =>
         buf.update(s.clone(), w)
-        // weighted overflow reuses the merge-time subtraction (an
-        // update IS a merge with the singleton {s: w}); the classic
-        // decrement-by-one loop has no weighted analogue with the
-        // same amortization, and the merge rule's bound covers both
-        if (buf.size > capacity)
-          TopKAggregate.subtractOverflow(buf, capacity)
+        // weighted overflow = a merge with the singleton {s: w} (the
+        // classic decrement-by-one loop has no weighted analogue with
+        // the same amortization; the merge rule's bound covers both).
+        // At update time the map holds exactly capacity+1 entries, so
+        // the (capacity+1)-th largest IS the minimum — found in one
+        // allocation-free pass instead of the merge path's
+        // sort-the-counts (this runs per tail row in the designed
+        // regime, the hot-path-allocation class a prior review fixed)
+        if (buf.size > capacity) {
+          var t = Long.MaxValue
+          buf.valuesIterator.foreach(c => if (c < t) t = c)
+          val dead = mutable.ArrayBuffer.empty[UTF8String]
+          buf.keysIterator.foreach { key =>
+            val c = buf(key) - t
+            if (c <= 0L) dead += key else buf.update(key, c)
+          }
+          dead.foreach(buf.remove)
+        }
     }
     buf
   }

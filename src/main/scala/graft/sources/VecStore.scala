@@ -49,10 +49,19 @@ import graft.operators.{Dedup, Similarity}
   */
 object VecStore {
 
-  /** Create the store: train the coarse quantizer on the initial
+  /** (Re)create the store: train the coarse quantizer on the initial
     * corpus (grouped by `key` — a label, shard, or clustering column,
     * exactly [[Similarity.centroids]]' contract), persist it, then
     * append the corpus through the normal write path.
+    *
+    * init on an EXISTING store drops every table first (the
+    * `--recreate` semantics): re-initializing is the documented drift
+    * retrain, and appending a new quantizer's rows next to rows
+    * assigned under the old one would leave stored vectors in
+    * partitions the new centroid map never probes — silent misses on
+    * every later search/dedup. A retrain therefore rebuilds
+    * everything, including any `_pq`/`_codes` artifacts (re-run
+    * [[trainPqCodebook]] after).
     */
   def init(
       spark: SparkSession,
@@ -60,6 +69,11 @@ object VecStore {
       embeddings: DataFrame,
       key: Column,
       buckets: Int = 16): Unit = {
+    for (t <- Seq(table, s"${table}_cents", s"${table}_pq",
+        s"${table}_codes")) {
+      TableSwap.dropAllStages(spark, t)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
     Similarity.centroids(embeddings, key).write
       .mode(SaveMode.Overwrite)
       .format("parquet")
@@ -215,27 +229,45 @@ object VecStore {
       codebookK: Int = 16,
       dims: Int = 64,
       buckets: Int = 16): Unit = {
-    Similarity.trainPqCodebook(
+    // train ONCE, stamp the codebook's content hash on the codebook
+    // AND every code row: codebook and codes are a mutually-dependent
+    // pair with no atomic two-table write, so consistency is enforced
+    // at READ time instead — ivfPqTopK refuses loudly when probed code
+    // rows carry a different hash than the live codebook (a crash
+    // between the two writes here, or a half-finished retrain, becomes
+    // an error message naming the repair, never silent garbage ADC)
+    val cbDf = Similarity.trainPqCodebook(
       readFinal(spark, table).select(col("vec_id"), col("embedding")),
       numSub, codebookK, dims)
-      .write.mode(SaveMode.Overwrite).format("parquet")
+      .localCheckpoint()
+    val stamped = cbDf.withColumn("cb_hash", lit(cbHashOf(cbDf)))
+    stamped.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}_pq")
-    // materialize the codes CACHE for the existing corpus (`_codes`,
-    // partitioned by list like the vectors): PQ serving reads codes,
-    // never corpus floats. Retraining lands here too, so a retrain
-    // atomically re-encodes — codes always match the live codebook.
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_codes")
-    writeCodes(spark,
-      readFinal(spark, table)
-        .select(col("vec_id"), col("embedding"), col("list_id")),
-      table, buckets, SaveMode.Overwrite)
+    // the codes CACHE for the existing corpus (`_codes`, partitioned
+    // by list like the vectors): PQ serving reads codes, never corpus
+    // floats. A rebuild goes through the staged swap — no window in
+    // which the table name fails to resolve (the TableSwap policy).
+    val corpus = readFinal(spark, table)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      val tmp = TableSwap.stageName(spark, s"${table}_codes")
+      TableSwap.dropAllStages(spark, s"${table}_codes")
+      writeCodes(spark, corpus, stamped, tmp, buckets)
+      TableSwap.swapIn(spark, tmp, s"${table}_codes",
+        partitioned = true)(df =>
+        df.write.mode(SaveMode.Append).format("parquet")
+          .partitionBy("list_id").bucketBy(buckets, "vec_id")
+          .sortBy("vec_id").saveAsTable(s"${table}_codes"))
+    } else writeCodes(spark, corpus, stamped, s"${table}_codes", buckets)
   }
 
-  /** The stored PQ codebook ([[trainPqCodebook]]). */
+  /** The stored PQ codebook ([[trainPqCodebook]]); carries `cb_hash`,
+    * the content hash every code row is stamped with.
+    */
   def codebook(spark: SparkSession, table: String): DataFrame =
     spark.table(s"${table}_pq")
 
-  /** The stored PQ codes cache (vec_id, sub, code, list_id). */
+  /** The stored PQ codes cache (vec_id, sub, code, cb_hash, list_id). */
   def codes(spark: SparkSession, table: String): DataFrame =
     spark.table(s"${table}_codes")
 
@@ -246,29 +278,52 @@ object VecStore {
       buckets: Int): Unit =
     writeCodes(spark,
       assigned.select(col("vec_id"), col("embedding"), col("list_id")),
-      table, buckets, SaveMode.Append)
+      codebook(spark, table), s"${table}_codes", buckets)
 
   private def writeCodes(
       spark: SparkSession,
       vecsWithList: DataFrame,
-      table: String,
-      buckets: Int,
-      mode: SaveMode): Unit = {
-    val cb = codebook(spark, table)
+      cb: DataFrame,
+      target: String,
+      buckets: Int): Unit = {
     val (numSub, subDim) = pqShape(cb)
+    val hash = cb.select(col("cb_hash")).head().getString(0)
     Similarity.pqEncode(
       Similarity.subVectors(
         Similarity.unitVectors(
           vecsWithList.select(col("vec_id"), col("embedding")),
           "vec_id", numSub * subDim),
-        "vec_id", numSub, subDim), cb)
+        "vec_id", numSub, subDim),
+      cb.drop("cb_hash"))
       .join(vecsWithList.select(col("vec_id"), col("list_id")),
         Seq("vec_id"))
-      .write.mode(mode).format("parquet")
+      .withColumn("cb_hash", lit(hash))
+      .write.mode(SaveMode.Append).format("parquet")
       .partitionBy("list_id")
       .bucketBy(buckets, "vec_id")
       .sortBy("vec_id")
-      .saveAsTable(s"${table}_codes")
+      .saveAsTable(target)
+  }
+
+  /** Deterministic content hash of a codebook: rows sorted by
+    * (sub, code), doubles via their exact bit patterns. Bounded —
+    * numSub·codebookK rows.
+    */
+  private def cbHashOf(cb: DataFrame): String = {
+    val rows = cb.select(col("sub"), col("code"), col("cw")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    val sb = new StringBuilder
+    rows.foreach { case (s, c, cw) =>
+      sb.append(s).append(':').append(c)
+      cw.foreach(d => sb.append(',')
+        .append(java.lang.Long.toHexString(
+          java.lang.Double.doubleToLongBits(d))))
+      sb.append(';')
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** (numSub, subDim) read off the stored codebook itself — the shape
@@ -303,25 +358,43 @@ object VecStore {
     val (numSub, subDim) = pqShape(cb)
     val dims = numSub * subDim
     val lc = litCents(spark, table)
-    val cands = candStructs(lc)
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding"),
-        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("__n"))
+    val queriesV = Similarity.unitVectors(
+      queries.select(col("vec_id"), col("embedding")), "query_id", dims)
+      .localCheckpoint()
+    // probe selection over the UNIT query vectors with d = dot(v,c)/|c|
+    // — bitwise the arithmetic of Similarity.ivfPqTopK's list picker
+    // (which pre-normalizes), NOT candStructs' raw-vector form: the two
+    // are mathematically equal but differ in low-order bits, and a
+    // cosine within an ulp of a 4dp rounding boundary would otherwise
+    // flip a probe list between the store face and the operator face
+    val qcands = lc.map { case (id, c, cn) =>
+      struct(
+        (-round(Dedup.dot(col("v"), typedLit(c)) / lit(cn), 4)).as("nd"),
+        lit(id).as("list_id"))
+    }
+    val probes = queriesV
       .withColumn("__c", slice(
-        array_sort(array(cands.toIndexedSeq: _*)), 1, nProbe))
-      .select(col("query_id"), col("embedding"),
-        explode(col("__c")).as("pc"))
-      .select(col("query_id"), col("embedding"),
-        col("pc.list_id").as("list_id"))
+        array_sort(array(qcands.toIndexedSeq: _*)), 1, nProbe))
+      .select(col("query_id"), explode(col("__c")).as("pc"))
+      .select(col("query_id"), col("pc.list_id").as("list_id"))
       .localCheckpoint()
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.get(0)).toIndexedSeq
-    // ADC: pruned codes × the per-query dot table (both sides narrow)
+    // ADC: pruned codes × the per-query dot table (both sides narrow).
+    // The hash guard makes a codebook/codes mismatch (a crashed or
+    // half-finished retrain) LOUD here instead of silently summing a
+    // dot table against codes from a different codebook — the check
+    // rides the rows the query reads anyway.
+    val liveHash = cb.select(col("cb_hash")).head().getString(0)
     val storedCodes = codes(spark, table)
       .filter(col("list_id").isInCollection(probedIds))
       .dropDuplicates("vec_id", "sub")
-    val queriesV = Similarity.unitVectors(
-      queries.select(col("vec_id"), col("embedding")), "query_id", dims)
+    val codeHashes = storedCodes.select(col("cb_hash")).distinct()
+      .collect().map(_.getString(0))
+    require(codeHashes.forall(_ == liveHash),
+      s"VecStore: `${table}_codes` holds rows encoded under a different " +
+        "codebook than the live `_pq` (crashed/partial retrain?) — " +
+        "rerun trainPqCodebook to re-encode")
     val dtable = Similarity
       .subVectors(queriesV, "query_id", numSub, subDim)
       .join(cb, Seq("sub"))

@@ -20,23 +20,8 @@ class SourcesSpec extends AnyFunSuite {
   /** Drop from the catalog AND the filesystem: the in-memory catalog
     * forgets tables between JVMs but their warehouse dirs persist.
     */
-  private def dropTable(name: String): Unit = {
-    // stage siblings (versioned since r8) may share the live table's
-    // current data directory — reclaim through the guard, then drop
-    graft.sources.TableSwap.dropAllStages(spark, name)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = new java.io.File("/tmp/graft_warehouse")
-    Option(wh.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.getName == name || d.getName == name + "_compacted" ||
-        d.getName.startsWith(name + "_stage_"))
-      .foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir)
-      }
-  }
+  private def dropTable(name: String): Unit =
+    Probes.dropManaged(spark, name)
 
   private def sampleStatements = {
     import spark.implicits._

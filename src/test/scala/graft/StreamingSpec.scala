@@ -460,23 +460,8 @@ class StreamingSpec extends AnyFunSuite {
   test("st13b cadence compaction: mid-stream compact collapses replays, store stays readable") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    for (t <- Seq("st13b_docs", "st13b_docs_bands")) {
-      graft.sources.TableSwap.dropAllStages(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      // stage/compacted SIBLING dirs survive a crashed prior run too
-      val wh = new java.io.File("/tmp/graft_warehouse")
-      Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.getName == t || d.getName == t + "_compacted" ||
-          d.getName.startsWith(t + "_stage_"))
-        .foreach { dir =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(dir)
-        }
-    }
+    for (t <- Seq("st13b_docs", "st13b_docs_bands"))
+      Probes.dropManaged(spark, t)
     val textA = "the quick brown fox jumps over the lazy dog again today"
     val textB = "completely different content with no shared phrases here"
     val in = MemoryStream[(Long, String, String)]
@@ -529,22 +514,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
     implicit val sq = spark.sqlContext
-    for (t <- Seq("st14_vecs", "st14_vecs_cents")) {
-      graft.sources.TableSwap.dropAllStages(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new java.io.File("/tmp/graft_warehouse")
-      Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.getName == t || d.getName == t + "_compacted" ||
-          d.getName.startsWith(t + "_stage_"))
-        .foreach { dir =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(dir)
-        }
-    }
+    for (t <- Seq("st14_vecs", "st14_vecs_cents"))
+      Probes.dropManaged(spark, t)
     val emb = Tables.load(spark, sf, "embeddings")
     val storedSide = emb.filter(col("vec_id") % 10 =!= 0)
     val batchSide = emb.filter(col("vec_id") % 10 === 0)

@@ -14,25 +14,10 @@ import graft.sources.VecStore
 class VecStoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def dropStore(name: String): Unit = {
+  private def dropStore(name: String): Unit =
     for (t <- Seq(name, s"${name}_cents", s"${name}_pq",
-        s"${name}_codes")) {
-      graft.sources.TableSwap.dropAllStages(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new java.io.File("/tmp/graft_warehouse")
-      Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.getName == t || d.getName == t + "_compacted" ||
-          d.getName.startsWith(t + "_stage_"))
-        .foreach { dir =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(dir)
-        }
-    }
-  }
+        s"${name}_codes"))
+      Probes.dropManaged(spark, t)
 
   private lazy val emb = Tables.load(spark, sf, "embeddings")
   private lazy val stored = emb.filter(col("vec_id") % 10 =!= 0)
@@ -232,6 +217,23 @@ class VecStoreSpec extends AnyFunSuite {
     VecStore.append(spark, extra, "vec_pqserve", buckets = 4)
     assert(VecStore.codes(spark, "vec_pqserve")
       .filter(col("vec_id") >= 500000).count() == 8)
+    // a retrain is also a rebuild of the codes (staged swap) — serving
+    // keeps working and the hashes stay in step
+    VecStore.trainPqCodebook(spark, "vec_pqserve", buckets = 4)
+    assert(VecStore.ivfPqTopK(spark, "vec_pqserve", queries, 5, 3)
+      .count() > 0)
+    // simulate the crashed-retrain state: a NEW codebook lands in _pq
+    // but the codes were never re-encoded — serving must refuse
+    // LOUDLY, never silently ADC against mismatched codewords
+    val cb2 = Similarity.trainPqCodebook(
+      stored.limit(30).select(col("vec_id"), col("embedding")))
+      .withColumn("cb_hash", lit("simulated-crash-hash"))
+    cb2.write.mode("overwrite").format("parquet")
+      .saveAsTable("vec_pqserve_pq")
+    val e = intercept[IllegalArgumentException] {
+      VecStore.ivfPqTopK(spark, "vec_pqserve", queries, 5, 3).count()
+    }
+    assert(e.getMessage.contains("different codebook"))
   }
 
   // the drift monitor's exactness anchor: when the corpus IS the seed
