@@ -426,9 +426,13 @@ object VecStore {
   }
 
   /** Durable dedup of re-delivered appends via the shared staged swap
-    * ([[TableSwap]] crash-window policy). The index needs no rebuild:
-    * list_id is a column, so the deduped rows re-partition into the
-    * identical lists.
+    * ([[TableSwap]] crash-window policy). The inverted-list index
+    * needs no rebuild: list_id is a column, so the deduped rows
+    * re-partition into the identical lists. A present `_codes` cache
+    * is rebuilt from the compacted corpus through the same staged
+    * swap (re-delivered code rows are read-time-deduped anyway, but a
+    * cache that only ever grows defeats compaction), stamped with the
+    * LIVE codebook's hash.
     */
   def compact(
       spark: SparkSession,
@@ -447,6 +451,19 @@ object VecStore {
       df.write.mode(SaveMode.Append).format("parquet")
         .partitionBy("list_id").bucketBy(buckets, "vec_id")
         .sortBy("vec_id").saveAsTable(table))
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      val ctmp = TableSwap.stageName(spark, s"${table}_codes")
+      TableSwap.dropAllStages(spark, s"${table}_codes")
+      writeCodes(spark,
+        read(spark, table)
+          .select(col("vec_id"), col("embedding"), col("list_id")),
+        codebook(spark, table), ctmp, buckets)
+      TableSwap.swapIn(spark, ctmp, s"${table}_codes",
+        partitioned = true)(df =>
+        df.write.mode(SaveMode.Append).format("parquet")
+          .partitionBy("list_id").bucketBy(buckets, "vec_id")
+          .sortBy("vec_id").saveAsTable(s"${table}_codes"))
+    }
   }
 
   /** `vectors` (idCol, embedding) with the stored quantizer's

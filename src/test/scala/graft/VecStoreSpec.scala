@@ -222,6 +222,18 @@ class VecStoreSpec extends AnyFunSuite {
     VecStore.trainPqCodebook(spark, "vec_pqserve", buckets = 4)
     assert(VecStore.ivfPqTopK(spark, "vec_pqserve", queries, 5, 3)
       .count() > 0)
+    // compact rebuilds the codes cache too: replay the corpus, compact,
+    // and the cache holds exactly one code row per (vec, sub)
+    VecStore.append(spark,
+      stored.select(col("vec_id"), col("embedding")), "vec_pqserve",
+      buckets = 4)
+    val nVec = VecStore.readFinal(spark, "vec_pqserve").count()
+    VecStore.compact(spark, "vec_pqserve", buckets = 4)
+    assert(VecStore.read(spark, "vec_pqserve").count() == nVec)
+    assert(VecStore.codes(spark, "vec_pqserve").count() == nVec * 8,
+      "compact must rebuild the codes cache deduplicated")
+    assert(VecStore.ivfPqTopK(spark, "vec_pqserve", queries, 5, 3)
+      .count() > 0)
     // simulate the crashed-retrain state: a NEW codebook lands in _pq
     // but the codes were never re-encoded — serving must refuse
     // LOUDLY, never silently ADC against mismatched codewords
