@@ -193,22 +193,11 @@ case class TopKWeightedAggregate(
         buf.update(s.clone(), w)
         // weighted overflow = a merge with the singleton {s: w} (the
         // classic decrement-by-one loop has no weighted analogue with
-        // the same amortization; the merge rule's bound covers both).
-        // At update time the map holds exactly capacity+1 entries, so
-        // the (capacity+1)-th largest IS the minimum — found in one
-        // allocation-free pass instead of the merge path's
-        // sort-the-counts (this runs per tail row in the designed
-        // regime, the hot-path-allocation class a prior review fixed)
-        if (buf.size > capacity) {
-          var t = Long.MaxValue
-          buf.valuesIterator.foreach(c => if (c < t) t = c)
-          val dead = mutable.ArrayBuffer.empty[UTF8String]
-          buf.keysIterator.foreach { key =>
-            val c = buf(key) - t
-            if (c <= 0L) dead += key else buf.update(key, c)
-          }
-          dead.foreach(buf.remove)
-        }
+        // the same amortization; the merge rule's bound covers both) —
+        // subtractOverflow's overflow-by-one fast path keeps this
+        // per-tail-row call allocation-free
+        if (buf.size > capacity)
+          TopKAggregate.subtractOverflow(buf, capacity)
     }
     buf
   }
@@ -263,13 +252,25 @@ object TopKAggregate {
   /** Subtract the (capacity+1)-th largest count and drop ≤ 0 — the
     * PODS'12 mergeable-summaries rule; at most `capacity` entries
     * survive and every error stays within the MG bound. Shared by
-    * merge (both sketches) and the weighted update's overflow.
+    * merge (both sketches) and the weighted update's overflow. The
+    * overflow-by-ONE case (every weighted-update overflow, and the
+    * common merge case) finds its threshold — then just the minimum —
+    * in one allocation-free pass instead of sorting the counts; that
+    * is the per-tail-row hot path of the weighted sketch's designed
+    * regime.
     */
   private[functions] def subtractOverflow(
       b: mutable.HashMap[UTF8String, Long], capacity: Int): Unit = {
-    val counts = b.values.toArray
-    java.util.Arrays.sort(counts)
-    val t = counts(counts.length - capacity - 1)
+    val t =
+      if (b.size == capacity + 1) {
+        var mn = Long.MaxValue
+        b.valuesIterator.foreach(c => if (c < mn) mn = c)
+        mn
+      } else {
+        val counts = b.values.toArray
+        java.util.Arrays.sort(counts)
+        counts(counts.length - capacity - 1)
+      }
     val dead = mutable.ArrayBuffer.empty[UTF8String]
     b.keysIterator.foreach { key =>
       val c = b(key) - t

@@ -97,6 +97,15 @@ object VecStore {
       table: String,
       buckets: Int = 16): Unit = {
     val hasPq = spark.catalog.tableExists(s"${table}_pq")
+    // a codebook without its codes cache is the crash state between
+    // trainPqCodebook's two writes — appending would CREATE a cache
+    // holding only this batch, which every later PQ search would serve
+    // as if it were the corpus (silent misses on everything older).
+    // Refuse with the repair instead.
+    require(!hasPq || spark.catalog.tableExists(s"${table}_codes"),
+      s"VecStore: `${table}_pq` exists without `${table}_codes` " +
+        "(crashed/partial trainPqCodebook?) — rerun trainPqCodebook " +
+        "before appending")
     val assigned0 = withAssignment(spark, vectors, table)
     // with a codebook present this batch feeds TWO tables — materialize
     // once so a non-deterministic source cannot desync codes from
@@ -243,22 +252,36 @@ object VecStore {
     val stamped = cbDf.withColumn("cb_hash", lit(cbHashOf(cbDf)))
     stamped.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}_pq")
-    // the codes CACHE for the existing corpus (`_codes`, partitioned
-    // by list like the vectors): PQ serving reads codes, never corpus
-    // floats. A rebuild goes through the staged swap — no window in
-    // which the table name fails to resolve (the TableSwap policy).
+    rebuildCodes(spark, table, stamped, buckets)
+  }
+
+  /** Rebuild the `_codes` cache from the FINAL corpus under codebook
+    * `cb` — the one definition of the codes write shape, shared by
+    * [[trainPqCodebook]] and [[compact]]. Re-encoding from the corpus
+    * floats (rather than deduping the existing code rows) is
+    * deliberate: it also HEALS a lagging cache — vectors whose
+    * codes-append crashed after the vector write re-enter PQ serving
+    * here, the repair both failure docs point at. An existing table
+    * swaps via [[TableSwap]] (no window in which the name fails to
+    * resolve); a first build creates it directly.
+    */
+  private def rebuildCodes(
+      spark: SparkSession,
+      table: String,
+      cb: DataFrame,
+      buckets: Int): Unit = {
     val corpus = readFinal(spark, table)
       .select(col("vec_id"), col("embedding"), col("list_id"))
     if (spark.catalog.tableExists(s"${table}_codes")) {
       val tmp = TableSwap.stageName(spark, s"${table}_codes")
       TableSwap.dropAllStages(spark, s"${table}_codes")
-      writeCodes(spark, corpus, stamped, tmp, buckets)
+      writeCodes(spark, corpus, cb, tmp, buckets)
       TableSwap.swapIn(spark, tmp, s"${table}_codes",
         partitioned = true)(df =>
         df.write.mode(SaveMode.Append).format("parquet")
           .partitionBy("list_id").bucketBy(buckets, "vec_id")
           .sortBy("vec_id").saveAsTable(s"${table}_codes"))
-    } else writeCodes(spark, corpus, stamped, s"${table}_codes", buckets)
+    } else writeCodes(spark, corpus, cb, s"${table}_codes", buckets)
   }
 
   /** The stored PQ codebook ([[trainPqCodebook]]); carries `cb_hash`,
@@ -286,6 +309,7 @@ object VecStore {
       cb: DataFrame,
       target: String,
       buckets: Int): Unit = {
+    requireStamped(cb, target)
     val (numSub, subDim) = pqShape(cb)
     val hash = cb.select(col("cb_hash")).head().getString(0)
     Similarity.pqEncode(
@@ -304,6 +328,16 @@ object VecStore {
       .sortBy("vec_id")
       .saveAsTable(target)
   }
+
+  /** Legacy guard: a `_pq` table written before the hash-stamp scheme
+    * has no `cb_hash` column — fail with the actionable repair
+    * instead of an unresolved-column analyzer error.
+    */
+  private def requireStamped(cb: DataFrame, what: String): Unit =
+    require(cb.columns.contains("cb_hash"),
+      s"VecStore: the stored codebook predates the cb_hash consistency " +
+        s"scheme (needed for $what) — rerun trainPqCodebook to restamp " +
+        "and re-encode")
 
   /** Deterministic content hash of a codebook: rows sorted by
     * (sub, code), doubles via their exact bit patterns. Bounded —
@@ -336,12 +370,16 @@ object VecStore {
   }
 
   /** IVF+PQ ANN search SERVED FROM THE STORE — the full production
-    * path: the query's `nProbe` lists come from the shared candidate
-    * ranking ([[candStructs]]), the CODES cache is read partition-
-    * pruned (corpus floats untouched by the ADC stage), ADC scores
-    * against the stored codebook, and only the capped shortlist
-    * re-reads true vectors (bucketed vec_id join on the main table —
-    * no store-side shuffle) for the exact re-rank. Output matches
+    * path: the query's `nProbe` lists are ranked over the UNIT query
+    * vectors (deliberately NOT [[candStructs]]' raw-vector form — see
+    * the inline comment; the operator face pre-normalizes, and
+    * matching its arithmetic bitwise is what keeps the parity spec
+    * exact), the CODES cache is read partition-pruned (corpus floats
+    * untouched by the ADC stage) with the codebook-hash guard folded
+    * into the scan, ADC scores against the stored codebook, and only
+    * the capped shortlist re-reads true vectors (bucketed vec_id join
+    * on the main table — no store-side shuffle) for the exact
+    * re-rank. Output matches
     * [[graft.operators.Similarity.ivfPqTopK]] over the FINAL corpus
     * with the stored centroids, codebook, and list layout
     * (spec-asserted).
@@ -381,20 +419,25 @@ object VecStore {
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.get(0)).toIndexedSeq
     // ADC: pruned codes × the per-query dot table (both sides narrow).
-    // The hash guard makes a codebook/codes mismatch (a crashed or
-    // half-finished retrain) LOUD here instead of silently summing a
-    // dot table against codes from a different codebook — the check
-    // rides the rows the query reads anyway.
+    // The hash guard makes a codebook/codes mismatch (a half-finished
+    // retrain) LOUD instead of silently summing a dot table against
+    // codes from a different codebook. It is folded INTO the code
+    // column itself — assert_true is null on success, so `code` keeps
+    // its value and the check cannot be pruned away — which means it
+    // rides the one scan the ADC join performs: zero extra jobs.
+    requireStamped(cb, "ivfPqTopK")
     val liveHash = cb.select(col("cb_hash")).head().getString(0)
+    val mismatch = s"VecStore: `${table}_codes` holds rows encoded " +
+      "under a different codebook than the live `_pq` " +
+      "(crashed/partial retrain?) — rerun trainPqCodebook to re-encode"
     val storedCodes = codes(spark, table)
       .filter(col("list_id").isInCollection(probedIds))
       .dropDuplicates("vec_id", "sub")
-    val codeHashes = storedCodes.select(col("cb_hash")).distinct()
-      .collect().map(_.getString(0))
-    require(codeHashes.forall(_ == liveHash),
-      s"VecStore: `${table}_codes` holds rows encoded under a different " +
-        "codebook than the live `_pq` (crashed/partial retrain?) — " +
-        "rerun trainPqCodebook to re-encode")
+      .withColumn("code",
+        col("code") + coalesce(
+          assert_true(col("cb_hash") === lit(liveHash), lit(mismatch))
+            .cast("long"),
+          lit(0L)))
     val dtable = Similarity
       .subVectors(queriesV, "query_id", numSub, subDim)
       .join(cb, Seq("sub"))
@@ -451,19 +494,8 @@ object VecStore {
       df.write.mode(SaveMode.Append).format("parquet")
         .partitionBy("list_id").bucketBy(buckets, "vec_id")
         .sortBy("vec_id").saveAsTable(table))
-    if (spark.catalog.tableExists(s"${table}_codes")) {
-      val ctmp = TableSwap.stageName(spark, s"${table}_codes")
-      TableSwap.dropAllStages(spark, s"${table}_codes")
-      writeCodes(spark,
-        read(spark, table)
-          .select(col("vec_id"), col("embedding"), col("list_id")),
-        codebook(spark, table), ctmp, buckets)
-      TableSwap.swapIn(spark, ctmp, s"${table}_codes",
-        partitioned = true)(df =>
-        df.write.mode(SaveMode.Append).format("parquet")
-          .partitionBy("list_id").bucketBy(buckets, "vec_id")
-          .sortBy("vec_id").saveAsTable(s"${table}_codes"))
-    }
+    if (spark.catalog.tableExists(s"${table}_codes"))
+      rebuildCodes(spark, table, codebook(spark, table), buckets)
   }
 
   /** `vectors` (idCol, embedding) with the stored quantizer's
@@ -506,9 +538,13 @@ object VecStore {
     array_min(array(candStructs(lc).toIndexedSeq: _*)).getField("list_id")
 
   /** The per-centroid (−score, list_id) candidate structs both the
-    * keep-1 argmax ([[assignExpr]]) and the nProbe probe selection
-    * ([[ivfTopK]]) rank — one definition, so write-time assignment and
-    * read-time probing can never disagree on a list choice.
+    * keep-1 argmax ([[assignExpr]]) and [[ivfTopK]]'s nProbe probe
+    * selection rank — one definition, so write-time assignment and
+    * the exact-search probe can never disagree on a list choice.
+    * [[ivfPqTopK]] deliberately does NOT use this form: its operator
+    * twin ranks pre-normalized unit vectors, and matching that
+    * arithmetic bitwise (see the inline comment there) is what keeps
+    * its parity spec exact.
     */
   private def candStructs(
       lc: Array[(Any, Seq[Double], Double)]): Array[Column] = {

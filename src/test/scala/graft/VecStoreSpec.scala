@@ -242,10 +242,40 @@ class VecStoreSpec extends AnyFunSuite {
       .withColumn("cb_hash", lit("simulated-crash-hash"))
     cb2.write.mode("overwrite").format("parquet")
       .saveAsTable("vec_pqserve_pq")
-    val e = intercept[IllegalArgumentException] {
+    // the guard now fires inside the ADC scan (assert_true folded into
+    // the code column — zero extra jobs), so the message arrives
+    // wrapped in the job failure chain
+    val e = intercept[Exception] {
       VecStore.ivfPqTopK(spark, "vec_pqserve", queries, 5, 3).count()
     }
-    assert(e.getMessage.contains("different codebook"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("different codebook"))
+  }
+
+  // the crash state between trainPqCodebook's two writes: a codebook
+  // without its codes cache — appending would CREATE a cache holding
+  // only the batch, which PQ serving would silently treat as the
+  // whole corpus; the write path must refuse with the repair instead
+  test("append refuses when the codebook exists without its codes cache") {
+    dropStore("vec_nocodes")
+    VecStore.init(spark, "vec_nocodes", stored, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_nocodes", buckets = 4)
+    Probes.dropManaged(spark, "vec_nocodes_codes")
+    val e = intercept[IllegalArgumentException] {
+      VecStore.append(spark,
+        batch.select(col("vec_id"), col("embedding")), "vec_nocodes",
+        buckets = 4)
+    }
+    assert(e.getMessage.contains("rerun trainPqCodebook"))
+    // the named repair restores appendability
+    VecStore.trainPqCodebook(spark, "vec_nocodes", buckets = 4)
+    VecStore.append(spark,
+      batch.select(col("vec_id"), col("embedding")), "vec_nocodes",
+      buckets = 4)
+    assert(VecStore.codes(spark, "vec_nocodes")
+      .select(col("vec_id")).distinct().count() ==
+      VecStore.readFinal(spark, "vec_nocodes").count())
   }
 
   // the drift monitor's exactness anchor: when the corpus IS the seed
