@@ -61,19 +61,52 @@ object TopKProbe {
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= k)
     }
+    // the WEIGHTED arm (q23b's designed regime): the same stream with
+    // a deterministic per-row weight 1..100 — the exact path must
+    // shuffle the full value grain to SUM weights, the weighted sketch
+    // carries ≤ capacity counters per (task, group)
+    def wsketch() = base
+      .withColumn("w", (pmod(hash(col("v")), lit(100)) + 1).cast("long"))
+      .groupBy(col("grp"))
+      .agg(TopKAggregate.topKWeighted(col("v"), col("w"), k, capacity)
+        .as("top"))
+      .select(col("grp"), explode(col("top")))
+    def wexact() = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("n").desc, col("v"))
+      base
+        .withColumn("w", (pmod(hash(col("v")), lit(100)) + 1).cast("long"))
+        .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("n"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= k)
+    }
     val sketchSec = median3(sketch().queryExecution.toRdd.count())
     val exactSec = median3(exact().queryExecution.toRdd.count())
+    val wsketchSec = median3(wsketch().queryExecution.toRdd.count())
+    val wexactSec = median3(wexact().queryExecution.toRdd.count())
     // head-set equality: hot values carry ~rows*0.3/20/groups each,
-    // far above rows/groups/(capacity+1)
+    // far above rows/groups/(capacity+1) — and in the weighted arm
+    // the per-value weight is constant (hash of the value), so hot
+    // weights scale the same way above W/(capacity+1)
     val sk = sketch().select(col("grp"), col("col.value"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     val ex = exact().select(col("grp"), col("v"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     require(sk == ex,
       s"head sets differ: sketch-only=${sk -- ex} exact-only=${ex -- sk}")
+    val wsk = wsketch().select(col("grp"), col("col.value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val wex = wexact().select(col("grp"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    require(wsk == wex,
+      s"weighted head sets differ: sketch-only=${wsk -- wex} " +
+        s"exact-only=${wex -- wsk}")
     println(s"""{"rows":$rows,"groups":$groups,"capacity":$capacity,""" +
       s""""sketch_sec":$sketchSec,"exact_sec":$exactSec,""" +
-      s""""heads_equal":true}""")
+      s""""weighted_sketch_sec":$wsketchSec,""" +
+      s""""weighted_exact_sec":$wexactSec,""" +
+      s""""heads_equal":true,"weighted_heads_equal":true}""")
     spark.stop()
   }
 }
