@@ -79,15 +79,68 @@ object DocStore {
           Dedup.words(col("text")), 3, numHashes, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
 
-  /** Raw read — may contain duplicate doc_ids from re-ingests. */
+  /** Raw read — may contain duplicate doc_ids from re-ingests and
+    * rows whose ids have been [[pop]]ped (physically dropped only at
+    * [[compact]]).
+    */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
   /** FINAL read: one row per doc_id (any survivor — re-ingested docs
-    * are byte-identical). In-bucket dedup, no Exchange.
+    * are byte-identical), [[pop]]ped ids excluded. In-bucket dedup, no
+    * shuffle: the takedown set joins as a broadcast anti-join (it is
+    * request-sized, never data-sized), so the corpus still never
+    * moves.
     */
   def readFinal(spark: SparkSession, table: String): DataFrame =
-    read(spark, table).dropDuplicates("doc_id")
+    minusDels(spark, table, read(spark, table)).dropDuplicates("doc_id")
+
+  /** Take down documents — the corpus-store delete the statement
+    * store's tombstones ([[StatementStore.pop]]) already have: the ids
+    * land APPEND-ONLY in `<table>_dels`, so no surviving document is
+    * rewritten, and every read face (FINAL, [[nearDupCandidates]])
+    * excludes them immediately. [[compact]] later drops the doc rows
+    * AND their `_bands` index rows physically and retires the
+    * tombstones.
+    *
+    * Takedown is STICKY until compaction: a popped id re-appended
+    * before the next [[compact]] stays hidden and is physically
+    * dropped by it — exactly what a right-to-be-forgotten request
+    * wants when the same document is re-delivered by an upstream
+    * crawl. After compaction the id is free to ingest again.
+    *
+    * Returns the popped documents (FINAL rows matching `docIds`),
+    * materialized BEFORE the tombstones land — distributed, not
+    * collected: a takedown batch can be large even though the
+    * tombstone table stays request-bounded.
+    */
+  def pop(spark: SparkSession, table: String, docIds: DataFrame): DataFrame = {
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val popped = readFinal(spark, table)
+      .join(broadcast(ids), Seq("doc_id"))
+      .localCheckpoint()
+    ids.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dels")
+    popped
+  }
+
+  /** The live takedown set, if any tombstones exist. */
+  private def delIds(spark: SparkSession, table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(s"${table}_dels"))
+      Some(spark.table(s"${table}_dels").select(col("doc_id")).distinct())
+    else None
+
+  /** `df` minus tombstoned ids — a broadcast anti-join (the takedown
+    * set is bounded by requests, not data), or `df` untouched when no
+    * tombstone table exists, so stores that never pop keep their exact
+    * pre-delete plans.
+    */
+  private def minusDels(
+      spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    delIds(spark, table) match {
+      case Some(d) => df.join(broadcast(d), Seq("doc_id"), "left_anti")
+      case None => df
+    }
 
   /** The stored index. */
   def bands(spark: SparkSession, table: String): DataFrame =
@@ -121,7 +174,10 @@ object DocStore {
     val probe = bandKeys(newDocs, numHashes, rowsPerBand)
       .withColumnRenamed("doc_id", "new_doc_id")
       .localCheckpoint()
-    val stored = bands(spark, table)
+    // popped docs leave the candidate space immediately (their index
+    // rows die physically at compact); exclusion sits BELOW the bucket
+    // counts so a tombstoned boilerplate doc no longer inflates them
+    val stored = minusDels(spark, table, bands(spark, table))
     val hits = stored.join(
       broadcast(probe.select(col("band"), col("key")).distinct()),
       Seq("band", "key"))
@@ -144,9 +200,13 @@ object DocStore {
   }
 
   /** Durable dedup of both tables via the shared staged swap
-    * ([[TableSwap]] crash-window policy): documents dedup by id, the
-    * index rebuilds FROM the deduped documents so compaction also
-    * repairs any index drift.
+    * ([[TableSwap]] crash-window policy): documents dedup by id
+    * (FINAL — [[pop]]ped ids physically dropped), the index rebuilds
+    * FROM the deduped documents so compaction also repairs any index
+    * drift AND sheds the tombstoned docs' band rows. The tombstone
+    * table retires LAST: a crash after the doc swap but before the
+    * retire leaves the anti-join filtering ids that no longer exist —
+    * a no-op, never a resurrection.
     */
   def compact(
       spark: SparkSession,
@@ -179,5 +239,6 @@ object DocStore {
       df.write.mode(SaveMode.Append).bucketBy(buckets, "band", "key")
         .sortBy("band", "key").format("parquet")
         .saveAsTable(s"${table}_bands"))
+    graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 }

@@ -70,7 +70,7 @@ object VecStore {
       key: Column,
       buckets: Int = 16): Unit = {
     for (t <- Seq(table, s"${table}_cents", s"${table}_pq",
-        s"${table}_codes")) {
+        s"${table}_codes", s"${table}_dels")) {
       TableSwap.dropAllStages(spark, t)
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
@@ -106,6 +106,14 @@ object VecStore {
       s"VecStore: `${table}_pq` exists without `${table}_codes` " +
         "(crashed/partial trainPqCodebook?) — rerun trainPqCodebook " +
         "before appending")
+    // the OTHER crash window: a new codebook landed in _pq but the
+    // codes swap never completed, so the cache still carries the old
+    // hash. Appending would stamp new-hash rows INTO the stale cache —
+    // serving later refuses loudly, but the broken state would grow
+    // with every batch. Catch it at write time instead: one sampled
+    // code row's stamp must match the live codebook (the staged-swap
+    // rebuild makes the cache hash-uniform, so a single row decides).
+    if (hasPq) requireCodesInStep(spark, table)
     val assigned0 = withAssignment(spark, vectors, table)
     // with a codebook present this batch feeds TWO tables — materialize
     // once so a non-deterministic source cannot desync codes from
@@ -127,16 +135,58 @@ object VecStore {
   }
 
   /** Raw read — may contain duplicate vec_ids from re-delivered
-    * appends (byte-identical rows: same embedding ⇒ same list).
+    * appends (byte-identical rows: same embedding ⇒ same list) and
+    * rows whose ids have been [[pop]]ped (physically dropped only at
+    * [[compact]]).
     */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  /** FINAL read: one row per vec_id. In-bucket dedup — the bucketed
-    * scan reports hash clustering on vec_id, so no Exchange.
+  /** FINAL read: one row per vec_id, [[pop]]ped ids excluded. In-bucket
+    * dedup — the bucketed scan reports hash clustering on vec_id, so no
+    * Exchange; the takedown set joins as a broadcast anti-join
+    * (request-sized), so the corpus still never moves.
     */
   def readFinal(spark: SparkSession, table: String): DataFrame =
-    read(spark, table).dropDuplicates("vec_id")
+    minusDels(spark, table, read(spark, table)).dropDuplicates("vec_id")
+
+  /** Take down vectors — the [[DocStore.pop]] twin for the embedding
+    * corpus: the ids land APPEND-ONLY in `<table>_dels`, every serving
+    * face ([[nearDupVerdicts]], [[ivfTopK]], [[ivfPqTopK]] — including
+    * its codes scan) excludes them immediately, and [[compact]] later
+    * drops the vector rows AND their `_codes` rows physically before
+    * retiring the tombstones. Sticky until compaction, exactly like
+    * the doc store: a popped id re-appended before the next compact
+    * stays hidden and is dropped by it.
+    *
+    * Returns the popped vectors (FINAL rows matching `vecIds`),
+    * materialized BEFORE the tombstones land.
+    */
+  def pop(spark: SparkSession, table: String, vecIds: DataFrame): DataFrame = {
+    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val popped = readFinal(spark, table)
+      .join(broadcast(ids), Seq("vec_id"))
+      .localCheckpoint()
+    ids.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dels")
+    popped
+  }
+
+  /** `df` minus tombstoned vec_ids — broadcast anti-join (takedown
+    * sets are bounded by requests, not data); `df` untouched when no
+    * tombstone table exists, so stores that never pop keep their exact
+    * pre-delete plans. Shared by the FINAL read and every serving
+    * face's pruned scan (where it sits ABOVE the partition filter, so
+    * list pruning is unaffected).
+    */
+  private def minusDels(
+      spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_dels"))
+      df.join(
+        broadcast(spark.table(s"${table}_dels")
+          .select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    else df
 
   /** Which vectors of `newVecs` are semantic near-dups of the STORED
     * corpus — the d12 verdict frame restricted to stored×batch pairs
@@ -170,8 +220,8 @@ object VecStore {
     // list at 100 TB. crossVerdicts FINAL-dedups after this filter.
     val probedIds = batchA.select(col("list_id")).distinct()
       .collect().map(_.get(0)).toIndexedSeq
-    val storedHits = read(spark, table)
-      .filter(col("list_id").isInCollection(probedIds))
+    val storedHits = minusDels(spark, table,
+      read(spark, table).filter(col("list_id").isInCollection(probedIds)))
     Dedup.crossVerdicts(storedHits, batchA, minCos, maxList,
       fromStore = true)
   }
@@ -209,8 +259,8 @@ object VecStore {
       .localCheckpoint()
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.get(0)).toIndexedSeq
-    val stored = read(spark, table)
-      .filter(col("list_id").isInCollection(probedIds))
+    val stored = minusDels(spark, table,
+      read(spark, table).filter(col("list_id").isInCollection(probedIds)))
       .dropDuplicates("vec_id")
     val scored = stored.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -339,6 +389,29 @@ object VecStore {
         s"scheme (needed for $what) — rerun trainPqCodebook to restamp " +
         "and re-encode")
 
+  /** The `_codes` twin of [[requireStamped]], shared by [[append]] and
+    * [[ivfPqTopK]]: the cache must CARRY stamps (legacy unstamped
+    * tables fail with the repair, not an unresolved-column analyzer
+    * error) and, when non-empty, a sampled row's stamp must match the
+    * live codebook — catching a half-finished retrain (new `_pq`, old
+    * codes) with one bucket-file row read, never a cache scan.
+    */
+  private def requireCodesInStep(spark: SparkSession, table: String): String = {
+    val c = codes(spark, table)
+    require(c.columns.contains("cb_hash"),
+      s"VecStore: `${table}_codes` predates the cb_hash consistency " +
+        "scheme — rerun trainPqCodebook to restamp and re-encode")
+    val cb = codebook(spark, table)
+    requireStamped(cb, s"${table}_codes consistency check")
+    val live = cb.select(col("cb_hash")).head().getString(0)
+    val sampled = c.select(col("cb_hash")).limit(1).collect()
+    require(sampled.isEmpty || sampled.head.getString(0) == live,
+      s"VecStore: `${table}_codes` holds rows encoded under a " +
+        "different codebook than the live `_pq` (crashed/partial " +
+        "retrain?) — rerun trainPqCodebook to re-encode")
+    live
+  }
+
   /** Deterministic content hash of a codebook: rows sorted by
     * (sub, code), doubles via their exact bit patterns. Bounded —
     * numSub·codebookK rows.
@@ -425,13 +498,16 @@ object VecStore {
     // column itself — assert_true is null on success, so `code` keeps
     // its value and the check cannot be pruned away — which means it
     // rides the one scan the ADC join performs: zero extra jobs.
-    requireStamped(cb, "ivfPqTopK")
-    val liveHash = cb.select(col("cb_hash")).head().getString(0)
+    // fast-fail face of the guard: legacy unstamped codes and the
+    // uniform stale-cache state die HERE with the repair message (one
+    // sampled row, no cache scan); the in-scan assert_true below stays
+    // as defense for a MIXED cache, where a sample can miss
+    val liveHash = requireCodesInStep(spark, table)
     val mismatch = s"VecStore: `${table}_codes` holds rows encoded " +
       "under a different codebook than the live `_pq` " +
       "(crashed/partial retrain?) — rerun trainPqCodebook to re-encode"
-    val storedCodes = codes(spark, table)
-      .filter(col("list_id").isInCollection(probedIds))
+    val storedCodes = minusDels(spark, table,
+      codes(spark, table).filter(col("list_id").isInCollection(probedIds)))
       .dropDuplicates("vec_id", "sub")
       .withColumn("code",
         col("code") + coalesce(
@@ -475,7 +551,11 @@ object VecStore {
     * is rebuilt from the compacted corpus through the same staged
     * swap (re-delivered code rows are read-time-deduped anyway, but a
     * cache that only ever grows defeats compaction), stamped with the
-    * LIVE codebook's hash.
+    * LIVE codebook's hash. [[pop]]ped vectors — already FINAL-excluded
+    * — drop physically here, their code rows with them (the rebuild
+    * reads the compacted corpus); the tombstone table retires LAST, so
+    * a crash anywhere earlier leaves the anti-join filtering ids that
+    * are already gone — a no-op, never a resurrection.
     */
   def compact(
       spark: SparkSession,
@@ -496,6 +576,7 @@ object VecStore {
         .sortBy("vec_id").saveAsTable(table))
     if (spark.catalog.tableExists(s"${table}_codes"))
       rebuildCodes(spark, table, codebook(spark, table), buckets)
+    graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 
   /** `vectors` (idCol, embedding) with the stored quantizer's

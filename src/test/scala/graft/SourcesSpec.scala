@@ -384,6 +384,58 @@ class SourcesSpec extends AnyFunSuite {
       Set((1L, 10L)))
   }
 
+  // r11: the takedown path — the corpus-store delete the statement
+  // store's tombstones already have. Popped ids leave every read face
+  // immediately, drop physically (index rows included) at compact,
+  // and stay popped across a re-delivered append.
+  test("doc store pop: immediate exclusion, compact drops docs AND index rows, tombstones retire") {
+    import spark.implicits._
+    import graft.sources.DocStore
+    Seq("doc_pop", "doc_pop_bands", "doc_pop_dels").foreach(dropTable)
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val stored = Seq(
+      (1L, textA, "s"),
+      (2L, "completely different content with no shared phrases at all", "s"),
+      (3L, "a third unrelated document mentioning other things entirely", "s"))
+      .toDF("doc_id", "text", "source")
+    DocStore.append(stored, "doc_pop", buckets = 4)
+    val newDocs = Seq((10L, textA, "s")).toDF("doc_id", "text", "source")
+    def cands(): Set[(Long, Long)] =
+      DocStore.nearDupCandidates(spark, "doc_pop", newDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands() == Set((1L, 10L)))
+    val popped = DocStore.pop(spark, "doc_pop", Seq(1L).toDF("doc_id"))
+    assert(popped.collect().map(_.getLong(0)).toSet == Set(1L))
+    // every read face excludes the popped id BEFORE any compaction
+    assert(DocStore.readFinal(spark, "doc_pop")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(cands().isEmpty)
+    // sticky: a re-delivered copy of the popped doc stays hidden and
+    // is dropped by the compact below
+    DocStore.append(Seq((1L, textA, "s")).toDF("doc_id", "text", "source"),
+      "doc_pop", buckets = 4)
+    assert(DocStore.readFinal(spark, "doc_pop").count() == 2)
+    assert(cands().isEmpty)
+    // compact: doc rows and their band index rows physically gone, the
+    // counts reconcile (6 bands per surviving doc), dels retired
+    DocStore.compact(spark, "doc_pop", buckets = 4)
+    assert(DocStore.read(spark, "doc_pop").count() == 2)
+    assert(DocStore.bands(spark, "doc_pop").count() == 2L * 6)
+    assert(!spark.catalog.tableExists("doc_pop_dels"))
+    assert(cands().isEmpty)
+    // the crash-before-retire state (tombstones naming already-removed
+    // ids) is a no-op anti-join, never a resurrection or an error
+    assert(DocStore.pop(spark, "doc_pop", Seq(1L).toDF("doc_id"))
+      .count() == 0)
+    assert(DocStore.readFinal(spark, "doc_pop").count() == 2)
+    // after compaction the id is free to ingest again
+    DocStore.compact(spark, "doc_pop", buckets = 4)
+    DocStore.append(Seq((1L, textA, "s")).toDF("doc_id", "text", "source"),
+      "doc_pop", buckets = 4)
+    assert(DocStore.readFinal(spark, "doc_pop").count() == 3)
+    assert(cands() == Set((1L, 10L)))
+  }
+
   // r10: the ONE crash that matters for a double-insert write path is
   // the one BETWEEN the two inserts. Drive every multi-table store
   // through it in a single spec — a regular file squatting on the

@@ -16,7 +16,7 @@ class VecStoreSpec extends AnyFunSuite {
 
   private def dropStore(name: String): Unit =
     for (t <- Seq(name, s"${name}_cents", s"${name}_pq",
-        s"${name}_codes"))
+        s"${name}_codes", s"${name}_dels"))
       Probes.dropManaged(spark, t)
 
   private lazy val emb = Tables.load(spark, sf, "embeddings")
@@ -276,6 +276,58 @@ class VecStoreSpec extends AnyFunSuite {
     assert(VecStore.codes(spark, "vec_nocodes")
       .select(col("vec_id")).distinct().count() ==
       VecStore.readFinal(spark, "vec_nocodes").count())
+  }
+
+  // r11: the takedown path. A popped vector must leave EVERY serving
+  // face immediately (tombstone anti-join), drop physically — codes
+  // rows included — at compact, and stay popped across a re-delivered
+  // append (sticky until compaction, the right-to-be-forgotten shape)
+  test("pop: takedown leaves every face, compact drops rows AND codes, tombstones retire") {
+    import spark.implicits._
+    dropStore("vec_pop")
+    VecStore.init(spark, "vec_pop", stored, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_pop", buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    def neighbors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    // pick a vector that currently SERVES, so exclusion is observable
+    val victim = VecStore.ivfTopK(spark, "vec_pop", queries, k = 5,
+      nProbe = 3).select(col("neighbor_id")).head().getLong(0)
+    val popped = VecStore.pop(spark, "vec_pop", Seq(victim).toDF("vec_id"))
+    assert(popped.collect().map(_.getLong(0)).toSet == Set(victim))
+    val n = stored.count()
+    assert(VecStore.readFinal(spark, "vec_pop").count() == n - 1)
+    // excluded from every serving face BEFORE any compaction
+    assert(!neighbors(VecStore.ivfTopK(spark, "vec_pop", queries, 5, 3))
+      .contains(victim))
+    assert(!neighbors(VecStore.ivfPqTopK(spark, "vec_pop", queries, 5, 3))
+      .contains(victim))
+    assert(!VecStore.nearDupVerdicts(spark, "vec_pop",
+        batch.select(col("vec_id"), col("embedding")), minCos = 0.35)
+      .collect().flatMap(r => Option(r.get(3)).map(_.toString))
+      .contains(victim.toString))
+    // sticky: a re-delivered copy of the popped vector stays hidden
+    // (and its freshly-appended code rows die at compact below)
+    VecStore.append(spark,
+      popped.select(col("vec_id"), col("embedding")), "vec_pop",
+      buckets = 4)
+    assert(VecStore.readFinal(spark, "vec_pop").count() == n - 1)
+    // compact: vector row and its 8 code rows physically gone, the
+    // counts reconcile (codes = 8 per surviving vector), dels retired
+    VecStore.compact(spark, "vec_pop", buckets = 4)
+    assert(VecStore.read(spark, "vec_pop").count() == n - 1)
+    assert(VecStore.codes(spark, "vec_pop").count() == (n - 1) * 8)
+    assert(VecStore.codes(spark, "vec_pop")
+      .filter(col("vec_id") === victim).count() == 0)
+    assert(!spark.catalog.tableExists("vec_pop_dels"))
+    assert(!neighbors(VecStore.ivfPqTopK(spark, "vec_pop", queries, 5, 3))
+      .contains(victim))
+    // after compaction the id is free to ingest again
+    VecStore.append(spark,
+      popped.select(col("vec_id"), col("embedding")), "vec_pop",
+      buckets = 4)
+    assert(VecStore.readFinal(spark, "vec_pop").count() == n)
   }
 
   // the drift monitor's exactness anchor: when the corpus IS the seed
