@@ -48,7 +48,32 @@ object IvfPqOperatingProbe {
         s""""recall5":${"%.3f".format(recall)},""" +
         s""""sec":${"%.2f".format(sec)}}"""
     }
-    println(s"""{"grid":${rows.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // r11: the SHORTLIST axis — the r10 grid proved recall is pinned
+    // by the ADC shortlist, not nProbe; this sweep measures the
+    // recovery curve that the scaled-shortlist default encodes
+    // (Similarity.scaledShortlist), at a mid-grid operating point
+    val nCorpus = emb.count()
+    val shortlistRows = for (sl <- Seq(50, 100, 200, 400)) yield {
+      val lists = 25; val nProbe = 2
+      val cents = Similarity.centroids(emb, pmod(col("label"), lit(lists)))
+      def q = Similarity.ivfPqTopK(emb, queries, cents, k = 5,
+        nProbe = nProbe, shortlist = sl)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qq, rs) => qq -> rs.map(_._2).toSet }
+      val per = truth.map { case (qq, t) =>
+        got.getOrElse(qq, Set.empty).intersect(t).size.toDouble / t.size }
+      val recall = per.sum / per.size
+      val sec = Seq(
+        timed(q.queryExecution.toRdd.count()),
+        timed(q.queryExecution.toRdd.count())).min
+      s"""{"shortlist":$sl,"lists":$lists,"nProbe":$nProbe,""" +
+        s""""probed":${nCorpus * nProbe / lists},""" +
+        s""""recall5":${"%.3f".format(recall)},""" +
+        s""""sec":${"%.2f".format(sec)}}"""
+    }
+    println(s"""{"grid":${rows.mkString("[", ",", "]")},""" +
+      s""""shortlist_axis":${shortlistRows.mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

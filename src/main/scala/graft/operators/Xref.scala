@@ -99,6 +99,187 @@ object Xref {
       maxIter)
       .select(col("id").as("entity_id"), col("label").as("canonical_id"))
 
+  /** Fold a batch of NEW judgement rows into an existing resolver
+    * mapping INCREMENTALLY — the maintenance face of
+    * [[resolverMapping]], closing the one gap the streaming ingest
+    * (st9) left: judgements streamed into the store, but
+    * canonicalization was a full-graph recompute.
+    *
+    * Contract: `mapping` is the resolver mapping of the judgement set
+    * BEFORE the batch (what [[resolverMapping]] returned for it);
+    * `allJudgements` is the FINAL judgement set AFTER the batch landed
+    * (e.g. `XrefStore.readLatest` post-append) — used only on the
+    * fallback path. Returns the mapping of the post-batch set,
+    * spec-identical to recomputing it from scratch.
+    *
+    *   - POSITIVE judgements union components: the batch's edges are
+    *     lifted to CANONICAL-level edges via one point-lookup scan of
+    *     the mapping (literal IN over the batch's endpoint ids — on a
+    *     canonical-bucketed store a pruned read, never a broadcast of
+    *     the graph-sized mapping), and a driver-side union-find over
+    *     that batch-sized mini-graph yields the relabel map
+    *     (old canonical → merged minimum) plus the first-appearance
+    *     rows. Cost: ONE broadcast-relabel pass over the mapping — no
+    *     iteration, no edge-set scan, per-row work O(1). The full
+    *     recompute is O(diameter) join+agg rounds over ALL edges; the
+    *     probe (`graft.ResolverIncrementalProbe`) measures the gap and
+    *     its scaling.
+    *   - A NON-positive judgement of a pair whose endpoints currently
+    *     share a canonical is a RETRACTION of the edge that may hold
+    *     the component together — splitting needs the paths this
+    *     mapping no longer remembers, so it falls back to
+    *     [[resolverMapping]] over `allJudgements`. The trigger is
+    *     exact, not conservative: endpoints in different components
+    *     imply the pair's prior FINAL judgement was not positive (a
+    *     positive edge would have united them), so such negatives are
+    *     no-ops.
+    *
+    * The driver union-find collects the batch's pairs — a judgement
+    * batch is operator/matcher-sized (the takedown-list regime), never
+    * graph-sized; bulk backfills belong to [[resolverMapping]].
+    */
+  def applyJudgements(
+      mapping: DataFrame,
+      batch: DataFrame,
+      allJudgements: DataFrame,
+      maxIter: Int = 50): DataFrame =
+    incPlan(mapping, batch) match {
+      case Retract => resolverMapping(allJudgements, maxIter)
+      case Merge(relabels, freshRows) =>
+        // ONE broadcast-relabel pass: rows of untouched components
+        // stream through unchanged; merged ones take the new minimum
+        val updated =
+          if (relabels.isEmpty) mapping
+          else mapping
+            .join(
+              broadcast(pairsDf(mapping, relabels,
+                Seq("canonical_id", "__new"))),
+              Seq("canonical_id"), "left")
+            .select(col("entity_id"),
+              coalesce(col("__new"), col("canonical_id"))
+                .as("canonical_id"))
+        if (freshRows.isEmpty) updated
+        else updated.unionByName(
+          pairsDf(mapping, freshRows, Seq("entity_id", "canonical_id")))
+    }
+
+  /** The DELTA face of [[applyJudgements]]: only the mapping rows the
+    * batch CHANGES (members of merged components, relabeled) plus the
+    * first-appearance rows — `None` when a retraction forces the full
+    * recompute. This is the update a VERSIONED mapping store appends:
+    * O(affected components) rows written, and the changed-members read
+    * is a literal-IN filter on `canonical_id` (on a canonical-bucketed
+    * or -partitioned mapping table, a pruned read of the touched
+    * components only) — the truly component-bounded at-rest shape; a
+    * [[ReplacingMerge.latestByKey]] over (entity_id) with a version
+    * column then serves the live mapping.
+    */
+  def applyJudgementsDelta(
+      mapping: DataFrame, batch: DataFrame): Option[DataFrame] =
+    incPlan(mapping, batch) match {
+      case Retract => None
+      case Merge(relabels, freshRows) =>
+        val freshDf =
+          pairsDf(mapping, freshRows, Seq("entity_id", "canonical_id"))
+        if (relabels.isEmpty) Some(freshDf)
+        else Some(mapping
+          .filter(col("canonical_id")
+            .isInCollection(relabels.map(_._1).toIndexedSeq))
+          .join(
+            broadcast(pairsDf(mapping, relabels,
+              Seq("canonical_id", "__new"))),
+            Seq("canonical_id"))
+          .select(col("entity_id"), col("__new").as("canonical_id"))
+          .unionByName(freshDf))
+    }
+
+  private sealed trait Inc
+  private case object Retract extends Inc
+  private final case class Merge(
+      relabels: Seq[(Any, Any)], freshRows: Seq[(Any, Any)]) extends Inc
+
+  /** The shared incremental analysis: batch-sized driver work deciding
+    * between retraction fallback and the bounded merge plan
+    * (old-canonical relabels + first-appearance rows). A no-op batch
+    * is a Merge with both lists empty.
+    */
+  private def incPlan(mapping: DataFrame, batch: DataFrame): Inc = {
+    val rows0 = batch
+      .select(col("left_id"), col("right_id"), col("judgement"), col("ts"))
+      .collect()
+    if (rows0.isEmpty) return Merge(Nil, Nil)
+    // FINAL-reduce the batch itself first (latest ts per pair, the
+    // latestJudgements key): a pair judged positive then re-judged
+    // negative INSIDE one batch must not union — only the pair's final
+    // state is an edge
+    val rows = rows0.groupBy(r => (r.get(0), r.get(1)))
+      .map(_._2.maxBy(r => r.get(3))(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int =
+          x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }))
+      .toSeq
+    // current canonicals of the batch's endpoints via ONE point-lookup
+    // scan of the mapping (literal IN — on a canonical-bucketed store
+    // this prunes to the touched buckets; never a broadcast of the
+    // graph-sized mapping, never a shuffle)
+    val ids = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct.toIndexedSeq
+    val canon: Map[Any, Any] = mapping
+      .filter(col("entity_id").isInCollection(ids))
+      .select(col("entity_id"), col("canonical_id"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val retraction = rows.exists { r =>
+      r.getString(2) != "positive" &&
+        canon.get(r.get(0)).exists(cl => canon.get(r.get(1)).contains(cl))
+    }
+    if (retraction) return Retract
+    val pos = rows.filter(_.getString(2) == "positive")
+    if (pos.isEmpty) return Merge(Nil, Nil)
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // union-find with min-id roots: the root IS the merged canonical
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def union(x: Any, y: Any): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) {
+        if (lt(rx, ry)) parent(ry) = rx else parent(rx) = ry
+      }
+    }
+    // first appearances: entity ids with no current canonical — they
+    // enter the mapping with this batch, labelled by their group
+    val fresh = scala.collection.mutable.Set.empty[Any]
+    pos.foreach { r =>
+      val l = r.get(0); val rt = r.get(1)
+      val cl = canon.getOrElse(l, { fresh += l; l })
+      val cr = canon.getOrElse(rt, { fresh += rt; rt })
+      union(cl, cr)
+    }
+    val relabels = parent.keys
+      .filterNot(fresh.contains)
+      .map(c => (c, find(c)))
+      .filter { case (c, r) => c != r }
+      .toSeq
+    Merge(relabels, fresh.toSeq.map(id => (id, find(id))))
+  }
+
+  /** Bounded (id, id) pair lists as a DataFrame carrying the mapping's
+    * own column types.
+    */
+  private def pairsDf(
+      mapping: DataFrame,
+      pairs: Seq[(Any, Any)],
+      names: Seq[String]): DataFrame =
+    mapping.sparkSession.createDataFrame(
+      java.util.Arrays.asList(pairs.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        mapping.schema("entity_id").copy(name = names.head),
+        mapping.schema("canonical_id").copy(name = names(1)))))
+
   /** The `_reverse` projection: same rows, right side leading — the
     * access path for "who matched against X" (engine.py:259-261).
     */

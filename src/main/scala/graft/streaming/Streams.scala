@@ -155,11 +155,19 @@ object Streams {
     * is FINAL-rewritten via [[graft.sources.DocStore.compact]]'s
     * staged swap — reads stay available across the compact (the
     * TableSwap no-absent-window guarantee, spec-asserted mid-stream) —
-    * but ONLY when re-deliveries actually accumulated (raw > FINAL
-    * count; the check is a row-group-stats count plus one in-bucket
-    * dedup count, no Exchange), so an idle cadence tick never pays a
-    * rewrite. The cadence bounds read amplification: between compacts
-    * a FINAL read dedups at most `compactEvery` batches of replays.
+    * but ONLY when re-deliveries actually accumulated. The cadence
+    * tick is gated by DRIVER-SIDE append accounting ([[bloatGate]]):
+    * an idle tick schedules NO job at all, a tick whose appends are
+    * provably under `minBloatRatio` of the store runs one
+    * metadata-only count, and only a tick whose cheap bound trips pays
+    * the corpus-sized FINAL-dedup count that r10 measured on every
+    * tick. The cadence bounds read amplification: between compacts a
+    * FINAL read dedups at most `compactEvery` batches of replays.
+    * Note the rewrite itself runs INLINE in foreachBatch — that
+    * micro-batch stalls for the rewrite's duration (and a restart can
+    * replay the cadence batch into a second, bloat-gated-away check);
+    * for latency-critical streams pick a long `compactEvery` or
+    * compact out-of-band.
     *
     * Cross-session visibility: foreachBatch runs in the stream's
     * CLONED session, whose swap-time refresh cannot reach other
@@ -169,15 +177,72 @@ object Streams {
     * external rewrite; the stream's own reads, appends and cadence
     * checks refresh inside the swap and never see the stale list).
     */
-  def ingestDocs(docs: DataFrame, table: String, compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def ingestDocs(
+      docs: DataFrame, table: String, compactEvery: Int = 0,
+      minBloatRatio: Double = 0.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bloatBound = new java.util.concurrent.atomic.AtomicLong(-1L)
     ingestInto(docs) { (batch, batchId) =>
       graft.sources.DocStore.append(batch, table)
+      // batch is persisted (ingestInto) and just materialized by the
+      // write — the count is cache-served, never a second source read
+      if (bloatBound.get() >= 0L) { bloatBound.addAndGet(batch.count()); () }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         val spark = batch.sparkSession
-        val raw = graft.sources.DocStore.read(spark, table).count()
-        val fin = graft.sources.DocStore.readFinal(spark, table).count()
-        if (raw > fin) graft.sources.DocStore.compact(spark, table)
+        bloatBound.set(bloatGate(bloatBound.get(),
+          () => graft.sources.DocStore.read(spark, table).count(),
+          () => graft.sources.DocStore.readFinal(spark, table).count(),
+          () => graft.sources.DocStore.compact(spark, table),
+          minBloatRatio))
+      }
+    }
+  }
+
+  /** The cadence bloat gate shared by st13/st14, extracted so its
+    * scheduling decisions are spec-checkable without driving a stream:
+    * decides from driver-side append accounting alone whether this
+    * cadence tick may skip the corpus-sized FINAL-dedup count — or
+    * every job — and returns the carried-forward bloat bound.
+    *
+    * `appended` is an UPPER BOUND on removable bloat (raw − FINAL
+    * rows): FINAL only grows under appends, so dead rows accumulated
+    * since the last exact check number at most the rows appended since
+    * (−1 = unknown, e.g. right after a restart — the previous run may
+    * have died holding bloat this counter never saw, so the first tick
+    * always confirms exactly). Tiers:
+    *
+    *   - `appended == 0` (idle tick): NOTHING runs — the r10 finding
+    *     was that the gate itself cost two corpus-sized jobs per tick,
+    *     on the micro-batch critical path, even when idle.
+    *   - `0 < appended ≤ minBloatRatio·raw`: only the metadata-only
+    *     raw count runs (parquet footer row counts, no data read); the
+    *     bound proves bloat is under threshold without a dedup job.
+    *   - otherwise: the exact FINAL count confirms, and the rewrite
+    *     runs only when TRUE bloat exceeds the threshold; a refuted
+    *     check carries the now-known bloat forward. The default
+    *     ratio 0.0 compacts on any confirmed bloat (pre-r11
+    *     semantics, which st13b/st14 pin).
+    *
+    * [[graft.sources.DocStore.pop]] shrinks FINAL outside this
+    * accounting, so pending takedowns can make true bloat exceed the
+    * bound; their physical cleanup then waits for the next exact
+    * check (or an out-of-band compact) — pops are already excluded
+    * from every read, so nothing is served stale meanwhile.
+    */
+  private[graft] def bloatGate(
+      appended: Long,
+      rawCount: () => Long,
+      finalCount: () => Long,
+      compact: () => Unit,
+      minBloatRatio: Double = 0.0): Long =
+    if (appended == 0L) 0L
+    else {
+      val raw = rawCount()
+      if (appended > 0 && appended <= minBloatRatio * raw) appended
+      else {
+        val fin = finalCount()
+        if (raw - fin > minBloatRatio * raw) { compact(); 0L }
+        else raw - fin
       }
     }
 
@@ -189,24 +254,29 @@ object Streams {
     * is the index). Exactly-once: replays collapse in the FINAL read;
     * the store answers [[graft.sources.VecStore.nearDupVerdicts]] and
     * [[graft.sources.VecStore.ivfTopK]] immediately (spec).
-    * `compactEvery` is st13's bloat-gated OPTIMIZE cadence; the same
-    * cross-session REFRESH TABLE contract applies.
+    * `compactEvery` is st13's OPTIMIZE cadence behind the same
+    * [[bloatGate]] append accounting (idle tick = zero jobs); the same
+    * cross-session REFRESH TABLE and inline-rewrite-stall notes apply.
     */
   def ingestVecs(
       vecs: DataFrame, table: String, compactEvery: Int = 0,
-      buckets: Int = 16)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      buckets: Int = 16, minBloatRatio: Double = 0.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bloatBound = new java.util.concurrent.atomic.AtomicLong(-1L)
     ingestInto(vecs) { (batch, batchId) =>
       graft.sources.VecStore.append(batch.sparkSession, batch, table,
         buckets)
+      if (bloatBound.get() >= 0L) { bloatBound.addAndGet(batch.count()); () }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         val spark = batch.sparkSession
-        val raw = graft.sources.VecStore.read(spark, table).count()
-        val fin = graft.sources.VecStore.readFinal(spark, table).count()
-        if (raw > fin)
-          graft.sources.VecStore.compact(spark, table, buckets)
+        bloatBound.set(bloatGate(bloatBound.get(),
+          () => graft.sources.VecStore.read(spark, table).count(),
+          () => graft.sources.VecStore.readFinal(spark, table).count(),
+          () => graft.sources.VecStore.compact(spark, table, buckets),
+          minBloatRatio))
       }
     }
+  }
 
   /** st10 — streaming contamination guard: every incoming document is
     * scored against a STATIC probe n-gram set (the eval/benchmark

@@ -510,6 +510,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // r11: the cadence gate itself must be cheap — r10 measured TWO
+  // corpus-sized jobs per tick (raw + FINAL-dedup counts) even when
+  // idle. The extracted decision function proves, by counting thunk
+  // invocations, exactly which jobs each tier schedules.
+  test("cadence bloat gate: idle tick schedules nothing, bounded tick skips the dedup count") {
+    var raws = 0; var fins = 0; var compacts = 0
+    def raw(n: Long): () => Long = () => { raws += 1; n }
+    def fin(n: Long): () => Long = () => { fins += 1; n }
+    val comp = () => { compacts += 1; () }
+    // idle: nothing appended since the last check → ZERO jobs
+    assert(Streams.bloatGate(0L, raw(100), fin(100), comp) == 0L)
+    assert((raws, fins, compacts) == ((0, 0, 0)))
+    // bounded: 5 appended rows hold at most 5 dead rows — under 10% of
+    // a 100-row store, so only the metadata-only raw count runs
+    assert(Streams.bloatGate(5L, raw(100), fin(95), comp, 0.1) == 5L)
+    assert((raws, fins, compacts) == ((1, 0, 0)))
+    // bound trips: the exact count confirms real bloat → rewrite
+    assert(Streams.bloatGate(50L, raw(100), fin(60), comp, 0.1) == 0L)
+    assert((raws, fins, compacts) == ((2, 1, 1)))
+    // bound trips but the exact count refutes (appends were genuinely
+    // new rows): no rewrite; the now-KNOWN bloat carries forward
+    assert(Streams.bloatGate(50L, raw(100), fin(98), comp, 0.1) == 2L)
+    assert((raws, fins, compacts) == ((3, 2, 1)))
+    // unknown (fresh start/restart): always confirm exactly — the
+    // previous run may have died holding bloat the counter never saw
+    assert(Streams.bloatGate(-1L, raw(100), fin(100), comp) == 0L)
+    assert((raws, fins, compacts) == ((4, 3, 1)))
+    // default ratio 0.0: ANY confirmed bloat rewrites — the pre-r11
+    // semantics the st13b/st14 end-to-end cases pin
+    assert(Streams.bloatGate(1L, raw(100), fin(99), comp) == 0L)
+    assert((raws, fins, compacts) == ((5, 4, 2)))
+  }
+
   test("st14 streaming vector ingest: store probe-able, cadence compact collapses replays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
