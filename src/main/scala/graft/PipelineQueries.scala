@@ -515,11 +515,14 @@ object PipelineQueries {
        |  FROM codes JOIN dt USING (sub, code)
        |  WHERE codes.vec_id <> dt.query_id
        |  GROUP BY 1, 2),
+       |-- scaled shortlist (Similarity.scaledShortlist): whole-corpus
+       |-- ADC probes every row, so max(50, n // 8), floor division
+       |sl AS (SELECT GREATEST(50, count(*) // 8) AS n FROM embeddings),
        |short AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r0
-       |    FROM scored) WHERE r0 <= 50),
+       |    FROM scored) WHERE r0 <= (SELECT n FROM sl)),
        |rer AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    list_dot_product(q.v, n.v) AS cos
@@ -618,11 +621,17 @@ object PipelineQueries {
        |  FROM codesl JOIN dtp USING (sub, code, list_id)
        |  WHERE codesl.vec_id <> dtp.query_id
        |  GROUP BY 1, 2),
+       |-- scaled shortlist (Similarity.scaledShortlist): probed volume
+       |-- is corpus·nProbe/lists — max(50, n*5 // lists // 8), floor
+       |-- division like the Scala long arithmetic
+       |sl AS (SELECT GREATEST(50, count(*) * 5
+       |    // (SELECT count(DISTINCT label) FROM embeddings) // 8) AS n
+       |  FROM embeddings),
        |short AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r0
-       |    FROM scored) WHERE r0 <= 50),
+       |    FROM scored) WHERE r0 <= (SELECT n FROM sl)),
        |rer AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    list_dot_product(q.v, n.v) AS cos

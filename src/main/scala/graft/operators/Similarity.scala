@@ -391,9 +391,16 @@ object Similarity {
       numSub: Int = 8,
       codebookK: Int = 16,
       dims: Int = 64,
-      shortlist: Int = 50,
+      shortlist: Int = 0,
       codebook: Option[DataFrame] = None): DataFrame = {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
+    // shortlist 0 = AUTO: whole-corpus ADC probes every row, so the
+    // shortlist scales with the corpus (the sizing count is parquet
+    // metadata on a table-backed corpus; pass an explicit shortlist to
+    // skip it)
+    val shortlist0 =
+      if (shortlist > 0) shortlist
+      else scaledShortlist(corpus.count(), 1L, 1)
     val subDim = dims / numSub
     val corpusV = unitVectors(corpus, "vec_id", dims)
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
@@ -415,7 +422,7 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("cos"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-    val short = topKPerQuery(scored, shortlist, scoreName = "adc")
+    val short = topKPerQuery(scored, shortlist0, scoreName = "adc")
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank: the broadcast shortlist prunes the corpus scan to
     // ≤ shortlist·|queries| rows, each re-scored against its true
@@ -558,11 +565,18 @@ object Similarity {
       numSub: Int = 8,
       codebookK: Int = 16,
       dims: Int = 64,
-      shortlist: Int = 50,
+      shortlist: Int = 0,
       codebook: Option[DataFrame] = None,
       corpusLists: Option[DataFrame] = None): DataFrame = {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub")
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    // shortlist 0 = AUTO: scale with the probed candidate volume
+    // (corpus·nProbe/lists) — the r10 operating grid measured recall
+    // pinned by a FIXED shortlist, not by nProbe; [[scaledShortlist]]
+    // encodes the measured recovery rule
+    val shortlist0 =
+      if (shortlist > 0) shortlist
+      else scaledShortlist(corpus.count(), cents.count(), nProbe)
     val subDim = dims / numSub
     import org.apache.spark.sql.expressions.Window
     val corpusV = unitVectors(corpus, "vec_id", dims)
@@ -611,7 +625,7 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("cos"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-    val short = topKPerQuery(scored, shortlist, scoreName = "adc")
+    val short = topKPerQuery(scored, shortlist0, scoreName = "adc")
       .select(col("query_id"), col("neighbor_id"))
     val rescored = corpusV
       .select(col("vec_id").as("neighbor_id"), col("v"))
@@ -622,4 +636,24 @@ object Similarity {
         Dedup.dot(col("qv"), col("v")).as("cos"))
     topKPerQuery(rescored, k)
   }
+
+  /** The MEASURED shortlist scaling rule, shared by every PQ serving
+    * face (s5 [[pqTopK]], s6 [[ivfPqTopK]], and
+    * [[graft.sources.VecStore.ivfPqTopK]]): recall at a FIXED
+    * shortlist collapses as probed candidate volume grows — the r10
+    * operating grid read ~0.40 recall@5 at sf1 regardless of nProbe —
+    * because ADC's job is candidate pruning and a constant-size
+    * shortlist keeps a shrinking FRACTION of the probed candidates.
+    * The r11 shortlist axis (IvfPqOperatingProbe, sf1, 1600 probed
+    * candidates/query) measured the recovery: 50 → 0.400, 100 → 0.640,
+    * 200 → 0.992, 400 → 0.996 at flat latency. The rule keeps the
+    * shortlist at 1/8 of probed volume (the measured 0.99 knee),
+    * floored at the small-corpus default 50:
+    * max(50, corpus·nProbe/lists/8), integer floor division — the
+    * DuckDB twins compute the identical expression with `//`.
+    */
+  def scaledShortlist(corpusRows: Long, lists: Long, nProbe: Int): Int =
+    math.min(
+      math.max(50L, corpusRows * nProbe / math.max(lists, 1L) / 8L),
+      Int.MaxValue.toLong).toInt
 }

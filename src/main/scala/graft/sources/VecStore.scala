@@ -463,12 +463,21 @@ object VecStore {
       queries: DataFrame,
       k: Int,
       nProbe: Int = 2,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val cb = codebook(spark, table)
     val (numSub, subDim) = pqShape(cb)
     val dims = numSub * subDim
     val lc = litCents(spark, table)
+    // shortlist 0 = AUTO ([[Similarity.scaledShortlist]], the measured
+    // probed/8 rule): sized from the RAW row count — a parquet
+    // metadata-only job, and ≥ FINAL so re-delivered duplicates can
+    // only widen the shortlist (recall never shrinks; compact restores
+    // equality with the operator face's corpus count)
+    val shortlist0 =
+      if (shortlist > 0) shortlist
+      else Similarity.scaledShortlist(
+        read(spark, table).count(), lc.length.toLong, nProbe)
     val queriesV = Similarity.unitVectors(
       queries.select(col("vec_id"), col("embedding")), "query_id", dims)
       .localCheckpoint()
@@ -528,7 +537,7 @@ object VecStore {
       .agg(sum(col("pd")).as("cos"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos"))
-    val short = Similarity.topKPerQuery(scored, shortlist,
+    val short = Similarity.topKPerQuery(scored, shortlist0,
       scoreName = "adc")
       .select(col("query_id"), col("neighbor_id"))
     val corpusV = Similarity.unitVectors(

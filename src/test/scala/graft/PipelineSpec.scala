@@ -491,6 +491,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF+PQ top-5 recall $recall < 0.5")
   }
 
+  // r11: the scaled-shortlist rule. The r10 operating grid measured
+  // recall pinned at ~0.40 by the FIXED shortlist at sf1 scale; the
+  // shortlist axis measured the probed/8 recovery knee (0.992 at
+  // 200/1600). This spec holds the rule's arithmetic and the recall
+  // floor AT THE AUTO DEFAULT on a deterministic sf1-scale corpus
+  // (20k vectors, 10 clusters — generated, so the suite needs no
+  // regenerated testdata-sf1 directory).
+  test("scaled shortlist: probed/8 rule, sf1-scale recall floor at the auto default") {
+    // the rule's arithmetic (floor division, 50 floor, list guard)
+    assert(Similarity.scaledShortlist(200, 1, 1) == 50)
+    assert(Similarity.scaledShortlist(2000, 1, 1) == 250)
+    assert(Similarity.scaledShortlist(20000, 10, 2) == 500)
+    assert(Similarity.scaledShortlist(20000, 0, 2) == 5000,
+      "a degenerate zero-list count must guard, not divide by zero")
+    val n = 20000
+    // hash-based uniforms (deterministic, partition-independent —
+    // unlike randn — and phase-uncorrelated across ids, unlike sine
+    // patterns): 10 random cluster centers plus per-vector noise
+    def u(seed: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      (pmod(xxhash64(seed, d), lit(2001)) - 1000).cast("double") / 1000.0
+    val corpus = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        d => (u(pmod(col("id"), lit(10)) + 100000, d) * lit(0.4) +
+          u(col("id"), d) * lit(0.3)).cast("float"))
+        .as("embedding"))
+      .localCheckpoint()
+    val queries = corpus.filter(col("vec_id") < 20).localCheckpoint()
+    val cents = Similarity.centroids(corpus, pmod(col("vec_id"), lit(10)))
+      .localCheckpoint()
+    val truth = Similarity.bruteTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(shortlist: Int): Double = {
+      val got = Similarity.ivfPqTopK(corpus, queries, cents, k = 5,
+        nProbe = 2, shortlist = shortlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val auto = recallOf(0)     // 0 = the scaled default (here 500)
+    val fixed = recallOf(50)   // the pre-r11 constant
+    // this corpus's uniform noise quantizes harder than the sf1
+    // Gaussian clusters (where the probe read 0.992 at probed/8), so
+    // the absolute floor is lower here; the rule's CLAIM — the scaled
+    // default recovers most of what the fixed shortlist loses — is the
+    // relative assertion
+    assert(auto >= 0.7, s"recall at the scaled default $auto < 0.7")
+    assert(auto >= fixed + 0.2,
+      s"the scaled default ($auto) must recover well past fixed-50 ($fixed)")
+  }
+
   test("t1 lang-id is deterministic and covers every doc") {
     val out = TextAnalysis.langId(docs).collect()
     assert(out.length == docs.count())
