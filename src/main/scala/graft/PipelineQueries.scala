@@ -791,6 +791,16 @@ object PipelineQueries {
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** t3b — REAL BPE token counts ([[TextAnalysis.bpeTokenCount]]):
+    * the greedy ranked-merge loop over the trained fixture table is
+    * not SQL-expressible, so this row is declared rows-only — gated
+    * instead by the parity spec against an independent reference
+    * implementation, the fixture-string cases, and the t12 packing
+    * manifest re-run under these counts (PipelineSpec).
+    */
+  def t3bBpeTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCount(docs(s, dir))
+
   def t4DocFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.docFingerprint(docs(s, dir))
 
@@ -1272,6 +1282,49 @@ object PipelineQueries {
       |  CAST(sum(b) AS BIGINT) AS sum_b
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** m5 — the first LOSSY decoder at the plug-point (r11): each
+    * document's bytes become the gray pixels of a synthesized
+    * width-8 JPEG ([[Codecs.jpegGrayEncode]], pure-JDK imageio),
+    * decoded back inside the partition by
+    * [[Codecs.jpegGrayWithDims]] through the same `decodeFrames`
+    * contract as m2b/m3. Lossy codec ⇒ decoded pixel VALUES are
+    * near, not equal, so the oracle gates on decode-path INVARIANTS —
+    * the decoder-reported dimensions and pixel count must equal the
+    * synthesis rule (wrong plumbing, truncated payloads, or geometry
+    * bugs all fail the hash) — while pixel fidelity (bounded error,
+    * bit-determinism) is CodecsSpec's round-trip. Zero shuffles.
+    */
+  def m5JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m5 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val h = b.length / 8
+        val px = new Array[Int](8 * h)
+        var i = 0
+        while (i < px.length) { px(i) = b(i) & 0xff; i += 1 }
+        Multimodal.Frame(id, 0L, Codecs.jpegGrayEncode(8, h, px))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.jpegGrayWithDims)
+      .map(f => (f.doc_id, f.feature(0).toLong, f.feature(1).toLong,
+        (f.feature.length - 2).toLong))
+      .toDF("doc_id", "width", "height", "n_pixels")
+  }
+
+  /** m5's DuckDB twin: the synthesis rule's geometry — what the
+    * decoder must REPORT back through a real JPEG encode+decode. */
+  val m5Sql: String =
+    """SELECT doc_id,
+      |  CAST(8 AS BIGINT) AS width,
+      |  CAST(length(text) // 8 AS BIGINT) AS height,
+      |  CAST(8 * (length(text) // 8) AS BIGINT) AS n_pixels
+      |FROM documents WHERE length(text) >= 8""".stripMargin
+
   // ===========================================================
   // p-block: composed end-to-end pipeline
   // ===========================================================
@@ -1657,6 +1710,7 @@ object PipelineQueries {
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
+    "t3b_bpe_token_count" -> (t3bBpeTokenCount _),
     "t4_doc_fingerprint" -> (t4DocFingerprint _),
     "t5_contamination" -> (t5Contamination _),
     "t6_pii_scrub" -> (t6PiiScrub _),
@@ -1672,6 +1726,7 @@ object PipelineQueries {
     "m2b_frame_decode" -> (m2bFrameDecode _),
     "m3_image_features" -> (m3ImageFeatures _),
     "m4_audio_windows" -> (m4AudioWindows _),
+    "m5_jpeg_decode" -> (m5JpegDecode _),
     "p1_preprocess" -> (p1Preprocess _),
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
@@ -1719,6 +1774,7 @@ object PipelineQueries {
     "m2b_frame_decode" -> m2bSql,
     "m3_image_features" -> m3Sql,
     "m4_audio_windows" -> m4Sql,
+    "m5_jpeg_decode" -> m5Sql,
     "p1_preprocess" -> p1Sql,
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,

@@ -1,0 +1,121 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Byte-pair encoding — the REAL tokenizer face of t3 (whose
+  * `bpe_tokens` column is a regex approximation of a BPE
+  * pre-tokenizer): a greedy ranked-merge encoder over a trained
+  * merges table, the public GPT-2-style algorithm (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"; Radford et al. 2019's byte-level variant fixes the
+  * pre-tokenization and merge-rank scheme this follows).
+  *
+  * Shape choices, and where they diverge from GPT-2's shipped
+  * tokenizer (whose 50k merges table is a model artifact, not
+  * re-derivable here):
+  *
+  *   - pre-tokenization: letter runs / digit runs / punctuation runs,
+  *     each carrying its preceding space (the ` ?\p{L}+`-family
+  *     pattern of the public GPT-2 regex, without the apostrophe
+  *     special cases); the SAME compiled pattern trains the merges
+  *     ([[graft.BpeTrain]]) and encodes at query time, so train and
+  *     serve can never disagree on word boundaries.
+  *   - the base alphabet is CHARACTERS (not bytes): pure-JVM strings,
+  *     unicode-safe, no byte-fallback table to ship. A merges table
+  *     trained by [[graft.BpeTrain]] is closed over its corpus
+  *     alphabet exactly like byte-level BPE is closed over bytes;
+  *     unseen characters simply stay single-character tokens.
+  *   - merges apply GREEDILY BY RANK (lowest trained rank first),
+  *     the GPT-2 encode loop.
+  *
+  * The default merges table (`graft/bpe_merges.txt` on the classpath,
+  * one `left<TAB>right` per line in rank order) is trained on the
+  * sf0.01 documents corpus by `graft.BpeTrain` — deterministic
+  * (count-then-lexicographic tie-break), checked in as a fixture.
+  */
+object Bpe {
+
+  /** The shared pre-tokenizer: a run of letters, digits, or
+    * other-non-space, each optionally absorbing one preceding space
+    * (the GPT-2 ` ?` convention — spaces belong to the token that
+    * follows them); remaining whitespace runs are dropped (they carry
+    * no tokens in the space-prefixed scheme).
+    */
+  val PreToken: java.util.regex.Pattern = java.util.regex.Pattern
+    .compile(" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+")
+
+  def preTokens(text: String): Iterator[String] = new Iterator[String] {
+    private val m = PreToken.matcher(text)
+    private var has = m.find()
+    def hasNext: Boolean = has
+    def next(): String = { val s = m.group(); has = m.find(); s }
+  }
+
+  /** A trained merges table, rank order = training order. */
+  final class Vocab(val merges: IndexedSeq[(String, String)]) {
+    private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+    /** Greedy ranked-merge encode of ONE pre-token (GPT-2's encode
+      * loop): repeatedly merge the adjacent pair with the LOWEST
+      * trained rank until no adjacent pair is mergeable.
+      */
+    def encode(word: String): Vector[String] = {
+      var parts: Vector[String] =
+        word.iterator.map(_.toString).toVector
+      while (parts.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < parts.length - 1) {
+          rank.get((parts(i), parts(i + 1))) match {
+            case Some(r) if r < bestRank => bestRank = r; bestIdx = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (bestIdx < 0) return parts
+        parts = (parts.take(bestIdx) :+
+          (parts(bestIdx) + parts(bestIdx + 1))) ++ parts.drop(bestIdx + 2)
+      }
+      parts
+    }
+  }
+
+  /** BPE token count of a text, memoized per pre-token — natural text
+    * repeats most of its words, so the merge loop runs once per
+    * DISTINCT word per partition (the mapPartitions face shares one
+    * memo across its rows).
+    */
+  def countTokens(
+      text: String,
+      vocab: Vocab,
+      memo: mutable.HashMap[String, Int]): Long = {
+    var n = 0L
+    val it = preTokens(text)
+    while (it.hasNext) {
+      val w = it.next()
+      n += memo.getOrElseUpdate(w, vocab.encode(w).length)
+    }
+    n
+  }
+
+  /** Parse a merges table (one `left<TAB>right` per line, rank
+    * order).
+    */
+  def parseMerges(lines: Iterator[String]): IndexedSeq[(String, String)] =
+    lines.filter(_.nonEmpty).map { l =>
+      val t = l.split("\t", 2)
+      require(t.length == 2, s"malformed merges line: '$l'")
+      (t(0), t(1))
+    }.toIndexedSeq
+
+  /** The checked-in default merges fixture (see the class doc). */
+  lazy val defaultMerges: IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null,
+      "graft/bpe_merges.txt missing from the classpath — run " +
+        "graft.BpeTrain to regenerate the fixture")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+}

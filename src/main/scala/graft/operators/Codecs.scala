@@ -234,4 +234,77 @@ object Codecs {
   private def tag(buf: ByteBuffer, pos: Int): String =
     new String(Array(buf.get(pos), buf.get(pos + 1),
       buf.get(pos + 2), buf.get(pos + 3)), "US-ASCII")
+
+  // ---------------------------------------------------------------
+  // JPEG (grayscale) via javax.imageio — the first LOSSY codec at
+  // the plug-point (r11)
+  // ---------------------------------------------------------------
+
+  /** Encode grayscale pixels (row-major, values 0–255) as a JPEG via
+    * the pure-JDK `javax.imageio` writer at an explicit quality.
+    * Deterministic for a given JDK: the same pixels encode to the same
+    * bytes (CodecsSpec pins it) — but unlike the WAV/BMP round-trips
+    * the DECODED pixels are only close to the originals, not equal;
+    * oracle-gated queries over JPEG therefore gate on decode-path
+    * INVARIANTS (dimensions, pixel counts) and the fidelity bound
+    * lives in the spec.
+    */
+  def jpegGrayEncode(
+      width: Int, height: Int, gray: Array[Int],
+      quality: Float = 0.95f): Array[Byte] = {
+    require(gray.length == width * height,
+      s"jpegGrayEncode: ${gray.length} pixels for ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < gray.length) {
+      raster.setSample(i % width, i / width, 0, gray(i))
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode a grayscale JPEG to `[width, height, px...]` — dimensions
+    * lead the feature array so a `decodeFrames` consumer can gate on
+    * the decoder-REPORTED geometry (the lossy-codec oracle surface;
+    * m5 does). Pixels are the decoded 0–255 samples in row-major
+    * order. Throws on undecodable payloads and on non-grayscale
+    * images (this decoder's contract is the gray channel; RGB JPEGs
+    * belong to a channel-stats sibling).
+    */
+  def jpegGrayWithDims(bytes: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "jpegGrayWithDims: payload is not a decodable image")
+    val raster = img.getRaster
+    require(raster.getNumBands == 1,
+      s"jpegGrayWithDims: expected 1 gray band, got ${raster.getNumBands}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](2 + w * h)
+    out(0) = w.toFloat
+    out(1) = h.toFloat
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(2 + y * w + x) = raster.getSample(x, y, 0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -203,6 +203,39 @@ object TextAnalysis {
         .cast("long").as("bpe_tokens"))
   }
 
+  /** t3b — REAL BPE token counts ([[graft.functions.Bpe]]): greedy
+    * ranked-merge encoding over a trained merges table, replacing t3's
+    * regex APPROXIMATION of a byte-pair tokenizer with the actual
+    * algorithm — the count that makes d10 token budgets, t12 packing
+    * manifests, and p2 shard sizes exact for a real subword tokenizer
+    * (feed this frame's `bpe_tokens` as their token column).
+    *
+    * mapPartitions, deliberately not an Expression/UDF: the merge loop
+    * is data-dependent iteration over a driver-trained vocabulary with
+    * a per-partition WORD MEMO (natural text repeats words, so the
+    * loop runs once per distinct word per partition) — stateful
+    * imperative work outside codegen's reach, and the documented
+    * last-resort case. Scale shape: one scan, zero shuffles, the
+    * merges table broadcast once (vocabulary-sized, the s2
+    * hyperplane-matrix class).
+    */
+  def bpeTokenCount(
+      documents: DataFrame,
+      merges: IndexedSeq[(String, String)] =
+        graft.functions.Bpe.defaultMerges): DataFrame = {
+    import graft.functions.Bpe
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val vocab = new Bpe.Vocab(bc.value)
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, t) => (id, Bpe.countTokens(t, vocab, memo)) }
+      }
+      .toDF("doc_id", "bpe_tokens")
+  }
+
   /** t4 — document fingerprint: md5 of normalized text (exact identity)
     * plus the minimum shingle hash (content-sketch identity, stable
     * under local edits).

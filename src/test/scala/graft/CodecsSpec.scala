@@ -159,6 +159,66 @@ class CodecsSpec extends AnyFunSuite {
     assert(out(2L) == Seq(7 / 32768.0f, -7 / 32768.0f))
   }
 
+  // ---------------------------------------------------------------
+  // JPEG (lossy — r11): determinism, geometry, bounded fidelity
+  // ---------------------------------------------------------------
+
+  test("JPEG gray encode is deterministic and decode reports true geometry") {
+    val px = Array.tabulate(8 * 5)(i => (i * 37) % 256)
+    val a = Codecs.jpegGrayEncode(8, 5, px)
+    val b = Codecs.jpegGrayEncode(8, 5, px)
+    assert(a.toSeq == b.toSeq, "same pixels must encode to same bytes")
+    val dec = Codecs.jpegGrayWithDims(a)
+    assert(dec(0) == 8.0f && dec(1) == 5.0f)
+    assert(dec.length == 2 + 8 * 5)
+  }
+
+  test("JPEG decode of a flat image is exact; textured image is near") {
+    // a constant block survives DCT quantization exactly
+    val flat = Array.fill(16 * 16)(128)
+    val decFlat = Codecs.jpegGrayWithDims(Codecs.jpegGrayEncode(16, 16, flat))
+    assert(decFlat.drop(2).forall(_ == 128.0f))
+    // a textured image at q=0.95 stays within a loose per-pixel bound —
+    // the LOSSY-codec contract: near, not equal
+    val tex = Array.tabulate(16 * 16)(i => 64 + ((i * 13) % 128))
+    val decTex = Codecs.jpegGrayWithDims(Codecs.jpegGrayEncode(16, 16, tex))
+    val maxErr = decTex.drop(2).zip(tex).map {
+      case (d, o) => math.abs(d - o.toFloat)
+    }.max
+    assert(maxErr > 0.0f, "textured q=0.95 JPEG should not be lossless")
+    assert(maxErr <= 48.0f, s"per-pixel error $maxErr exceeds sanity bound")
+  }
+
+  test("JPEG decode rejects malformed and non-gray payloads") {
+    intercept[IllegalArgumentException] {
+      Codecs.jpegGrayWithDims(Array[Byte](1, 2, 3, 4))
+    }
+    // RGB JPEG violates the gray-band contract
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    intercept[IllegalArgumentException] {
+      Codecs.jpegGrayWithDims(out.toByteArray)
+    }
+  }
+
+  test("m5 matches its geometry model on live testdata") {
+    import SparkTestSession._
+    val expected = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).length))
+      .filter(_._2 >= 8)
+      .map { case (id, n) =>
+        id -> ((8L, (n / 8).toLong, 8L * (n / 8)))
+      }.toMap
+    val got = PipelineQueries.m5JpegDecode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("m2b matches an independent reference on live testdata") {
     import SparkTestSession._
     // reference model: straight from the text bytes, no WAV/codec path

@@ -1010,6 +1010,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(perStratum == 0L)
   }
 
+  // r11: the REAL BPE tokenizer behind t3b. Rows-only by declaration
+  // (a greedy ranked-merge loop is not SQL-expressible), so the gate
+  // is (1) encode parity with an independent reference implementation
+  // over every distinct corpus pre-token plus adversarial fixtures,
+  // (2) the DataFrame face equal to a driver recompute, and (3) the
+  // t12 packing manifest re-run under BPE counts — the wiring the
+  // tokenizer exists for (exact token budgets for packing/shards).
+  test("t3b real BPE: reference parity, DataFrame face, t12 manifest under BPE counts") {
+    import graft.functions.Bpe
+    import graft.operators.Sampling
+    val merges = Bpe.defaultMerges
+    assert(merges.nonEmpty)
+    val vocab = new Bpe.Vocab(merges)
+    // independent reference: rescan the merges table IN RANK ORDER
+    // from the top after every single merge (same spec, different
+    // search than the encoder's single-pass best-rank scan)
+    def reference(w: String): Vector[String] = {
+      var parts = w.iterator.map(_.toString).toVector
+      var done = false
+      while (!done && parts.length > 1) {
+        val step = merges.iterator.flatMap { case (a, b) =>
+          (0 until parts.length - 1)
+            .find(i => parts(i) == a && parts(i + 1) == b)
+            .map(i => (i, a + b))
+        }.nextOption()
+        step match {
+          case Some((i, j)) =>
+            parts = (parts.take(i) :+ j) ++ parts.drop(i + 2)
+          case None => done = true
+        }
+      }
+      parts
+    }
+    val corpusWords = docs.select(col("text")).collect()
+      .iterator.flatMap(r => Bpe.preTokens(r.getString(0))).toSet
+    val fixtures = Seq(" the", "the", "aaa", " zz9!", "中文字",
+      "x", " ", "!!!", "ünïcode", "1234")
+    (corpusWords ++ fixtures).foreach { w =>
+      assert(vocab.encode(w) == reference(w), s"encode diverged on '$w'")
+      // lossless: merged symbols concatenate back to the pre-token
+      assert(vocab.encode(w).mkString == w, s"encode lost bytes on '$w'")
+    }
+    // the DataFrame face equals a driver recompute (memo + broadcast
+    // plumbing changes nothing)
+    val viaDf = TextAnalysis.bpeTokenCount(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = docs.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        r.getLong(0) ->
+          Bpe.preTokens(r.getString(1)).map(vocab.encode(_).length.toLong).sum
+      }.toMap
+    assert(viaDf == viaDriver && viaDf.nonEmpty)
+    // BPE counts differ from the t3 regex approximation somewhere on
+    // this corpus — otherwise t3b would be a rename, not a tokenizer
+    val approx = TextAnalysis.tokenCount(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaDf.exists { case (id, n) => approx(id) != n })
+    // t12's packing manifest is exact under the real tokenizer: same
+    // tiling invariants as the t3-count spec, fed by bpeTokenCount
+    val in = TextAnalysis.bpeTokenCount(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("bpe_tokens").as("n_tokens"))
+    val got = Sampling.sequencePack(in, "source", "doc_id",
+      col("n_tokens"), seqTokens = 256)
+    val bad = got.filter(
+      col("start_tok") =!= col("cum_tokens") - col("n_tokens") ||
+      col("first_seq") =!= expr("start_tok DIV 256") ||
+      col("last_seq") =!= expr("(cum_tokens - 1) DIV 256") ||
+      col("offset_in_seq") < 0 || col("offset_in_seq") >= 256).count()
+    assert(bad == 0L)
+    val perStratum = got.groupBy("source")
+      .agg(min("start_tok").as("lo"), max("cum_tokens").as("hi"),
+        sum("n_tokens").as("tot"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("tot")).count()
+    assert(perStratum == 0L)
+  }
+
   test("p1 preprocess equals the composition of its standalone stages") {
     import graft.operators.{Preprocess, Sampling}
     // composition twin built from the per-stage operators the fused

@@ -203,7 +203,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // (probed set, oversize set, batch rows, verdict rows), so the
     // stored side never shuffles. A blowup means a consumer started
     // re-deriving an assignment or the verdict frame began sort-merging
-    Shape("d13_semdedup_incremental", maxShuffles = 2, minBroadcasts = 3))
+    Shape("d13_semdedup_incremental", maxShuffles = 2, minBroadcasts = 3),
+    // r11: the real-BPE count is ONE scan through the mapPartitions
+    // encoder (merges broadcast via SparkContext, invisible to the
+    // plan) — any Exchange means text started shuffling to tokenize
+    Shape("t3b_bpe_token_count", maxShuffles = 0),
+    // r11: the lossy-codec path keeps the m2b contract — synth →
+    // JPEG encode → decode → geometry reduce inside the scan
+    // partition; payload bytes must never reach an Exchange
+    Shape("m5_jpeg_decode", maxShuffles = 0))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
