@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Generate an sf10 DOCUMENTS table under testdata-sf10/ (500k docs).
+
+One more decade of scale evidence where it is cheapest: the heaviest
+DOCUMENT operators (d3, d6, d9, t11, p1) get a 100x-of-sf0.1 run so
+super-linear behavior that hides between 10x points has a second
+decade to show up in. Same growth philosophy as tools/gen_sf1.py —
+100x KEYS at CONSTANT per-key density (100x sources, 100x vocabulary
+variants, same 10-100 words/doc, same ~0.16% exact-dup rate), which is
+how a real corpus grows (new domains/vocabulary), so per-block
+candidate density stays fixed and a healthy operator should scale
+~linearly in rows.
+
+Only documents.parquet is written: the five target operators read
+nothing else, and the embeddings/part/events tables would add minutes
+of generation for no measurement.
+
+Deterministic (seed 1042).
+"""
+import os
+import numpy as np
+import pandas as pd
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "testdata-sf10")
+SCALE = 100
+rng = np.random.default_rng(1042)
+
+BASE_VOCAB = [
+    "spark", "column", "store", "query", "table", "scan", "filter",
+    "join", "agg", "sort", "hash", "merge", "batch", "stream", "index",
+    "vector", "value", "order", "line", "part", "fast", "small",
+    "large", "wide", "deep", "cold", "hot", "new", "old", "raw", "big"]
+LANGS = ["en", "de", "fr", "es", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+
+
+def documents():
+    n = 5000 * SCALE
+    n_sources = 20 * SCALE
+    vocabs = [np.array([f"{w}{g}" if g else w for w in BASE_VOCAB])
+              for g in range(SCALE)]
+    ks = rng.integers(10, 101, size=n)
+    # vectorized: draw every word index up front, slice per doc
+    idx = rng.integers(0, len(BASE_VOCAB), size=int(ks.sum()))
+    offs = np.concatenate(([0], np.cumsum(ks)))
+    texts = []
+    for i in range(n):
+        g = (i % n_sources) % SCALE
+        words = vocabs[g][idx[offs[i]:offs[i + 1]]]
+        texts.append(" ".join(words))
+    # exact-duplicate injection at the sf0.1 rate (~0.16%)
+    n_dups = int(n * 8 / 5000)
+    for _ in range(n_dups):
+        src = int(rng.integers(0, n))
+        dst = int(rng.integers(0, n))
+        if src != dst:
+            texts[dst] = texts[src]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "source": [f"src{i % n_sources}" for i in range(n)]})
+    df["lang"] = rng.choice(LANGS, size=n, p=LANG_P)
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    return df[["doc_id", "text", "lang", "source", "n_chars"]]
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    df = documents()
+    df.to_parquet(os.path.join(OUT, "documents.parquet"), index=False)
+    print(f"wrote {len(df)} docs to {OUT}/documents.parquet")
