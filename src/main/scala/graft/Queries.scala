@@ -1018,6 +1018,51 @@ object Queries {
        |FROM resolved GROUP BY canonical_id, "schema", dataset"""
       .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** f20b — the INCREMENTAL resolver face oracle-gated end-to-end
+    * (r11): a deterministic slice of the positive judgements is held
+    * out as the "arriving" batch, the prior mapping is computed over
+    * the rest ([[Xref.resolverMapping]]), and the batch folds in via
+    * [[Xref.applyJudgements]] — the O(component) maintenance path
+    * (driver union-find over the batch + ONE broadcast-relabel pass,
+    * no recompute). The DuckDB twin knows nothing of the split: it is
+    * the full recursive-CTE transitive closure over ALL positive
+    * edges, so the hash gate proves incremental ≡ batch on live data
+    * (the property spec proves it on randomized judgement streams).
+    *
+    * The batch-sized driver collect inside `applyJudgements` is the
+    * operator's contract (a judgement batch is matcher/analyst-sized,
+    * never graph-sized — bulk backfills belong to `resolverMapping`);
+    * the md5 slice here keeps the demo batch a bounded fraction.
+    */
+  def f20bResolverIncremental(s: SparkSession, dir: String): DataFrame = {
+    val latest = xrefLatest(s, dir)
+    val isDelta = col("judgement") === lit("positive") &&
+      substring(md5(concat_ws("|", col("left_id"), col("right_id"))), 1,
+        1) === lit("0")
+    val before = latest.filter(!isDelta).localCheckpoint()
+    val batch = latest.filter(isDelta).localCheckpoint()
+    Xref.applyJudgements(
+      Xref.resolverMapping(before).localCheckpoint(), batch, latest)
+  }
+
+  /** DuckDB twin: identical to f20's mapping CTE — the full closure
+    * over every positive edge; the split is invisible to the oracle.
+    */
+  val f20bSql: String =
+    s"""$stmtsCte, $fpxCte, $xrefCte,
+       |pos AS (SELECT left_id, right_id FROM latest
+       |  WHERE judgement = 'positive'),
+       |cedges AS (
+       |  SELECT left_id AS src, right_id AS dst FROM pos
+       |  UNION SELECT right_id, left_id FROM pos),
+       |reach(id, r) AS (
+       |  SELECT src, dst FROM cedges
+       |  UNION
+       |  SELECT e.src, r.r FROM cedges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS entity_id, least(id, min(r)) AS canonical_id
+       |FROM reach GROUP BY id"""
+      .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** f7 — fpx value frequency view (reference MV filters
     * algorithm='fingerprint', engine.py:233).
     */
@@ -1333,7 +1378,8 @@ object Queries {
     "f17_fpx_phonetic" -> (f17FpxPhonetic _),
     "f18_xref_judgements" -> (f18XrefJudgements _),
     "f19_xref_reverse" -> (f19XrefReverse _),
-    "f20_resolver_canonical" -> (f20ResolverCanonical _)
+    "f20_resolver_canonical" -> (f20ResolverCanonical _),
+    "f20b_resolver_incremental" -> (f20bResolverIncremental _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1376,6 +1422,7 @@ object Queries {
     "f16_ftm_json_ingest" -> f16Sql,
     "f18_xref_judgements" -> f18Sql,
     "f19_xref_reverse" -> f19Sql,
-    "f20_resolver_canonical" -> f20Sql
+    "f20_resolver_canonical" -> f20Sql,
+    "f20b_resolver_incremental" -> f20bSql
   )
 }

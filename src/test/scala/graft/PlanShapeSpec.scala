@@ -211,7 +211,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // r11: the lossy-codec path keeps the m2b contract — synth →
     // JPEG encode → decode → geometry reduce inside the scan
     // partition; payload bytes must never reach an Exchange
-    Shape("m5_jpeg_decode", maxShuffles = 0))
+    Shape("m5_jpeg_decode", maxShuffles = 0),
+    // r11: the incremental resolver's RETURNED plan is the O(component)
+    // claim made structural — a broadcast-relabel pass over the
+    // checkpointed prior mapping (+ union of batch-sized fresh rows);
+    // any Exchange means the fold started recomputing the graph
+    Shape("f20b_resolver_incremental", maxShuffles = 0))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that

@@ -169,6 +169,28 @@ class QueriesSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  // r11: f20b's oracle proves incremental ≡ batch only if the
+  // incremental path actually runs — assert the held-out batch is
+  // non-empty at the test SF (otherwise applyJudgements degenerates
+  // to returning the prior mapping) and that the fold equals a full
+  // recompute row-for-row.
+  test("f20b: the held-out batch is non-empty and the fold equals recompute") {
+    import graft.operators.Xref
+    import org.apache.spark.sql.functions._
+    val latest = Queries.f18XrefJudgements(spark, sf)
+    val isDelta = col("judgement") === lit("positive") &&
+      substring(md5(concat_ws("|", col("left_id"), col("right_id"))), 1,
+        1) === lit("0")
+    val batchN = latest.filter(isDelta).count()
+    assert(batchN > 0, "held-out batch is empty — f20b is not " +
+      "exercising the incremental path at this SF")
+    val inc = Queries.f20bResolverIncremental(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val full = Xref.resolverMapping(latest)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(inc.sameElements(full))
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
