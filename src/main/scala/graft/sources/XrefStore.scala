@@ -112,4 +112,100 @@ object XrefStore {
     TableSwap.swapIn(spark, rtmp, rev, partitioned = false)(df =>
       writeReverse(df, rev, buckets, SaveMode.Append))
   }
+
+  // ---------------------------------------------------------------
+  // Stored resolver mapping — the VERSIONED canonical map the
+  // incremental resolver maintains (r11)
+  // ---------------------------------------------------------------
+
+  def mappingTable(table: String): String = table + "_mapping"
+
+  private def writeMapping(
+      df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
+    write(df.select(col("entity_id"), col("canonical_id"), col("ver")),
+      target, "entity_id", Seq("entity_id", "ver"), buckets, mode)
+
+  /** Serve the LIVE canonical mapping: latest row per entity_id by
+    * `ver` — ReplacingMergeTree semantics over the versioned delta
+    * appends. Bucketed by entity_id, so the FINAL window needs no
+    * Exchange and point lookups prune to one bucket.
+    */
+  def readMapping(spark: SparkSession, table: String): DataFrame =
+    graft.operators.ReplacingMerge.latestByKey(
+      spark.table(mappingTable(table)),
+      keys = Seq(col("entity_id")), version = Seq(col("ver")))
+      .select(col("entity_id"), col("canonical_id"))
+
+  /** Fold one judgement batch into the store AND its canonical
+    * mapping — the maintenance face a streaming resolver runs per
+    * micro-batch (st15). Judgements land first ([[append]] — the
+    * double-insert order every store uses: the authoritative rows
+    * before the derived view, so a crash leaves the mapping BEHIND,
+    * never wrong; re-running the batch is the repair). Then:
+    *
+    *   - first batch (no mapping table yet) or a RETRACTION batch
+    *     (a non-positive re-judgement inside a live component —
+    *     [[Xref.applyJudgementsDelta]] returns None): full
+    *     [[Xref.resolverMapping]] over [[readLatest]], staged and
+    *     swapped in at `ver` (the compact pattern — no absent
+    *     window).
+    *   - otherwise: the O(component) delta — only the merged
+    *     components' relabeled rows plus first-appearance rows,
+    *     APPENDED at `ver`. [[readMapping]]'s FINAL window makes the
+    *     new rows supersede.
+    *
+    * Replay-idempotent without coordination: a re-delivered batch
+    * finds its endpoints already merged, so the delta is empty (a
+    * positive pair whose endpoints share a canonical relabels
+    * nothing and introduces no fresh ids) — the replay appends zero
+    * rows. `ver` must be monotone per applied batch (a streaming
+    * batchId, an ingest timestamp); equal-`ver` duplicates are
+    * harmless (the FINAL window's row_number picks one of two
+    * identical rows).
+    */
+  def applyBatch(
+      spark: SparkSession, batch: DataFrame, table: String, ver: Long,
+      buckets: Int = 64): Unit = {
+    append(batch, table, buckets)
+    val target = mappingTable(table)
+    val full: Option[DataFrame] =
+      if (!spark.catalog.tableExists(target)) Some(
+        Xref.resolverMapping(readLatest(spark, table)))
+      else Xref.applyJudgementsDelta(readMapping(spark, table), batch) match {
+        case Some(delta) =>
+          writeMapping(delta.withColumn("ver", lit(ver)), target,
+            buckets, SaveMode.Append)
+          None
+        case None => Some(Xref.resolverMapping(readLatest(spark, table)))
+      }
+    full.foreach { m =>
+      val stamped = m.withColumn("ver", lit(ver))
+      if (!spark.catalog.tableExists(target))
+        writeMapping(stamped, target, buckets, SaveMode.ErrorIfExists)
+      else {
+        val tmp = TableSwap.stageName(spark, target)
+        TableSwap.dropAllStages(spark, target)
+        writeMapping(stamped, tmp, buckets, SaveMode.Overwrite)
+        TableSwap.swapIn(spark, tmp, target, partitioned = false)(df =>
+          writeMapping(df, target, buckets, SaveMode.Append))
+      }
+    }
+  }
+
+  /** OPTIMIZE for the mapping table: rewrite with the FINAL window
+    * applied (current rows only, superseded delta versions dropped),
+    * staged + swapped like [[compact]].
+    */
+  def compactMapping(
+      spark: SparkSession, table: String, buckets: Int = 64): Unit = {
+    val target = mappingTable(table)
+    val current = graft.operators.ReplacingMerge.latestByKey(
+      spark.table(target),
+      keys = Seq(col("entity_id")), version = Seq(col("ver")))
+    val tmp = TableSwap.stageName(spark, target)
+    TableSwap.dropAllStages(spark, target)
+    writeMapping(current, tmp, buckets, SaveMode.Overwrite)
+    TableSwap.swapIn(spark, tmp, target, partitioned = false)(df =>
+      writeMapping(df, target, buckets, SaveMode.Append))
+  }
 }

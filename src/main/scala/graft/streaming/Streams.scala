@@ -278,6 +278,30 @@ object Streams {
     }
   }
 
+  /** st15 — the streaming RESOLVER: a judgement stream maintains the
+    * canonical mapping continuously ([[graft.sources.XrefStore
+    * .applyBatch]] per micro-batch), closing the last batch-only
+    * maintenance loop — st9 streamed judgements into the store but
+    * canonicalization stayed a full-graph recompute. Each batch lands
+    * in the xref table + `_reverse` first (the authoritative rows),
+    * then folds into the versioned `_mapping` table: the O(component)
+    * delta append on positive batches (batch-sized driver union-find
+    * + the merged components' relabeled rows at ver=batchId), the
+    * exact-trigger full-recompute fallback on retractions.
+    * [[graft.sources.XrefStore.readMapping]] serves the live map at
+    * any point; replays append an empty delta (endpoints already
+    * merged), so restarts need no coordination. Spec: the served
+    * mapping equals a from-scratch [[graft.operators.Xref
+    * .resolverMapping]] after every micro-batch, through merges,
+    * fresh components, AND a mid-stream retraction.
+    */
+  def ingestXrefResolved(
+      judgements: DataFrame, table: String, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(judgements)((batch, batchId) =>
+      graft.sources.XrefStore.applyBatch(
+        batch.sparkSession, batch, table, batchId, buckets))
+
   /** st10 — streaming contamination guard: every incoming document is
     * scored against a STATIC probe n-gram set (the eval/benchmark
     * suite) as it arrives — the continuous-ingest face of batch t5,

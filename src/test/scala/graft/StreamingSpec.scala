@@ -272,6 +272,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st15 streaming resolver: served mapping equals recompute at every batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st15_xref", "st15_xref_reverse", "st15_xref_mapping"))
+      Probes.dropManaged(spark, t)
+    def pair(l: String, r: String, j: String, t: Int) =
+      ("ds", l, "P", "de", l.toUpperCase, "ds", r, "P", "de",
+        r.toUpperCase, j, 0.9, ts(t), "u")
+    // the stream's foreachBatch writes through a CLONED session; this
+    // observer session must refresh its cached file listings (standard
+    // external-append semantics, same as the st13 mid-stream compact)
+    def served(): Map[String, String] = {
+      spark.sql("REFRESH TABLE st15_xref_mapping")
+      XrefStore.readMapping(spark, "st15_xref").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    def recomputed(): Map[String, String] = {
+      spark.sql("REFRESH TABLE st15_xref")
+      graft.operators.Xref.resolverMapping(
+        XrefStore.readLatest(spark, "st15_xref")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val in = MemoryStream[(String, String, String, String, String, String,
+      String, String, String, String, String, Double, Timestamp, String)]
+    val df = in.toDF().toDF(graft.operators.Xref.columns: _*)
+    val q = Streams.ingestXrefResolved(df, "st15_xref")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st15_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 0: two disjoint components (first write = full mapping)
+      in.addData(pair("a1", "b1", "positive", 1),
+        pair("x1", "y1", "positive", 1))
+      q.processAllAvailable()
+      assert(served() == Map("a1" -> "a1", "b1" -> "a1",
+        "x1" -> "x1", "y1" -> "x1"))
+      assert(served() == recomputed())
+      // batch 1: a bridging positive merges them — the DELTA path
+      // (x-component relabels to a1) plus a fresh pair
+      in.addData(pair("b1", "x1", "positive", 2),
+        pair("m1", "n1", "positive", 2))
+      q.processAllAvailable()
+      assert(served() == recomputed() &&
+        served()("y1") == "a1" && served()("m1") == "m1")
+      // batch 2: retraction — the bridge re-judged negative splits the
+      // component; exact trigger, full-recompute fallback
+      in.addData(pair("b1", "x1", "negative", 3))
+      q.processAllAvailable()
+      assert(served() == recomputed() &&
+        served()("y1") == "x1" && served()("b1") == "a1")
+    } finally q.stop()
+    // replay idempotency: re-applying the merge batch directly appends
+    // an EMPTY delta — served mapping and row count stay put
+    val rowsBefore = spark.table("st15_xref_mapping").count()
+    val mapBefore = served()
+    val replay = Seq(pair("m1", "n1", "positive", 2))
+      .toDF(graft.operators.Xref.columns: _*)
+    XrefStore.applyBatch(spark, replay, "st15_xref", ver = 99L)
+    assert(served() == mapBefore)
+    assert(spark.table("st15_xref_mapping").count() == rowsBefore)
+  }
+
   test("st3 sessionization closes a session after the gap and emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
