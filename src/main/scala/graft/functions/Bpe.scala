@@ -99,6 +99,58 @@ object Bpe {
     n
   }
 
+  /** The BPE training loop (Sennrich et al. 2016) over a word
+    * frequency table: start from characters, repeatedly merge the
+    * most frequent adjacent symbol pair — ties broken
+    * lexicographically, so the table is DETERMINISTIC for a given
+    * corpus — and stop at `numMerges` or when nothing is left to
+    * merge (a closed vocabulary saturates, like the checked-in
+    * fixture does at 80). Driver-side by design: the input is the
+    * vocabulary-sized distinct-word table (Spark aggregates word
+    * counts corpus-side; see [[graft.BpeTrain]]), and BPE training is
+    * a one-time fixture build, not a query-path operation.
+    */
+  def train(
+      wordFreq: Seq[(String, Long)],
+      numMerges: Int): IndexedSeq[(String, String)] = {
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordFreq.toArray.map { case (w, n) =>
+        (mutable.ArrayBuffer.from(w.iterator.map(_.toString)), n)
+      }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // deterministic: highest count, then lexicographically least
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == best._1 && syms(i + 1) == best._2) {
+              syms.update(i, joined)
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        step += 1
+      }
+    }
+    merges.toIndexedSeq
+  }
+
   /** Parse a merges table (one `left<TAB>right` per line, rank
     * order).
     */

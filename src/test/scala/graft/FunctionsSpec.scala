@@ -416,4 +416,37 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(viaSql.getLong(0) == 2L)
   }
+
+  // r11: the BPE trainer behind the checked-in merges fixture
+  test("Bpe.train: hand-checked merges, tie-break determinism, saturation") {
+    import graft.functions.Bpe
+    // "abab"×3 + "abc"×1: pair counts a-b=7, b-a=3, b-c=1 → merge
+    // (a,b); then ab-ab=3, ab-c=1 → (ab,ab); then abab exhausted,
+    // (ab,c) last → saturated before numMerges
+    val m = Bpe.train(Seq(("abab", 3L), ("abc", 1L)), numMerges = 10)
+    assert(m == IndexedSeq(("a", "b"), ("ab", "ab"), ("ab", "c")))
+    // count tie → lexicographically least pair wins, regardless of
+    // input order
+    val t1 = Bpe.train(Seq(("xy", 2L), ("pq", 2L)), 1)
+    val t2 = Bpe.train(Seq(("pq", 2L), ("xy", 2L)), 1)
+    assert(t1 == IndexedSeq(("p", "q")) && t2 == t1)
+  }
+
+  test("the checked-in merges fixture IS the sf0.01 training output") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // regeneration guarantee: training on the corpus the fixture's
+    // class doc names, at the fixture's own merge count, reproduces
+    // the classpath table byte-for-byte — the fixture can never
+    // silently drift from its trainer (the count itself is part of
+    // the fixture: 80 merges, stopping short of the full-word
+    // saturation this vocabulary reaches at 127)
+    val wordFreq = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("text")).as[String]
+      .flatMap(t => Bpe.preTokens(t))
+      .groupBy(col("value").as("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val trained = Bpe.train(wordFreq, numMerges = Bpe.defaultMerges.length)
+    assert(trained == Bpe.defaultMerges)
+  }
 }

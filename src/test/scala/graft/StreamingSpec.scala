@@ -332,6 +332,11 @@ class StreamingSpec extends AnyFunSuite {
     XrefStore.applyBatch(spark, replay, "st15_xref", ver = 99L)
     assert(served() == mapBefore)
     assert(spark.table("st15_xref_mapping").count() == rowsBefore)
+    // OPTIMIZE: compact drops superseded delta versions, serves the
+    // same map, and leaves exactly one row per entity
+    XrefStore.compactMapping(spark, "st15_xref")
+    assert(served() == mapBefore)
+    assert(spark.table("st15_xref_mapping").count() == mapBefore.size)
   }
 
   test("st3 sessionization closes a session after the gap and emits once") {
