@@ -25,6 +25,13 @@ import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
   *   xref <table> [algorithm]           blocking pairs from the stored
   *                                      fpx → 14-col candidates into
   *                                      <table>_xref (+ reverse)
+  *   judge <table> <l> <r> <judgement>  record a judgement and fold it
+  *                                      into the stored canonical
+  *                                      mapping incrementally (the
+  *                                      resolver loop store.py:26-28
+  *                                      delegates externally)
+  *   resolve <table> [entity_id]        canonical lookup from the
+  *                                      stored mapping (all, or one)
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
@@ -153,6 +160,49 @@ object Cli {
         val n = XrefStore.readLatest(spark, s"${table}_xref").count()
         println(s"xref $table: $n live candidate pairs")
 
+      case "judge" :: table :: leftId :: rightId :: judgement :: Nil =>
+        // the resolver edit loop the reference delegates to its
+        // external nomenklatura Resolver (store.py:26-28), closed
+        // in-engine: record the judgement in the xref store AND fold
+        // it into the stored canonical mapping incrementally
+        // (XrefStore.applyBatch — O(component) delta on positives,
+        // exact full-recompute fallback on retractions)
+        val attrs = Xref.entityAttrs(StatementStore.readFinal(spark, table))
+          .filter(col("entity_id").isin(leftId, rightId))
+        val pair = spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(leftId, rightId)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("left_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("right_id",
+              org.apache.spark.sql.types.StringType))))
+        val ts = System.currentTimeMillis()
+        val row = Xref.candidates(pair, attrs,
+          judgement = lit(judgement), score = lit(1.0), ts = lit(ts),
+          user = lit("cli"))
+        require(row.count() == 1,
+          s"judge: $leftId / $rightId not found in $table")
+        XrefStore.applyBatch(spark, row, s"${table}_xref", ver = ts)
+        val m = XrefStore.readMapping(spark, s"${table}_xref")
+        println(s"judged $leftId/$rightId $judgement; " +
+          s"mapping now ${m.count()} entities")
+
+      case "resolve" :: table :: rest if rest.length <= 1 =>
+        // canonical lookup from the STORED mapping (maintained by
+        // `judge` / st15); falls back to a fresh recompute when no
+        // mapping table exists yet
+        val mt = XrefStore.mappingTable(s"${table}_xref")
+        val mapping =
+          if (spark.catalog.tableExists(mt))
+            XrefStore.readMapping(spark, s"${table}_xref")
+          else Xref.resolverMapping(
+            XrefStore.readLatest(spark, s"${table}_xref"))
+        val out = rest.headOption
+          .map(id => mapping.filter(col("entity_id") === id))
+          .getOrElse(mapping.orderBy("entity_id"))
+        out.collect().foreach(r => println(r.mkString("\t")))
+
       case "stats" :: table :: Nil =>
         Statements.stats(StatementStore.readFinal(spark, table))
           .orderBy("dataset", "schema")
@@ -178,6 +228,7 @@ object Cli {
 
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|stats|query, got: $other")
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|stats|query, " +
+            s"got: $other")
     }
 }

@@ -89,6 +89,45 @@ class CliSpec extends AnyFunSuite {
     assert(spark.table("cli_spec_fpx").count() == 0)
   }
 
+  // r11: the resolver edit loop — judge folds into the stored mapping
+  // incrementally, resolve serves canonical lookups from it
+  test("cli judge/resolve: incremental fold, retraction, point lookup") {
+    import spark.implicits._
+    clean("cli_res", "cli_res_fpx", "cli_res_xref", "cli_res_xref_reverse",
+      "cli_res_xref_mapping")
+    val entities = Seq(
+      ("e1", "Person", Seq("ds"), Map("name" -> Seq("Ann"))),
+      ("e2", "Person", Seq("ds"), Map("name" -> Seq("Bob"))),
+      ("e3", "Person", Seq("ds"), Map("name" -> Seq("Cay"))))
+      .toDF("id", "schema", "datasets", "properties")
+    graft.sources.FtmJson.writeEntities(entities, "/tmp/graft_cli_res_in")
+    Cli.run(spark, List("init", "cli_res"))
+    Cli.run(spark, List("ingest", "cli_res", "/tmp/graft_cli_res_in"))
+
+    def mapping(): Map[String, String] = {
+      spark.sql("REFRESH TABLE cli_res_xref_mapping")
+      graft.sources.XrefStore.readMapping(spark, "cli_res_xref")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    // first judgement creates the mapping store
+    Cli.run(spark, List("judge", "cli_res", "e1", "e2", "positive"))
+    assert(mapping() == Map("e1" -> "e1", "e2" -> "e1"))
+    // second folds in via the O(component) delta path
+    Cli.run(spark, List("judge", "cli_res", "e2", "e3", "positive"))
+    assert(mapping() == Map("e1" -> "e1", "e2" -> "e1", "e3" -> "e1"))
+    // retraction splits — exact-trigger full recompute
+    Cli.run(spark, List("judge", "cli_res", "e1", "e2", "negative"))
+    assert(mapping() == Map("e2" -> "e2", "e3" -> "e2"))
+    // resolve: point lookup from the stored mapping
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { Cli.run(spark, List("resolve", "cli_res", "e3")) }
+    assert(out.toString.trim == "e3\te2")
+    // unknown pair is refused loudly
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, List("judge", "cli_res", "e1", "zz", "positive"))
+    }
+  }
+
   test("cli ingest mints the model's statement id: cross-path upsert dedups") {
     import spark.implicits._
     import graft.model.Statements
