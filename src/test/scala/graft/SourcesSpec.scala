@@ -541,4 +541,60 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("label"), buckets = 4)
     assert(VecStore.readFinal(spark, "crash_vec").count() == vecs.count())
   }
+
+  // r11: the STORE-level twin of PropertySpec's randomized incremental-
+  // resolver stream — same contract (served ≡ recompute after every
+  // batch) but through the real tables, exercising what the operator
+  // spec cannot: the versioned delta appends, the FINAL serve window,
+  // the staged-swap recompute on retractions, and ver monotonicity
+  // across a mixed stream.
+  test("xref mapping store tracks the recompute over a randomized batch stream") {
+    import spark.implicits._
+    for (t <- Seq("prop_xref", "prop_xref_reverse", "prop_xref_mapping"))
+      dropTable(t)
+    val rnd = new scala.util.Random(23)
+    def xrefRows(
+        v: Seq[(String, String, String, Long)]) = {
+      val pairs = v.toDF("left_id", "right_id", "judgement0", "ts0")
+      Xref.candidates(
+        pairs.select(col("left_id"), col("right_id")),
+        pairs.select(col("left_id").as("entity_id")).union(
+          pairs.select(col("right_id"))).distinct()
+          .select(col("entity_id"), lit("ds").as("dataset"),
+            lit("P").as("schema"), lit("de").as("country"),
+            col("entity_id").as("caption")))
+        .drop("judgement", "ts")
+        .join(pairs.withColumnRenamed("judgement0", "judgement")
+          .withColumnRenamed("ts0", "ts"), Seq("left_id", "right_id"))
+        .select(Xref.columns.map(col): _*)
+    }
+    var ts = 0L
+    var history = Vector.empty[(String, String, String, Long)]
+    for (step <- 1 to 8) {
+      val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        ts += 1
+        val a = rnd.nextInt(10)
+        val b = (a + 1 + rnd.nextInt(9)) % 10
+        val j = if (rnd.nextInt(4) == 0) "negative" else "positive"
+        (f"e$a%02d", f"e$b%02d", j, ts)
+      }
+      history ++= batch
+      XrefStore.applyBatch(spark, xrefRows(batch), "prop_xref", ver = ts)
+      val got = XrefStore.readMapping(spark, "prop_xref").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val expect = Xref.resolverMapping(
+        XrefStore.readLatest(spark, "prop_xref")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expect, s"step $step: store=$got recompute=$expect " +
+        s"history=$history")
+    }
+    // compaction mid-history preserves the serve
+    val beforeCompact = XrefStore.readMapping(spark, "prop_xref")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    XrefStore.compactMapping(spark, "prop_xref")
+    val afterCompact = XrefStore.readMapping(spark, "prop_xref")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(afterCompact == beforeCompact)
+    assert(spark.table("prop_xref_mapping").count() == beforeCompact.size)
+  }
 }
