@@ -263,8 +263,11 @@ object Codecs {
       i += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("jpg").next()
+    // ImageWriter is not thread-safe but IS reusable: one per thread,
+    // reset between images — the ImageIO registry scan and writer
+    // construction otherwise dominate per-doc encode cost in a
+    // mapPartitions loop
+    val writer = jpegWriter.get()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
@@ -272,9 +275,15 @@ object Codecs {
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.reset(); ios.close() }
     out.toByteArray
   }
+
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    }
 
   /** Decode a grayscale JPEG to `[width, height, px...]` — dimensions
     * lead the feature array so a `decodeFrames` consumer can gate on
