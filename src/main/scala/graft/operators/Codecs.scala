@@ -285,6 +285,12 @@ object Codecs {
         javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     }
 
+  private val jpegReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+    }
+
   /** Decode a grayscale JPEG to `[width, height, px...]` — dimensions
     * lead the feature array so a `decodeFrames` consumer can gate on
     * the decoder-REPORTED geometry (the lossy-codec oracle surface;
@@ -294,8 +300,20 @@ object Codecs {
     * belong to a channel-stats sibling).
     */
   def jpegGrayWithDims(bytes: Array[Byte]): Array[Float] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+    // same per-thread reuse as the encode side: ImageIO.read's
+    // per-call reader lookup dominates small-image decode cost
+    val reader = jpegReader.get()
+    val img =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } finally { reader.reset(); iis.close() }
+      } catch {
+        case _: java.io.IOException => null
+      }
     require(img != null, "jpegGrayWithDims: payload is not a decodable image")
     val raster = img.getRaster
     require(raster.getNumBands == 1,
