@@ -177,7 +177,23 @@ object Cli {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("right_id",
               org.apache.spark.sql.types.StringType))))
-        val ts = System.currentTimeMillis()
+        // strictly-monotone judgement timestamp: wall clock bumped
+        // past the stored maxima, so two rapid judgements of one pair
+        // can never tie on the ReplacingMerge version (a tied ts makes
+        // row_number pick an arbitrary winner — a positive→negative
+        // correction could silently lose) and the mapping delta's ver
+        // always supersedes. Column-pruned max() scans at CLI edit-loop
+        // grain; parquet footer stats keep them cheap.
+        val ts = {
+          def storedMax(t: String, c: String): Long =
+            if (!spark.catalog.tableExists(t)) 0L
+            else Option(spark.table(t).agg(max(col(c))).collect()(0).get(0))
+              .fold(0L)(_.asInstanceOf[Long])
+          val xt = s"${table}_xref"
+          math.max(System.currentTimeMillis(),
+            math.max(storedMax(xt, "ts"),
+              storedMax(XrefStore.mappingTable(xt), "ver")) + 1L)
+        }
         val row = Xref.candidates(pair, attrs,
           judgement = lit(judgement), score = lit(1.0), ts = lit(ts),
           user = lit("cli"))

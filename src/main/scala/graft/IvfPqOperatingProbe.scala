@@ -34,8 +34,11 @@ object IvfPqOperatingProbe {
       nProbe <- Seq(1, 2, 5, 10)
     } yield {
       val cents = Similarity.centroids(emb, pmod(col("label"), lit(lists)))
+      // shortlist pinned at the historical fixed-50 so grid rows stay
+      // comparable with pre-r11 BENCH_HISTORY rows (the r11 default is
+      // AUTO = scaledShortlist, measured by the shortlist_axis below)
       def q = Similarity.ivfPqTopK(emb, queries, cents, k = 5,
-        nProbe = nProbe)
+        nProbe = nProbe, shortlist = 50)
       val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (qq, rs) => qq -> rs.map(_._2).toSet }
       val per = truth.map { case (qq, t) =>

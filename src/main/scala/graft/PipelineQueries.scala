@@ -1304,7 +1304,10 @@ object PipelineQueries {
         require(text.forall(_ < 128),
           s"m5 requires an ASCII corpus; doc $id has non-ASCII text")
         val b = text.getBytes("US-ASCII")
-        val h = b.length / 8
+        // JPEG caps each dimension at 65,535: a ≥512 KiB doc would
+        // otherwise synthesize an unencodable frame — clamp the frame
+        // to the codec bound (the twin SQL computes the same LEAST)
+        val h = math.min(b.length / 8, 65535)
         val px = new Array[Int](8 * h)
         var i = 0
         while (i < px.length) { px(i) = b(i) & 0xff; i += 1 }
@@ -1321,8 +1324,8 @@ object PipelineQueries {
   val m5Sql: String =
     """SELECT doc_id,
       |  CAST(8 AS BIGINT) AS width,
-      |  CAST(length(text) // 8 AS BIGINT) AS height,
-      |  CAST(8 * (length(text) // 8) AS BIGINT) AS n_pixels
+      |  CAST(LEAST(length(text) // 8, 65535) AS BIGINT) AS height,
+      |  CAST(8 * LEAST(length(text) // 8, 65535) AS BIGINT) AS n_pixels
       |FROM documents WHERE length(text) >= 8""".stripMargin
 
   // ===========================================================

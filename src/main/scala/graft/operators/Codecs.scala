@@ -254,6 +254,8 @@ object Codecs {
       quality: Float = 0.95f): Array[Byte] = {
     require(gray.length == width * height,
       s"jpegGrayEncode: ${gray.length} pixels for ${width}x$height")
+    require(width <= 65535 && height <= 65535,
+      s"jpegGrayEncode: ${width}x$height exceeds JPEG's 65535 dimension cap")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -312,7 +314,10 @@ object Codecs {
           reader.read(0)
         } finally { reader.reset(); iis.close() }
       } catch {
-        case _: java.io.IOException => null
+        // ImageIO JPEG readers throw RuntimeExceptions too on corrupt
+        // markers (IllegalArgumentException, index errors) — everything
+        // non-fatal is the same "not a decodable image" contract
+        case scala.util.control.NonFatal(_) => null
       }
     require(img != null, "jpegGrayWithDims: payload is not a decodable image")
     val raster = img.getRaster

@@ -137,13 +137,23 @@ object Xref {
     * The driver union-find collects the batch's pairs — a judgement
     * batch is operator/matcher-sized (the takedown-list regime), never
     * graph-sized; bulk backfills belong to [[resolverMapping]].
+    *
+    * Late-delivery guard: a batch row whose pair the store has ALREADY
+    * re-judged at a strictly newer ts is stale — the store's state is
+    * what the mapping reflects, so applying the old row would silently
+    * diverge from `resolverMapping(latestJudgements)`. Each batch
+    * pair's ts is compared against the stored latest for that pair
+    * (one bounded point-lookup of `allJudgements`, same literal-IN
+    * shape as the canonical lookup) and strictly-older rows are
+    * DROPPED before the merge/retraction analysis. Ties keep the batch
+    * row (the post-append store contains the batch itself).
     */
   def applyJudgements(
       mapping: DataFrame,
       batch: DataFrame,
       allJudgements: DataFrame,
       maxIter: Int = 50): DataFrame =
-    incPlan(mapping, batch) match {
+    incPlan(mapping, batch, Some(latestJudgements(allJudgements))) match {
       case Retract => resolverMapping(allJudgements, maxIter)
       case Merge(relabels, freshRows) =>
         // ONE broadcast-relabel pass: rows of untouched components
@@ -175,8 +185,9 @@ object Xref {
     * column then serves the live mapping.
     */
   def applyJudgementsDelta(
-      mapping: DataFrame, batch: DataFrame): Option[DataFrame] =
-    incPlan(mapping, batch) match {
+      mapping: DataFrame, batch: DataFrame,
+      stored: Option[DataFrame] = None): Option[DataFrame] =
+    incPlan(mapping, batch, stored) match {
       case Retract => None
       case Merge(relabels, freshRows) =>
         val freshDf =
@@ -203,21 +214,44 @@ object Xref {
     * (old-canonical relabels + first-appearance rows). A no-op batch
     * is a Merge with both lists empty.
     */
-  private def incPlan(mapping: DataFrame, batch: DataFrame): Inc = {
+  private def incPlan(
+      mapping: DataFrame, batch: DataFrame,
+      stored: Option[DataFrame]): Inc = {
     val rows0 = batch
       .select(col("left_id"), col("right_id"), col("judgement"), col("ts"))
       .collect()
     if (rows0.isEmpty) return Merge(Nil, Nil)
+    val tsOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
     // FINAL-reduce the batch itself first (latest ts per pair, the
     // latestJudgements key): a pair judged positive then re-judged
     // negative INSIDE one batch must not union — only the pair's final
     // state is an edge
-    val rows = rows0.groupBy(r => (r.get(0), r.get(1)))
-      .map(_._2.maxBy(r => r.get(3))(new Ordering[Any] {
-        def compare(x: Any, y: Any): Int =
-          x.asInstanceOf[Comparable[Any]].compareTo(y)
-      }))
+    val reduced = rows0.groupBy(r => (r.get(0), r.get(1)))
+      .map(_._2.maxBy(r => r.get(3))(tsOrd))
       .toSeq
+    // Late-delivery guard: drop rows the store has superseded at a
+    // STRICTLY newer ts (ties keep the batch row — the post-append
+    // store contains the batch itself). Bounded point-lookup: the
+    // stored FINAL view filtered to the batch's left ids, the same
+    // pruned-read shape as the canonical lookup below.
+    val rows = stored match {
+      case None => reduced
+      case Some(st) =>
+        val lefts = reduced.map(_.get(0)).distinct.toIndexedSeq
+        val newest: Map[(Any, Any), Any] = st
+          .filter(col("left_id").isInCollection(lefts))
+          .select(col("left_id"), col("right_id"), col("ts"))
+          .collect()
+          .map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+        reduced.filter { r =>
+          newest.get((r.get(0), r.get(1)))
+            .forall(t => tsOrd.compare(r.get(3), t) >= 0)
+        }
+    }
+    if (rows.isEmpty) return Merge(Nil, Nil)
     // current canonicals of the batch's endpoints via ONE point-lookup
     // scan of the mapping (literal IN — on a canonical-bucketed store
     // this prunes to the touched buckets; never a broadcast of the

@@ -171,7 +171,8 @@ object XrefStore {
     val full: Option[DataFrame] =
       if (!spark.catalog.tableExists(target)) Some(
         Xref.resolverMapping(readLatest(spark, table)))
-      else Xref.applyJudgementsDelta(readMapping(spark, table), batch) match {
+      else Xref.applyJudgementsDelta(readMapping(spark, table), batch,
+        stored = Some(readLatest(spark, table))) match {
         case Some(delta) =>
           writeMapping(delta.withColumn("ver", lit(ver)), target,
             buckets, SaveMode.Append)

@@ -193,7 +193,8 @@ object Streams {
           () => graft.sources.DocStore.read(spark, table).count(),
           () => graft.sources.DocStore.readFinal(spark, table).count(),
           () => graft.sources.DocStore.compact(spark, table),
-          minBloatRatio))
+          minBloatRatio,
+          () => spark.catalog.tableExists(s"${table}_dels")))
       }
     }
   }
@@ -224,18 +225,25 @@ object Streams {
     *     semantics, which st13b/st14 pin).
     *
     * [[graft.sources.DocStore.pop]] shrinks FINAL outside this
-    * accounting, so pending takedowns can make true bloat exceed the
-    * bound; their physical cleanup then waits for the next exact
-    * check (or an out-of-band compact) — pops are already excluded
-    * from every read, so nothing is served stale meanwhile.
+    * accounting — `delsPending` is the takedown signal: a CATALOG
+    * check (does the `_dels` tombstone table exist? compact drops it),
+    * zero Spark jobs on the no-pop path. When tombstones are pending
+    * the tick compacts UNCONDITIONALLY, before any tier — takedown
+    * cleanup is a right-to-be-forgotten obligation, not a space-ratio
+    * trade, and without this an idle stream would carry tombstoned
+    * rows indefinitely (the r11 gap). Pops are already excluded from
+    * every read, so nothing is served stale while cleanup waits for
+    * the cadence tick.
     */
   private[graft] def bloatGate(
       appended: Long,
       rawCount: () => Long,
       finalCount: () => Long,
       compact: () => Unit,
-      minBloatRatio: Double = 0.0): Long =
-    if (appended == 0L) 0L
+      minBloatRatio: Double = 0.0,
+      delsPending: () => Boolean = () => false): Long =
+    if (delsPending()) { compact(); 0L }
+    else if (appended == 0L) 0L
     else {
       val raw = rawCount()
       if (appended > 0 && appended <= minBloatRatio * raw) appended
@@ -273,7 +281,8 @@ object Streams {
           () => graft.sources.VecStore.read(spark, table).count(),
           () => graft.sources.VecStore.readFinal(spark, table).count(),
           () => graft.sources.VecStore.compact(spark, table, buckets),
-          minBloatRatio))
+          minBloatRatio,
+          () => spark.catalog.tableExists(s"${table}_dels")))
       }
     }
   }

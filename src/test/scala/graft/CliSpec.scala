@@ -126,6 +126,22 @@ class CliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Cli.run(spark, List("judge", "cli_res", "e1", "zz", "positive"))
     }
+    // r12: judge timestamps are STRICTLY monotone even when the wall
+    // clock doesn't tick between judgements — a tie on the
+    // ReplacingMerge version would let row_number pick an arbitrary
+    // winner and silently lose a correction
+    spark.sql("REFRESH TABLE cli_res_xref")
+    val tss = spark.table("cli_res_xref")
+      .filter(org.apache.spark.sql.functions.col("user") === "cli")
+      .select("ts").collect().map(_.getLong(0)).sorted
+    assert(tss.length == 3 && tss.distinct.length == 3,
+      s"judge ts must be unique per edit: ${tss.mkString(",")}")
+    // and the re-judged pair's FINAL state is the LAST edit
+    val fin = graft.sources.XrefStore.readLatest(spark, "cli_res_xref")
+      .filter(org.apache.spark.sql.functions.col("left_id") === "e1" &&
+        org.apache.spark.sql.functions.col("right_id") === "e2")
+      .select("judgement").collect().map(_.getString(0)).toSeq
+    assert(fin == Seq("negative"), s"latest edit must win: $fin")
   }
 
   test("cli ingest mints the model's statement id: cross-path upsert dedups") {

@@ -202,6 +202,22 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Codecs.jpegGrayWithDims(out.toByteArray)
     }
+    // r12: a CORRUPTED marker stream makes ImageIO throw
+    // RuntimeExceptions, not just IOException — still the same
+    // "not a decodable image" contract, never an escaping crash
+    val good = Codecs.jpegGrayEncode(8, 8, Array.fill(64)(128))
+    val corrupt = good.clone()
+    var i = 2
+    while (i < corrupt.length - 2) { corrupt(i) = 0xff.toByte; i += 3 }
+    val e = intercept[IllegalArgumentException] {
+      Codecs.jpegGrayWithDims(corrupt)
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+    // r12: the JPEG dimension cap is a loud contract, not a crash
+    // deep inside imageio — m5 clamps synthesized frames to it
+    intercept[IllegalArgumentException] {
+      Codecs.jpegGrayEncode(8, 65536, new Array[Int](8 * 65536))
+    }
   }
 
   test("m5 matches its geometry model on live testdata") {

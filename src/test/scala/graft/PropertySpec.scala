@@ -267,6 +267,49 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expect, s"retraction step: $got vs $expect")
   }
 
+  // r12: the late-delivery guard. A batch row whose pair the store has
+  // already re-judged at a STRICTLY newer ts is stale — applying it
+  // as current would diverge the incremental mapping from
+  // resolverMapping(latestJudgements): a stale positive would re-merge
+  // a retracted pair, a stale negative would force a spurious
+  // recompute. Both must be DROPPED before the merge/retraction
+  // analysis; ties (the post-append store contains the batch itself)
+  // keep the batch row.
+  test("late-delivered stale judgements are dropped against a newer store") {
+    import spark.implicits._
+    import graft.operators.Xref
+    def toDf(v: Seq[(String, String, String, Long)]) =
+      v.toDF("left_id", "right_id", "judgement", "ts")
+    // store state: (a,b) linked@1 then RETRACTED@3; (c,d) linked@2
+    val history = Seq(
+      ("a", "b", "positive", 1L), ("c", "d", "positive", 2L),
+      ("a", "b", "negative", 3L))
+    val all = Xref.latestJudgements(toDf(history))
+    val mapping = Xref.resolverMapping(all).localCheckpoint()
+    val before = mapping.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(before == Map("c" -> "c", "d" -> "c"),
+      s"precondition: retracted pair must be unlinked, got $before")
+    // the LATE batch: a stale positive for the retracted pair and a
+    // stale negative for the live pair — both older than the store
+    val late = Seq(("a", "b", "positive", 2L), ("c", "d", "negative", 1L))
+    // delta face: both rows dropped → an EMPTY delta, not a merge of
+    // the retracted pair and not a retraction fallback (None)
+    val delta = Xref.applyJudgementsDelta(mapping, toDf(late), Some(all))
+    assert(delta.nonEmpty, "stale negative must not force a recompute")
+    assert(delta.get.count() == 0L, "stale rows must contribute no delta")
+    // full face: mapping unchanged, still ≡ the from-scratch recompute
+    val got = Xref.applyJudgements(mapping, toDf(late), all)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == before, s"stale batch must be a no-op: $got")
+    // tie on ts (replay regime): the batch row survives the guard and
+    // the replay is still idempotent — (c,d) positive@2 re-delivered
+    val replay = Seq(("c", "d", "positive", 2L))
+    val got2 = Xref.applyJudgements(mapping, toDf(replay), all)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == before, s"tied-ts replay must be a no-op: $got2")
+  }
+
   test("minLabelStars == union-find on random graphs (incl. chains)") {
     import spark.implicits._
     import graft.operators.Components

@@ -608,6 +608,16 @@ class StreamingSpec extends AnyFunSuite {
     // semantics the st13b/st14 end-to-end cases pin
     assert(Streams.bloatGate(1L, raw(100), fin(99), comp) == 0L)
     assert((raws, fins, compacts) == ((5, 4, 2)))
+    // r12: pending takedown tombstones (out-of-band pop) compact
+    // UNCONDITIONALLY, even on an idle tick — and without ANY
+    // corpus-sized count job (the dels signal is a catalog check)
+    assert(Streams.bloatGate(0L, raw(100), fin(100), comp,
+      delsPending = () => true) == 0L)
+    assert((raws, fins, compacts) == ((5, 4, 3)))
+    // no pops pending: the idle tier stays free (the r10/r11 pin)
+    assert(Streams.bloatGate(0L, raw(100), fin(100), comp,
+      delsPending = () => false) == 0L)
+    assert((raws, fins, compacts) == ((5, 4, 3)))
   }
 
   test("st14 streaming vector ingest: store probe-able, cadence compact collapses replays") {
