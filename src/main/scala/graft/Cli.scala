@@ -32,6 +32,13 @@ import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
   *                                      delegates externally)
   *   resolve <table> [entity_id]        canonical lookup from the
   *                                      stored mapping (all, or one)
+  *   migrate <table> [buckets]          detect-and-repair a VecStore
+  *                                      written by an older build
+  *                                      (stale pre-4dp assignments,
+  *                                      unstamped _pq/_codes, crashed
+  *                                      or half-finished retrains);
+  *                                      idempotent — a second run
+  *                                      reports nothing to do
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
@@ -219,6 +226,15 @@ object Cli {
           .getOrElse(mapping.orderBy("entity_id"))
         out.collect().foreach(r => println(r.mkString("\t")))
 
+      case "migrate" :: table :: rest if rest.length <= 1 =>
+        // the automated face of SURVEY §7's documented compat repairs:
+        // a pre-r11 VecStore (pre-4dp assignments, unstamped codebook/
+        // codes) repairs in one staged-swap pass instead of by hand
+        val buckets = rest.headOption.map(_.toInt).getOrElse(16)
+        val actions = graft.sources.VecStore.migrate(spark, table, buckets)
+        if (actions.isEmpty) println(s"$table: already current, no repairs")
+        else actions.foreach(a => println(s"$table: $a"))
+
       case "stats" :: table :: Nil =>
         Statements.stats(StatementStore.readFinal(spark, table))
           .orderBy("dataset", "schema")
@@ -244,7 +260,7 @@ object Cli {
 
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|judge|resolve|stats|query, " +
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|stats|query, " +
             s"got: $other")
     }
 }

@@ -113,6 +113,125 @@ object Bpe {
   def train(
       wordFreq: Seq[(String, Long)],
       numMerges: Int): IndexedSeq[(String, String)] = {
+    // INCREMENTAL pair-count maintenance (r12 — the standard trainer
+    // optimization, Sennrich et al. 2016 §3's released implementation
+    // does the same): the naive loop ([[trainReference]]) recounts
+    // EVERY pair of EVERY word per merge — O(merges × corpus-symbols),
+    // hours at a realistic 32k-merge vocabulary. Here each merge
+    // touches only the words that CONTAIN the merged pair (an
+    // occurrence index), updating the global counts by that word's
+    // exact before/after pair-multiset diff — so selection state is
+    // always bitwise what a full recount would produce, and the output
+    // is IDENTICAL to the reference loop (randomized-equivalence spec
+    // + the fixture-regeneration spec pin it). Best-pair selection is
+    // a lazy-deletion priority queue ordered (count desc, pair lex
+    // asc): stale entries pop and drop when their count no longer
+    // matches the live map — the same deterministic choice as the
+    // reference's full minBy.
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordFreq.toArray.map { case (w, n) =>
+        (mutable.ArrayBuffer.from(w.iterator.map(_.toString)), n)
+      }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def pairsOf(syms: mutable.ArrayBuffer[String])
+        : mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        m.update(p, m.getOrElse(p, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    // (count desc, then lexicographically LEAST pair first): the heap
+    // dequeues its MAX, so ties invert the string comparison
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2)
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val n = counts.getOrElse(p, 0L) + delta
+      if (n <= 0L) { counts.remove(p); () }
+      else {
+        counts.update(p, n)
+        // enqueue on EVERY live change — a decreased count needs its
+        // own entry or the pair would become unselectable (its old
+        // higher entry pops stale and drops)
+        pq.enqueue((n, p._1, p._2))
+        if (delta > 0L) {
+          occurs.getOrElseUpdate(p, mutable.Set.empty) += wi; ()
+        }
+      }
+    }
+    words.zipWithIndex.foreach { case ((syms, n), wi) =>
+      pairsOf(syms).foreach { case (p, k) =>
+        counts.update(p, counts.getOrElse(p, 0L) + k * n)
+        occurs.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+    }
+    counts.foreach { case ((a, b), n) => pq.enqueue((n, a, b)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      // pop until a LIVE entry (count matches the map) surfaces
+      var best: Option[(String, String)] = None
+      while (best.isEmpty && pq.nonEmpty) {
+        val (n, a, b) = pq.dequeue()
+        if (counts.getOrElse((a, b), 0L) == n) best = Some((a, b))
+      }
+      best match {
+        case None => done = true
+        case Some(bp) =>
+          merges += bp
+          val joined = bp._1 + bp._2
+          val touched = occurs.getOrElse(bp, mutable.Set.empty)
+          touched.toArray.sorted.foreach { wi =>
+            val (syms, n) = words(wi)
+            val before = pairsOf(syms)
+            if (before.contains(bp)) {
+              // the reference's exact left-to-right application
+              var i = 0
+              while (i < syms.length - 1) {
+                if (syms(i) == bp._1 && syms(i + 1) == bp._2) {
+                  syms.update(i, joined)
+                  syms.remove(i + 1)
+                } else i += 1
+              }
+              val after = pairsOf(syms)
+              (before.keySet ++ after.keySet).foreach { p =>
+                val d = after.getOrElse(p, 0L) - before.getOrElse(p, 0L)
+                if (d != 0L) bump(p, d * n, wi)
+              }
+            }
+          }
+          occurs.remove(bp)
+          counts.remove(bp)
+          step += 1
+      }
+    }
+    merges.toIndexedSeq
+  }
+
+  /** The UNOPTIMIZED reference trainer — the full-recount loop
+    * [[train]] is spec-equated against (randomized inputs + the
+    * checked-in fixture). Kept verbatim so the equivalence gate is a
+    * comparison against the naive algorithm, not against a past
+    * version of the optimized one.
+    */
+  private[graft] def trainReference(
+      wordFreq: Seq[(String, Long)],
+      numMerges: Int): IndexedSeq[(String, String)] = {
     val words: Array[(mutable.ArrayBuffer[String], Long)] =
       wordFreq.toArray.map { case (w, n) =>
         (mutable.ArrayBuffer.from(w.iterator.map(_.toString)), n)

@@ -40,6 +40,28 @@ import graft.operators.Dedup
   */
 object DocStore {
 
+  // r12: every bucketed write routes through ONE layout shuffle
+  // ([[BucketedLayout]]) so the store's file count is exactly
+  // one file per non-empty bucket per write, regardless of how many
+  // splits the incoming frame has — see BucketedLayout's finding.
+  private def writeDocRows(
+      df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
+    BucketedLayout(df, buckets, Seq("doc_id")).write
+      .mode(mode)
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable(target)
+
+  private def writeBandRows(
+      df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
+    BucketedLayout(df, buckets, Seq("band", "key")).write
+      .mode(mode)
+      .bucketBy(buckets, "band", "key")
+      .sortBy("band", "key")
+      .format("parquet")
+      .saveAsTable(target)
+
   /** Append a document batch and its band-key index rows. The INDEX
     * lands first: the two writes are not atomic, and the two possible
     * crash states are not symmetric — orphan index rows (index landed,
@@ -55,18 +77,9 @@ object DocStore {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       buckets: Int = 64): Unit = {
-    bandKeys(docs, numHashes, rowsPerBand).write
-      .mode(SaveMode.Append)
-      .bucketBy(buckets, "band", "key")
-      .sortBy("band", "key")
-      .format("parquet")
-      .saveAsTable(s"${table}_bands")
-    docs.write
-      .mode(SaveMode.Append)
-      .bucketBy(buckets, "doc_id")
-      .sortBy("doc_id")
-      .format("parquet")
-      .saveAsTable(table)
+    writeBandRows(bandKeys(docs, numHashes, rowsPerBand),
+      s"${table}_bands", buckets, SaveMode.Append)
+    writeDocRows(docs, table, buckets, SaveMode.Append)
   }
 
   /** The ONE band-key projection all faces of the store share. */
@@ -123,6 +136,17 @@ object DocStore {
       .saveAsTable(s"${table}_dels")
     popped
   }
+
+  /** The tombstone-only half of [[pop]] — the streaming takedown face
+    * (st16): lands the request ids in `<table>_dels` WITHOUT
+    * materializing the popped rows, so a takedown micro-batch costs
+    * one request-bounded append and nothing corpus-sized. Same sticky
+    * semantics, same read-exclusion, same [[compact]] retirement.
+    */
+  def popIds(spark: SparkSession, table: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dels")
 
   /** The live takedown set, if any tombstones exist. */
   private def delIds(spark: SparkSession, table: String): Option[DataFrame] =
@@ -208,6 +232,98 @@ object DocStore {
     * retire leaves the anti-join filtering ids that no longer exist —
     * a no-op, never a resurrection.
     */
+  /** Handle between [[compactStage]] and [[compactFinish]]: the two
+    * staged table names plus the corpus/tombstone file-list snapshots
+    * taken BEFORE the stage build read anything.
+    */
+  final case class CompactStage(
+      docsTmp: String,
+      bandsTmp: String,
+      snapFiles: Set[String],
+      delsSnap: Set[String])
+
+  /** The HEAVY half of [[compact]], runnable OFF the writer's critical
+    * path (r12 — the acknowledged st13 stall: the corpus-sized FINAL
+    * rewrite used to run inline in foreachBatch). Builds the staged
+    * FINAL docs table and its rebuilt band index but performs NO swap;
+    * the live tables keep serving and the writer keeps appending
+    * throughout. Safe to run concurrently with appends because the
+    * stores dedup at read: any rows appended while this builds are
+    * either missed by the stage (the [[compactFinish]] delta catch-up
+    * re-appends them — file-list diff against `snapFiles`) or already
+    * included (the catch-up then appends a duplicate, which the FINAL
+    * read collapses and the next compact physically drops). Nothing is
+    * ever lost; the only cost of the race is bounded, read-time-
+    * invisible duplication.
+    *
+    * A crash after this leaves stage garbage the next compact's
+    * dropAllStages reclaims — the live tables are untouched.
+    */
+  def compactStage(
+      spark: SparkSession,
+      table: String,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 2,
+      buckets: Int = 64): CompactStage = {
+    val docsTmp = TableSwap.stageName(spark, table)
+    TableSwap.dropAllStages(spark, table)
+    TableSwap.dropAllStages(spark, s"${table}_bands")
+    // snapshots BEFORE the FINAL read: everything the stage might miss
+    // is in files that appear after this list (delta ⊇ missed rows),
+    // and the stage honors AT LEAST these tombstones
+    val snapFiles = spark.table(table).inputFiles.toSet
+    val delsSnap =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    writeDocRows(readFinal(spark, table), docsTmp, buckets,
+      SaveMode.Overwrite)
+    val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
+    writeBandRows(bandKeys(spark.table(docsTmp), numHashes, rowsPerBand),
+      bandsTmp, buckets, SaveMode.Overwrite)
+    CompactStage(docsTmp, bandsTmp, snapFiles, delsSnap)
+  }
+
+  /** The CHEAP half: catch up and swap. MUST run serialized with the
+    * writer (inside a micro-batch, or with the stream stopped) so the
+    * file-list diff is stable and no append can land mid-swap. Cost is
+    * append-bounded — the delta rows since [[compactStage]]'s snapshot
+    * (filtered against the CURRENT tombstones, so a pop stays sticky
+    * through the rewrite) plus two metadata-only [[TableSwap]] swaps.
+    * The tombstone table retires only when no NEW tombstones landed
+    * since the stage snapshot (`delsSnap` unchanged) — tombstones the
+    * stage never honored must keep filtering reads until the next
+    * compact; retained rows for already-dropped ids are no-ops.
+    */
+  def compactFinish(
+      spark: SparkSession,
+      table: String,
+      st: CompactStage,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 2,
+      buckets: Int = 64): Unit = {
+    val delta = spark.table(table).inputFiles.toSet -- st.snapFiles
+    if (delta.nonEmpty) {
+      val deltaRows = minusDels(spark, table,
+        spark.read.format("parquet").load(delta.toSeq: _*))
+        .localCheckpoint()
+      writeDocRows(deltaRows, st.docsTmp, buckets, SaveMode.Append)
+      writeBandRows(bandKeys(deltaRows, numHashes, rowsPerBand),
+        st.bandsTmp, buckets, SaveMode.Append)
+    }
+    TableSwap.swapIn(spark, st.docsTmp, table, partitioned = false)(df =>
+      writeDocRows(df, table, buckets, SaveMode.Append))
+    TableSwap.swapIn(spark, st.bandsTmp, s"${table}_bands",
+      partitioned = false)(df =>
+      writeBandRows(df, s"${table}_bands", buckets, SaveMode.Append))
+    val delsNow =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    if (delsNow == st.delsSnap)
+      graft.Probes.dropManaged(spark, s"${table}_dels")
+  }
+
   def compact(
       spark: SparkSession,
       table: String,
@@ -217,28 +333,16 @@ object DocStore {
     val docsTmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
     TableSwap.dropAllStages(spark, s"${table}_bands")
-    val finalDocs = readFinal(spark, table)
-    finalDocs.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id")
-      .sortBy("doc_id")
-      .format("parquet")
-      .saveAsTable(docsTmp)
+    writeDocRows(readFinal(spark, table), docsTmp, buckets,
+      SaveMode.Overwrite)
     TableSwap.swapIn(spark, docsTmp, table, partitioned = false)(df =>
-      df.write.mode(SaveMode.Append).bucketBy(buckets, "doc_id")
-        .sortBy("doc_id").format("parquet").saveAsTable(table))
+      writeDocRows(df, table, buckets, SaveMode.Append))
     val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
-    bandKeys(read(spark, table), numHashes, rowsPerBand).write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "band", "key")
-      .sortBy("band", "key")
-      .format("parquet")
-      .saveAsTable(bandsTmp)
+    writeBandRows(bandKeys(read(spark, table), numHashes, rowsPerBand),
+      bandsTmp, buckets, SaveMode.Overwrite)
     TableSwap.swapIn(spark, bandsTmp, s"${table}_bands",
       partitioned = false)(df =>
-      df.write.mode(SaveMode.Append).bucketBy(buckets, "band", "key")
-        .sortBy("band", "key").format("parquet")
-        .saveAsTable(s"${table}_bands"))
+      writeBandRows(df, s"${table}_bands", buckets, SaveMode.Append))
     graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 }

@@ -30,7 +30,9 @@ object FpxStore {
     Seq("algorithm", "value", "prop", "schema", "dataset", "entity_id")
 
   def append(fpx: DataFrame, table: String, buckets: Int = 64): Unit =
-    fpx.write
+    // BucketedLayout: one file per (algorithm, bucket) per write,
+    // independent of the source's split count (the r12 finding)
+    BucketedLayout(fpx, buckets, Seq("value"), Seq("algorithm")).write
       .mode(SaveMode.Append)
       .partitionBy("algorithm")
       .bucketBy(buckets, "value")
@@ -80,7 +82,8 @@ object FpxStore {
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
     val tmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
-    readFinal(spark, table).write
+    BucketedLayout(readFinal(spark, table), buckets,
+      Seq("value"), Seq("algorithm")).write
       .mode(SaveMode.Overwrite)
       .partitionBy("algorithm")
       .bucketBy(buckets, "value")

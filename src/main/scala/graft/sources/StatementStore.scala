@@ -55,7 +55,9 @@ object StatementStore {
     */
   private def write(
       df: DataFrame, table: String, buckets: Int, mode: SaveMode): Unit =
-    df.write
+    // BucketedLayout: one file per (dataset, bucket) per write,
+    // independent of the source's split count (the r12 finding)
+    BucketedLayout(df, buckets, Seq("canonical_id"), Seq("dataset")).write
       .mode(mode)
       .partitionBy("dataset")
       .bucketBy(buckets, "canonical_id")

@@ -28,7 +28,10 @@ import graft.operators.{Dedup, Similarity}
   * [[append]] assigns each incoming vector to its nearest centroid
   * with a SCAN-LOCAL literal-matrix argmax ([[assignExpr]] — the
   * centroid table is structurally bounded, so it rides in the plan
-  * like s2's hyperplane matrix): ingest is zero-shuffle, and the
+  * like s2's hyperplane matrix): assignment is compute-only in the
+  * scan; the write then carries exactly ONE batch-sized layout
+  * shuffle ([[BucketedLayout]], r12 — the price of one-file-per-
+  * bucket on many-split sources), and the
   * assignment is bit-identical to [[Similarity.nearestLists]]'s
   * exchange-based argmax (same 4dp-rounded score, same list_id
   * tie-break; spec-asserted), so the store, batch d12, and the d13
@@ -82,6 +85,20 @@ object VecStore {
       table, buckets)
   }
 
+  // r12: every bucketed write routes through ONE layout shuffle
+  // ([[BucketedLayout]], keyed (list_id, bucket-of-vec_id)) — exactly
+  // one file per non-empty (list, bucket) per write regardless of the
+  // source's split count; see BucketedLayout's file-explosion finding.
+  private def writeListed(
+      df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
+    BucketedLayout(df, buckets, Seq("vec_id"), Seq("list_id")).write
+      .mode(mode)
+      .format("parquet")
+      .partitionBy("list_id")
+      .bucketBy(buckets, "vec_id")
+      .sortBy("vec_id")
+      .saveAsTable(target)
+
   /** The stored coarse quantizer. */
   def centroids(spark: SparkSession, table: String): DataFrame =
     spark.table(s"${table}_cents")
@@ -119,13 +136,7 @@ object VecStore {
     // once so a non-deterministic source cannot desync codes from
     // vectors (the DocStore probe lesson)
     val assigned = if (hasPq) assigned0.localCheckpoint() else assigned0
-    assigned.write
-      .mode(SaveMode.Append)
-      .format("parquet")
-      .partitionBy("list_id")
-      .bucketBy(buckets, "vec_id")
-      .sortBy("vec_id")
-      .saveAsTable(table)
+    writeListed(assigned, table, buckets, SaveMode.Append)
     // VECTORS first (source of truth): a crash here leaves the codes
     // cache lagging — PQ search misses the batch until the next
     // encode/retrain — but codes can never reference vectors that do
@@ -171,6 +182,16 @@ object VecStore {
       .saveAsTable(s"${table}_dels")
     popped
   }
+
+  /** The tombstone-only half of [[pop]] — the streaming takedown face
+    * (st16), the [[DocStore.popIds]] twin: request ids land in
+    * `<table>_dels` without materializing the popped rows, so a
+    * takedown micro-batch costs one request-bounded append.
+    */
+  def popIds(spark: SparkSession, table: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id")).distinct()
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dels")
 
   /** `df` minus tombstoned vec_ids — broadcast anti-join (takedown
     * sets are bounded by requests, not data); `df` untouched when no
@@ -322,16 +343,28 @@ object VecStore {
       buckets: Int): Unit = {
     val corpus = readFinal(spark, table)
       .select(col("vec_id"), col("embedding"), col("list_id"))
-    if (spark.catalog.tableExists(s"${table}_codes")) {
-      val tmp = TableSwap.stageName(spark, s"${table}_codes")
-      TableSwap.dropAllStages(spark, s"${table}_codes")
-      writeCodes(spark, corpus, cb, tmp, buckets)
-      TableSwap.swapIn(spark, tmp, s"${table}_codes",
-        partitioned = true)(df =>
-        df.write.mode(SaveMode.Append).format("parquet")
-          .partitionBy("list_id").bucketBy(buckets, "vec_id")
-          .sortBy("vec_id").saveAsTable(s"${table}_codes"))
-    } else writeCodes(spark, corpus, cb, s"${table}_codes", buckets)
+    val codesT = s"${table}_codes"
+    if (spark.catalog.tableExists(codesT)) {
+      // a LEGACY unpartitioned cache can't host the partitioned staged
+      // swap (MSCK refuses) — and an unpartitioned layout predates the
+      // stamp scheme, so PQ serving is already refusing on it: replace
+      // it wholesale (no serving window exists to protect)
+      val partitioned = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(codesT))
+        .partitionColumnNames.nonEmpty
+      if (!partitioned) {
+        graft.Probes.dropManaged(spark, codesT)
+        writeCodes(spark, corpus, cb, codesT, buckets)
+      } else {
+        val tmp = TableSwap.stageName(spark, codesT)
+        TableSwap.dropAllStages(spark, codesT)
+        writeCodes(spark, corpus, cb, tmp, buckets)
+        TableSwap.swapIn(spark, tmp, codesT,
+          partitioned = true)(df =>
+          writeListed(df, codesT, buckets, SaveMode.Append))
+      }
+    } else writeCodes(spark, corpus, cb, codesT, buckets)
   }
 
   /** The stored PQ codebook ([[trainPqCodebook]]); carries `cb_hash`,
@@ -351,7 +384,7 @@ object VecStore {
       buckets: Int): Unit =
     writeCodes(spark,
       assigned.select(col("vec_id"), col("embedding"), col("list_id")),
-      codebook(spark, table), s"${table}_codes", buckets)
+      liveCodebook(spark, table), s"${table}_codes", buckets)
 
   private def writeCodes(
       spark: SparkSession,
@@ -362,7 +395,7 @@ object VecStore {
     requireStamped(cb, target)
     val (numSub, subDim) = pqShape(cb)
     val hash = cb.select(col("cb_hash")).head().getString(0)
-    Similarity.pqEncode(
+    val encoded = Similarity.pqEncode(
       Similarity.subVectors(
         Similarity.unitVectors(
           vecsWithList.select(col("vec_id"), col("embedding")),
@@ -372,11 +405,7 @@ object VecStore {
       .join(vecsWithList.select(col("vec_id"), col("list_id")),
         Seq("vec_id"))
       .withColumn("cb_hash", lit(hash))
-      .write.mode(SaveMode.Append).format("parquet")
-      .partitionBy("list_id")
-      .bucketBy(buckets, "vec_id")
-      .sortBy("vec_id")
-      .saveAsTable(target)
+    writeListed(encoded, target, buckets, SaveMode.Append)
   }
 
   /** Legacy guard: a `_pq` table written before the hash-stamp scheme
@@ -401,7 +430,7 @@ object VecStore {
     require(c.columns.contains("cb_hash"),
       s"VecStore: `${table}_codes` predates the cb_hash consistency " +
         "scheme — rerun trainPqCodebook to restamp and re-encode")
-    val cb = codebook(spark, table)
+    val cb = liveCodebook(spark, table)
     requireStamped(cb, s"${table}_codes consistency check")
     val live = cb.select(col("cb_hash")).head().getString(0)
     val sampled = c.select(col("cb_hash")).limit(1).collect()
@@ -410,6 +439,113 @@ object VecStore {
         "different codebook than the live `_pq` (crashed/partial " +
         "retrain?) — rerun trainPqCodebook to re-encode")
     live
+  }
+
+  /** The SERVING generation of the codebook. Normally `_pq` holds one
+    * generation and this is just the table; during a
+    * [[retrainPqStaged]] (r12) the table transiently holds TWO
+    * stamped generations, and the CODES' sampled stamp picks the one
+    * to serve — the codes swap is the atomic commit point (TableSwap),
+    * so readers resolve old-consistently before it and
+    * new-consistently after it, with NO refusal window at any instant.
+    * With two generations and no codes at all (a crash state no write
+    * path produces), the lexicographically smaller hash is a
+    * deterministic tie-break; `migrate` prunes leftovers.
+    */
+  private def liveCodebook(spark: SparkSession, table: String): DataFrame = {
+    val cb = spark.table(s"${table}_pq")
+    if (!cb.columns.contains("cb_hash")) cb
+    else {
+      val hashes = cb.select(col("cb_hash")).distinct()
+        .collect().map(_.getString(0))
+      if (hashes.length <= 1) cb
+      else {
+        val h =
+          if (spark.catalog.tableExists(s"${table}_codes")) {
+            val s = spark.table(s"${table}_codes")
+            if (s.columns.contains("cb_hash")) {
+              val sampled = s.select(col("cb_hash")).limit(1).collect()
+              sampled.headOption.map(_.getString(0))
+                .filter(hashes.contains).getOrElse(hashes.min)
+            } else hashes.min
+          } else hashes.min
+        cb.filter(col("cb_hash") === lit(h))
+      }
+    }
+  }
+
+  /** The serving-generation codebook WITHOUT its stamp column — the
+    * external read face (drift monitoring passes it to
+    * [[graft.operators.Similarity.pqQuantizationError]]); resolves the
+    * generation exactly like every internal consumer does.
+    */
+  def servingCodebook(spark: SparkSession, table: String): DataFrame =
+    liveCodebook(spark, table).drop("cb_hash")
+
+  /** Drop every codebook generation except the serving one — the
+    * cleanup tail of [[retrainPqStaged]] and `migrate`'s repair for an
+    * interrupted one. Staged [[TableSwap]]: no absent-`_pq` window.
+    */
+  private def pruneCodebook(
+      spark: SparkSession, table: String): Unit = {
+    val live = liveCodebook(spark, table).localCheckpoint()
+    val tmp = TableSwap.stageName(spark, s"${table}_pq")
+    TableSwap.dropAllStages(spark, s"${table}_pq")
+    live.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+    TableSwap.swapIn(spark, tmp, s"${table}_pq", partitioned = false)(df =>
+      df.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"${table}_pq"))
+  }
+
+  /** RETRAIN the PQ codebook while the store keeps serving — the
+    * streaming face of [[trainPqCodebook]] (r12, the drift response
+    * st14's gate invokes). [[trainPqCodebook]]'s plain Overwrite of
+    * `_pq` has an absent-table window and its codebook-then-codes
+    * order has a stamp-mismatch window in which [[ivfPqTopK]] REFUSES;
+    * this path has neither, via GENERATION TOLERANCE:
+    *
+    *   1. the new codebook generation APPENDS into `_pq` next to the
+    *      old (readers resolve the serving generation from the codes'
+    *      stamp — [[liveCodebook]] — so they keep serving OLD,
+    *      consistently);
+    *   2. the codes cache rebuilds under the new generation through
+    *      the existing staged swap — the one ATOMIC commit point:
+    *      before it readers resolve old/old, after it new/new;
+    *   3. the old generation prunes out of `_pq` ([[pruneCodebook]],
+    *      staged).
+    *
+    * A crash between any two steps leaves a state that SERVES
+    * consistently (old before step 2, new after) and that the next
+    * retrain or `migrate` cleans — strictly better than the
+    * trainPqCodebook crash states, whose repairs it also subsumes.
+    * Shape (numSub/K/dims) carries over from the live generation.
+    */
+  def retrainPqStaged(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = 16): Unit = {
+    val old = liveCodebook(spark, table).localCheckpoint()
+    requireStamped(old, "retrainPqStaged")
+    // self-heal an interrupted previous retrain before adding a gen
+    if (spark.table(s"${table}_pq").select(col("cb_hash")).distinct()
+        .count() > 1L) pruneCodebook(spark, table)
+    val (numSub, subDim) = pqShape(old)
+    val k = (old.count() / numSub).toInt
+    val cbDf = Similarity.trainPqCodebook(
+      readFinal(spark, table).select(col("vec_id"), col("embedding")),
+      numSub, k, numSub * subDim)
+      .localCheckpoint()
+    val newHash = cbHashOf(cbDf)
+    // unchanged corpus ⇒ identical codebook: appending the same
+    // generation again would DUPLICATE its rows (and every ADC join
+    // against them) — a retrain that changes nothing is a no-op
+    if (newHash == old.select(col("cb_hash")).head().getString(0)) return
+    val stamped = cbDf.withColumn("cb_hash", lit(newHash))
+      .localCheckpoint()
+    stamped.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_pq")
+    rebuildCodes(spark, table, stamped, buckets)
+    pruneCodebook(spark, table)
   }
 
   /** Deterministic content hash of a codebook: rows sorted by
@@ -465,7 +601,7 @@ object VecStore {
       nProbe: Int = 2,
       shortlist: Int = 0): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    val cb = codebook(spark, table)
+    val cb = liveCodebook(spark, table)
     val (numSub, subDim) = pqShape(cb)
     val dims = numSub * subDim
     val lc = litCents(spark, table)
@@ -572,20 +708,124 @@ object VecStore {
       buckets: Int = 16): Unit = {
     val tmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
-    readFinal(spark, table).write
-      .mode(SaveMode.Overwrite)
-      .format("parquet")
-      .partitionBy("list_id")
-      .bucketBy(buckets, "vec_id")
-      .sortBy("vec_id")
-      .saveAsTable(tmp)
+    writeListed(readFinal(spark, table), tmp, buckets,
+      SaveMode.Overwrite)
     TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
-      df.write.mode(SaveMode.Append).format("parquet")
-        .partitionBy("list_id").bucketBy(buckets, "vec_id")
-        .sortBy("vec_id").saveAsTable(table))
+      writeListed(df, table, buckets, SaveMode.Append))
     if (spark.catalog.tableExists(s"${table}_codes"))
-      rebuildCodes(spark, table, codebook(spark, table), buckets)
+      rebuildCodes(spark, table, liveCodebook(spark, table), buckets)
     graft.Probes.dropManaged(spark, s"${table}_dels")
+  }
+
+  /** MIGRATE a store written by an older build to the current layout —
+    * the automated face of the compat repairs SURVEY §7 documents as
+    * manual steps ("re-derive persisted assignments", "rerun
+    * trainPqCodebook"). Detects, repairs in dependency order, and
+    * returns one line per repair (empty = already current, and the
+    * call scheduled no write — a second migrate is a no-op):
+    *
+    *   1. STALE LIST ASSIGNMENTS (e.g. the pre-r11 pre-4dp argmax):
+    *      a sampled recompute of `list_id` against the stored
+    *      quantizer disagrees with the persisted column → the whole
+    *      corpus re-assigns through the staged swap (serving faces
+    *      keep answering; probes prune on the REPAIRED layout after).
+    *      Detection is sampled (`sampleN` FINAL rows, scan-local
+    *      recompute) because any drifted layout drifts broadly — the
+    *      4dp change moved every near-boundary vector.
+    *   2. UNSTAMPED CODEBOOK (`_pq` predates cb_hash): retrain at the
+    *      SHAPE inferred from the legacy codebook (numSub/K/dims), so
+    *      the operating point carries over; rebuilds + restamps codes.
+    *   3. CRASHED trainPqCodebook (`_pq` without `_codes`), UNSTAMPED
+    *      `_codes`, STAMP-MISMATCHED `_codes` (half-finished retrain),
+    *      or codes invalidated by a step-1 re-assign: rebuild the
+    *      cache from the corpus under the live codebook.
+    *
+    * An orphaned `_codes` without `_pq` (no serving path can read it)
+    * is dropped. Every rewrite rides [[TableSwap]] — no absent-table
+    * window at any point; a crash mid-migrate leaves a state this
+    * method repairs on the next run (idempotent by construction:
+    * every repair is re-detected, never assumed done).
+    */
+  def migrate(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = 16,
+      sampleN: Int = 1000): Seq[String] = {
+    val actions = scala.collection.mutable.Buffer.empty[String]
+    var codesStale = false
+    // 1. sampled assignment check against the live quantizer
+    val lc = litCents(spark, table)
+    val sample = readFinal(spark, table)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .limit(sampleN).localCheckpoint()
+    val drifted = sample
+      .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+      .withColumn("__new", assignExpr(lc))
+      .filter(col("__new") =!= col("list_id")).count()
+    if (drifted > 0) {
+      val tmp = TableSwap.stageName(spark, table)
+      TableSwap.dropAllStages(spark, table)
+      writeListed(withAssignment(spark,
+        readFinal(spark, table).select(col("vec_id"), col("embedding")),
+        table), tmp, buckets, SaveMode.Overwrite)
+      TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
+        writeListed(df, table, buckets, SaveMode.Append))
+      graft.Probes.dropManaged(spark, s"${table}_dels")
+      codesStale = true
+      actions += s"reassigned corpus: $drifted/${sample.count()} sampled " +
+        "rows carried a stale list assignment (pre-4dp layout)"
+    }
+    // 2./3. PQ artifact repairs
+    val hasPq = spark.catalog.tableExists(s"${table}_pq")
+    val hasCodes = spark.catalog.tableExists(s"${table}_codes")
+    if (!hasPq && hasCodes) {
+      graft.Probes.dropManaged(spark, s"${table}_codes")
+      actions += "dropped orphaned _codes cache (no _pq codebook serves it)"
+    } else if (hasPq) {
+      val raw = spark.table(s"${table}_pq")
+      if (raw.columns.contains("cb_hash") &&
+          raw.select(col("cb_hash")).distinct().count() > 1L) {
+        pruneCodebook(spark, table)
+        actions += "pruned stale codebook generation(s) left by an " +
+          "interrupted retrain (_pq held multiple cb_hash stamps)"
+      }
+      val cb = liveCodebook(spark, table)
+      if (!cb.columns.contains("cb_hash")) {
+        val (numSub, subDim) = pqShape(cb)
+        val k = (cb.count() / numSub).toInt
+        trainPqCodebook(spark, table, numSub, k, numSub * subDim, buckets)
+        codesStale = false
+        actions += s"retrained codebook at the legacy shape " +
+          s"(numSub=$numSub, K=$k, dims=${numSub * subDim}): stored " +
+          "_pq predated the cb_hash stamp scheme"
+      } else if (!hasCodes) {
+        rebuildCodes(spark, table, cb, buckets)
+        codesStale = false
+        actions += "rebuilt _codes: _pq existed without its cache " +
+          "(crashed trainPqCodebook)"
+      } else {
+        val codes = spark.table(s"${table}_codes")
+        val reason =
+          if (!codes.columns.contains("cb_hash"))
+            Some("_codes predates the cb_hash stamp scheme")
+          else {
+            val live = cb.select(col("cb_hash")).head().getString(0)
+            val sampled = codes.select(col("cb_hash")).limit(1).collect()
+            if (sampled.nonEmpty && sampled(0).getString(0) != live)
+              Some("_codes stamp mismatches the live codebook " +
+                "(half-finished retrain)")
+            else if (codesStale)
+              Some("corpus re-assignment moved code rows across lists")
+            else None
+          }
+        reason.foreach { r =>
+          rebuildCodes(spark, table, cb, buckets)
+          codesStale = false
+          actions += s"rebuilt _codes: $r"
+        }
+      }
+    }
+    actions.toSeq
   }
 
   /** `vectors` (idCol, embedding) with the stored quantizer's

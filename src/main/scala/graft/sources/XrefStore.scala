@@ -32,7 +32,9 @@ object XrefStore {
   private def write(
       df: DataFrame, table: String, bucketCol: String,
       sortCols: Seq[String], buckets: Int, mode: SaveMode): Unit =
-    df.write
+    // BucketedLayout: one file per bucket per write, independent of
+    // the source's split count (the r12 finding)
+    BucketedLayout(df, buckets, Seq(bucketCol)).write
       .mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(sortCols.head, sortCols.tail: _*)

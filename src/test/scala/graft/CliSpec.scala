@@ -144,6 +144,85 @@ class CliSpec extends AnyFunSuite {
     assert(fin == Seq("negative"), s"latest edit must win: $fin")
   }
 
+  // r12: the automated compat repair. A synthesized legacy-layout
+  // store (stale assignments + unstamped codebook/codes — the pre-r11
+  // states SURVEY §7 documents manual repairs for) must migrate in one
+  // pass, serve on every face afterwards, and a second migrate must be
+  // a no-op.
+  test("cli migrate repairs a legacy-layout VecStore; second run is a no-op") {
+    import org.apache.spark.sql.SaveMode
+    val names = Seq("mig_vecs", "mig_vecs_cents", "mig_vecs_pq",
+      "mig_vecs_codes", "mig_vecs_dels")
+    names.foreach(n => Probes.dropManaged(spark, n))
+    val emb = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    graft.sources.VecStore.init(spark, "mig_vecs", emb,
+      col("label"), buckets = 4)
+    graft.sources.VecStore.trainPqCodebook(spark, "mig_vecs", buckets = 4)
+    // ---- synthesize the legacy layout ----
+    // (a) stale assignments: shift a handful of vectors into the wrong
+    // list — what a pre-4dp argmax left behind for boundary vectors
+    val nLists = graft.sources.VecStore.centroids(spark, "mig_vecs").count()
+    val perturbed = spark.table("mig_vecs")
+      .withColumn("list_id",
+        when(col("vec_id") < 5,
+          (col("list_id") + lit(1)) % lit(nLists.toInt))
+          .otherwise(col("list_id")))
+      .localCheckpoint()
+    Probes.dropManaged(spark, "mig_vecs")
+    perturbed.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("list_id").bucketBy(4, "vec_id").sortBy("vec_id")
+      .saveAsTable("mig_vecs")
+    // (b) unstamped codebook + codes: drop the cb_hash columns — the
+    // pre-stamp-scheme on-disk shape
+    val legacyCb = spark.table("mig_vecs_pq").drop("cb_hash")
+      .localCheckpoint()
+    Probes.dropManaged(spark, "mig_vecs_pq")
+    legacyCb.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("mig_vecs_pq")
+    val legacyCodes = spark.table("mig_vecs_codes").drop("cb_hash")
+      .localCheckpoint()
+    Probes.dropManaged(spark, "mig_vecs_codes")
+    legacyCodes.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("mig_vecs_codes")
+    // the legacy store REFUSES PQ serving (the r11 guard) — migrate is
+    // the automation of the error message's manual repair
+    val probe = emb.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + lit(100000)).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    intercept[IllegalArgumentException] {
+      graft.sources.VecStore.ivfPqTopK(spark, "mig_vecs", probe,
+        k = 3, nProbe = 2).collect()
+    }
+    // ---- migrate ----
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { Cli.run(spark, List("migrate", "mig_vecs", "4")) }
+    val report = out.toString
+    assert(report.contains("reassigned corpus"),
+      s"stale assignments must be detected+repaired: $report")
+    assert(report.contains("retrained codebook"),
+      s"unstamped _pq must be detected+repaired: $report")
+    // every serving face answers on the repaired store
+    assert(graft.sources.VecStore.ivfTopK(spark, "mig_vecs", probe,
+      k = 3, nProbe = 2).count() > 0)
+    assert(graft.sources.VecStore.ivfPqTopK(spark, "mig_vecs", probe,
+      k = 3, nProbe = 2).count() > 0)
+    val verdicts = graft.sources.VecStore.nearDupVerdicts(
+      spark, "mig_vecs", probe, minCos = 0.999).collect()
+    assert(verdicts.exists(r => r.getBoolean(2) && r.getLong(3) == 3L),
+      "the repaired layout must find the exact-copy dup again")
+    // codes re-stamped with the live codebook's hash, uniform
+    val live = spark.table("mig_vecs_pq")
+      .select(col("cb_hash")).head().getString(0)
+    val stamps = spark.table("mig_vecs_codes")
+      .select(col("cb_hash")).distinct().collect().map(_.getString(0))
+    assert(stamps.toSeq == Seq(live))
+    // ---- second migrate: nothing to do ----
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(out2) { Cli.run(spark, List("migrate", "mig_vecs", "4")) }
+    assert(out2.toString.contains("already current"),
+      s"second migrate must be a no-op: ${out2.toString}")
+  }
+
   test("cli ingest mints the model's statement id: cross-path upsert dedups") {
     import spark.implicits._
     import graft.model.Statements

@@ -449,4 +449,28 @@ class FunctionsSpec extends AnyFunSuite {
     val trained = Bpe.train(wordFreq, numMerges = Bpe.defaultMerges.length)
     assert(trained == Bpe.defaultMerges)
   }
+
+  // r12: the incremental trainer (occurrence-indexed pair counts +
+  // lazy-deletion heap — what makes a 32k-merge vocabulary tractable)
+  // must be output-IDENTICAL to the naive full-recount reference on
+  // randomized corpora, including count ties, overlapping pairs
+  // (aaa-style), and saturation
+  test("Bpe.train incremental ≡ naive reference over randomized corpora") {
+    import graft.functions.Bpe
+    val rnd = new scala.util.Random(12)
+    for (trial <- 1 to 30) {
+      val alphabet = "abcd".take(2 + rnd.nextInt(3))
+      val words = (0 until 3 + rnd.nextInt(12)).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (0 until len)
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        (w, 1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(25)
+      val fast = Bpe.train(words, k)
+      val slow = Bpe.trainReference(words, k)
+      assert(fast == slow,
+        s"trial $trial diverged on $words at $k merges:\n$fast\n$slow")
+    }
+  }
 }

@@ -1088,6 +1088,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(perStratum == 0L)
   }
 
+  // r12: the same gates at a REALISTIC (non-toy) vocabulary — the
+  // fixture is 80 merges; here a rich synthetic vocabulary trains
+  // thousands of merges (BpeScaleProbe measures the full 32k) and the
+  // encoder must hold reference parity, losslessness, and the
+  // manifest wiring under it. The rank-rescan reference is O(merges)
+  // per step, so parity runs over the corpus's distinct words + the
+  // adversarial fixtures, not a synthetic sweep.
+  test("t3b at a large vocabulary: parity, losslessness, DataFrame face") {
+    import graft.functions.Bpe
+    val rich = BpeScaleProbe.synthWordFreq(4000)
+    val merges = Bpe.train(rich, numMerges = 8192)
+    assert(merges.length == 8192,
+      s"synthetic vocabulary saturated early: ${merges.length}")
+    val vocab = new Bpe.Vocab(merges)
+    def reference(w: String): Vector[String] = {
+      var parts = w.iterator.map(_.toString).toVector
+      var done = false
+      while (!done && parts.length > 1) {
+        val step = merges.iterator.flatMap { case (a, b) =>
+          (0 until parts.length - 1)
+            .find(i => parts(i) == a && parts(i + 1) == b)
+            .map(i => (i, a + b))
+        }.nextOption()
+        step match {
+          case Some((i, j)) =>
+            parts = (parts.take(i) :+ j) ++ parts.drop(i + 2)
+          case None => done = true
+        }
+      }
+      parts
+    }
+    val corpusWords = docs.select(col("text")).collect()
+      .iterator.flatMap(r => Bpe.preTokens(r.getString(0))).toSet
+    val fixtures = Seq(" the", "aaa", " zz9!", "中文字", "ünïcode",
+      rich.head._1, rich(17)._1, rich(4)._1 + "x")
+    (corpusWords ++ fixtures).foreach { w =>
+      assert(vocab.encode(w) == reference(w),
+        s"large-vocab encode diverged on '$w'")
+      assert(vocab.encode(w).mkString == w,
+        s"large-vocab encode lost characters on '$w'")
+    }
+    // the DataFrame face under the large table still equals a driver
+    // recompute (the memo/broadcast plumbing is vocabulary-agnostic)
+    val viaDf = TextAnalysis.bpeTokenCount(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = docs.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        r.getLong(0) ->
+          Bpe.preTokens(r.getString(1)).map(vocab.encode(_).length.toLong).sum
+      }.toMap
+    assert(viaDf == viaDriver && viaDf.nonEmpty)
+  }
+
   test("p1 preprocess equals the composition of its standalone stages") {
     import graft.operators.{Preprocess, Sampling}
     // composition twin built from the per-stage operators the fused

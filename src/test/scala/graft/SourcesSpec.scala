@@ -384,6 +384,72 @@ class SourcesSpec extends AnyFunSuite {
       Set((1L, 10L)))
   }
 
+  // r12: the out-of-band compact split. The heavy stage build runs
+  // while appends (and pops) keep landing; the cheap finish catches up
+  // the delta, swaps, and retires tombstones ONLY when none landed
+  // after the stage snapshot. Everything appended mid-build survives;
+  // everything popped mid-build stays hidden.
+  test("doc store compactStage/compactFinish: delta catch-up, mid-build pop stays sticky") {
+    import spark.implicits._
+    import graft.sources.DocStore
+    Seq("doc_oob", "doc_oob_bands", "doc_oob_dels").foreach(dropTable)
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content with no shared phrases at all"
+    DocStore.append(
+      Seq((1L, textA, "s"), (2L, textB, "s")).toDF("doc_id", "text", "source"),
+      "doc_oob", buckets = 4)
+    // bloat: re-deliver doc 1
+    DocStore.append(
+      Seq((1L, textA, "s")).toDF("doc_id", "text", "source"),
+      "doc_oob", buckets = 4)
+    assert(DocStore.read(spark, "doc_oob").count() == 3L)
+    // phase 1: the heavy build — live tables untouched, still serving
+    val st = DocStore.compactStage(spark, "doc_oob", buckets = 4)
+    assert(DocStore.read(spark, "doc_oob").count() == 3L,
+      "stage build must not touch the live table")
+    assert(spark.table(st.docsTmp).count() == 2L,
+      "stage must hold the FINAL rows")
+    // mid-build events: an append the stage missed, and a takedown
+    DocStore.append(
+      Seq((4L, "a brand new document that arrived during the rewrite", "s"))
+        .toDF("doc_id", "text", "source"), "doc_oob", buckets = 4)
+    DocStore.pop(spark, "doc_oob",
+      Seq(2L).toDF("doc_id"))
+    // phase 2: append-bounded finish — delta caught up, swap, pop sticky
+    DocStore.compactFinish(spark, "doc_oob", st, buckets = 4)
+    assert(DocStore.readFinal(spark, "doc_oob")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L),
+      "delta doc must survive; replay collapsed; mid-build pop hidden")
+    assert(DocStore.bands(spark, "doc_oob")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L),
+      "index covers stage+delta docs; the mid-build pop's rows shed " +
+        "at the NEXT compact (its tombstone was retained)")
+    // ...but the serving face excludes the popped doc regardless
+    assert(DocStore.nearDupCandidates(spark, "doc_oob",
+      Seq((20L, textB, "s")).toDF("doc_id", "text", "source"))
+      .collect().isEmpty,
+      "mid-build pop must stay hidden from the probe face")
+    // the mid-build tombstone landed AFTER the stage snapshot — it
+    // must be RETAINED (the stage never honored it physically)
+    assert(spark.catalog.tableExists("doc_oob_dels"),
+      "tombstones newer than the stage snapshot must not retire")
+    // the next (inline) compact physically drops doc 2 and retires
+    DocStore.compact(spark, "doc_oob", buckets = 4)
+    assert(DocStore.read(spark, "doc_oob")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(!spark.catalog.tableExists("doc_oob_dels"))
+    // a quiet build (no mid-build events) retires tombstones directly
+    DocStore.pop(spark, "doc_oob", Seq(4L).toDF("doc_id"))
+    val st2 = DocStore.compactStage(spark, "doc_oob", buckets = 4)
+    DocStore.compactFinish(spark, "doc_oob", st2, buckets = 4)
+    assert(DocStore.read(spark, "doc_oob")
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "pre-stage pop must drop physically at finish")
+    assert(!spark.catalog.tableExists("doc_oob_dels"),
+      "an unchanged tombstone set retires at finish")
+  }
+
   // r11: the takedown path — the corpus-store delete the statement
   // store's tombstones already have. Popped ids leave every read face
   // immediately, drop physically (index rows included) at compact,

@@ -620,6 +620,108 @@ class StreamingSpec extends AnyFunSuite {
     assert((raws, fins, compacts) == ((5, 4, 3)))
   }
 
+  // r12: the out-of-band compaction coordinator — deterministic
+  // latch-driven proof that (a) scheduling never blocks the caller on
+  // the heavy build, (b) at most one stage is in flight, (c) finish
+  // runs only on the writer thread once the stage is published, and
+  // (d) a failed build is dropped and retried, never finished.
+  test("async compactor: non-blocking schedule, single flight, failure drops the stage") {
+    val buildGate = new java.util.concurrent.CountDownLatch(1)
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    var finished = List.empty[Int]
+    val c = new Streams.AsyncCompactor[Int](
+      () => { buildGate.await(); built.incrementAndGet() },
+      s => finished ::= s)
+    assert(c.schedule(), "idle compactor must accept the stage")
+    // the heavy build is STILL RUNNING (gated) — the caller returned
+    assert(c.inFlight)
+    assert(!c.schedule(), "a second schedule while in flight must no-op")
+    assert(!c.maybeFinish(), "no finish before the stage is published")
+    buildGate.countDown()
+    // wait for publication (bounded)
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (c.inFlight && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(!c.inFlight, "build must complete once ungated")
+    assert(!c.schedule(), "an unfinished ready stage must block re-schedule")
+    assert(c.maybeFinish(), "published stage must finish on demand")
+    assert(finished == List(1))
+    assert(!c.maybeFinish(), "finish must consume the stage")
+    // failure path: the build throws → stage dropped, retry allowed
+    val failing = new Streams.AsyncCompactor[Int](
+      () => sys.error("disk full"), s => finished ::= s)
+    assert(failing.schedule())
+    val dl2 = System.nanoTime() + 5e9.toLong
+    while (failing.inFlight && System.nanoTime() < dl2) Thread.sleep(10)
+    assert(!failing.maybeFinish(), "a failed build must never finish")
+    assert(failing.schedule(), "a failed build must allow a retry")
+  }
+
+  test("st13c async cadence compaction: rewrite off the critical path, replays collapse, reads stay live") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st13c_docs", "st13c_docs_bands"))
+      Probes.dropManaged(spark, t)
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content with no shared phrases here"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.ingestDocs(
+      in.toDF().toDF("doc_id", "text", "source"), "st13c_docs",
+      compactEvery = 2, asyncCompact = true)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st13c_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, textA, "s"), (2L, textB, "s"))
+      q.processAllAvailable()
+      // batch 1: replay doc 1; the cadence tick LAUNCHES the stage
+      // build and returns — the rewrite is not on this batch's path
+      in.addData((1L, textA, "s"))
+      q.processAllAvailable()
+      // reads stay live while (or after) the background build runs
+      spark.catalog.refreshTable("st13c_docs")
+      assert(graft.sources.DocStore.readFinal(spark, "st13c_docs")
+        .count() == 2)
+      // batch 2 arrives DURING/AFTER the build: its append is the
+      // delta the finish must catch up; a later batch runs the finish
+      in.addData((3L, "a third document that arrives mid rewrite", "s"))
+      q.processAllAvailable()
+      // wait (bounded) for the background stage to publish, then one
+      // more batch to drive the finish
+      val deadline = System.nanoTime() + 30e9.toLong
+      var compacted = false
+      var tick = 0L
+      while (!compacted && System.nanoTime() < deadline) {
+        tick += 1
+        in.addData((100L + tick,
+          s"fresh ticking document number $tick to drive the stream", "s"))
+        q.processAllAvailable()
+        spark.catalog.refreshTable("st13c_docs")
+        // compacted ⇔ the replayed raw row is physically gone
+        compacted = spark.table("st13c_docs").count() ==
+          graft.sources.DocStore.readFinal(spark, "st13c_docs").count()
+        if (!compacted) Thread.sleep(100)
+      }
+      assert(compacted, "the async compact must land within the bound")
+      spark.catalog.refreshTable("st13c_docs")
+      spark.catalog.refreshTable("st13c_docs_bands")
+      val ids = graft.sources.DocStore.readFinal(spark, "st13c_docs")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(2L) && ids.contains(3L),
+        s"mid-rewrite appends must survive the swap: $ids")
+      // the band index covers every surviving doc (delta included)
+      val bandIds = spark.table("st13c_docs_bands")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf(bandIds),
+        s"index must cover the swapped corpus: $bandIds vs $ids")
+      // and the store still serves probes
+      val cands = graft.sources.DocStore.nearDupCandidates(
+        spark, "st13c_docs",
+        Seq((10L, textA, "s")).toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("st14 streaming vector ingest: store probe-able, cadence compact collapses replays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
@@ -670,6 +772,238 @@ class StreamingSpec extends AnyFunSuite {
       val top = graft.sources.VecStore.ivfTopK(spark, "st14_vecs",
         probeQ, k = 3, nProbe = 2)
       assert(top.count() > 0)
+    } finally q.stop()
+  }
+
+  test("st16 streaming takedown: popped doc hidden next batch, sticky across replay, cadence cleans") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st16_docs", "st16_docs_bands", "st16_docs_dels"))
+      Probes.dropManaged(spark, t)
+    val textA = "the quick brown fox jumps over the lazy dog again today"
+    val textB = "completely different content with no shared phrases here"
+    val textC = "a third unrelated document about entirely other things"
+    graft.sources.DocStore.append(
+      Seq((1L, textA, "s"), (2L, textB, "s"), (3L, textC, "s"))
+        .toDF("doc_id", "text", "source"), "st16_docs")
+    // the stream's clone appends/drops the `_dels` tombstone table;
+    // this OBSERVER session must refresh its cached relation before
+    // each read (the documented cross-session contract — without it a
+    // re-created table resolves to the dropped files)
+    def refreshDels(): Unit =
+      if (spark.catalog.tableExists("st16_docs_dels"))
+        spark.catalog.refreshTable("st16_docs_dels")
+    // precondition: a near-twin of doc 1 flags against the live store
+    def twinHits(): Set[(Long, Long)] = {
+      refreshDels()
+      graft.sources.DocStore.nearDupCandidates(
+        spark, "st16_docs",
+        Seq((10L, textA, "s")).toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(twinHits() == Set((1L, 10L)))
+    val in = MemoryStream[Long]
+    val q = Streams.takedownDocs(
+      in.toDF().toDF("doc_id"), "st16_docs", compactEvery = 2)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st16_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 0: the pop request lands; no cadence tick yet — the doc
+      // disappears from EVERY serving face at the next read, while the
+      // batch itself wrote only the request-bounded tombstone
+      in.addData(1L)
+      q.processAllAvailable()
+      assert(twinHits().isEmpty,
+        "popped doc must vanish from nearDupCandidates pre-compact")
+      assert(graft.sources.DocStore.readFinal(spark, "st16_docs")
+        .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+      spark.catalog.refreshTable("st16_docs")
+      assert(spark.table("st16_docs").count() == 3,
+        "pre-compact takedown must not rewrite the corpus")
+      // batch 1: the SAME request replayed (at-least-once delivery);
+      // cadence fires → compact physically drops the doc + its index
+      // rows and retires the tombstones
+      in.addData(1L)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("st16_docs")
+      spark.catalog.refreshTable("st16_docs_bands")
+      assert(spark.table("st16_docs").count() == 2,
+        "cadence compact must physically drop the popped doc")
+      assert(spark.table("st16_docs_bands").count() == 2L * 6,
+        "compact must drop the popped doc's band index rows")
+      assert(!spark.catalog.tableExists("st16_docs_dels"),
+        "compact must retire the tombstones")
+      assert(twinHits().isEmpty && graft.sources.DocStore
+        .readFinal(spark, "st16_docs").count() == 2)
+    } finally q.stop()
+    // crash/replay order: the tombstone append is the batch's ONLY
+    // write — a fresh stream (new checkpoint = full redelivery)
+    // re-popping an already-cleaned id just lands a new tombstone;
+    // every face stays consistent and doc 2 keeps serving
+    val in2 = MemoryStream[Long]
+    val q2 = Streams.takedownDocs(
+      in2.toDF().toDF("doc_id"), "st16_docs")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st16_ckpt2_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in2.addData(1L)
+      q2.processAllAvailable()
+      refreshDels()
+      assert(graft.sources.DocStore.readFinal(spark, "st16_docs")
+        .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+      val hitB = graft.sources.DocStore.nearDupCandidates(
+        spark, "st16_docs",
+        Seq((11L, textB, "s")).toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hitB == Set((2L, 11L)), "surviving docs must keep serving")
+    } finally q2.stop()
+  }
+
+  test("st16 vector takedown: popped vector leaves every ANN face, sticky across replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st16_vecs", "st16_vecs_cents", "st16_vecs_pq",
+        "st16_vecs_codes", "st16_vecs_dels"))
+      Probes.dropManaged(spark, t)
+    val emb = Tables.load(spark, sf, "embeddings")
+    graft.sources.VecStore.init(spark, "st16_vecs", emb,
+      col("label"), buckets = 4)
+    graft.sources.VecStore.trainPqCodebook(spark, "st16_vecs", buckets = 4)
+    // the victim: vec 7; the probe is its exact copy under a fresh id,
+    // so at minCos ≥ 0.999 the ONLY possible verdict is dup_of = 7
+    val victim = 7L
+    val probe = emb.filter(col("vec_id") === victim)
+      .select((col("vec_id") + lit(100000)).as("vec_id"),
+        col("embedding")).localCheckpoint()
+    def faces(): (Set[Long], Set[Long], Boolean) = {
+      // cross-session refresh of the clone-written tombstone table
+      if (spark.catalog.tableExists("st16_vecs_dels"))
+        spark.catalog.refreshTable("st16_vecs_dels")
+      (
+      graft.sources.VecStore.ivfTopK(spark, "st16_vecs", probe,
+        k = 3, nProbe = 2).collect().map(_.getLong(1)).toSet,
+      graft.sources.VecStore.ivfPqTopK(spark, "st16_vecs", probe,
+        k = 3, nProbe = 2).collect().map(_.getLong(1)).toSet,
+      graft.sources.VecStore.nearDupVerdicts(spark, "st16_vecs", probe,
+        minCos = 0.999).collect().exists(r =>
+        r.getBoolean(2) && r.getLong(3) == victim))
+    }
+    val (ivf0, pq0, dup0) = faces()
+    assert(ivf0.contains(victim) && pq0.contains(victim) && dup0,
+      s"precondition: victim must serve on every face ($ivf0 / $pq0)")
+    val in = MemoryStream[Long]
+    val q = Streams.takedownVecs(
+      in.toDF().toDF("vec_id"), "st16_vecs", buckets = 4)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st16v_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(victim)
+      q.processAllAvailable()
+      val (ivf1, pq1, dup1) = faces()
+      assert(!ivf1.contains(victim), "popped vector must leave ivfTopK")
+      assert(!pq1.contains(victim),
+        "popped vector must leave ivfPqTopK (codes scan excluded too)")
+      assert(!dup1, "popped vector must stop matching nearDupVerdicts")
+      // replayed request: duplicate tombstone ids are harmless
+      in.addData(victim)
+      q.processAllAvailable()
+      val (ivf2, pq2, dup2) = faces()
+      assert(!ivf2.contains(victim) && !pq2.contains(victim) && !dup2)
+    } finally q.stop()
+  }
+
+  // r12: the drift-gated PQ retrain. The trigger (pqQuantizationError,
+  // PqDriftProbe's 22–30% new-mass separation) existed with nothing
+  // invoking it; st14's gate now checks the BATCH residual against the
+  // first check's baseline. Jitter batches (in-distribution) must
+  // never retrain; an injected new-mass batch must retrain EXACTLY
+  // once via the generation-tolerant staged swap, and serving answers
+  // at every step.
+  test("st14b drift-gated retrain: jitter never trips, new mass trips exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st14b_vecs", "st14b_vecs_cents", "st14b_vecs_pq",
+        "st14b_vecs_codes", "st14b_vecs_dels"))
+      Probes.dropManaged(spark, t)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val storedSide = emb.filter(col("vec_id") % 10 =!= 0)
+    graft.sources.VecStore.init(spark, "st14b_vecs", storedSide,
+      col("label"), buckets = 4)
+    graft.sources.VecStore.trainPqCodebook(spark, "st14b_vecs",
+      buckets = 4)
+    def hashes(): Seq[String] = {
+      // the retrain swaps _pq/_codes in the stream's CLONED session —
+      // this observer refreshes before reading (the documented
+      // cross-session contract)
+      spark.catalog.refreshTable("st14b_vecs_pq")
+      spark.catalog.refreshTable("st14b_vecs_codes")
+      spark.table("st14b_vecs_pq")
+        .select(col("cb_hash")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
+    val h0 = hashes()
+    assert(h0.length == 1)
+    // in-distribution rows (jitter) and NEW-MASS rows: one-hot
+    // directions with alternating position+sign — mass where the
+    // corpus clusters have none, so no codeword aligns (measured
+    // 1.41× the baseline residual, vs 0.99× for a second jitter
+    // batch — both deterministic for the seeded corpus)
+    val jitter1 = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val drift = (0 until 50).map { i =>
+      (950000L + i,
+        (0 until 64).map(j =>
+          if (j == i % 64) (if (i % 2 == 0) 1.0f else -1.0f)
+          else 0.0f).toSeq)
+    }
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestVecs(
+      in.toDF().toDF("vec_id", "embedding"), "st14b_vecs",
+      buckets = 4, retrainEvery = 1)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st14b_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 0 calibrates the baseline; batch 1 is jitter at the
+      // same residual — neither may retrain
+      in.addData(jitter1.take(40).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(jitter1.drop(40).take(40).toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(hashes() == h0, "in-distribution batches must never retrain")
+      // batch 2: new mass — residual far past 1.5× baseline → exactly
+      // one retrain through the staged swap (single NEW generation)
+      in.addData(drift.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val h1 = hashes()
+      assert(h1.length == 1 && h1 != h0,
+        s"new mass must retrain exactly once: $h0 -> $h1")
+      // serving answers right through and after the swap, and the
+      // codes carry the new generation uniformly
+      assert(graft.sources.VecStore.codes(spark, "st14b_vecs")
+        .select(col("cb_hash")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq == h1)
+      val probeQ = storedSide.limit(3)
+        .select((col("vec_id") + lit(980000)).as("vec_id"),
+          col("embedding")).localCheckpoint()
+      assert(graft.sources.VecStore.ivfPqTopK(spark, "st14b_vecs",
+        probeQ, k = 3, nProbe = 2).count() > 0)
+      // batch 3: the gate RECALIBRATES under the new codebook — more
+      // of the same mass must not retrain again
+      in.addData(drift.map { case (id, v) => (id + 1000, v) }
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(drift.map { case (id, v) => (id + 2000, v) }
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(hashes() == h1,
+        "recalibrated gate must not re-trip on the same distribution")
     } finally q.stop()
   }
 

@@ -334,6 +334,78 @@ class VecStoreSpec extends AnyFunSuite {
   // set (16 vectors), every subvector cluster holds exactly its seed,
   // the Lloyd mean equals the member, and the residual is exactly 0 —
   // and any disjoint extra vector makes it strictly positive
+  // r12: the generation-tolerant retrain. The old trainPqCodebook
+  // order (overwrite _pq, then rebuild codes) has a window in which
+  // ivfPqTopK REFUSES (new codebook, old codes); retrainPqStaged must
+  // have none: a transient two-generation _pq resolves by the CODES'
+  // stamp, the codes swap is the atomic commit, and the old generation
+  // prunes after. A crash between steps leaves a serving state that
+  // migrate (or the next retrain) cleans.
+  test("staged retrain: no refusal window, crash state serves old, migrate prunes") {
+    dropStore("vec_retrain")
+    VecStore.init(spark, "vec_retrain", stored, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_retrain", buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(5)
+      .localCheckpoint()
+    def hash(): String = spark.table("vec_retrain_pq")
+      .select(col("cb_hash")).distinct()
+      .collect().map(_.getString(0)).sorted.mkString(",")
+    def serve(): Seq[String] =
+      VecStore.ivfPqTopK(spark, "vec_retrain", queries, k = 3, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val h0 = hash()
+    val s0 = serve()
+    assert(s0.nonEmpty)
+    // ---- simulate the mid-retrain crash state: a SECOND generation
+    // appended into _pq while the codes still carry the old stamp ----
+    import org.apache.spark.sql.SaveMode
+    val fake = spark.table("vec_retrain_pq")
+      .withColumn("cw", org.apache.spark.sql.functions.transform(
+        col("cw"), x => x * lit(0.5)))
+      .withColumn("cb_hash", lit("deadbeef" * 4))
+      .localCheckpoint()
+    fake.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable("vec_retrain_pq")
+    assert(spark.table("vec_retrain_pq").select(col("cb_hash"))
+      .distinct().count() == 2L)
+    // serving resolves the OLD generation from the codes' stamp —
+    // same answers, NO refusal
+    assert(serve() == s0, "two-generation _pq must serve old-consistent")
+    // append still works mid-crash-state (stamps resolve the same way)
+    val extra = batch.limit(1)
+      .select((col("vec_id") + 700000).as("vec_id"), col("embedding"))
+    VecStore.append(spark, extra, "vec_retrain", buckets = 4)
+    assert(VecStore.codes(spark, "vec_retrain")
+      .filter(col("vec_id") >= 700000)
+      .select(col("cb_hash")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq(h0),
+      "mid-crash append must stamp with the SERVING generation")
+    // ---- migrate prunes the leftover generation ----
+    val actions = VecStore.migrate(spark, "vec_retrain", buckets = 4)
+    assert(actions.exists(_.contains("pruned stale codebook")),
+      s"migrate must report the pruned generation: $actions")
+    assert(hash() == h0, "the serving generation must survive the prune")
+    // ---- a real staged retrain after the corpus changed ----
+    VecStore.append(spark,
+      batch.limit(20).select((col("vec_id") + 800000).as("vec_id"),
+        col("embedding")), "vec_retrain", buckets = 4)
+    VecStore.retrainPqStaged(spark, "vec_retrain", buckets = 4)
+    val h1 = hash()
+    assert(h1 != h0 && !h1.contains(","),
+      s"retrain must land exactly one NEW generation: $h1")
+    assert(VecStore.codes(spark, "vec_retrain")
+      .select(col("cb_hash")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq(h1),
+      "codes must be uniformly re-stamped under the new generation")
+    assert(serve().nonEmpty)
+    // ---- unchanged corpus: retrain is a no-op, never a duplicate ----
+    val rowsBefore = spark.table("vec_retrain_pq").count()
+    VecStore.retrainPqStaged(spark, "vec_retrain", buckets = 4)
+    assert(hash() == h1 &&
+      spark.table("vec_retrain_pq").count() == rowsBefore,
+      "an unchanged-corpus retrain must change nothing")
+  }
+
   test("pq quantization error: zero on the seed corpus, positive past it") {
     import spark.implicits._
     val seeds = (0 until 16).map { i =>

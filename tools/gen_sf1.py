@@ -207,6 +207,17 @@ def main():
                 idx, "ts", table.column("ts").cast(pa.timestamp("ns")))
             pq.write_table(table, path, store_schema=False,
                            coerce_timestamps=None, version="2.6")
+        elif name == "embeddings":
+            # SHARDED directory (r12, matching gen_sf10): a single
+            # parquet file is ONE scan split, serializing the
+            # scan-stage argmax onto one core and conflating layout
+            # with operator scaling in the sf1→sf10 ratios
+            os.makedirs(path, exist_ok=True)
+            shard = (len(df) + 31) // 32
+            for i in range(32):
+                df.iloc[i * shard:(i + 1) * shard].to_parquet(
+                    os.path.join(path, f"part-{i:05d}.parquet"),
+                    index=False)
         else:
             df.to_parquet(path, index=False)
         print(f"wrote {path}")

@@ -11,9 +11,12 @@ how a real corpus grows (new domains/vocabulary), so per-block
 candidate density stays fixed and a healthy operator should scale
 ~linearly in rows.
 
-Only documents.parquet is written: the five target operators read
-nothing else, and the embeddings/part/events tables would add minutes
-of generation for no measurement.
+r12 adds embeddings.parquet (200k x dim-64, 1000 Gaussian cluster
+labels — 100x sf0.1 LABELS at constant ~200 vectors/list, the same
+constant-per-key-density philosophy): the embedding-side heavies
+(d12/d13/s6 and the VecStore probes) previously had only one measured
+decade (sf0.1 -> sf1); this is their second. part/events stay
+unwritten — no sf10 operator reads them.
 
 Deterministic (seed 1042).
 """
@@ -64,8 +67,43 @@ def documents():
     return df[["doc_id", "text", "lang", "source", "n_chars"]]
 
 
+def embeddings():
+    n = 2000 * SCALE
+    dim = 64
+    n_labels = 10 * SCALE
+    # own seeded stream: embeddings regenerate byte-identically whether
+    # or not documents() ran first in the same process
+    rng_e = np.random.default_rng(1043)
+    centers = rng_e.normal(0, 1, size=(n_labels, dim)).astype(np.float32)
+    labels = rng_e.integers(0, n_labels, size=n).astype(np.int32)
+    vecs = centers[labels] + rng_e.normal(0, 0.35, size=(n, dim)).astype(
+        np.float32)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": labels})
+
+
 if __name__ == "__main__":
+    import sys
     os.makedirs(OUT, exist_ok=True)
-    df = documents()
-    df.to_parquet(os.path.join(OUT, "documents.parquet"), index=False)
-    print(f"wrote {len(df)} docs to {OUT}/documents.parquet")
+    which = sys.argv[1:] or ["documents", "embeddings"]
+    if "documents" in which:
+        df = documents()
+        df.to_parquet(os.path.join(OUT, "documents.parquet"), index=False)
+        print(f"wrote {len(df)} docs to {OUT}/documents.parquet")
+    if "embeddings" in which:
+        # SHARDED directory, not one file: a single parquet file is one
+        # scan split to Spark (one row group at this size), so the
+        # scan-stage work — the coarse argmax in particular — would run
+        # on ONE core. 32 shards ≈ one split per local core, and is
+        # the layout a real 100 TB table has anyway.
+        df = embeddings()
+        d = os.path.join(OUT, "embeddings.parquet")
+        os.makedirs(d, exist_ok=True)
+        shard = (len(df) + 31) // 32
+        for i in range(32):
+            part = df.iloc[i * shard:(i + 1) * shard]
+            part.to_parquet(
+                os.path.join(d, f"part-{i:05d}.parquet"), index=False)
+        print(f"wrote {len(df)} vectors to {d}/ (32 shards)")
