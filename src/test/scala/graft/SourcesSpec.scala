@@ -384,6 +384,39 @@ class SourcesSpec extends AnyFunSuite {
       Set((1L, 10L)))
   }
 
+  // r12: the file-count pin behind BucketedLayout. Spark's bucketBy
+  // writer emits one file per (task × partition × bucket); without the
+  // pre-write layout shuffle a 16-split source writes 16× the files
+  // and pruned reads drown in opens (the probe-store finding: 1,600 →
+  // 330k files). Every store write must hold this bound.
+  test("bucketed writes emit one file per bucket regardless of source splits") {
+    import spark.implicits._
+    import graft.sources.{DocStore, VecStore}
+    Seq("layout_docs", "layout_docs_bands", "layout_vecs",
+      "layout_vecs_cents").foreach(dropTable)
+    val docs = (1L to 64L)
+      .map(i => (i, s"document number $i with some words to shingle on", "s"))
+      .toDF("doc_id", "text", "source")
+      .repartition(16) // a many-split source — the regression trigger
+    DocStore.append(docs, "layout_docs", buckets = 4)
+    assert(spark.table("layout_docs").inputFiles.length == 4,
+      "doc store must write exactly one file per bucket")
+    assert(spark.table("layout_docs_bands").inputFiles.length <= 4,
+      "band index must write at most one file per non-empty bucket")
+    // a SECOND append adds at most one file per bucket again
+    DocStore.append(docs.filter(col("doc_id") <= 8L), "layout_docs",
+      buckets = 4)
+    assert(spark.table("layout_docs").inputFiles.length <= 8)
+    // the partitioned vector store: at most one file per non-empty
+    // (list, bucket)
+    val emb = Tables.load(spark, sf, "embeddings").repartition(16)
+    VecStore.init(spark, "layout_vecs", emb, col("label"), buckets = 4)
+    val lists = VecStore.centroids(spark, "layout_vecs").count()
+    val vfiles = spark.table("layout_vecs").inputFiles.length
+    assert(vfiles <= lists * 4,
+      s"vector store wrote $vfiles files for $lists lists x 4 buckets")
+  }
+
   // r12: the out-of-band compact split. The heavy stage build runs
   // while appends (and pops) keep landing; the cheap finish catches up
   // the delta, swaps, and retires tombstones ONLY when none landed
