@@ -445,6 +445,97 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** s7 — tree-IVF ANN: the two-level coarse quantizer
+    * ([[Similarity.treeQuantizer]] — seeds = 3 lowest-list_id leaf
+    * centroids, one Lloyd step, leaves re-assigned to the refined
+    * tops), corpus and probes descending nearest-top → nearest-leaf-
+    * within-subtree instead of scanning all lists. Queries probe 2
+    * subtrees and the 3 best leaves inside them. Every argmax is the
+    * 4dp-rounded cosine with id tie-break, so the DuckDB twin derives
+    * the identical tree and the oracle gates assignments AND scores.
+    */
+  def s7AnnIvfTree(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.centroids(e, col("label"))
+    Similarity.ivfTreeTopK(e, e.filter(col("vec_id") < 10), cents,
+      k = 5, topCount = 3, nProbeTop = 2, nProbe = 3)
+  }
+
+  /** s7's DuckDB twin: s3's dim-major leaf centroids, then the tree —
+    * seeds (3 lowest list_ids, top_id by list_id order), one Lloyd
+    * step (leaf→seed 4dp argmax, dim-major member mean), leaf
+    * re-assignment to refined tops, two-level descent for corpus and
+    * queries (level 2 joined on the assigned/probed subtree only),
+    * exact scoring inside the probed leaves.
+    */
+  val s7Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  SELECT label, p.pos AS pos, AVG(v[p.pos]) AS m
+       |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+       |  GROUP BY 1, 2),
+       |clist AS (
+       |  SELECT label AS list_id, list(m ORDER BY pos) AS c
+       |  FROM cents GROUP BY label),
+       |seeds AS (
+       |  SELECT top_id, c AS sc FROM (
+       |    SELECT list_id, c,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY list_id) - 1 AS BIGINT) AS top_id
+       |    FROM clist) WHERE top_id < 3),
+       |lseed AS (
+       |  SELECT list_id, top_id FROM (
+       |    SELECT cl.list_id, s.top_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cl.list_id
+       |        ORDER BY round(${duckCos("cl.c", "s.sc")}, 4) DESC, s.top_id) AS r
+       |    FROM clist cl, seeds s) WHERE r = 1),
+       |tops AS (
+       |  SELECT top_id, list(m ORDER BY pos) AS tc FROM (
+       |    SELECT ls.top_id, p.pos AS pos, AVG(cl.c[p.pos]) AS m
+       |    FROM lseed ls JOIN clist cl USING (list_id),
+       |      (SELECT unnest(range(1, 65)) AS pos) p
+       |    GROUP BY 1, 2) GROUP BY top_id),
+       |lmap AS (
+       |  SELECT list_id, top_id FROM (
+       |    SELECT cl.list_id, t.top_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cl.list_id
+       |        ORDER BY round(${duckCos("cl.c", "t.tc")}, 4) DESC, t.top_id) AS r
+       |    FROM clist cl, tops t) WHERE r = 1),
+       |atop AS (
+       |  SELECT id AS neighbor_id, v_ AS cv, pick_ AS top_id FROM (
+       |    SELECT e.vec_id, e.v AS v_, t.top_id AS pick_, e.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.v", "t.tc")}, 4) DESC, t.top_id) AS r
+       |    FROM e, tops t) WHERE r = 1),
+       |assigned AS (
+       |  SELECT neighbor_id, cv, list_id FROM (
+       |    SELECT a.neighbor_id, a.cv, lm.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.neighbor_id
+       |        ORDER BY round(${duckCos("a.cv", "cl.c")}, 4) DESC, lm.list_id) AS r
+       |    FROM atop a JOIN lmap lm USING (top_id)
+       |      JOIN clist cl ON lm.list_id = cl.list_id) WHERE r = 1),
+       |qtop AS (
+       |  SELECT id AS query_id, v_ AS qv, pick_ AS top_id FROM (
+       |    SELECT e.vec_id, e.v AS v_, t.top_id AS pick_, e.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.v", "t.tc")}, 4) DESC, t.top_id) AS r
+       |    FROM e, tops t WHERE e.vec_id < 10) WHERE r <= 2),
+       |probes AS (
+       |  SELECT query_id, qv, list_id FROM (
+       |    SELECT q.query_id, q.qv, lm.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(${duckCos("q.qv", "cl.c")}, 4) DESC, lm.list_id) AS r
+       |    FROM qtop q JOIN lmap lm USING (top_id)
+       |      JOIN clist cl ON lm.list_id = cl.list_id) WHERE r <= 3),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cos
+       |  FROM probes JOIN assigned USING (list_id)
+       |  WHERE neighbor_id <> query_id),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   /** s4 — int8 scalar quantization error audit over the embeddings
     * table; see [[Similarity.quantize]]. Zero-shuffle scan projection.
     */
@@ -1708,6 +1799,7 @@ object PipelineQueries {
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s3b_ann_ivf_agg" -> (s3bAnnIvfAgg _),
     "s4_embedding_quantize" -> (s4EmbeddingQuantize _),
+    "s7_ann_ivf_tree" -> (s7AnnIvfTree _),
     "s5_ann_pq" -> (s5AnnPq _),
     "s6_ann_ivfpq" -> (s6AnnIvfPq _),
     "t1_lang_id" -> (t1LangId _),
@@ -1757,6 +1849,7 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
     "s4_embedding_quantize" -> s4Sql,
+    "s7_ann_ivf_tree" -> s7Sql,
     "s5_ann_pq" -> s5Sql,
     "s6_ann_ivfpq" -> s6Sql,
     "t1_lang_id" -> t1Sql,

@@ -656,4 +656,171 @@ object Similarity {
     math.min(
       math.max(50L, corpusRows * nProbe / math.max(lists, 1L) / 8L),
       Int.MaxValue.toLong).toInt
+
+  /** Two-level (TREE) coarse quantizer — r12, the scale path past the
+    * flat list argmax: `nearestLists` scores every vector against
+    * EVERY centroid, so coarse assignment costs |rows|·L pair scores
+    * and the broadcast centroid table grows linearly in L. At the
+    * inverted-list counts a 100 TB corpus wants (√N ≈ 10⁵–10⁶ lists,
+    * the FAISS sizing rule), both break. The tree groups the L leaf
+    * centroids under `topCount` super-centroids; assignment then
+    * scores `topCount + ~L/topCount` candidates per vector (minimized
+    * at topCount = √L: 2√L vs L — 500× fewer at L = 10⁶), and the
+    * level-2 broadcast join fans each vector out to ONLY its
+    * super-centroid's children.
+    *
+    * Training follows the s5 codebook discipline so both engines
+    * derive the identical tree (cross-engine exact, oracle-gated via
+    * s7): seeds = the `topCount` lowest-list_id leaf centroids, one
+    * Lloyd step (assign leaves → seed by 4dp-rounded cosine with
+    * top_id tie-break; refine = dim-major member mean), then leaves
+    * RE-assign to the refined tops so the map is consistent with the
+    * tops queries will probe. Returns (tops(top_id, centroid),
+    * leafMap(list_id, top_id)). Leaf centroids are bounded (≤ L rows),
+    * so the windows here are centroid-grain, never corpus-grain.
+    */
+  def treeQuantizer(
+      cents0: DataFrame, topCount: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // the d12 checkpoint discipline: every table here is CENTROID
+    // grain (≤ L rows), but each is consumed by several downstream
+    // branches — checkpointing runs the training subtree once and
+    // keeps the final plan's Exchange count flat in consumer count
+    val cents = cents0.localCheckpoint()
+    // seeds: topCount lowest-list_id leaves, top_id = 0..topCount-1 in
+    // list_id order. limit-first = distributed TakeOrdered (no global
+    // sort of the L centroids); the unpartitioned window then runs
+    // over ≤ topCount rows — the s5 driver-bounded-seed discipline.
+    val seeds =
+      cents.select(col("list_id"), col("centroid"))
+        .orderBy(col("list_id")).limit(topCount)
+        .withColumn("top_id",
+          row_number().over(Window.orderBy(col("list_id")))
+            .cast("long") - 1L)
+        .select(col("top_id"), col("centroid").as("sc"),
+          sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("sn"))
+    val leafN = cents.select(col("list_id"), col("centroid"),
+      sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("ln"))
+    def assignTo(tops: DataFrame): DataFrame =
+      leafN.crossJoin(broadcast(tops))
+        .withColumn("d", round(Dedup.cosineWithNorms(
+          col("centroid"), col("sc"), col("ln"), col("sn")), 4))
+        .groupBy(col("list_id"))
+        .agg(
+          min_by(col("top_id"), struct((-col("d")).as("nd"), col("top_id")))
+            .as("top_id"),
+          first(col("centroid")).as("centroid"))
+    // one Lloyd step: seed assignment → dim-major member mean
+    val tops = assignTo(seeds)
+      .select(col("top_id"), posexplode(col("centroid")))
+      .groupBy(col("top_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("top_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+      .localCheckpoint()
+    val topN = tops.select(col("top_id"), col("centroid").as("sc"),
+      sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("sn"))
+    (tops,
+      assignTo(topN).select(col("list_id"), col("top_id"))
+        .localCheckpoint())
+  }
+
+  /** s7 — IVF ANN through the [[treeQuantizer]]: corpus vectors and
+    * query probes descend the tree (nearest super-centroid, then
+    * nearest leaf among ONLY that super-centroid's children) instead
+    * of scanning all L centroids; queries probe `nProbeTop` subtrees
+    * and the `nProbe` best leaves found inside them; members of the
+    * probed leaves score exactly, top-k per query.
+    *
+    * Plan shape: the corpus path is one scan → broadcast crossJoin
+    * with `topCount` tops → per-vector argmax (map-side combined, one
+    * narrow row per vector shuffles) → broadcast join fanning out to
+    * the assigned subtree's leaves only → second per-vector argmax
+    * that REUSES the level-1 exchange (both aggregate on the vector
+    * id, so Catalyst satisfies the second groupBy from the first's
+    * HashPartitioning — spec-pinned: exactly one corpus-side
+    * Exchange through both levels). Tree assignment is approximate vs
+    * the flat argmax (a vector whose nearest leaf lives under a
+    * different subtree mis-assigns — the standard tree-IVF trade;
+    * `TreeIvfProbe` measures the agreement rate and the assignment
+    * speedup at L = 100 and L = 1000).
+    */
+  /** The level-2 broadcast side of the tree descent: leaf centroids
+    * with precomputed norms, annotated with their subtree —
+    * centroid-grain, checkpointed (consumed by the corpus descent AND
+    * the probe ranking).
+    */
+  private[graft] def treeLeaves(
+      cents: DataFrame, leafMap: DataFrame): DataFrame =
+    broadcast(
+      cents.select(col("list_id"), col("centroid"),
+        sqrt(Dedup.dot(col("centroid"), col("centroid"))).as("leaf_n"))
+        .join(leafMap, Seq("list_id"))
+        .localCheckpoint())
+
+  /** Two-level descent: nearest top over `topCn` (`topCount`
+    * candidates), then nearest leaf among ONLY that top's children
+    * (broadcast join on top_id). Both argmaxes 4dp-rounded with id
+    * tie-break; the second groupBy reuses the first's exchange (both
+    * hash the vector id). Returns (idCol, list_id, embedding, __n).
+    */
+  private[graft] def treeDescend(
+      df: DataFrame, idCol: String,
+      topCn: DataFrame, leaves: DataFrame): DataFrame =
+    nearestLists(df, topCn, idCol, 1)
+      .select(col(idCol), col("list_id").as("top_id"),
+        col("embedding"), col("__n"))
+      .join(leaves, Seq("top_id"))
+      .withColumn("d", round(Dedup.cosineWithNorms(
+        col("embedding"), col("centroid"), col("__n"), col("leaf_n")), 4))
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("list_id"), col("embedding"), col("__n")),
+        struct((-col("d")).as("nd"), col("list_id"))).as("b"))
+      .select(col(idCol), col("b.list_id").as("list_id"),
+        col("b.embedding").as("embedding"), col("b.__n").as("__n"))
+
+  def ivfTreeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      topCount: Int,
+      nProbeTop: Int = 2,
+      nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c0 = cents.localCheckpoint()
+    val (tops, leafMap) = treeQuantizer(c0, topCount)
+    val topCn = centNorms(tops.select(
+      col("top_id").as("list_id"), col("centroid")))
+    val leaves = treeLeaves(c0, leafMap)
+    val assigned = treeDescend(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "neighbor_id", topCn, leaves)
+      .select(col("list_id"), col("neighbor_id"),
+        col("embedding").as("cv"), col("__n").as("cn"))
+    // query probes: nProbeTop subtrees, then the nProbe best leaves
+    // across the probed subtrees' children (query-grain windows —
+    // queries are the small side)
+    val probeTops = nearestLists(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      topCn, "query_id", nProbeTop)
+      .select(col("query_id"), col("list_id").as("top_id"),
+        col("embedding").as("qv"), col("__n").as("qn"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").desc, col("list_id").asc)
+    val probes = probeTops.join(leaves, Seq("top_id"))
+      .withColumn("d", round(Dedup.cosineWithNorms(
+        col("qv"), col("centroid"), col("qn"), col("leaf_n")), 4))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nProbe)
+      .select(col("list_id"), col("query_id"), col("qv"), col("qn"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+    topKPerQuery(
+      scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+  }
 }

@@ -363,6 +363,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.0, s"IVF found none of the exact top-k ($recall)")
   }
 
+  test("s7 tree ivf: tree sound, assignment agrees with flat, recall holds") {
+    import graft.operators.Similarity
+    val cents = Similarity.centroids(emb, col("label"))
+    val nLeaves = cents.count()
+    val (tops, leafMap) = Similarity.treeQuantizer(cents, topCount = 3)
+    // structure: min(3, L) tops; every leaf maps to exactly one
+    // EXISTING top (the tree partitions the leaves)
+    val topIds = tops.select("top_id").collect().map(_.getLong(0)).toSet
+    assert(topIds.size.toLong == math.min(3L, nLeaves))
+    val lm = leafMap.collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    assert(lm.length.toLong == nLeaves, "leafMap must cover every leaf once")
+    assert(lm.forall(p => topIds.contains(p._2)))
+    // the tree descent is approximate vs the flat argmax only at
+    // subtree boundaries — on the labeled corpus the two must agree on
+    // a solid majority of assignments (TreeIvfProbe measures the rate
+    // at L = 100/1000)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+    val flat = Similarity.nearestLists(
+      corpus, Similarity.centNorms(cents), "id", 1)
+      .select(col("id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val leaves = broadcast(cents
+      .withColumn("leaf_n",
+        sqrt(Dedup.dot(col("centroid"), col("centroid"))))
+      .join(leafMap, Seq("list_id")))
+    val topCn = Similarity.centNorms(
+      tops.select(col("top_id").as("list_id"), col("centroid")))
+    val treeAssigned = Similarity.nearestLists(corpus, topCn, "id", 1)
+      .select(col("id"), col("list_id").as("top_id"), col("embedding"),
+        col("__n"))
+      .join(leaves, Seq("top_id"))
+      .withColumn("d", round(Dedup.cosineWithNorms(col("embedding"),
+        col("centroid"), col("__n"), col("leaf_n")), 4))
+      .groupBy(col("id"))
+      .agg(min_by(col("list_id"),
+        struct((-col("d")).as("nd"), col("list_id"))).as("list_id"))
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(treeAssigned.keySet == flat.keySet)
+    val agree = flat.count { case (id, l) => treeAssigned(id) == l }
+    assert(agree.toDouble / flat.size >= 0.5,
+      s"tree assignment agrees on only $agree/${flat.size}")
+    // end-to-end recall vs the exact baseline
+    val exact = PipelineQueries.s1AnnBruteTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tree = PipelineQueries.s7AnnIvfTree(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & tree).size.toDouble / exact.size
+    assert(recall > 0.0, s"tree IVF found none of the exact top-k ($recall)")
+  }
+
   test("centroidsAgg: single-shuffle native vec_sum matches posexplode form") {
     import graft.operators.Similarity
     def byList(df: org.apache.spark.sql.DataFrame) =
