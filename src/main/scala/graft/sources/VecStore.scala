@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TreeMatrix, TreeQuantizerExpression}
 import graft.operators.{Dedup, Similarity}
 
 /** The embedding corpus as a managed table WITH its IVF coarse-
@@ -17,6 +18,10 @@ import graft.operators.{Dedup, Similarity}
   *   - `<table>_cents`: the coarse quantizer, trained ONCE at
   *     [[init]] ([[Similarity.centroids]] — the same table d12/s3
   *     broadcast). k is chosen, not data-sized, so this stays tiny.
+  *     Tree stores ([[init]] `treeTopCount`) add `_tops`/`_leafmap` —
+  *     the persisted [[Similarity.treeQuantizer]] two-level map; the
+  *     tables' existence switches every assignment and probe face to
+  *     the √L-cost tree descent (see [[init]]'s doc for the trade).
   *   - `<table>`: (vec_id, embedding, __n, list_id) PARTITIONED BY
   *     list_id and bucketed by vec_id. The partition layout IS the
   *     inverted-list index: unlike [[DocStore]]'s sibling band table,
@@ -65,14 +70,32 @@ object VecStore {
     * every later search/dedup. A retrain therefore rebuilds
     * everything, including any `_pq`/`_codes` artifacts (re-run
     * [[trainPqCodebook]] after).
+    *
+    * `treeTopCount > 0` opts the store into TREE coarse assignment
+    * (r12 — the [[graft.operators.Similarity.treeQuantizer]] scale
+    * path, for stores whose list count outgrows the flat literal
+    * argmax): the two-level map persists as `<table>_tops` /
+    * `<table>_leafmap` next to the leaf quantizer, and every
+    * assignment and probe face descends nearest-top →
+    * nearest-leaf-within-subtree (topCount + ~L/topCount candidate
+    * scores per vector instead of L) for as long as the tables exist.
+    * FLAT stays the default: tree assignment is approximate at
+    * subtree boundaries (the s7 agreement trade — 0.95 at L = 100,
+    * 0.82 at L = 1000 per `TreeIvfProbe`), so the flat parity specs
+    * pin flat stores bit-exactly to the operator faces while tree
+    * stores pin to [[graft.operators.Similarity.ivfTreeTopK]].
+    * Re-init WITHOUT the option drops the tree tables — a former tree
+    * store falls back to flat cleanly, never half-and-half.
     */
   def init(
       spark: SparkSession,
       table: String,
       embeddings: DataFrame,
       key: Column,
-      buckets: Int = 16): Unit = {
-    for (t <- Seq(table, s"${table}_cents", s"${table}_pq",
+      buckets: Int = 16,
+      treeTopCount: Int = 0): Unit = {
+    for (t <- Seq(table, s"${table}_cents", s"${table}_tops",
+        s"${table}_leafmap", s"${table}_pq",
         s"${table}_codes", s"${table}_dels")) {
       TableSwap.dropAllStages(spark, t)
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -81,6 +104,14 @@ object VecStore {
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(s"${table}_cents")
+    if (treeTopCount > 0) {
+      val (tops, leafMap) =
+        Similarity.treeQuantizer(centroids(spark, table), treeTopCount)
+      tops.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${table}_tops")
+      leafMap.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${table}_leafmap")
+    }
     append(spark, embeddings.select(col("vec_id"), col("embedding")),
       table, buckets)
   }
@@ -258,21 +289,37 @@ object VecStore {
     * with the stored centroids (spec-asserted): same list choices
     * (shared 4dp-rounded score + list_id tie-break), same scoring
     * arithmetic, same two-phase top-k.
+    *
+    * On a TREE store ([[init]] `treeTopCount`) the probe side
+    * descends instead: `nProbeTop` subtrees, then the `nProbe` best
+    * leaves across their children ([[withTreeProbes]]) — and the
+    * output pins to [[graft.operators.Similarity.ivfTreeTopK]] over
+    * the FINAL corpus with the stored centroid table (spec-asserted;
+    * `nProbeTop` is ignored on flat stores, where probe ranking is
+    * global).
     */
   def ivfTopK(
       spark: SparkSession,
       table: String,
       queries: DataFrame,
       k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      nProbeTop: Int = 2): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    val lc = litCents(spark, table)
-    val cands = candStructs(lc)
-    val probes = queries
+    val base = queries
       .select(col("vec_id").as("query_id"), col("embedding"),
         sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("__n"))
-      .withColumn("__c", slice(
-        array_sort(array(cands.toIndexedSeq: _*)), 1, nProbe))
+    val withC = litTree(spark, table) match {
+      case Some(tr) =>
+        withTreeProbes(base, tr, col("embedding"), col("__n"),
+          nProbeTop, nProbe)
+      case None =>
+        base.withColumn("__c", slice(
+          array_sort(array(
+            candStructs(litCents(spark, table)).toIndexedSeq: _*)),
+          1, nProbe))
+    }
+    val probes = withC
       .select(col("query_id"), col("embedding").as("qv"),
         col("__n").as("qn"), explode(col("__c")).as("pc"))
       .select(col("query_id"), col("qv"), col("qn"),
@@ -599,7 +646,8 @@ object VecStore {
       queries: DataFrame,
       k: Int,
       nProbe: Int = 2,
-      shortlist: Int = 0): DataFrame = {
+      shortlist: Int = 0,
+      nProbeTop: Int = 2): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val cb = liveCodebook(spark, table)
     val (numSub, subDim) = pqShape(cb)
@@ -623,14 +671,21 @@ object VecStore {
     // are mathematically equal but differ in low-order bits, and a
     // cosine within an ulp of a 4dp rounding boundary would otherwise
     // flip a probe list between the store face and the operator face
-    val qcands = lc.map { case (id, c, cn) =>
-      struct(
-        (-round(Dedup.dot(col("v"), typedLit(c)) / lit(cn), 4)).as("nd"),
-        lit(id).as("list_id"))
+    // tree stores descend in the SAME unit arithmetic ([[unitScore]]
+    // over the probed subtrees' leaves — nProbeTop ignored on flat
+    // stores); like the flat face, PQ probe selection may differ from
+    // write-time assignment by an ulp at a 4dp boundary (documented
+    // above) — list-driven pruning downstream is correct either way
+    val probesC = litTree(spark, table) match {
+      case Some(tr) =>
+        withTreeProbes(queriesV, tr, col("v"), lit(1.0),
+          nProbeTop, nProbe)
+      case None =>
+        queriesV.withColumn("__c", slice(
+          array_sort(array(candsOf(lc, unitScore).toIndexedSeq: _*)),
+          1, nProbe))
     }
-    val probes = queriesV
-      .withColumn("__c", slice(
-        array_sort(array(qcands.toIndexedSeq: _*)), 1, nProbe))
+    val probes = probesC
       .select(col("query_id"), explode(col("__c")).as("pc"))
       .select(col("query_id"), col("pc.list_id").as("list_id"))
       .localCheckpoint()
@@ -758,10 +813,15 @@ object VecStore {
     val sample = readFinal(spark, table)
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .limit(sampleN).localCheckpoint()
-    val drifted = sample
+    val sampleW = sample
       .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
-      .withColumn("__new", assignExpr(lc))
-      .filter(col("__new") =!= col("list_id")).count()
+    // tree stores recompute through the SAME descent the write path
+    // uses — a drifted tree store (e.g. tree tables rebuilt by hand)
+    // repairs to the tree layout, never silently back to flat
+    val drifted = (litTree(spark, table) match {
+      case Some(tr) => withTreeAssignment(sampleW, tr, "__new")
+      case None => sampleW.withColumn("__new", assignExpr(lc))
+    }).filter(col("__new") =!= col("list_id")).count()
     if (drifted > 0) {
       val tmp = TableSwap.stageName(spark, table)
       TableSwap.dropAllStages(spark, table)
@@ -831,17 +891,24 @@ object VecStore {
   /** `vectors` (idCol, embedding) with the stored quantizer's
     * assignment attached: (idCol, embedding, __n, list_id), all
     * scan-local. Shared by the write path and the probe's batch side.
+    * Tree stores ([[init]] `treeTopCount`) descend the persisted
+    * two-level map instead of the flat argmax — same plug point, so
+    * append, the near-dup probe's batch side, and migrate all switch
+    * together and can never disagree on a list choice.
     */
   private[graft] def withAssignment(
       spark: SparkSession,
       vectors: DataFrame,
       table: String,
       idCol: String = "vec_id"): DataFrame = {
-    val lc = litCents(spark, table)
-    vectors
+    val base = vectors
       .select(col(idCol), col("embedding"),
         sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("__n"))
-      .withColumn("list_id", assignExpr(lc))
+    litTree(spark, table) match {
+      case Some(tr) => withTreeAssignment(base, tr)
+      case None => base.withColumn("list_id",
+        assignExpr(litCents(spark, table)))
+    }
   }
 
   /** The quantizer as driver-side literals: (list_id, centroid,
@@ -879,11 +946,100 @@ object VecStore {
   private def candStructs(
       lc: Array[(Any, Seq[Double], Double)]): Array[Column] = {
     require(lc.nonEmpty, "VecStore: empty centroid table")
-    lc.map { case (id, c, cn) =>
-      struct(
-        (-round(Dedup.dot(col("embedding"), typedLit(c)) /
-          (col("__n") * lit(cn)), 4)).as("nd"),
-        lit(id).as("list_id"))
-    }
+    candsOf(lc, rawScore)
   }
+
+  /** (−round(score, 4), list_id) candidate structs over a literal
+    * centroid set, parameterized by the scoring form so the tree
+    * machinery serves both arithmetic disciplines: [[rawScore]]
+    * (raw vectors + precomputed `__n` — the write/exact-search form,
+    * bitwise [[Similarity.nearestLists]]) and [[unitScore]] (unit
+    * query vectors — the PQ probe form, bitwise
+    * [[Similarity.ivfPqTopK]]'s list picker).
+    */
+  private def candsOf(
+      cs: Array[(Any, Seq[Double], Double)],
+      score: (Seq[Double], Double) => Column): Array[Column] =
+    cs.map { case (id, c, cn) =>
+      struct((-score(c, cn)).as("nd"), lit(id).as("list_id"))
+    }
+
+  private def rawScore: (Seq[Double], Double) => Column =
+    (c, cn) => round(Dedup.dot(col("embedding"), typedLit(c)) /
+      (col("__n") * lit(cn)), 4)
+
+  private def unitScore: (Seq[Double], Double) => Column =
+    (c, cn) => round(Dedup.dot(col("v"), typedLit(c)) / lit(cn), 4)
+
+  /** The persisted tree quantizer ([[init]] `treeTopCount`) as ONE
+    * driver-side matrix object ([[graft.functions.TreeMatrix]]):
+    * refined super-centroids with the [[Similarity.centNorms]] norm
+    * arithmetic, and the leaf candidates grouped by subtree. None on
+    * flat stores — the tables' existence IS the mode switch, so a
+    * re-init without the option falls back to flat with nothing stale
+    * left behind. Both collects are centroid-grain (≤ topCount + L
+    * rows — the [[litCents]] bounded class). A refined top that no
+    * leaf re-assigned to is dropped ([[TreeMatrix.build]]): it can
+    * never win an assignment, and a probe slot spent on an empty
+    * subtree would scan nothing. The matrix form (rather than
+    * per-leaf `typedLit` when-chains) keeps the PLAN constant-size in
+    * L — the literal encoding measured seconds of per-call
+    * analysis+codegen tax at L = 1000 (`TreeSearchDebugProbe`).
+    */
+  private def litTree(
+      spark: SparkSession, table: String): Option[TreeMatrix] =
+    if (!spark.catalog.tableExists(s"${table}_tops")) None
+    else {
+      val idType =
+        spark.table(s"${table}_cents").schema("list_id").dataType
+      val leafTop = spark.table(s"${table}_leafmap").collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap
+      val leaves = litCents(spark, table).toSeq
+        .groupBy(c => leafTop(c._1))
+        .map { case (k, v) => k -> v }
+      val tops = Similarity.centNorms(
+        spark.table(s"${table}_tops")
+          .select(col("top_id").as("list_id"), col("centroid")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .toSeq
+      require(tops.exists(t => leaves.contains(t._1)),
+        s"VecStore: `${table}_tops`/`${table}_leafmap` describe no " +
+          "non-empty subtree — corrupt tree tables? re-run init")
+      Some(TreeMatrix.build(idType, tops, leaves))
+    }
+
+  /** Tree descent as ONE scan-local native expression
+    * ([[graft.functions.TreeAssignExpression]]): stage-1 argmax over
+    * the `topCount` super-centroids, stage-2 over ONLY the picked
+    * subtree's leaves — topCount + ~L/topCount candidate scores per
+    * row. Bitwise [[Similarity.treeDescend]]'s choices (same
+    * 4dp-rounded score, same id tie-breaks) — spec-asserted incl. a
+    * randomized twin parity.
+    */
+  private def withTreeAssignment(
+      df: DataFrame, tree: TreeMatrix,
+      out: String = "list_id"): DataFrame =
+    df.withColumn(out, TreeQuantizerExpression.treeAssign(
+      col("embedding"), col("__n"), tree))
+
+  /** Probe-list selection for tree stores: the `nProbeTop` best
+    * subtrees, then the `nProbe` best leaves ACROSS the probed
+    * subtrees' children — the [[Similarity.ivfTreeTopK]] probe
+    * discipline, scan-local. The native expression emits the probed
+    * (nd, list_id) candidate structs; ranking stays declarative
+    * (`array_sort` + `slice`), so list-choice ordering is exactly the
+    * flat face's. `norm` is the query-norm column for raw-vector
+    * scoring, or `lit(1.0)` for the PQ face's unit arithmetic
+    * (multiplying by 1.0 is IEEE-exact, so dot/(1.0·cn) is bitwise
+    * dot/cn). Adds `__c`: the chosen (nd, list_id) structs,
+    * best-first.
+    */
+  private def withTreeProbes(
+      df: DataFrame, tree: TreeMatrix, emb: Column, norm: Column,
+      nProbeTop: Int, nProbe: Int): DataFrame =
+    df.withColumn("__c", slice(
+      array_sort(
+        TreeQuantizerExpression.treeProbe(emb, norm, tree, nProbeTop)),
+      1, nProbe))
 }

@@ -217,6 +217,83 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("tree quantizer expressions == declarative round/argmin twins, randomized") {
+    // the native TreeMatrix descent must be BITWISE the declarative
+    // form it replaced (typedLit centroids + Spark round + struct
+    // argmin): same dot fold, same BigDecimal HALF_UP rounding, same
+    // (nd, id) tie-breaks. Randomized vectors exercise the rounding on
+    // thousands of arbitrary doubles — any drift in round4 flips an nd
+    // bit and fails the join below.
+    import graft.functions.{TreeMatrix, TreeQuantizerExpression}
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.IntegerType
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    var nextLeaf = 100
+    val leaves: Map[Long, Seq[(Any, Seq[Double], Double)]] =
+      (0L to 2L).map { t =>
+        t -> (0 until 2 + rnd.nextInt(3)).map { _ =>
+          val c = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+          nextLeaf += 1
+          (nextLeaf: Any, c, math.sqrt(c.map(x => x * x).sum))
+        }
+      }.toMap
+    val tops: Seq[(Long, Seq[Double], Double)] = (0L to 2L).map { t =>
+      val c = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+      (t, c, math.sqrt(c.map(x => x * x).sum))
+    }
+    val tm = TreeMatrix.build(IntegerType, tops, leaves)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+      .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+      .localCheckpoint()
+    def ndOf(c: Seq[Double], cn: Double, norm: org.apache.spark.sql.Column) =
+      -round(Dedup.dot(col("embedding"), typedLit(c)) / (norm * lit(cn)), 4)
+    def topStructs(norm: org.apache.spark.sql.Column) = tops.map { case (t, c, cn) =>
+      struct(ndOf(c, cn, norm).as("nd"), lit(t).as("id")) }
+    def leafStructs(t: Long, norm: org.apache.spark.sql.Column) = leaves(t).map {
+      case (id, c, cn) => struct(ndOf(c, cn, norm).as("nd"), lit(id).as("id")) }
+    // assign twin: stage-1 struct argmin, stage-2 when-chain by top
+    val topPick = array_min(array(topStructs(col("__n")): _*)).getField("id")
+    val assignTwin = (0L to 1L).foldRight(
+      array_min(array(leafStructs(2L, col("__n")): _*)).getField("id")) {
+      (t, acc) => when(col("__pick") === lit(t),
+        array_min(array(leafStructs(t, col("__n")): _*)).getField("id"))
+        .otherwise(acc)
+    }
+    val cmp = rows.withColumn("__pick", topPick)
+      .withColumn("twin", assignTwin)
+      .withColumn("native", TreeQuantizerExpression.treeAssign(
+        col("embedding"), col("__n"), tm))
+    assert(cmp.filter(col("twin") =!= col("native")).count() == 0)
+    assert(cmp.select(countDistinct(col("native"))).head().getLong(0) > 1,
+      "degenerate spec: every row picked the same leaf")
+    // probe twin (raw AND unit arithmetic): the probed candidate set
+    // of the 2 best subtrees, nd compared bitwise per (row, leaf)
+    for (norm <- Seq(col("__n"), lit(1.0))) {
+      val pick2 = slice(array_sort(array(topStructs(norm): _*)), 1, 2)
+      def branch(slot: Int) = (0L to 1L).foldRight(
+        array(leafStructs(2L, norm): _*)) { (t, acc) =>
+        when(element_at(pick2, slot).getField("id") === lit(t),
+          array(leafStructs(t, norm): _*)).otherwise(acc)
+      }
+      val twinP = rows.select(col("vec_id"),
+        explode(concat(branch(1), branch(2))).as("c"))
+        .select(col("vec_id"), col("c.nd").as("nd"), col("c.id").as("list_id"))
+      val nativeP = rows.select(col("vec_id"),
+        explode(TreeQuantizerExpression.treeProbe(
+          col("embedding"), norm, tm, 2)).as("c"))
+        .select(col("vec_id"), col("c.nd").as("nd2"),
+          col("c.list_id").as("list_id"))
+      val joined = twinP.join(nativeP, Seq("vec_id", "list_id"), "full")
+      assert(joined.filter(col("nd").isNull || col("nd2").isNull ||
+        col("nd") =!= col("nd2")).count() == 0,
+        "probed candidate sets or nd values drifted")
+    }
+  }
+
   test("function registry exposes the full surface to SQL") {
     import graft.operators.Dedup.words
     GraftFunctionRegistry.registerAll(spark)

@@ -15,7 +15,8 @@ class VecStoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def dropStore(name: String): Unit =
-    for (t <- Seq(name, s"${name}_cents", s"${name}_pq",
+    for (t <- Seq(name, s"${name}_cents", s"${name}_tops",
+        s"${name}_leafmap", s"${name}_pq",
         s"${name}_codes", s"${name}_dels"))
       Probes.dropManaged(spark, t)
 
@@ -162,6 +163,163 @@ class VecStoreSpec extends AnyFunSuite {
     val scans = plan.split("\n").filter(_.contains("FileScan parquet"))
     assert(scans.nonEmpty && scans.forall(_.contains("list_id#")),
       s"search scans must partition-prune on list_id:\n${scans.mkString("\n")}")
+  }
+
+  // the persisted-tree twin pieces, derived from the STORE's centroid
+  // table exactly as the store derived them at init (treeQuantizer is
+  // choice-deterministic: every argmax rounds to 4dp with id
+  // tie-break, so a retrain from the same table picks the same tree)
+  private def treeTwin(table: String, topCount: Int) = {
+    val cents = VecStore.centroids(spark, table)
+    val (tops, leafMap) = Similarity.treeQuantizer(cents, topCount)
+    val topCn = Similarity.centNorms(
+      tops.select(col("top_id").as("list_id"), col("centroid")))
+    (topCn, Similarity.treeLeaves(cents, leafMap))
+  }
+
+  test("tree store: assignment descends the persisted tree; flat re-init clears it") {
+    dropStore("vec_tree")
+    VecStore.init(spark, "vec_tree", stored, col("label"), buckets = 4,
+      treeTopCount = 3)
+    assert(spark.catalog.tableExists("vec_tree_tops") &&
+      spark.catalog.tableExists("vec_tree_leafmap"))
+    val (topCn, leaves) = treeTwin("vec_tree", 3)
+    val viaOp = Similarity.treeDescend(
+      emb.select(col("vec_id").as("id"), col("embedding")), "id",
+      topCn, leaves)
+      .select(col("id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val viaStore = VecStore
+      .withAssignment(spark, emb.select(col("vec_id"), col("embedding")),
+        "vec_tree")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(viaStore.nonEmpty && viaStore == viaOp)
+    // the WRITE path went through the same descent: every stored row
+    // physically lives in its tree-chosen list
+    VecStore.read(spark, "vec_tree")
+      .select(col("vec_id"), col("list_id")).collect()
+      .foreach(r => assert(viaOp(r.getLong(0)) == r.get(1).toString))
+    // migrate's sampled drift check recomputes through the SAME tree
+    // descent — a healthy tree store schedules no repair
+    assert(VecStore.migrate(spark, "vec_tree", buckets = 4).isEmpty)
+    // re-init WITHOUT the option: tree tables gone, assignment is the
+    // flat argmax again — no half-and-half residue
+    VecStore.init(spark, "vec_tree", stored, col("label"), buckets = 4)
+    assert(!spark.catalog.tableExists("vec_tree_tops") &&
+      !spark.catalog.tableExists("vec_tree_leafmap"))
+    val flat = Similarity.nearestLists(
+      emb.select(col("vec_id"), col("embedding")),
+      Similarity.centNorms(VecStore.centroids(spark, "vec_tree")),
+      "vec_id", keep = 1)
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val reStore = VecStore
+      .withAssignment(spark, emb.select(col("vec_id"), col("embedding")),
+        "vec_tree")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(reStore == flat)
+  }
+
+  test("tree store: served search equals Similarity.ivfTreeTopK, pruned") {
+    dropStore("vec_tsearch")
+    VecStore.init(spark, "vec_tsearch", stored, col("label"), buckets = 4,
+      treeTopCount = 3)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    val viaStore = VecStore.ivfTopK(spark, "vec_tsearch", queries,
+      k = 5, nProbe = 3, nProbeTop = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val viaOp = Similarity.ivfTreeTopK(
+      stored.select(col("vec_id"), col("embedding")), queries,
+      VecStore.centroids(spark, "vec_tsearch"), k = 5,
+      topCount = 3, nProbeTop = 2, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore.nonEmpty && viaStore == viaOp)
+    // the corpus scan stays partition-pruned under the tree probes
+    val plan = VecStore.ivfTopK(spark, "vec_tsearch", queries,
+      5, 3, 2).queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan parquet"))
+    assert(scans.nonEmpty && scans.forall(_.contains("list_id#")),
+      s"tree search scans must partition-prune on list_id:\n${scans.mkString("\n")}")
+  }
+
+  test("tree store: near-dup verdicts equal the tree twin; pop leaves tree faces") {
+    dropStore("vec_tdup")
+    VecStore.init(spark, "vec_tdup", stored, col("label"), buckets = 4,
+      treeTopCount = 3)
+    val viaStore = verdictMap(VecStore.nearDupVerdicts(
+      spark, "vec_tdup",
+      batch.select(col("vec_id"), col("embedding")), minCos = 0.35))
+    val (topCn, leaves) = treeTwin("vec_tdup", 3)
+    val storedA = Similarity.treeDescend(
+      stored.select(col("vec_id"), col("embedding")), "vec_id",
+      topCn, leaves).localCheckpoint()
+    val batchA = Similarity.treeDescend(
+      batch.select(col("vec_id").as("new_vec_id"), col("embedding")),
+      "new_vec_id", topCn, leaves).localCheckpoint()
+    val viaTwin = verdictMap(
+      Dedup.crossVerdicts(storedA, batchA, minCos = 0.35,
+        maxList = 10000))
+    assert(viaStore.nonEmpty && viaStore == viaTwin)
+    // takedown through the tree faces: a popped stored id disappears
+    // from the probe and the served search, compact keeps the tree
+    val victim = viaStore.collectFirst {
+      case (_, (_, true, Some(dupOf), _)) => dupOf.toLong
+    }.getOrElse(stored.select(col("vec_id")).head().getLong(0))
+    import spark.implicits._
+    VecStore.pop(spark, "vec_tdup", Seq(victim).toDF("vec_id"))
+    val after = VecStore.nearDupVerdicts(spark, "vec_tdup",
+      batch.select(col("vec_id"), col("embedding")), minCos = 0.35)
+      .filter(col("dup_of") === lit(victim)).count()
+    assert(after == 0, "popped id still serving as dup_of")
+    val hits = VecStore.ivfTopK(spark, "vec_tdup",
+      batch.select(col("vec_id"), col("embedding")).limit(10),
+      k = 5, nProbe = 3, nProbeTop = 2)
+      .filter(col("neighbor_id") === victim).count()
+    assert(hits == 0, "popped id still served by tree search")
+    VecStore.compact(spark, "vec_tdup", buckets = 4)
+    assert(spark.catalog.tableExists("vec_tdup_tops"),
+      "compact must keep the tree quantizer")
+    assert(VecStore.readFinal(spark, "vec_tdup")
+      .filter(col("vec_id") === victim).count() == 0)
+  }
+
+  test("tree store: PQ serves through the tree probe path") {
+    dropStore("vec_tpq")
+    VecStore.init(spark, "vec_tpq", stored, col("label"), buckets = 4,
+      treeTopCount = 3)
+    VecStore.trainPqCodebook(spark, "vec_tpq", numSub = 8,
+      codebookK = 8, dims = 64, buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(5)
+      .localCheckpoint()
+    val a = VecStore.ivfPqTopK(spark, "vec_tpq", queries, k = 5,
+      nProbe = 3, nProbeTop = 2)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    val storedIds = stored.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(storedIds.contains(r.getLong(1)),
+        "PQ answer must be a stored id")
+    }
+    // deterministic across calls (the codebook and tree are persisted)
+    val b = VecStore.ivfPqTopK(spark, "vec_tpq", queries, k = 5,
+      nProbe = 3, nProbeTop = 2).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      b.map(_.toString).sorted))
+    // the exact re-rank floor: the PQ answer's true top-1 neighbor
+    // per query must appear in the tree-served exact search's top-5
+    // for a solid share of queries (shortlist re-rank recall)
+    val exact = VecStore.ivfTopK(spark, "vec_tpq", queries, k = 5,
+      nProbe = 3, nProbeTop = 2)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqTop = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & pqTop).size.toDouble / math.max(exact.size, 1)
+    assert(overlap > 0.0,
+      s"PQ-through-tree found none of the exact tree answers ($overlap)")
   }
 
   // the degenerate shapes of a production deployment: an empty ingest
