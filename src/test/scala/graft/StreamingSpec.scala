@@ -775,6 +775,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st14 streaming ingest into a TREE store lands rows in their descent lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st14t_vecs", "st14t_vecs_cents", "st14t_vecs_tops",
+        "st14t_vecs_leafmap"))
+      Probes.dropManaged(spark, t)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val storedSide = emb.filter(col("vec_id") % 10 =!= 0)
+    val batchSide = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    // the stream is tree-blind: ingestVecs -> append -> withAssignment
+    // switches on the persisted _tops, same plug point as batch
+    graft.sources.VecStore.init(spark, "st14t_vecs", storedSide,
+      col("label"), buckets = 4, treeTopCount = 3)
+    val rows = batchSide.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestVecs(
+      in.toDF().toDF("vec_id", "embedding"), "st14t_vecs",
+      compactEvery = 0, buckets = 4)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st14t_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("st14t_vecs")
+      // every streamed row physically sits in its TREE-descent list
+      val cents = graft.sources.VecStore.centroids(spark, "st14t_vecs")
+      val (tops, leafMap) = graft.operators.Similarity
+        .treeQuantizer(cents, 3)
+      val topCn = graft.operators.Similarity.centNorms(
+        tops.select(col("top_id").as("list_id"), col("centroid")))
+      val leaves = graft.operators.Similarity.treeLeaves(cents, leafMap)
+      val expected = graft.operators.Similarity.treeDescend(
+        batchSide.select(col("vec_id").as("id"), col("embedding")),
+        "id", topCn, leaves)
+        .select(col("id"), col("list_id")).collect()
+        .map(r => r.getLong(0) -> r.get(1).toString).toMap
+      val streamedIds = rows.map(_._1).toSet
+      val landed = graft.sources.VecStore.read(spark, "st14t_vecs")
+        .select(col("vec_id"), col("list_id")).collect()
+        .filter(r => streamedIds.contains(r.getLong(0)))
+      assert(landed.nonEmpty)
+      landed.foreach(r =>
+        assert(expected(r.getLong(0)) == r.get(1).toString,
+          s"streamed vec ${r.getLong(0)} landed off its descent list"))
+      // and the tree faces serve the streamed rows
+      val top = graft.sources.VecStore.ivfTopK(spark, "st14t_vecs",
+        storedSide.select(col("vec_id"), col("embedding")).limit(5),
+        k = 3, nProbe = 2, nProbeTop = 2)
+      assert(top.count() > 0)
+    } finally q.stop()
+  }
+
   test("st16 streaming takedown: popped doc hidden next batch, sticky across replay, cadence cleans") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

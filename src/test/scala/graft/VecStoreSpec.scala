@@ -222,6 +222,30 @@ class VecStoreSpec extends AnyFunSuite {
     assert(reStore == flat)
   }
 
+  test("tree store: topCount past the leaf count degrades gracefully") {
+    dropStore("vec_tbig")
+    // more subtrees requested than leaves exist: the quantizer seeds
+    // min(topCount, L) tops, empty subtrees drop at the matrix build,
+    // and every face still answers with twin-exact choices
+    VecStore.init(spark, "vec_tbig", stored, col("label"), buckets = 4,
+      treeTopCount = 1000)
+    val (topCn, leaves) = treeTwin("vec_tbig", 1000)
+    val viaOp = Similarity.treeDescend(
+      emb.select(col("vec_id").as("id"), col("embedding")), "id",
+      topCn, leaves)
+      .select(col("id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val viaStore = VecStore
+      .withAssignment(spark, emb.select(col("vec_id"), col("embedding")),
+        "vec_tbig")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(viaStore.nonEmpty && viaStore == viaOp)
+    assert(VecStore.ivfTopK(spark, "vec_tbig",
+      batch.select(col("vec_id"), col("embedding")).limit(5),
+      k = 3, nProbe = 2, nProbeTop = 5).count() > 0)
+  }
+
   test("tree store: served search equals Similarity.ivfTreeTopK, pruned") {
     dropStore("vec_tsearch")
     VecStore.init(spark, "vec_tsearch", stored, col("label"), buckets = 4,
