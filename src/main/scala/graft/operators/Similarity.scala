@@ -789,33 +789,51 @@ object Similarity {
       topCount: Int,
       nProbeTop: Int = 2,
       nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{TreeMatrix, TreeQuantizerExpression}
     val c0 = cents.localCheckpoint()
     val (tops, leafMap) = treeQuantizer(c0, topCount)
-    val topCn = centNorms(tops.select(
-      col("top_id").as("list_id"), col("centroid")))
-    val leaves = treeLeaves(c0, leafMap)
-    val assigned = treeDescend(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
-      "neighbor_id", topCn, leaves)
-      .select(col("list_id"), col("neighbor_id"),
-        col("embedding").as("cv"), col("__n").as("cn"))
+    // r12: the trained tree rides as ONE expression-local matrix
+    // (centroid-grain collects — the bounded class of s2's hyperplane
+    // matrix; norms via the same centNorms arithmetic), so the corpus
+    // descent is a scan PROJECTION: the corpus-grain argmax exchange
+    // and the corpus × topCount/subtree row fan-outs of the join form
+    // ([[treeDescend]], kept as the spec twin and choice-bitwise to
+    // this expression — randomized parity spec) disappear from the
+    // plan entirely. What remains corpus-side is the one narrow
+    // shuffle into the top-k aggregation.
+    val idType = c0.schema("list_id").dataType
+    val leafTop = leafMap.collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+    val leavesByTop = centNorms(c0).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq.groupBy(c => leafTop(c._1)).map { case (t, v) => t -> v }
+    val topSeq = centNorms(
+      tops.select(col("top_id").as("list_id"), col("centroid")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    val tm = TreeMatrix.build(idType, topSeq, leavesByTop)
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
+      .withColumn("list_id",
+        TreeQuantizerExpression.treeAssign(col("cv"), col("cn"), tm))
     // query probes: nProbeTop subtrees, then the nProbe best leaves
-    // across the probed subtrees' children (query-grain windows —
-    // queries are the small side)
-    val probeTops = nearestLists(
-      queries.select(col("vec_id").as("query_id"), col("embedding")),
-      topCn, "query_id", nProbeTop)
-      .select(col("query_id"), col("list_id").as("top_id"),
-        col("embedding").as("qv"), col("__n").as("qn"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("d").desc, col("list_id").asc)
-    val probes = probeTops.join(leaves, Seq("top_id"))
-      .withColumn("d", round(Dedup.cosineWithNorms(
-        col("qv"), col("centroid"), col("qn"), col("leaf_n")), 4))
-      .withColumn("r", row_number().over(wq))
-      .filter(col("r") <= nProbe)
-      .select(col("list_id"), col("query_id"), col("qv"), col("qn"))
+    // across the probed subtrees' children — same expression family,
+    // ranking declarative (array_sort + slice = (nd, list_id) order,
+    // byte-for-byte the window-rank form's choices)
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
+      .withColumn("__c", slice(array_sort(
+        TreeQuantizerExpression.treeProbe(
+          col("qv"), col("qn"), tm, nProbeTop)), 1, nProbe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("__c")).as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("pc.list_id").as("list_id"))
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",

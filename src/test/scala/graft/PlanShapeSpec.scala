@@ -43,14 +43,14 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("s1_ann_brute_topk", maxShuffles = 2, minBroadcasts = 1),
     Shape("s2_ann_lsh", maxShuffles = 2, minBroadcasts = 1),
     Shape("s3_ann_ivf", maxShuffles = 8, minBroadcasts = 2),
-    // r12: the tree quantizer's training tables are centroid-grain
-    // and checkpointed (the d12 discipline), so the final frame is
-    // HALF s3's flat form: corpus level-1 argmax agg + level-2 agg
-    // reusing its exchange, probe-leaf window, top-k windows. The
-    // broadcasts (tops ×2, leaves ×2, probes) are all ≤ L rows and
-    // must never become shuffle joins; a blowup past 4 exchanges
-    // means a consumer started re-deriving the tree
-    Shape("s7_ann_ivf_tree", maxShuffles = 4, minBroadcasts = 5),
+    // r12: the trained tree rides as ONE expression-local matrix
+    // (TreeAssign/TreeProbeExpression), so corpus descent is a scan
+    // projection — no corpus-grain argmax exchange, no centroid
+    // broadcast joins. What remains: the probe broadcast onto the
+    // assigned corpus and the two top-k aggregation exchanges
+    // (QUARTER the flat s3's 8). A blowup past 2 means the descent
+    // fell back to a join form
+    Shape("s7_ann_ivf_tree", maxShuffles = 2, minBroadcasts = 1),
     Shape("f2_entity_assembly", maxShuffles = 1),
     Shape("f6_fpx_table", maxShuffles = 0),
     Shape("f8_xref_block", maxShuffles = 4, minBroadcasts = 1),
