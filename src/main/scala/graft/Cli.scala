@@ -39,6 +39,13 @@ import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
   *                                      or half-finished retrains);
   *                                      idempotent — a second run
   *                                      reports nothing to do
+  *   treeify <table> <topCount> [buckets]
+  *                                      opt a populated VecStore into
+  *                                      TREE coarse assignment in
+  *                                      place (train over the stored
+  *                                      leaves, re-assign the corpus
+  *                                      through the descent)
+  *   untreeify <table> [buckets]        revert a tree VecStore to flat
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
@@ -235,6 +242,23 @@ object Cli {
         if (actions.isEmpty) println(s"$table: already current, no repairs")
         else actions.foreach(a => println(s"$table: $a"))
 
+      case "treeify" :: table :: topCount :: rest if rest.length <= 1 =>
+        // r12: in-place flat→tree upgrade of a populated VecStore —
+        // the operational face of `init treeTopCount` for stores that
+        // already hold a corpus
+        val buckets = rest.headOption.map(_.toInt).getOrElse(16)
+        val actions = graft.sources.VecStore.treeify(
+          spark, table, topCount.toInt, buckets)
+        if (actions.isEmpty) println(s"$table: already a tree store")
+        else actions.foreach(a => println(s"$table: $a"))
+
+      case "untreeify" :: table :: rest if rest.length <= 1 =>
+        val buckets = rest.headOption.map(_.toInt).getOrElse(16)
+        val actions = graft.sources.VecStore.untreeify(spark, table,
+          buckets)
+        if (actions.isEmpty) println(s"$table: already a flat store")
+        else actions.foreach(a => println(s"$table: $a"))
+
       case "stats" :: table :: Nil =>
         Statements.stats(StatementStore.readFinal(spark, table))
           .orderBy("dataset", "schema")
@@ -260,7 +284,7 @@ object Cli {
 
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|stats|query, " +
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|query, " +
             s"got: $other")
     }
 }

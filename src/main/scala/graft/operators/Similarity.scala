@@ -812,6 +812,15 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq
+    // degenerate: an empty corpus trains no tree — answer empty in the
+    // standard (query_id, neighbor_id, cos) top-k shape instead of
+    // building a zero-node matrix
+    if (topSeq.isEmpty)
+      return topKPerQuery(
+        queries.limit(0).select(col("vec_id").as("query_id"))
+          .crossJoin(corpus.limit(0)
+            .select(col("vec_id").as("neighbor_id")))
+          .withColumn("cos", lit(0.0)), k)
     val tm = TreeMatrix.build(idType, topSeq, leavesByTop)
     val assigned = corpus
       .select(col("vec_id").as("neighbor_id"),

@@ -772,6 +772,137 @@ object VecStore {
     graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 
+  /** Handle between [[compactStage]] and [[compactFinish]] — the
+    * [[DocStore.CompactStage]] twin for the embedding corpus: staged
+    * table names, the pre-build file-list snapshots, and the codebook
+    * stamp the staged codes were encoded under (`None` when no codes
+    * cache was staged — absent, legacy-unpartitioned, or unstamped).
+    */
+  final case class CompactStage(
+      vecsTmp: String,
+      codesTmp: Option[(String, String)],
+      snapFiles: Set[String],
+      delsSnap: Set[String])
+
+  /** The HEAVY half of [[compact]], runnable OFF the writer's critical
+    * path (r12 — completes the out-of-band compaction symmetry:
+    * [[DocStore.compactStage]] existed, the vector store's corpus-sized
+    * FINAL rewrite AND its full `_codes` re-encode still ran inline in
+    * st14's foreachBatch). Builds the staged deduped corpus and, when a
+    * healthy partitioned+stamped codes cache exists, re-encodes it from
+    * the STAGED corpus under the live codebook — both without touching
+    * the live tables, so appends/pops/serves continue throughout. Safe
+    * concurrent with the writer for the same reason the doc store is:
+    * reads dedup, so a row the stage missed is in [[compactFinish]]'s
+    * file-list delta and a row it caught twice collapses at FINAL.
+    *
+    * A crash after this leaves only stage garbage the next compact's
+    * dropAllStages reclaims.
+    */
+  def compactStage(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = 16): CompactStage = {
+    val vecsTmp = TableSwap.stageName(spark, table)
+    TableSwap.dropAllStages(spark, table)
+    TableSwap.dropAllStages(spark, s"${table}_codes")
+    // snapshots BEFORE the FINAL read (the DocStore contract): the
+    // delta ⊇ every row the stage can miss, and the stage honors AT
+    // LEAST these tombstones
+    val snapFiles = spark.table(table).inputFiles.toSet
+    val delsSnap =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    writeListed(readFinal(spark, table), vecsTmp, buckets,
+      SaveMode.Overwrite)
+    val codesTmp =
+      if (!spark.catalog.tableExists(s"${table}_codes")) None
+      else {
+        val cb = liveCodebook(spark, table)
+        val partitioned = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst
+            .TableIdentifier(s"${table}_codes"))
+          .partitionColumnNames.nonEmpty
+        if (!cb.columns.contains("cb_hash") || !partitioned) None
+        else {
+          val tmp = TableSwap.stageName(spark, s"${table}_codes")
+          writeCodes(spark,
+            spark.table(vecsTmp)
+              .select(col("vec_id"), col("embedding"), col("list_id")),
+            cb, tmp, buckets)
+          Some((tmp, cb.select(col("cb_hash")).head().getString(0)))
+        }
+      }
+    CompactStage(vecsTmp, codesTmp, snapFiles, delsSnap)
+  }
+
+  /** The CHEAP half: catch up and swap. MUST run serialized with the
+    * writer. Cost is append-bounded — the delta rows since
+    * [[compactStage]]'s snapshot (read with the table root as
+    * `basePath`, so each row keeps the EXACT list the append assigned
+    * it — flat or tree — without recomputing any descent; filtered
+    * against the CURRENT tombstones so a mid-build pop stays sticky)
+    * plus metadata-only [[TableSwap]] swaps. The staged codes swap in
+    * only if the live codebook still carries the stamp they were
+    * encoded under — a drift-triggered retrain that landed mid-build
+    * invalidates the stage, and the rare fallback is the inline
+    * [[rebuildCodes]] (which also covers the legacy layouts the stage
+    * declined to touch). Tombstones retire only when none landed after
+    * the stage snapshot.
+    */
+  def compactFinish(
+      spark: SparkSession,
+      table: String,
+      st: CompactStage,
+      buckets: Int = 16): Unit = {
+    val delta = spark.table(table).inputFiles.toSet -- st.snapFiles
+    val deltaRows =
+      if (delta.isEmpty) None
+      else {
+        val base = spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.toString
+        // keep EVERY stored column (incl. the persisted `__n` norm) —
+        // the partition column list_id re-enters via basePath inference
+        val rows = minusDels(spark, table,
+          spark.read.format("parquet").option("basePath", base)
+            .load(delta.toSeq: _*))
+          .localCheckpoint()
+        writeListed(rows, st.vecsTmp, buckets, SaveMode.Append)
+        Some(rows)
+      }
+    TableSwap.swapIn(spark, st.vecsTmp, table, partitioned = true)(df =>
+      writeListed(df, table, buckets, SaveMode.Append))
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      val live = liveCodebook(spark, table)
+      val liveHash =
+        if (live.columns.contains("cb_hash"))
+          Some(live.select(col("cb_hash")).head().getString(0))
+        else None
+      st.codesTmp match {
+        case Some((tmp, stamp)) if liveHash.contains(stamp) =>
+          deltaRows.foreach(rows =>
+            writeCodes(spark, rows, live, tmp, buckets))
+          TableSwap.swapIn(spark, tmp, s"${table}_codes",
+            partitioned = true)(df =>
+            writeListed(df, s"${table}_codes", buckets, SaveMode.Append))
+        case _ =>
+          // stale stage (mid-build retrain) or a layout the stage
+          // declined — drop any staged codes and rebuild inline
+          TableSwap.dropAllStages(spark, s"${table}_codes")
+          rebuildCodes(spark, table, live, buckets)
+      }
+    }
+    val delsNow =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    if (delsNow == st.delsSnap)
+      graft.Probes.dropManaged(spark, s"${table}_dels")
+  }
+
   /** MIGRATE a store written by an older build to the current layout —
     * the automated face of the compat repairs SURVEY §7 documents as
     * manual steps ("re-derive persisted assignments", "rerun
@@ -823,14 +954,7 @@ object VecStore {
       case None => sampleW.withColumn("__new", assignExpr(lc))
     }).filter(col("__new") =!= col("list_id")).count()
     if (drifted > 0) {
-      val tmp = TableSwap.stageName(spark, table)
-      TableSwap.dropAllStages(spark, table)
-      writeListed(withAssignment(spark,
-        readFinal(spark, table).select(col("vec_id"), col("embedding")),
-        table), tmp, buckets, SaveMode.Overwrite)
-      TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
-        writeListed(df, table, buckets, SaveMode.Append))
-      graft.Probes.dropManaged(spark, s"${table}_dels")
+      reassignCorpus(spark, table, buckets)
       codesStale = true
       actions += s"reassigned corpus: $drifted/${sample.count()} sampled " +
         "rows carried a stale list assignment (pre-4dp layout)"
@@ -884,6 +1008,90 @@ object VecStore {
           actions += s"rebuilt _codes: $r"
         }
       }
+    }
+    actions.toSeq
+  }
+
+  /** Re-derive every stored row's list through the CURRENT
+    * [[withAssignment]] plug point (flat argmax or tree descent —
+    * whatever the store's tables say) and rewrite the corpus via the
+    * staged swap. The repair body shared by [[migrate]]'s drift step,
+    * [[treeify]], and [[untreeify]]; popped rows (already
+    * FINAL-excluded) drop physically, so the tombstones retire with
+    * the swap.
+    */
+  private def reassignCorpus(
+      spark: SparkSession, table: String, buckets: Int): Unit = {
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropAllStages(spark, table)
+    writeListed(withAssignment(spark,
+      readFinal(spark, table).select(col("vec_id"), col("embedding")),
+      table), tmp, buckets, SaveMode.Overwrite)
+    TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
+      writeListed(df, table, buckets, SaveMode.Append))
+    graft.Probes.dropManaged(spark, s"${table}_dels")
+  }
+
+  /** Opt an EXISTING populated store into TREE mode in place (r12) —
+    * the upgrade path [[init]]'s `treeTopCount` cannot offer (re-init
+    * drops the corpus): train the two-level quantizer over the stored
+    * leaf centroids ([[graft.operators.Similarity.treeQuantizer]] —
+    * same training, same determinism as an init-time tree), persist
+    * `_leafmap` THEN `_tops` (the mode switch keys on `_tops`, so a
+    * crash between the writes leaves a still-flat-serving store and an
+    * orphan map the retry overwrites — never a dangling tree), then
+    * re-assign the corpus through the descent so every stored row
+    * lives in its tree-chosen list (the spec-pinned invariant every
+    * tree face relies on) and rebuild `_codes` across the moved lists.
+    * A crash AFTER the tree lands but before the re-assign is exactly
+    * the drifted state [[migrate]]'s sampled check detects and
+    * repairs. Idempotent: an already-tree store returns no actions.
+    */
+  def treeify(
+      spark: SparkSession,
+      table: String,
+      topCount: Int,
+      buckets: Int = 16): Seq[String] = {
+    require(spark.catalog.tableExists(s"${table}_cents"),
+      s"VecStore: no store at `$table` (missing `${table}_cents`)")
+    if (spark.catalog.tableExists(s"${table}_tops")) return Seq.empty
+    val (tops, leafMap) =
+      Similarity.treeQuantizer(centroids(spark, table), topCount)
+    leafMap.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_leafmap")
+    tops.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_tops")
+    reassignCorpus(spark, table, buckets)
+    val actions = scala.collection.mutable.Buffer(
+      s"trained tree quantizer (topCount=$topCount) and re-assigned " +
+        "the corpus through the descent")
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      rebuildCodes(spark, table, liveCodebook(spark, table), buckets)
+      actions += "rebuilt _codes across the moved lists"
+    }
+    actions.toSeq
+  }
+
+  /** The reverse of [[treeify]]: drop a store back to FLAT assignment
+    * in place. `_tops` drops FIRST (the mode switch — the store is
+    * flat-serving from that instant; the orphan `_leafmap` goes next),
+    * then the corpus re-assigns through the flat argmax and `_codes`
+    * rebuilds. Idempotent on a flat store.
+    */
+  def untreeify(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = 16): Seq[String] = {
+    if (!spark.catalog.tableExists(s"${table}_tops")) return Seq.empty
+    graft.Probes.dropManaged(spark, s"${table}_tops")
+    graft.Probes.dropManaged(spark, s"${table}_leafmap")
+    reassignCorpus(spark, table, buckets)
+    val actions = scala.collection.mutable.Buffer(
+      "dropped the tree quantizer and re-assigned the corpus through " +
+        "the flat argmax")
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      rebuildCodes(spark, table, liveCodebook(spark, table), buckets)
+      actions += "rebuilt _codes across the moved lists"
     }
     actions.toSeq
   }

@@ -338,19 +338,39 @@ object Streams {
     * [[graft.sources.VecStore.ivfTopK]] immediately (spec).
     * `compactEvery` is st13's OPTIMIZE cadence behind the same
     * [[bloatGate]] append accounting (idle tick = zero jobs); the same
-    * cross-session REFRESH TABLE and inline-rewrite-stall notes apply.
+    * cross-session REFRESH TABLE notes apply. `asyncCompact` (r12)
+    * moves the corpus-sized work off the critical path exactly as in
+    * [[ingestDocs]] — and for this store that is TWO heavy passes, the
+    * FINAL dedup and the full `_codes` re-encode
+    * ([[graft.sources.VecStore.compactStage]] builds both staged; the
+    * in-batch [[graft.sources.VecStore.compactFinish]] pays only the
+    * append-bounded delta catch-up plus metadata swaps, and a
+    * drift-retrain landing mid-build just invalidates the staged codes
+    * via the stamp check — never a wrong serve).
     */
   def ingestVecs(
       vecs: DataFrame, table: String, compactEvery: Int = 0,
       buckets: Int = 16, minBloatRatio: Double = 0.0,
-      retrainEvery: Int = 0, retrainRatio: Double = 1.2)
+      retrainEvery: Int = 0, retrainRatio: Double = 1.2,
+      asyncCompact: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val bloatBound = new java.util.concurrent.atomic.AtomicLong(-1L)
     // r12 drift gate state: the first checked batch's residual is the
     // baseline (self-calibrating — no corpus-sized job, no stored
     // train-time artifact); −1 = recalibrate on the next check
     val baseline = new java.util.concurrent.atomic.AtomicReference[Double](-1.0)
+    // r12: the st13 out-of-band compactor, now on the vector store too —
+    // the staged build covers BOTH corpus-sized rewrites this path used
+    // to run inline (the FINAL dedup AND the full `_codes` re-encode)
+    var compactor: AsyncCompactor[graft.sources.VecStore.CompactStage] = null
     ingestInto(vecs) { (batch, batchId) =>
+      if (asyncCompact) {
+        val spark = batch.sparkSession
+        if (compactor == null) compactor = new AsyncCompactor(
+          () => graft.sources.VecStore.compactStage(spark, table, buckets),
+          s => graft.sources.VecStore.compactFinish(spark, table, s, buckets))
+        if (compactor.maybeFinish()) bloatBound.set(0L)
+      }
       graft.sources.VecStore.append(batch.sparkSession, batch, table,
         buckets)
       if (bloatBound.get() >= 0L) { bloatBound.addAndGet(batch.count()); () }
@@ -359,7 +379,9 @@ object Streams {
         bloatBound.set(bloatGate(bloatBound.get(),
           () => graft.sources.VecStore.read(spark, table).count(),
           () => graft.sources.VecStore.readFinal(spark, table).count(),
-          () => graft.sources.VecStore.compact(spark, table, buckets),
+          () =>
+            if (asyncCompact) { compactor.schedule(); () }
+            else graft.sources.VecStore.compact(spark, table, buckets),
           minBloatRatio,
           () => spark.catalog.tableExists(s"${table}_dels")))
       }

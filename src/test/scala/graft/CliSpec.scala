@@ -223,6 +223,50 @@ class CliSpec extends AnyFunSuite {
       s"second migrate must be a no-op: ${out2.toString}")
   }
 
+  // r12: the in-place tree upgrade through the operational face —
+  // round-trip flat → tree → flat on a populated store, idempotent at
+  // each end (the VecStoreSpec treeify test pins the parity invariants;
+  // this pins the CLI wiring and its reporting)
+  test("cli treeify/untreeify: in-place tree mode round-trip") {
+    val names = Seq("tfy_vecs", "tfy_vecs_cents", "tfy_vecs_tops",
+      "tfy_vecs_leafmap")
+    names.foreach(n => Probes.dropManaged(spark, n))
+    val emb = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    graft.sources.VecStore.init(spark, "tfy_vecs", emb,
+      col("label"), buckets = 4)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      Cli.run(spark, List("treeify", "tfy_vecs", "3", "4"))
+    }
+    assert(out.toString.contains("trained tree quantizer"),
+      s"treeify must report the upgrade: ${out.toString}")
+    assert(spark.catalog.tableExists("tfy_vecs_tops") &&
+      spark.catalog.tableExists("tfy_vecs_leafmap"))
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(out2) {
+      Cli.run(spark, List("treeify", "tfy_vecs", "3", "4"))
+    }
+    assert(out2.toString.contains("already a tree store"),
+      s"second treeify must be a no-op: ${out2.toString}")
+    // the upgraded store serves through the tree descent
+    val probe = emb.limit(3)
+      .select((col("vec_id") + lit(100000)).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint()
+    assert(graft.sources.VecStore.ivfTopK(spark, "tfy_vecs", probe,
+      k = 3, nProbe = 2, nProbeTop = 2).count() > 0)
+    val out3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(out3) {
+      Cli.run(spark, List("untreeify", "tfy_vecs", "4"))
+    }
+    assert(out3.toString.contains("flat argmax"),
+      s"untreeify must report the downgrade: ${out3.toString}")
+    assert(!spark.catalog.tableExists("tfy_vecs_tops") &&
+      !spark.catalog.tableExists("tfy_vecs_leafmap"))
+    assert(graft.sources.VecStore.ivfTopK(spark, "tfy_vecs", probe,
+      k = 3, nProbe = 2).count() > 0)
+  }
+
   test("cli ingest mints the model's statement id: cross-path upsert dedups") {
     import spark.implicits._
     import graft.model.Statements

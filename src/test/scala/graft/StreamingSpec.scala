@@ -722,6 +722,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // r12: st13c's contract on the VECTOR store, whose inline rewrite was
+  // heavier still (FINAL dedup + the full _codes re-encode). The
+  // cadence tick only launches the staged build; appends land against
+  // the live tables throughout; a later micro-batch runs the
+  // append-bounded finish, after which PQ serving covers the swapped
+  // corpus including every mid-rewrite row.
+  test("st14c async vector compaction: codes re-encode off the critical path, serving stays live") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st14c_vecs", "st14c_vecs_cents", "st14c_vecs_pq",
+        "st14c_vecs_codes"))
+      Probes.dropManaged(spark, t)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val storedSide = emb.filter(col("vec_id") % 10 =!= 0)
+    val batchSide = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.VecStore.init(spark, "st14c_vecs", storedSide,
+      col("label"), buckets = 4)
+    graft.sources.VecStore.trainPqCodebook(spark, "st14c_vecs",
+      buckets = 4)
+    val n0 = graft.sources.VecStore.readFinal(spark, "st14c_vecs").count()
+    val rows = batchSide.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val half = rows.length / 2
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestVecs(
+      in.toDF().toDF("vec_id", "embedding"), "st14c_vecs",
+      compactEvery = 2, buckets = 4, asyncCompact = true)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st14c_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(rows.take(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // batch 1: replay half the rows — cadence fires, bloat confirmed,
+      // the STAGE launches in the background and this batch returns
+      in.addData(rows.take(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("st14c_vecs")
+      assert(graft.sources.VecStore.readFinal(spark, "st14c_vecs")
+        .count() == n0 + half)
+      // rows that arrive during/after the build are the delta the
+      // finish must catch up — including their code rows
+      in.addData(rows.drop(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30e9.toLong
+      var compacted = false
+      var tick = 0L
+      while (!compacted && System.nanoTime() < deadline) {
+        tick += 1
+        // fresh ids (the st13c discipline): once the swap lands and the
+        // finishing batch's own append is the only post-swap file, raw
+        // and FINAL counts meet exactly
+        in.addData((1000000L + tick, rows.head._2))
+        q.processAllAvailable()
+        spark.catalog.refreshTable("st14c_vecs")
+        compacted = spark.table("st14c_vecs").count() ==
+          graft.sources.VecStore.readFinal(spark, "st14c_vecs").count()
+        if (!compacted) Thread.sleep(100)
+      }
+      assert(compacted, "the async vector compact must land within the bound")
+      spark.catalog.refreshTable("st14c_vecs")
+      spark.catalog.refreshTable("st14c_vecs_codes")
+      val fin = graft.sources.VecStore.readFinal(spark, "st14c_vecs")
+        .count()
+      val ids = graft.sources.VecStore.readFinal(spark, "st14c_vecs")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(rows.forall(r => ids.contains(r._1)),
+        "mid-rewrite vector appends must survive the swap")
+      // the codes cache covers the ENTIRE swapped corpus (stage rows
+      // re-encoded from the staged table, delta rows by the catch-up)
+      assert(graft.sources.VecStore.codes(spark, "st14c_vecs")
+        .select(col("vec_id")).distinct().count() == fin,
+        "codes must cover every surviving vector after the async swap")
+      // and PQ serving finds a mid-rewrite row
+      val probe = batchSide.orderBy(col("vec_id").desc).limit(3)
+        .localCheckpoint()
+      assert(graft.sources.VecStore.ivfPqTopK(spark, "st14c_vecs",
+        probe, k = 3, nProbe = 2).count() > 0)
+    } finally q.stop()
+  }
+
   test("st14 streaming vector ingest: store probe-able, cadence compact collapses replays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -512,6 +512,130 @@ class VecStoreSpec extends AnyFunSuite {
     assert(VecStore.readFinal(spark, "vec_pop").count() == n)
   }
 
+  // r12: the out-of-band compaction split — the DocStore
+  // compactStage/compactFinish contract on the vector store, where the
+  // heavy half is TWO corpus-sized passes (FINAL dedup + full _codes
+  // re-encode). The stage builds against live tables that keep taking
+  // appends and pops; finish pays only the delta catch-up + metadata
+  // swaps. Mid-build pops stay sticky (their tombstones outlive the
+  // swap), mid-build appends survive via the file-list delta with the
+  // EXACT list assignment the append gave them, and a quiet second
+  // stage/finish pair retires everything.
+  test("staged compact: mid-build appends and pops survive, codes stay consistent") {
+    import spark.implicits._
+    dropStore("vec_cstage")
+    VecStore.init(spark, "vec_cstage", stored, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_cstage", buckets = 4)
+    // bloat: a full re-delivery; then a pre-stage takedown
+    VecStore.append(spark, stored.select(col("vec_id"), col("embedding")),
+      "vec_cstage", buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    def neighbors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val victim1 = VecStore.ivfTopK(spark, "vec_cstage", queries, 5, 3)
+      .select(col("neighbor_id")).head().getLong(0)
+    VecStore.pop(spark, "vec_cstage", Seq(victim1).toDF("vec_id"))
+    val n = stored.count()
+    val b = batch.count()
+    val st = VecStore.compactStage(spark, "vec_cstage", buckets = 4)
+    // MID-BUILD: a fresh batch lands and a second id is taken down
+    VecStore.append(spark, batch.select(col("vec_id"), col("embedding")),
+      "vec_cstage", buckets = 4)
+    val victim2 = stored.filter(col("vec_id") =!= victim1)
+      .select(col("vec_id")).head().getLong(0)
+    VecStore.popIds(spark, "vec_cstage", Seq(victim2).toDF("vec_id"))
+    VecStore.compactFinish(spark, "vec_cstage", st, buckets = 4)
+    // FINAL: stored − both victims + the mid-build batch
+    assert(VecStore.readFinal(spark, "vec_cstage").count() == n - 2 + b)
+    // the swap deduped the re-delivery and physically dropped victim1
+    // (its tombstone predates the stage snapshot); victim2's landed
+    // mid-build, so it is retained and keeps filtering reads
+    assert(VecStore.read(spark, "vec_cstage").count() == n - 1 + b)
+    assert(spark.catalog.tableExists("vec_cstage_dels"))
+    // codes followed the swap: 8 rows per physical vector, the
+    // mid-build batch's rows re-encoded by the delta catch-up
+    assert(VecStore.codes(spark, "vec_cstage").count() == (n - 1 + b) * 8)
+    // every serving face answers and excludes both victims
+    val pq = neighbors(VecStore.ivfPqTopK(spark, "vec_cstage", queries, 5, 3))
+    assert(pq.nonEmpty && !pq.contains(victim1) && !pq.contains(victim2))
+    assert(!neighbors(VecStore.ivfTopK(spark, "vec_cstage", queries, 5, 3))
+      .contains(victim2))
+    // a QUIET stage/finish pair: victim2 drops physically, tombstones
+    // retire, counts reconcile exactly
+    VecStore.compactFinish(spark, "vec_cstage",
+      VecStore.compactStage(spark, "vec_cstage", buckets = 4), buckets = 4)
+    assert(!spark.catalog.tableExists("vec_cstage_dels"))
+    assert(VecStore.read(spark, "vec_cstage").count() == n - 2 + b)
+    assert(VecStore.codes(spark, "vec_cstage").count() == (n - 2 + b) * 8)
+    assert(neighbors(VecStore.ivfPqTopK(spark, "vec_cstage", queries, 5, 3))
+      .nonEmpty)
+  }
+
+  // r12: the in-place mode upgrade — init's treeTopCount implies a
+  // re-ingest; treeify opts a POPULATED flat store into tree mode
+  // (train over the stored leaves, re-assign the corpus through the
+  // descent, rebuild codes) and untreeify reverses it. Both idempotent,
+  // both leave a store migrate finds healthy.
+  test("treeify: populated flat store opts into tree mode in place; untreeify reverses") {
+    dropStore("vec_tify")
+    VecStore.init(spark, "vec_tify", stored, col("label"), buckets = 4)
+    VecStore.trainPqCodebook(spark, "vec_tify", buckets = 4)
+    val n = stored.count()
+    val acts = VecStore.treeify(spark, "vec_tify", topCount = 3,
+      buckets = 4)
+    assert(acts.size == 2, acts.mkString("; "))
+    assert(spark.catalog.tableExists("vec_tify_tops") &&
+      spark.catalog.tableExists("vec_tify_leafmap"))
+    // every stored row now lives in its tree-chosen list (twin parity —
+    // treeQuantizer is choice-deterministic, so the re-trained twin IS
+    // the persisted tree)
+    val (topCn, leaves) = treeTwin("vec_tify", 3)
+    val viaOp = Similarity.treeDescend(
+      stored.select(col("vec_id").as("id"), col("embedding")), "id",
+      topCn, leaves)
+      .select(col("id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    VecStore.read(spark, "vec_tify")
+      .select(col("vec_id"), col("list_id")).collect()
+      .foreach(r => assert(viaOp(r.getLong(0)) == r.get(1).toString))
+    // serving is tree-exact; codes followed the moved lists
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    val viaStore = VecStore.ivfTopK(spark, "vec_tify", queries,
+      k = 5, nProbe = 3, nProbeTop = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val viaTreeOp = Similarity.ivfTreeTopK(
+      stored.select(col("vec_id"), col("embedding")), queries,
+      VecStore.centroids(spark, "vec_tify"), k = 5,
+      topCount = 3, nProbeTop = 2, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore.nonEmpty && viaStore == viaTreeOp)
+    assert(VecStore.codes(spark, "vec_tify").count() == n * 8)
+    assert(VecStore.ivfPqTopK(spark, "vec_tify", queries, 5, 3)
+      .count() > 0)
+    // healthy upgraded store: migrate schedules nothing; re-treeify
+    // is a no-op
+    assert(VecStore.migrate(spark, "vec_tify", buckets = 4).isEmpty)
+    assert(VecStore.treeify(spark, "vec_tify", 3, buckets = 4).isEmpty)
+    // reverse: flat again — assignment ≡ the flat argmax, physically
+    assert(VecStore.untreeify(spark, "vec_tify", buckets = 4).size == 2)
+    assert(!spark.catalog.tableExists("vec_tify_tops") &&
+      !spark.catalog.tableExists("vec_tify_leafmap"))
+    val flat = Similarity.nearestLists(
+      stored.select(col("vec_id"), col("embedding")),
+      Similarity.centNorms(VecStore.centroids(spark, "vec_tify")),
+      "vec_id", keep = 1)
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    VecStore.read(spark, "vec_tify")
+      .select(col("vec_id"), col("list_id")).collect()
+      .foreach(r => assert(flat(r.getLong(0)) == r.get(1).toString))
+    assert(VecStore.codes(spark, "vec_tify").count() == n * 8)
+    assert(VecStore.untreeify(spark, "vec_tify", buckets = 4).isEmpty)
+    assert(VecStore.migrate(spark, "vec_tify", buckets = 4).isEmpty)
+  }
+
   // the drift monitor's exactness anchor: when the corpus IS the seed
   // set (16 vectors), every subvector cluster holds exactly its seed,
   // the Lloyd mean equals the member, and the residual is exactly 0 —
