@@ -1121,6 +1121,37 @@ object PipelineQueries {
        |    (SELECT COUNT(*) FROM toks))), 6) AS surprisal
        |FROM tf GROUP BY doc_id""".stripMargin
 
+  /** t14 — bigram-LM surprisal with add-one smoothing; see
+    * [[TextAnalysis.bigramSurprisal]] for the one-exchange window
+    * stack (hash(w1) clusters both frequency windows) and the CCNet
+    * framing. The oracle forms bigrams by zipping the word list with
+    * its own tail (two same-length unnests zip row-wise in DuckDB;
+    * `w[:len-1]`/`w[2:]` are both empty on 0/1-token docs, which
+    * therefore drop out on both engines).
+    */
+  def t14BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(docs(s, dir))
+
+  val t14Sql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, ${duckWords("text")} AS w FROM documents),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest(w[:len(w)-1]) AS w1, unnest(w[2:]) AS w2
+       |  FROM ws),
+       |tot AS (
+       |  SELECT COUNT(DISTINCT term) AS v
+       |  FROM (SELECT unnest(w) AS term FROM ws)),
+       |cc AS (
+       |  SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY w1) AS c1,
+       |    COUNT(*) OVER (PARTITION BY w1, w2) AS c12
+       |  FROM big)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  round(AVG(-ln((CAST(c12 AS DOUBLE) + 1.0) /
+       |    (CAST(c1 AS DOUBLE) + (SELECT v FROM tot)))), 6) AS surprisal
+       |FROM cc GROUP BY doc_id""".stripMargin
+
   /** t11 — repeated-passage mining at 8 words / df ≥ 2; see
     * [[TextAnalysis.dupPassages]] for the hash-first/text-later scale
     * shape (gram text only re-enters for the surviving hashes).
@@ -1813,6 +1844,7 @@ object PipelineQueries {
     "t8_distinctive_terms" -> (t8DistinctiveTerms _),
     "t9_chunking" -> (t9Chunking _),
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
+    "t14_bigram_surprisal" -> (t14BigramSurprisal _),
     "t11_dup_passages" -> (t11DupPassages _),
     "t12_sequence_pack" -> (t12SequencePack _),
     "d11_passage_scrub" -> (d11PassageScrub _),
@@ -1862,6 +1894,7 @@ object PipelineQueries {
     "t8_distinctive_terms" -> t8Sql,
     "t9_chunking" -> t9Sql,
     "t10_unigram_surprisal" -> t10Sql,
+    "t14_bigram_surprisal" -> t14Sql,
     "t11_dup_passages" -> t11Sql,
     "t12_sequence_pack" -> t12Sql,
     "d11_passage_scrub" -> d11Sql,

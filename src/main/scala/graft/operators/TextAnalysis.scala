@@ -568,6 +568,61 @@ object TextAnalysis {
           col("n_total_tokens").cast("double"))), 6).as("surprisal"))
   }
 
+  /** t14 — bigram-LM surprisal: per-document average −ln p(w₂|w₁)
+    * under the corpus's own bigram model with add-one smoothing —
+    * t10's unigram filter at the next model order, the deterministic
+    * stand-in for the KenLM-perplexity gate of CCNet (Wenzek et al.
+    * 2020): unigram surprisal scores a document by WHICH words it
+    * uses; bigram surprisal scores HOW they are put together, so
+    * shuffled/concatenated boilerplate with common words (which t10
+    * passes) scores high here, and both tails get reviewed. p(w₂|w₁) =
+    * (c(w₁w₂) + 1) / (c(w₁·) + V) — Laplace smoothing over the corpus
+    * vocabulary, so unseen continuations stay finite and the score is
+    * exactly reproducible cross-engine (no backoff weights to drift).
+    * Documents with fewer than two tokens have no bigram and drop out.
+    *
+    * Scale shape — the t8/t10 rule plus one new trick: bigram pair
+    * formation is SCAN-LOCAL (the word array zipped with its own
+    * tail — no posexplode/self-join, no window over positions), and
+    * both corpus-frequency attachments ride ONE bigram-grain exchange:
+    * the c(w₁·) window partitions by w1, and the c(w₁w₂) window's
+    * (w1, w2) clustering is SATISFIED by that same hash(w1)
+    * partitioning (a superset clustering needs no new Exchange — the
+    * planner inserts only a sort), so the vocabulary²-sized bigram
+    * frequencies attach with zero joins, zero broadcasts, and one
+    * shuffle. The 1-row vocabulary count V re-derives from a second
+    * scan (the measured t10 trade: duplicating scan+tokenize beats
+    * re-shuffling the token stream) and stays a broadcast.
+    */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = documents.select(col("doc_id"),
+      Dedup.words(col("text")).as("ws"))
+    val pairs = ws
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0)))
+          .as("w1"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0)))
+          .as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // c1 FIRST (hash(w1) exchange), then c12 — hash(w1) clusters
+    // (w1, w2) too, so the second window adds only a sort
+    val counted = pairs
+      .withColumn("c1",
+        count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("c12",
+        count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+    val vocab = documents
+      .select(explode(Dedup.words(col("text"))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    counted.crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log((col("c12").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v").cast("double")))), 6)
+          .as("surprisal"))
+  }
+
   /** t11 — repeated-passage mining: every word `n`-gram that appears in
     * at least `minDocs` DISTINCT documents, with its document count and
     * the smallest doc_id containing it. The discovery phase of

@@ -837,6 +837,33 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("doc_id") === 9L).count() == 0)
   }
 
+  test("t14 bigram surprisal: word order separates same-vocabulary docs, exact smoothed values") {
+    import spark.implicits._
+    // 5 docs in corpus-typical order + 1 with the SAME words shuffled:
+    // c(the,cat) = c(cat,sat) = 5, c(cat,the) = c(the,sat) = 1,
+    // c(the·) = c(cat·) = 6, V = 3 — every smoothed ratio is exact
+    val docs = (1L to 4L).map(i => (i, "the cat sat", "s")) ++
+      Seq((10L, "the cat sat", "s"), (11L, "cat the sat", "s"))
+    val out = graft.operators.TextAnalysis.bigramSurprisal(
+      docs.toDF("doc_id", "text", "source"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // typical order: both bigrams seen 5× → −ln((5+1)/(6+3)) each
+    assert(out(10L) == ((2L, r6(math.log(9.0 / 6.0)))), s"$out")
+    // shuffled: IDENTICAL unigram multiset, unseen bigrams →
+    // −ln((1+1)/(6+3)) each — the separation t10 cannot see
+    assert(out(11L) == ((2L, r6(math.log(9.0 / 2.0)))), s"$out")
+    assert(out(11L)._2 > out(10L)._2)
+    // docs with fewer than two tokens form no bigram and drop out
+    val withShort = docs ++ Seq((8L, "solo", "s"), (9L, "   ", "s"))
+    assert(graft.operators.TextAnalysis.bigramSurprisal(
+        withShort.toDF("doc_id", "text", "source"))
+      .filter(col("doc_id") === 8L || col("doc_id") === 9L)
+      .count() == 0)
+  }
+
   test("d8 keep-best: longest doc wins its cluster, ties break by id") {
     import spark.implicits._
     // {1,2,3} cluster via exact dup text (2 padded longer → the keeper

@@ -133,6 +133,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // the 1-row token total. 3 shuffles: term window, total agg, doc
     // re-assembly
     Shape("t10_unigram_surprisal", maxShuffles = 3, minBroadcasts = 1),
+    // r12: BOTH bigram-frequency windows (c(w1·), c(w1w2)) ride the ONE
+    // hash(w1) exchange — hash(w1) satisfies the (w1,w2) clustering, so
+    // the second window plans as a sort, never a second shuffle of the
+    // bigram stream. 4 = that exchange + the 2-phase vocab distinct +
+    // doc re-assembly; the only broadcast is the 1-row V
+    Shape("t14_bigram_surprisal", maxShuffles = 4, minBroadcasts = 1),
     // r8: quantization is per-row arithmetic — must stay a pure scan
     Shape("s4_embedding_quantize", maxShuffles = 0),
     // r8: grouping sets = ONE aggregate over an Expand (3× map-side
