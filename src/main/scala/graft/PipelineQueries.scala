@@ -1672,6 +1672,53 @@ object PipelineQueries {
        |  CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_texts
        |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** The p4 mix table: every source weighted by a deterministic
+    * asymmetric formula ((i mod 4) + 1 — shares 120/240/360/480 tokens
+    * of the 6000 total after normalization), shared by the Spark query
+    * and the oracle twin so both embed the identical driver-computed
+    * integer budgets.
+    */
+  private val p4Weights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toDouble).toMap
+  private val p4Budgets: Seq[(String, Long)] = {
+    val wSum = p4Weights.values.sum
+    p4Weights.toSeq.sortBy(_._1)
+      .map { case (k, w) => (k, (w / wSum * 6000L).toLong) }
+  }
+
+  /** p4 — dataset-mix sampling ([[graft.operators.Sampling.datasetMix]]):
+    * each source contributes its target share of a 6000-token budget
+    * via the per-stratum hash-ordered prefix, budgets allocated from
+    * the mix weights on the driver. Gated on the bucketed
+    * distributed-prefix-sum form with the per-stratum budget frontier.
+    */
+  def p4DatasetMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.datasetMix(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens")),
+      stratum = "source", id = "doc_id", tokens = col("n_tokens"),
+      weights = p4Weights, totalBudget = 6000L, nBuckets = 64)
+
+  val p4Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${duckWords("text")}) AS BIGINT) AS n_tokens,
+       |    ${duckHash60("'0'", "CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM documents),
+       |b(source, budget) AS (VALUES
+       |  ${p4Budgets.map { case (k, v) => s"('$k', ${v})" }
+        .mkString(",\n  ")}),
+       |c AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY t.source
+       |      ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t JOIN b ON t.source = b.source)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  CAST(budget AS BIGINT) AS budget
+       |FROM c WHERE cum_tokens <= budget""".stripMargin
+
   /** q23 — heavy hitters per source through the MERGEABLE top-k
     * sketch ([[graft.functions.TopKAggregate]] — the ClickHouse
     * `topK()` surface): top-5 terms per source as ONE aggregation
@@ -1857,6 +1904,7 @@ object PipelineQueries {
     "p1_preprocess" -> (p1Preprocess _),
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
+    "p4_dataset_mix" -> (p4DatasetMix _),
     "q23_topk_sketch" -> (q23TopkSketch _),
     "q23b_topk_weighted" -> (q23bTopkWeighted _),
     "d12_semdedup" -> (d12SemDedup _),
@@ -1907,6 +1955,7 @@ object PipelineQueries {
     "p1_preprocess" -> p1Sql,
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,
+    "p4_dataset_mix" -> p4Sql,
     "q23_topk_sketch" -> q23Sql,
     "q23b_topk_weighted" -> q23bSql,
     "d12_semdedup" -> d12Sql,

@@ -104,6 +104,48 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Dataset-MIX sampling (r12): select rows so each stratum
+    * contributes its target SHARE of a total token budget — the static
+    * domain-reweighting step (the Pile / DoReMi-style mix table) a
+    * training pipeline runs after filtering and dedup, where
+    * [[tokenBudgetBucketed]]'s single cap per stratum cannot express
+    * "60% web, 25% wiki, 15% books". Per-stratum budgets derive on the
+    * driver (`weight/Σweights × totalBudget`, floored — the weights
+    * table is domain-grain, structurally bounded), and selection
+    * within each stratum is the same deterministic hash-ordered prefix
+    * as every sampler here, so re-runs and the DuckDB oracle pick
+    * identical rows. Strata absent from `weights` are excluded —
+    * a mix is an explicit allowlist. Down-sampling only: a stratum
+    * with fewer tokens than its allocation keeps everything and the
+    * mix under-fills (visible via the emitted `budget` column vs the
+    * kept `cum_tokens` max); epoch-style up-sampling is a training-
+    * loop concern, not a row-selection one.
+    *
+    * Scale shape: rides [[bucketedCumSum]] unchanged — the per-stratum
+    * budget joins the BOUNDED (stratum, bucket) prefix rollup (one
+    * broadcast of a domain-count-sized table), so the budget-frontier
+    * drop still happens BEFORE the window shuffle, now at each
+    * stratum's own frontier.
+    */
+  def datasetMix(
+      df: DataFrame, stratum: String, id: String, tokens: Column,
+      weights: Map[String, Double], totalBudget: Long,
+      nBuckets: Int = 64, seed: Int = 0): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be a non-empty map of positive shares")
+    val wSum = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = weights.toSeq.sortBy(_._1)
+      .map { case (k, w) => (k, (w / wSum * totalBudget).toLong) }
+      .toDF(stratum, "__budget")
+    bucketedCumSum(df, stratum, id, tokens, nBuckets, seed,
+      offsetCap = None, budgets = Some(budgets))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .withColumnRenamed("__budget", "budget")
+  }
+
   /** The shared bucketed-prefix-sum core of [[tokenBudgetBucketed]]
     * and [[sequencePack]]: appends `cum_tokens` (the inclusive running
     * total of `tokens` within `stratum`, ordered by (60-bit md5 of
@@ -115,7 +157,8 @@ object Sampling {
     */
   private def bucketedCumSum(
       df: DataFrame, stratum: String, id: String, tokens: Column,
-      nBuckets: Int, seed: Int, offsetCap: Option[Long]): DataFrame = {
+      nBuckets: Int, seed: Int, offsetCap: Option[Long],
+      budgets: Option[DataFrame] = None): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     // md5Hash60 lands in [0, 2^60); integral DIV keeps bucket order
@@ -133,18 +176,31 @@ object Sampling {
         sum(col("__bt")).over(Window.partitionBy(col(stratum))
           .orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val offsets = offsetCap.fold(prefixes)(cap =>
-      prefixes.filter(col("__off") < cap))
-      .select(col(stratum), col("__bucket"), col("__off"))
+    // per-stratum budgets ([[datasetMix]]): the domain-grain table
+    // joins the BOUNDED prefix rollup, so the frontier drop below
+    // happens at each stratum's own budget — same place, same cost
+    val offsets = (offsetCap, budgets) match {
+      case (Some(cap), _) =>
+        prefixes.filter(col("__off") < cap)
+          .select(col(stratum), col("__bucket"), col("__off"))
+      case (None, Some(b)) =>
+        prefixes.join(broadcast(b), Seq(stratum))
+          .filter(col("__off") < col("__budget"))
+          .select(col(stratum), col("__bucket"), col("__off"),
+            col("__budget"))
+      case (None, None) =>
+        prefixes.select(col(stratum), col("__bucket"), col("__off"))
+    }
     val w = Window.partitionBy(col(stratum), col("__bucket"))
       .orderBy(col("__u"), col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = df.columns.map(col) :+ col("cum_tokens")
     base.join(broadcast(offsets), Seq(stratum, "__bucket"))
       .withColumn("cum_tokens",
         sum(col("__n_tokens")).over(w) + col("__off"))
       // the using-join moved its keys first; restore the caller's
       // column order so every caller returns the identical schema
-      .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+      .select(budgets.fold(outCols)(_ => outCols :+ col("__budget")): _*)
   }
 
   /** Concat-and-split sequence packing — the step that turns a

@@ -956,6 +956,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.exceptAll(b).isEmpty && b.exceptAll(p).isEmpty)
   }
 
+  test("p4 dataset mix: per-stratum budgets from weights, stratum-wise equal to tokenBudget") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    val weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0)
+    val mix = graft.operators.Sampling.datasetMix(
+      base, "source", "doc_id", col("n_tokens"), weights,
+      totalBudget = 1200, nBuckets = 8)
+    val rows = mix.collect()
+    // only mixed strata appear — the allowlist semantics
+    assert(rows.map(_.getString(1)).toSet == Set("src0", "src1", "src2"))
+    // each stratum's selection IS tokenBudget at its allocated share
+    // (2:1:1 of 1200 → 600/300/300), and the emitted budget column
+    // carries the allocation
+    for ((src, b) <- Seq(("src0", 600L), ("src1", 300L), ("src2", 300L))) {
+      val viaMix = rows.filter(_.getString(1) == src)
+        .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      val viaBudget = graft.operators.Sampling.tokenBudget(
+        base.filter(col("source") === src), "source", "doc_id",
+        col("n_tokens"), budget = b)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(viaMix == viaBudget, s"$src must match tokenBudget($b)")
+      assert(rows.filter(_.getString(1) == src).forall(_.getLong(4) == b))
+    }
+    // weights are SHARES: uniform scaling changes nothing
+    val scaled = graft.operators.Sampling.datasetMix(
+      base, "source", "doc_id", col("n_tokens"),
+      weights.map { case (k, v) => k -> v * 7.5 }, totalBudget = 1200,
+      nBuckets = 8)
+    assert(mix.exceptAll(scaled).isEmpty && scaled.exceptAll(mix).isEmpty)
+  }
+
   test("t11 dup passages: cross-doc repeats found, within-doc repeats don't count") {
     import spark.implicits._
     // 3-grams, minDocs 2: "x y z" lives in docs 1, 2 AND twice in 1

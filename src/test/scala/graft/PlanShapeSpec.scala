@@ -128,6 +128,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded bucket rollup adds its agg + window exchanges, and the
     // offset table must stay a broadcast join
     Shape("d10_sample_budget", maxShuffles = 3, minBroadcasts = 1),
+    // r12: the dataset mix is d10's 3-shuffle prefix-sum shape exactly —
+    // the per-stratum budget table joins the BOUNDED (stratum, bucket)
+    // rollup as a second broadcast, never a shuffle of the doc stream
+    Shape("p4_dataset_mix", maxShuffles = 3, minBroadcasts = 2),
     // r8: term frequencies attach via the term-grain window (never a
     // vocabulary rollup joined/broadcast back); the only broadcast is
     // the 1-row token total. 3 shuffles: term window, total agg, doc
