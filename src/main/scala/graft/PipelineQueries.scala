@@ -1450,6 +1450,67 @@ object PipelineQueries {
       |  CAST(8 * LEAST(length(text) // 8, 65535) AS BIGINT) AS n_pixels
       |FROM documents WHERE length(text) >= 8""".stripMargin
 
+  /** m6 — the first COMPRESSED LOSSLESS decoder at the plug-point
+    * (r12): each document's bytes become the gray pixels of a
+    * synthesized width-8 PNG ([[Codecs.pngGrayEncode]] — zlib +
+    * per-row predictive filters), decoded back inside the partition
+    * by the HAND-ROLLED [[Codecs.pngGrayWithDims]] (chunk walk, CRC,
+    * inflate, the five unfilters) through the same `decodeFrames`
+    * contract as m2b/m3/m5. The encode filter varies with the doc
+    * (`doc_id mod 5`), so all five filter paths sit inside this one
+    * oracle-gated query — and because PNG is lossless the oracle
+    * gates the decoded pixel VALUES (count/sum/min/max recomputed
+    * from character codes), not just m5's geometry: any bit error
+    * anywhere in deflate→inflate→unfilter fails the hash. Zero
+    * shuffles.
+    */
+  def m6PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m6 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val h = b.length / 8
+        val px = new Array[Int](8 * h)
+        var i = 0
+        while (i < px.length) { px(i) = b(i) & 0xff; i += 1 }
+        Multimodal.Frame(id, 0L,
+          Codecs.pngGrayEncode(8, h, px, filterType = (id % 5).toInt))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.pngGrayWithDims)
+      .map { f =>
+        val px = f.feature.drop(2).map(_.toLong)
+        (f.doc_id, f.feature(0).toLong, f.feature(1).toLong,
+          px.length.toLong, px.sum, px.min, px.max)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_px",
+        "min_px", "max_px")
+  }
+
+  /** m6's DuckDB twin: pixel statistics re-derived from character
+    * codes — PNG is lossless, so unlike m5 the VALUES gate, and a
+    * decode-path bit error anywhere fails the hash. */
+  val m6Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text, (length(text) // 8) * 8 AS n
+      |  FROM documents WHERE length(text) >= 8),
+      |v AS (
+      |  SELECT doc_id, n,
+      |    ascii(substring(text, CAST(i + 1 AS INT), 1)) AS px
+      |  FROM (SELECT doc_id, n, text, unnest(range(0, n)) AS i FROM s))
+      |SELECT doc_id,
+      |  CAST(8 AS BIGINT) AS width,
+      |  CAST(max(n) // 8 AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(px) AS BIGINT) AS sum_px,
+      |  CAST(min(px) AS BIGINT) AS min_px,
+      |  CAST(max(px) AS BIGINT) AS max_px
+      |FROM v GROUP BY doc_id""".stripMargin
+
   // ===========================================================
   // p-block: composed end-to-end pipeline
   // ===========================================================
@@ -1901,6 +1962,7 @@ object PipelineQueries {
     "m3_image_features" -> (m3ImageFeatures _),
     "m4_audio_windows" -> (m4AudioWindows _),
     "m5_jpeg_decode" -> (m5JpegDecode _),
+    "m6_png_decode" -> (m6PngDecode _),
     "p1_preprocess" -> (p1Preprocess _),
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
@@ -1952,6 +2014,7 @@ object PipelineQueries {
     "m3_image_features" -> m3Sql,
     "m4_audio_windows" -> m4Sql,
     "m5_jpeg_decode" -> m5Sql,
+    "m6_png_decode" -> m6Sql,
     "p1_preprocess" -> p1Sql,
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,

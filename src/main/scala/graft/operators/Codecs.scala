@@ -339,4 +339,213 @@ object Codecs {
     }
     out
   }
+
+  // ---------------------------------------------------------------
+  // PNG (grayscale 8-bit, non-interlaced) — hand-rolled: the first
+  // COMPRESSED LOSSLESS codec at the plug-point (r12). WAV/BMP are
+  // raw samples behind a header; JPEG is lossy via the platform
+  // codec; PNG closes the remaining class — a real compression
+  // layer (zlib, `java.util.zip` — standard JVM, no new deps) plus
+  // per-row predictive filters, decoded by hand so the whole
+  // inflate → unfilter path is ours and LOSSLESS: an oracle can gate
+  // the decoded pixel VALUES byte-exactly, not just the geometry.
+  // Citation: PNG spec (RFC 2083 / W3C PNG) §4 chunk layout, §6
+  // filter types.
+  // ---------------------------------------------------------------
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(p => c.update(p, 0, p.length))
+    c.getValue.toInt
+  }
+
+  private def chunk(
+      out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    val t = typ.getBytes("US-ASCII")
+    out.write(len); out.write(t); out.write(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc32(t, data)).array())
+  }
+
+  /** a + b + c Paeth predictor (PNG filter 4) — shared by the encode
+    * and decode sides so they can never disagree on the prediction.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode grayscale pixels (row-major, values 0–255) as an 8-bit
+    * non-interlaced grayscale PNG. `filterType` 0–4 applies that PNG
+    * row filter to EVERY row before deflate — the fixture knob that
+    * lets specs (and the oracle-gated m6) drive each of the five
+    * unfilter paths through a real encode; production encoders pick
+    * per-row, which the decoder handles regardless (the filter byte
+    * is per-row in the format).
+    */
+  def pngGrayEncode(
+      width: Int, height: Int, gray: Array[Int],
+      filterType: Int = 0): Array[Byte] = {
+    require(gray.length == width * height,
+      s"pngGrayEncode: ${gray.length} pixels for ${width}x$height")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(filterType >= 0 && filterType <= 4,
+      s"pngGrayEncode: unknown filter type $filterType")
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    // scanlines: per-row filter byte + filtered bytes (bpp = 1)
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = filterType.toByte
+      var x = 0
+      while (x < width) {
+        val cur = gray(y * width + x) & 0xff
+        val left = if (x > 0) gray(y * width + x - 1) & 0xff else 0
+        val up = if (y > 0) gray((y - 1) * width + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) gray((y - 1) * width + x - 1) & 0xff
+          else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (width + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater() // zlib-wrapped, per spec
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished())
+      zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSig)
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zbuf.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit non-interlaced grayscale PNG by hand — chunk
+    * walk with CRC verification, all IDAT chunks concatenated into
+    * one zlib stream (the format allows any split), inflate, then the
+    * five per-row unfilters. Returns `[width, height, px...]`, pixels
+    * exact integers 0–255 as Floats (the [[bmpChannels]] lossless
+    * contract: cross-engine oracles recompute features bit-for-bit).
+    * Throws `IllegalArgumentException` on anything undecodable —
+    * wrong signature, CRC mismatch, truncated/overlong pixel data,
+    * unsupported color type/bit depth/interlace — per the Codecs
+    * loud-failure contract.
+    */
+  def pngGrayWithDims(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= pngSig.length + 12, "PNG too short")
+    require(java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), pngSig), "not a PNG payload")
+    val buf = ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    var pos = 8
+    var width = -1; var height = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= bytes.length && !seenIend) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos.toLong + 12L + len <= bytes.length,
+        s"chunk at $pos overruns payload")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val c = new java.util.zip.CRC32
+      c.update(bytes, pos + 4, 4 + len)
+      require(c.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"CRC mismatch on $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "bad IHDR")
+          width = buf.getInt(pos + 8)
+          height = buf.getInt(pos + 12)
+          require(width > 0 && height > 0,
+            s"bad dimensions ${width}x$height")
+          require(width.toLong * height <= Int.MaxValue,
+            "pixel count overflows")
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth")
+          require(colorType == 0, s"not grayscale (color type $colorType)")
+          require(interlace == 0, "interlaced PNG unsupported")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skip (CRC already verified)
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr && seenIend, "missing IHDR/IEND")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((width + 1) * height)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(),
+          "truncated or corrupt IDAT stream")
+        got += n
+      }
+      require(got == raw.length, s"pixel data short: $got of ${raw.length}")
+      // a stream with MORE scanlines than IHDR declares is malformed
+      require(inflater.inflate(new Array[Byte](1)) == 0 &&
+        inflater.finished(), "IDAT stream longer than the declared image")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"corrupt zlib stream: ${e.getMessage}")
+    } finally inflater.end()
+    val out = new Array[Float](2 + width * height)
+    out(0) = width.toFloat
+    out(1) = height.toFloat
+    // unfilter in place over a previous-row byte view
+    val cur = new Array[Int](width)
+    val prev = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (width + 1)) & 0xff
+      require(ft <= 4, s"unknown filter type $ft on row $y")
+      var x = 0
+      while (x < width) {
+        val v = raw(y * (width + 1) + 1 + x) & 0xff
+        val left = if (x > 0) cur(x - 1) else 0
+        val up = if (y > 0) prev(x) else 0
+        val ul = if (x > 0 && y > 0) prev(x - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        cur(x) = (v + pred) & 0xff
+        out(2 + y * width + x) = cur(x).toFloat
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      y += 1
+    }
+    out
+  }
 }

@@ -220,6 +220,126 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // PNG (r12: hand-rolled inflate + unfilter — lossless, so every
+  // round-trip below is EXACT equality)
+  // ---------------------------------------------------------------
+
+  private def pngChunk(t: String, d: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(java.nio.ByteBuffer.allocate(4).putInt(d.length).array())
+    val tb = t.getBytes("US-ASCII")
+    o.write(tb); o.write(d)
+    val c = new java.util.zip.CRC32
+    c.update(tb); c.update(d)
+    o.write(java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt)
+      .array())
+    o.toByteArray
+  }
+
+  /** (signature+IHDR prefix, raw zlib stream) of an encoded PNG —
+    * the pieces the malformed-payload fixtures reassemble. */
+  private def pngParts(whole: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(whole)
+    val ihdrLen = buf.getInt(8)
+    val idatPos = 8 + 12 + ihdrLen
+    val idatLen = buf.getInt(idatPos)
+    (java.util.Arrays.copyOfRange(whole, 0, idatPos),
+      java.util.Arrays.copyOfRange(whole, idatPos + 8,
+        idatPos + 8 + idatLen))
+  }
+
+  test("PNG encode→decode round-trips exactly under every filter type") {
+    val rnd = new scala.util.Random(42)
+    val w = 7; val h = 5 // odd width: exercises the x=0 edges per row
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    for (ft <- 0 to 4) {
+      val out = Codecs.pngGrayWithDims(Codecs.pngGrayEncode(w, h, px, ft))
+      assert(out(0) == w.toFloat && out(1) == h.toFloat, s"filter $ft")
+      assert(out.drop(2).map(_.toInt).sameElements(px),
+        s"filter $ft must reconstruct exactly")
+    }
+    // degenerate geometries: 1x1 and a single row/column
+    for ((ww, hh) <- Seq((1, 1), (4, 1), (1, 4))) {
+      val p2 = Array.tabulate(ww * hh)(i => (i * 37) % 256)
+      for (ft <- 0 to 4)
+        assert(Codecs.pngGrayWithDims(Codecs.pngGrayEncode(ww, hh, p2, ft))
+          .drop(2).map(_.toInt).sameElements(p2), s"${ww}x$hh filter $ft")
+    }
+  }
+
+  test("PNG decode concatenates split IDAT chunks and skips ancillary chunks") {
+    val px = Array.tabulate(32)(i => (i * 11) % 256)
+    val whole = Codecs.pngGrayEncode(8, 4, px, filterType = 2)
+    // rebuild the file with the zlib stream split across two IDATs and
+    // a tEXt ancillary chunk between them (any split is legal PNG)
+    val (head, z) = pngParts(whole)
+    assert(z.length > 2, "fixture needs a splittable stream")
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(head) // signature + IHDR
+    o.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, 2)))
+    o.write(pngChunk("tEXt", "comment fixture".getBytes("US-ASCII")))
+    o.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 2, z.length)))
+    o.write(pngChunk("IEND", Array.emptyByteArray))
+    val out = Codecs.pngGrayWithDims(o.toByteArray)
+    assert(out.drop(2).map(_.toInt).sameElements(px))
+  }
+
+  test("PNG decode rejects malformed payloads loudly") {
+    val good = Codecs.pngGrayEncode(8, 4,
+      Array.tabulate(32)(i => (i * 7) % 256), filterType = 4)
+    // wrong signature
+    intercept[IllegalArgumentException] {
+      Codecs.pngGrayWithDims("nota png at all....".getBytes)
+    }
+    // flipped stream byte → CRC mismatch (the check that catches rot)
+    val rot = good.clone()
+    rot(good.length - 15) = (rot(good.length - 15) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { Codecs.pngGrayWithDims(rot) }
+    // truncated zlib stream: IDAT tail dropped, chunk shape kept valid
+    val (head, z) = pngParts(good)
+    val trunc = new java.io.ByteArrayOutputStream()
+    trunc.write(head)
+    trunc.write(pngChunk("IDAT",
+      java.util.Arrays.copyOfRange(z, 0, z.length / 2)))
+    trunc.write(pngChunk("IEND", Array.emptyByteArray))
+    intercept[IllegalArgumentException] {
+      Codecs.pngGrayWithDims(trunc.toByteArray)
+    }
+    // an RGB PNG (real platform encoder) violates the gray contract
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 1, 0x00ff00)
+    val rgb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", rgb)
+    val e = intercept[IllegalArgumentException] {
+      Codecs.pngGrayWithDims(rgb.toByteArray)
+    }
+    assert(e.getMessage.contains("not grayscale"))
+    // missing IEND
+    intercept[IllegalArgumentException] {
+      Codecs.pngGrayWithDims(
+        java.util.Arrays.copyOfRange(good, 0, good.length - 12))
+    }
+  }
+
+  test("PNG decode agrees with the platform decoder on gray images") {
+    // the independent-reference check: javax.imageio reads our
+    // encoder's output to the identical pixels the hand decoder emits
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(16 * 9)(rnd.nextInt(256))
+    for (ft <- 0 to 4) {
+      val bytes = Codecs.pngGrayEncode(16, 9, px, ft)
+      val ours = Codecs.pngGrayWithDims(bytes).drop(2).map(_.toInt)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 9)
+      val ref = Array.tabulate(16 * 9)(i =>
+        img.getRaster.getSample(i % 16, i / 16, 0))
+      assert(ours.sameElements(ref), s"filter $ft vs platform decoder")
+    }
+  }
+
   test("m5 matches its geometry model on live testdata") {
     import SparkTestSession._
     val expected = Tables.load(spark, sf, "documents")

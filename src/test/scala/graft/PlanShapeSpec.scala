@@ -230,6 +230,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // JPEG encode → decode → geometry reduce inside the scan
     // partition; payload bytes must never reach an Exchange
     Shape("m5_jpeg_decode", maxShuffles = 0),
+    // r12: the compressed-lossless path too — synth → PNG encode →
+    // hand inflate/unfilter → pixel-stats reduce, all in-partition
+    Shape("m6_png_decode", maxShuffles = 0),
     // r11: the incremental resolver's RETURNED plan is the O(component)
     // claim made structural — a broadcast-relabel pass over the
     // checkpointed prior mapping (+ union of batch-sized fresh rows);
