@@ -1511,6 +1511,113 @@ object PipelineQueries {
       |  CAST(max(px) AS BIGINT) AS max_px
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** m7 — windowed SPECTRUM over the decoded audio: per 64-sample
+    * window, signal power in six square-wave frequency bands — the
+    * Rademacher basis, i.e. the single-bit rows of the 64-point
+    * Walsh–Hadamard transform, at 2^b/64 cycles-per-window for
+    * b = 0..5 — plus the dominant band. The analysis a VAD / music-
+    * speech discriminator runs before sampling training audio.
+    *
+    * Why square waves and not a cosine DFT: the coefficient is then
+    * `Σ ±k` over EXACT integer samples — associative, so Spark's
+    * partition-parallel sum and DuckDB's sequential sum agree
+    * bit-for-bit and the oracle hash-gates fully (the m-section
+    * discipline, see m2b/m4). A float DFT's non-associative
+    * accumulation would differ per engine in the low bits and the
+    * whole row would ride on a rounding convention. Same
+    * decode-through-the-plug-point shape as m4 ([[wavFrames]] →
+    * [[Codecs.wavPcm16]] inside the scan partition): zero shuffles,
+    * window math in one pass over each doc's samples.
+    *
+    * Band sign for window-local index j and mask h is
+    * (−1)^popcount(j AND h); power is the squared coefficient —
+    * exact: |Σ ±k| ≤ 64·32767 so the square < 2^43. Dominant band
+    * prefers the lowest mask on ties (the argmax cascade is
+    * tie-stable in both engines).
+    */
+  def m7Spectrogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val masks = Array(1, 2, 4, 8, 16, 32)
+    Multimodal.decodeFrames(wavFrames(s, dir))(Codecs.wavPcm16)
+      .flatMap { f =>
+        val ks = new Array[Long](f.feature.length)
+        var i = 0
+        while (i < ks.length) {
+          ks(i) = math.round(f.feature(i).toDouble * 32768.0)
+          i += 1
+        }
+        (0 until (ks.length + 63) / 64).map { w =>
+          val lo = w * 64
+          val hi = math.min(ks.length, lo + 64)
+          val sums = new Array[Long](masks.length)
+          var j = lo
+          while (j < hi) {
+            val jj = j - lo
+            var m = 0
+            while (m < masks.length) {
+              if ((Integer.bitCount(jj & masks(m)) & 1) == 1)
+                sums(m) -= ks(j)
+              else sums(m) += ks(j)
+              m += 1
+            }
+            j += 1
+          }
+          val pw = sums.map(c => c * c)
+          var dom = 0
+          var m = 1
+          while (m < pw.length) { if (pw(m) > pw(dom)) dom = m; m += 1 }
+          (f.doc_id, w.toLong, (hi - lo).toLong,
+            pw(0), pw(1), pw(2), pw(3), pw(4), pw(5),
+            masks(dom).toLong)
+        }
+      }
+      .toDF("doc_id", "win_idx", "n_samples", "p1", "p2", "p4", "p8",
+        "p16", "p32", "dom_mask")
+  }
+
+  /** m7's DuckDB twin: samples re-derived from character codes (the
+    * m2b ASCII contract), the band sign from `bit_count` parity on the
+    * window-local index, powers squared in HUGEINT then narrowed, and
+    * the dominant band via the first-max CASE cascade (if p_a fails
+    * its cascade row, some later band exceeds it, so the first band
+    * that dominates all LATER bands is the global argmax — lowest
+    * mask wins ties, matching the Spark side's strict-> scan).
+    */
+  val m7Sql: String = {
+    val masks = Seq(1, 2, 4, 8, 16, 32)
+    val coefs = masks.map(h =>
+      s"SUM(CASE WHEN bit_count(j & $h) % 2 = 1 THEN -k ELSE k END) AS c$h")
+      .mkString(",\n      |    ")
+    val pows = masks.map(h => s"CAST(c$h * c$h AS BIGINT) AS p$h")
+      .mkString(",\n      |    ")
+    val dom = masks.init.zipWithIndex.map { case (h, idx) =>
+      val later = masks.drop(idx + 1).map(o => s"p$h >= p$o").mkString(" AND ")
+      s"WHEN $later THEN $h"
+    }.mkString("\n      |    ")
+    s"""WITH s AS (
+      |  SELECT doc_id, text, unnest(range(0, length(text) // 2)) AS i
+      |  FROM documents WHERE length(text) >= 2),
+      |v AS (
+      |  SELECT doc_id, i // 64 AS win_idx, i % 64 AS j,
+      |    ascii(substring(text, CAST(i * 2 + 1 AS INT), 1))
+      |    + 256 * ascii(substring(text, CAST(i * 2 + 2 AS INT), 1)) AS k
+      |  FROM s),
+      |c AS (
+      |  SELECT doc_id, win_idx, count(*) AS n_samples,
+      |    $coefs
+      |  FROM v GROUP BY doc_id, win_idx),
+      |p AS (
+      |  SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+      |    CAST(n_samples AS BIGINT) AS n_samples,
+      |    $pows
+      |  FROM c)
+      |SELECT doc_id, win_idx, n_samples, p1, p2, p4, p8, p16, p32,
+      |  CAST(CASE
+      |    $dom
+      |    ELSE 32 END AS BIGINT) AS dom_mask
+      |FROM p""".stripMargin
+  }
+
   // ===========================================================
   // p-block: composed end-to-end pipeline
   // ===========================================================
@@ -1963,6 +2070,7 @@ object PipelineQueries {
     "m4_audio_windows" -> (m4AudioWindows _),
     "m5_jpeg_decode" -> (m5JpegDecode _),
     "m6_png_decode" -> (m6PngDecode _),
+    "m7_spectrogram" -> (m7Spectrogram _),
     "p1_preprocess" -> (p1Preprocess _),
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
@@ -2015,6 +2123,7 @@ object PipelineQueries {
     "m4_audio_windows" -> m4Sql,
     "m5_jpeg_decode" -> m5Sql,
     "m6_png_decode" -> m6Sql,
+    "m7_spectrogram" -> m7Sql,
     "p1_preprocess" -> p1Sql,
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,

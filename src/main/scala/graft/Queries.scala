@@ -1334,6 +1334,44 @@ object Queries {
   // Registry
   // ===========================================================
 
+  /** q24 — interval join (windowed attribution): every click/purchase
+    * paired with every same-user "view" whose 2-hour half-open window
+    * contains it, via [[graft.operators.IntervalJoin]]'s
+    * bin-decomposition (2-hour bins → ≤ 2× replication of the interval
+    * side, one shuffled equi-join on (user_id, bin), no per-key
+    * quadratic expansion and no nested-loop plan — see the operator
+    * doc). DuckDB's native inequality join is the oracle. Gap is exact
+    * integer microseconds (no raw timestamps in outputs — class doc).
+    */
+  def q24IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val windows = ev.filter($"event_type" === "view")
+      .select($"event_id".as("imp_id"), $"user_id",
+        $"ts".as("win_start"),
+        ($"ts" + expr("INTERVAL 2 HOURS")).as("win_end"))
+    val pts = ev.filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    graft.operators.IntervalJoin.join(pts, "ts", windows,
+        "win_start", "win_end", "user_id", binWidth = 7200L)
+      .select($"event_id", $"user_id", $"event_type",
+        $"i_imp_id".as("imp_id"),
+        (unix_micros($"ts") - unix_micros($"i_win_start")).as("gap_us"))
+  }
+
+  val q24Sql: String =
+    """WITH w AS (
+      |  SELECT event_id AS imp_id, user_id, ts AS ws,
+      |    ts + INTERVAL 2 HOUR AS we
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id, user_id, event_type, ts FROM events
+      |  WHERE event_type IN ('click', 'purchase'))
+      |SELECT p.event_id, p.user_id, p.event_type, w.imp_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(w.ws) AS BIGINT) AS gap_us
+      |FROM p JOIN w ON p.user_id = w.user_id
+      |  AND p.ts >= w.ws AND p.ts < w.we""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -1359,6 +1397,7 @@ object Queries {
     "q20b_asof_bucketed" -> (q20bAsofBucketed _),
     "q21_pivot" -> (q21Pivot _),
     "q22_grouping_sets" -> (q22GroupingSets _),
+    "q24_interval_join" -> (q24IntervalJoin _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1406,6 +1445,7 @@ object Queries {
     "q20b_asof_bucketed" -> q20Sql,
     "q21_pivot" -> q21Sql,
     "q22_grouping_sets" -> q22Sql,
+    "q24_interval_join" -> q24Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

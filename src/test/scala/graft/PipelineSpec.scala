@@ -1440,4 +1440,42 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(checked == out.size, "no extra windows beyond the decode")
   }
+
+  test("m7 spectrogram: band powers match a direct Walsh recompute") {
+    val masks = Seq(1, 2, 4, 8, 16, 32)
+    val out = SparkEntry.queries("m7_spectrogram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), (3 to 8).map(r.getLong).toSeq, r.getLong(9)))
+      .toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    texts.filter(_._2.length >= 2).foreach { case (id, text) =>
+      val b = text.getBytes("US-ASCII")
+      val ks = (0 until b.length / 2)
+        .map(i => (b(2 * i) & 0xff) + 256L * (b(2 * i + 1) & 0xff))
+      (0 until (ks.length + 63) / 64).foreach { w =>
+        val win = ks.slice(w * 64, w * 64 + 64)
+        // independent sign formulation: product of per-bit Rademacher
+        // signs over the mask's set bits (the query uses popcount
+        // parity of j AND h — same function, different derivation)
+        val pows = masks.map { h =>
+          val c = win.zipWithIndex.map { case (k, j) =>
+            val sign = (0 until 6)
+              .filter(bit => (h & (1 << bit)) != 0)
+              .map(bit => if (((j >> bit) & 1) == 1) -1 else 1)
+              .product
+            sign * k
+          }.sum
+          c * c
+        }
+        val dom = masks(pows.indexOf(pows.max)).toLong
+        assert(out((id, w.toLong)) ==
+          ((win.length.toLong, pows, dom)),
+          s"doc $id window $w spectrum mismatch")
+        checked += 1
+      }
+    }
+    assert(checked == out.size, "no extra windows beyond the decode")
+  }
 }

@@ -233,6 +233,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // r12: the compressed-lossless path too — synth → PNG encode →
     // hand inflate/unfilter → pixel-stats reduce, all in-partition
     Shape("m6_png_decode", maxShuffles = 0),
+    // r12: the Walsh spectrum is window math inside the scan
+    // partition, same contract as m4
+    Shape("m7_spectrogram", maxShuffles = 0),
+    // r12: bin-decomposed interval join — one shuffled equi-join on
+    // (user_id, bin): an exchange per side, pushed event_type filters
+    // on both scans. A blowup past 2 means the range predicate slid
+    // into a nested-loop / per-key-quadratic plan
+    Shape("q24_interval_join", maxShuffles = 2, minPushedScans = 2),
     // r11: the incremental resolver's RETURNED plan is the O(component)
     // claim made structural — a broadcast-relabel pass over the
     // checkpointed prior mapping (+ union of batch-sized fresh rows);

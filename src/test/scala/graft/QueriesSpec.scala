@@ -113,6 +113,55 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join: half-open containment, bin-width independence, " +
+    "pair uniqueness") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val intervals = Seq(
+      (1L, 10L, 20L, "a"),     // [10, 20)
+      (1L, 15L, 40L, "b"),     // overlaps a, spans bins at small widths
+      (1L, 30L, 30L, "empty"), // end == start → empty half-open, drops
+      (2L, 0L, 100L, "c"))     // other key, long interval
+      .toDF("k", "s", "e", "tag")
+    val points = Seq(
+      (1L, 10L, "at-start"),  // start inclusive → a
+      (1L, 19L, "in-both"),   // a AND b — two output rows
+      (1L, 20L, "at-end"),    // end exclusive → b only
+      (1L, 39L, "tail"),      // b only
+      (1L, 40L, "past"),      // no window
+      (2L, 50L, "other-key"), // c
+      (3L, 15L, "no-key"))    // key absent on intervals → drops
+      .toDF("k", "ts", "tag")
+    val want = Seq("at-start" -> "a", "in-both" -> "a", "in-both" -> "b",
+      "at-end" -> "b", "tail" -> "b", "other-key" -> "c").sorted
+    // answers must not depend on the bin width — including widths far
+    // smaller (interval replicated across many bins) and far larger
+    // (everything in one bin) than the data's span; the sorted-seq
+    // compare also proves each qualifying pair appears exactly ONCE
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = IntervalJoin.join(points, "ts", intervals, "s", "e", "k", w)
+        .select($"tag", $"i_tag").as[(String, String)].collect().toSeq.sorted
+      assert(got == want, s"binWidth=$w")
+    }
+    // collision precondition: a point column shadowing a prefixed
+    // interval output name must refuse loudly
+    val colliding = points.withColumnRenamed("tag", "i_tag")
+    assertThrows[IllegalArgumentException] {
+      IntervalJoin.join(colliding, "ts", intervals, "s", "e", "k", 7L)
+    }
+  }
+
+  test("q24 interval join: every gap inside the half-open 2h window") {
+    import org.apache.spark.sql.functions.col
+    val out = Queries.q24IntervalJoin(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter(col("gap_us") < 0L ||
+      col("gap_us") >= 7200L * 1000000L).count() == 0)
+    // pair uniqueness at the registry face too
+    assert(out.select("event_id", "imp_id").distinct().count() ==
+      out.count())
+  }
+
   test("q20 asof: every match is the same user's latest prior click") {
     val out = Queries.q20AsofJoin(spark, sf)
     assert(out.count() > 0)
