@@ -190,17 +190,20 @@ object GraftFunctionRegistry {
 /** Session-extension entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
-  * Injects [[GraftFunctionRegistry.all]] and the one optimizer rule
+  * Injects [[GraftFunctionRegistry.all]] and the two optimizer rules
   * Catalyst genuinely lacks: [[graft.plans.PruneStaticExplodeFilter]]
   * (filter pushdown through explode-of-literal-tagged-structs, the
-  * statement unpivot's shape). Custom LogicalPlans/Strategies remain
-  * deliberately absent: every graft operator is expressible as a
-  * declarative DataFrame plan, which keeps Catalyst free to optimize —
-  * see SURVEY.md §4.
+  * statement unpivot's shape) and [[graft.plans.RewriteRangeJoin]]
+  * (naive SQL range joins become the bin-decomposed equi-join — the
+  * opt-in `spark.graft.rangeJoin.binWidth` conf arms it). Custom
+  * LogicalPlans/Strategies remain deliberately absent: every graft
+  * operator is expressible as a declarative DataFrame plan, which
+  * keeps Catalyst free to optimize — see SURVEY.md §4.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.PruneStaticExplodeFilter)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }

@@ -110,4 +110,86 @@ class PlansSpec extends AnyFunSuite {
     // all-false static filter → empty result, not an error
     assert(st.filter(col("s.tag") === "zs").count() == 0)
   }
+
+  private def withBinWidth[A](w: Long)(body: => A): A = {
+    spark.conf.set(graft.plans.RewriteRangeJoin.BIN_WIDTH_KEY, w.toString)
+    try body
+    finally spark.conf.unset(graft.plans.RewriteRangeJoin.BIN_WIDTH_KEY)
+  }
+
+  test("RewriteRangeJoin: a pure range join stops planning as a " +
+    "nested loop and keeps its answer") {
+    import spark.implicits._
+    val pts = Seq((1L, "p1"), (5L, "p5"), (19L, "p19"), (20L, "p20"),
+      (50L, "p50")).toDF("ts", "ptag")
+    val iv = Seq((0L, 20L, "a"), (18L, 60L, "b"), (30L, 25L, "inverted"))
+      .toDF("s", "e", "itag")
+    def q() = pts.join(iv, $"ts" >= $"s" && $"ts" < $"e")
+      .select($"ptag", $"itag")
+    val naive = q().collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    assert(q().queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "precondition: the disarmed pure range join is a nested loop")
+    for (w <- Seq(1L, 7L, 1000L)) withBinWidth(w) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"width $w: rewrite did not fire:\n$plan")
+      assert(plan.contains("Generate"),
+        s"width $w: no interval replication in plan:\n$plan")
+      val got = q().collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq
+      assert(got == naive, s"width $w changed the answer")
+    }
+  }
+
+  test("RewriteRangeJoin: equi+range join keeps its answer, multiplicity " +
+    "and null/inverted bound semantics") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L), (1L, 25L), (2L, 10L), (1L, 30L))
+      .toDF("k", "ts")
+    val iv = Seq((1L, Some(0L), Some(26L), "w1"),
+      (1L, Some(9L), Some(11L), "w2"),    // overlaps w1: ts=10 matches both
+      (2L, None, Some(99L), "null-lo"),   // null bound never matches
+      (2L, Some(5L), None, "null-hi"),
+      (1L, Some(40L), Some(30L), "inv"))  // e < s never matches
+      .toDF("k", "s", "e", "tag")
+    def q() = pts.join(iv,
+      pts("k") === iv("k") && $"ts" >= $"s" && $"ts" < $"e")
+      .select(pts("k"), $"ts", $"tag")
+    val naive = q().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(naive.nonEmpty)
+    withBinWidth(7L) {
+      val got = q().collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(got == naive)
+      val plan = q().queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bin"), s"rewrite did not fire:\n$plan")
+    }
+  }
+
+  test("RewriteRangeJoin: naive SQL over events matches the IntervalJoin " +
+    "operator (timestamps, epoch-second bins)") {
+    Tables.load(spark, sf, "events").createOrReplaceTempView("ev_rrj")
+    def sqlQ() = spark.sql(
+      """SELECT p.event_id, w.event_id AS imp_id
+        |FROM (SELECT * FROM ev_rrj WHERE event_type IN ('click','purchase')) p
+        |JOIN (SELECT * FROM ev_rrj WHERE event_type = 'view') w
+        |ON p.user_id = w.user_id AND p.ts >= w.ts
+        |  AND p.ts < w.ts + INTERVAL 2 HOURS""".stripMargin)
+    val viaOperator = Queries.q24IntervalJoin(spark, sf)
+      .select("event_id", "imp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    withBinWidth(7200L) {
+      val got = sqlQ().collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == viaOperator,
+        "rewritten naive SQL diverges from IntervalJoin")
+      val plan = sqlQ().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+    }
+  }
 }
