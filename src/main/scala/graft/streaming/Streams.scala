@@ -481,6 +481,49 @@ object Streams {
         graft.sources.VecStore.compact(spark, table, buckets)
     }
 
+  /** st17 — streaming windowed ATTRIBUTION: q24's interval join at
+    * stream grain — two unbounded event streams joined on key +
+    * event-time range through Spark's NATIVE stream-stream inner
+    * join. Each window-opening row (a "view") spans the half-open
+    * `[ts, ts + windowSpan)`; every same-key point row inside it
+    * emits a match, exactly the q24 output columns.
+    *
+    * Why no custom state: Spark derives the state-cleanup constraint
+    * FROM the range condition — a buffered view row stops being
+    * joinable once the point-side watermark passes `w_ts +
+    * windowSpan`, and a buffered point once the view-side watermark
+    * passes its ts, so both sides' join state stays finite on
+    * unbounded streams with no `mapGroupsWithState` hand-rolling.
+    * Declaring the predicate and letting the engine manage eviction
+    * is the repo's Spark-first rule applied to streaming joins; the
+    * batch twin needs the bin decomposition (q24/RewriteRangeJoin)
+    * because it joins two CORPUS-sized sides at once, while the
+    * stream meets only watermark-bounded slices — same semantics,
+    * different scale shape, both declarative.
+    *
+    * Late data beyond the watermark drops (spec-asserted) — the
+    * at-most-once attribution a replayed upstream wants. Output is
+    * append-mode (inner join emits each match exactly once).
+    */
+  def attributionJoin(
+      points: DataFrame, windows: DataFrame,
+      windowSpan: String = "2 hours",
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = windows
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("imp_id"), col("user_id").as("w_user"),
+        col("ts").as("w_ts"))
+    points
+      .withWatermark("ts", watermark)
+      .join(w,
+        col("user_id") === col("w_user") &&
+          col("ts") >= col("w_ts") &&
+          col("ts") < col("w_ts") + expr(s"INTERVAL $windowSpan"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("imp_id"),
+        (unix_micros(col("ts")) - unix_micros(col("w_ts"))).as("gap_us"))
+  }
+
   /** st15 — the streaming RESOLVER: a judgement stream maintains the
     * canonical mapping continuously ([[graft.sources.XrefStore
     * .applyBatch]] per micro-batch), closing the last batch-only

@@ -1176,4 +1176,52 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-only pairs: ${streamPairs -- batchPairs}")
     } finally q.stop()
   }
+
+  test("st17 streaming attribution: half-open range matches, then " +
+    "watermark evicts old windows and drops late points") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def tm(min: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2026-01-01 00:00:00").getTime +
+        min * 60000L)
+    // points: (event_id, ts, user_id, event_type); windows open 30 min
+    val pts = MemoryStream[(Long, Timestamp, Long, String)]
+    val wins = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.attributionJoin(
+      pts.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      wins.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      windowSpan = "30 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("st17_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def collected(): Set[(Long, Long, Long)] =
+      spark.table("st17_out").select("event_id", "imp_id", "gap_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    try {
+      wins.addData((100L, tm(0), 1L, "view"), (101L, tm(20), 1L, "view"),
+        (102L, tm(0), 2L, "view"))
+      pts.addData(
+        (1L, tm(0), 1L, "click"),     // at-start: window 100 only
+        (2L, tm(25), 1L, "click"),    // inside both 100 and 101
+        (3L, tm(30), 1L, "purchase"), // end-exclusive for 100; in 101
+        (4L, tm(10), 2L, "click"),    // other user's window
+        (5L, tm(10), 3L, "click"))    // no window for user 3
+      q.processAllAvailable()
+      val want = Set(
+        (1L, 100L, 0L), (2L, 100L, 25L * 60000000L),
+        (2L, 101L, 5L * 60000000L), (3L, 101L, 10L * 60000000L),
+        (4L, 102L, 10L * 60000000L))
+      assert(collected() == want)
+      // push both watermarks far past window 100's end (+5 min delay),
+      // so its buffered row is evictable state
+      wins.addData((900L, tm(600), 9L, "view"))
+      pts.addData((900L, tm(600), 8L, "click"))
+      q.processAllAvailable()
+      // a late point inside the long-gone window drops at the watermark
+      pts.addData((6L, tm(5), 1L, "click"))
+      q.processAllAvailable()
+      assert(collected() == want,
+        "late point beyond the watermark must not attribute")
+    } finally q.stop()
+  }
 }
