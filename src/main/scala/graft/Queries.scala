@@ -1372,6 +1372,51 @@ object Queries {
       |FROM p JOIN w ON p.user_id = w.user_id
       |  AND p.ts >= w.ws AND p.ts < w.we""".stripMargin
 
+  /** q24b — interval OVERLAP join (incident correlation): each "view"
+    * opens a 2-hour window, each "error" a 30-minute incident window;
+    * pairs of same-user windows that intersect, with the exact
+    * intersection bounds. [[graft.operators.IntervalJoin.overlap]]'s
+    * both-sides bin decomposition with the max-start-bin
+    * responsibility rule — never the nested-loop plan, no post-join
+    * dedup. DuckDB's native inequality join is the oracle;
+    * intersection bounds are exact integer microseconds.
+    */
+  def q24bOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("imp_id"), $"user_id",
+        $"ts".as("v_start"), ($"ts" + expr("INTERVAL 2 HOURS")).as("v_end"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"user_id",
+        $"ts".as("e_start"),
+        ($"ts" + expr("INTERVAL 30 MINUTES")).as("e_end"))
+    graft.operators.IntervalJoin.overlap(views, "v_start", "v_end",
+        errors, "e_start", "e_end", "user_id", binWidth = 7200L)
+      .select($"imp_id", $"user_id", $"r_err_id".as("err_id"),
+        greatest(unix_micros($"v_start"), unix_micros($"r_e_start"))
+          .as("ov_start_us"),
+        least(unix_micros($"v_end"), unix_micros($"r_e_end"))
+          .as("ov_end_us"))
+  }
+
+  val q24bSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS imp_id, user_id, ts AS vs,
+      |    ts + INTERVAL 2 HOUR AS ve
+      |  FROM events WHERE event_type = 'view'),
+      |e AS (
+      |  SELECT event_id AS err_id, user_id, ts AS es,
+      |    ts + INTERVAL 30 MINUTE AS ee
+      |  FROM events WHERE event_type = 'error')
+      |SELECT v.imp_id, v.user_id, e.err_id,
+      |  CAST(greatest(epoch_us(v.vs), epoch_us(e.es)) AS BIGINT)
+      |    AS ov_start_us,
+      |  CAST(least(epoch_us(v.ve), epoch_us(e.ee)) AS BIGINT)
+      |    AS ov_end_us
+      |FROM v JOIN e ON v.user_id = e.user_id
+      |  AND v.vs < e.ee AND e.es < v.ve""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -1398,6 +1443,7 @@ object Queries {
     "q21_pivot" -> (q21Pivot _),
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q24_interval_join" -> (q24IntervalJoin _),
+    "q24b_overlap_join" -> (q24bOverlapJoin _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1446,6 +1492,7 @@ object Queries {
     "q21_pivot" -> q21Sql,
     "q22_grouping_sets" -> q22Sql,
     "q24_interval_join" -> q24Sql,
+    "q24b_overlap_join" -> q24bSql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -60,6 +60,57 @@ object IntervalJoin {
     q0 - when(r < 0, lit(1L)).otherwise(lit(0L))
   }
 
+  /** Interval × interval OVERLAP join: every left interval paired with
+    * every same-key right interval it intersects — half-open
+    * `l.s < r.e AND r.s < l.e` (sessions × maintenance windows,
+    * incident correlation, validity-range reconciliation). Same bin
+    * decomposition as [[join]], with BOTH sides replicated; a
+    * qualifying pair co-resides in every shared bin, so exactly-once
+    * pairing needs a responsibility rule instead of [[join]]'s
+    * one-bin-per-point argument: the pair is COUNTED only in
+    * `max(bin(l.s), bin(r.s))` — the standard 1-D spatial-join
+    * discipline. That bin always holds both rows: overlap gives
+    * `l.s < r.e` and `r.s < l.e`, so the later start's bin is ≤ both
+    * end bins, and each side trivially reaches its own start bin.
+    * No post-join dedup, same superset-join + exact-recheck
+    * correctness, same skew spreading.
+    */
+  def overlap(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      key: String, binWidth: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val rPayload = right.columns
+      .filterNot(c => c == key || c == rightStart || c == rightEnd)
+    val outRight = (Seq(rightStart, rightEnd) ++ rPayload)
+      .map(rightPrefix + _).toSet
+    val collisions = left.columns.filter(outRight.contains)
+    require(collisions.isEmpty,
+      s"overlap join: left columns ${collisions.mkString(", ")} " +
+        s"collide with prefixed right output names; pick a " +
+        s"different rightPrefix")
+    def expand(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) > col(s))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(s), binWidth),
+          binOf(col(e), binWidth))))
+    val lExp = expand(left, leftStart, leftEnd)
+    val rExp = expand(right, rightStart, rightEnd)
+      .select((col(key).as("__rk") +: col("__bin").as("__rbin") +:
+        (Seq(rightStart, rightEnd) ++ rPayload)
+          .map(c => col(c).as(rightPrefix + c))): _*)
+    val rs = col(rightPrefix + rightStart)
+    val re = col(rightPrefix + rightEnd)
+    lExp
+      .join(rExp,
+        lExp(key) === rExp("__rk") && lExp("__bin") === rExp("__rbin"))
+      .filter(col(leftStart) < re && rs < col(leftEnd) &&
+        col("__bin") === greatest(binOf(col(leftStart), binWidth),
+          binOf(rs, binWidth)))
+      .drop("__rk").drop("__bin").drop("__rbin")
+  }
+
   def join(
       points: DataFrame, pointTs: String,
       intervals: DataFrame, start: String, end: String,

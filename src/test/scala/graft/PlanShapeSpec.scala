@@ -241,6 +241,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // on both scans. A blowup past 2 means the range predicate slid
     // into a nested-loop / per-key-quadratic plan
     Shape("q24_interval_join", maxShuffles = 2, minPushedScans = 2),
+    // r12: overlap twin — both sides explode over their bins, still
+    // one shuffled equi-join on (user_id, bin); the responsibility-
+    // bin filter is a post-join projection, not another exchange
+    Shape("q24b_overlap_join", maxShuffles = 2, minPushedScans = 2),
     // r11: the incremental resolver's RETURNED plan is the O(component)
     // claim made structural — a broadcast-relabel pass over the
     // checkpointed prior mapping (+ union of batch-sized fresh rows);

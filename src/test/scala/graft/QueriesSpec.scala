@@ -151,6 +151,43 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap join: half-open intersection, bin-width independence, " +
+    "exactly-once pairing") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val left = Seq(
+      (1L, 0L, 10L, "A"),    // [0,10)
+      (1L, 10L, 20L, "B"),   // [10,20) — touches A only at the open end
+      (1L, 5L, 50L, "C"),    // long: overlaps many bins
+      (2L, 0L, 100L, "D"))
+      .toDF("k", "s", "e", "ltag")
+    val right = Seq(
+      (1L, 9L, 11L, "x"),   // overlaps A ([9,10)) and B ([10,11))
+      (1L, 10L, 10L, "y"),  // empty → drops
+      (1L, 20L, 30L, "z"),  // overlaps C only (B ends at 20, exclusive)
+      (2L, 99L, 200L, "w"), // tail overlap with D
+      (3L, 0L, 100L, "q"))  // no key
+      .toDF("k", "s", "e", "rtag")
+    val want = Seq("A" -> "x", "B" -> "x", "C" -> "x", "C" -> "z",
+      "D" -> "w").sorted
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = IntervalJoin.overlap(left, "s", "e", right, "s", "e",
+          "k", w)
+        .select($"ltag", $"r_rtag").as[(String, String)]
+        .collect().toSeq.sorted
+      assert(got == want, s"binWidth=$w")
+    }
+  }
+
+  test("q24b overlap join: bounds are a genuine intersection") {
+    import org.apache.spark.sql.functions.col
+    val out = Queries.q24bOverlapJoin(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter(col("ov_start_us") >= col("ov_end_us")).count() == 0,
+      "every emitted pair must have a non-empty half-open intersection")
+    assert(out.select("imp_id", "err_id").distinct().count() == out.count())
+  }
+
   test("q24 interval join: every gap inside the half-open 2h window") {
     import org.apache.spark.sql.functions.col
     val out = Queries.q24IntervalJoin(spark, sf)
