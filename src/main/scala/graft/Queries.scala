@@ -820,6 +820,36 @@ object Queries {
       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |  FROM orders) WHERE rn = 1""".stripMargin
 
+  /** f21 — FINAL AS OF a version cutoff: the ReplacingMergeTree store
+    * "as it stood" at time T — rows whose version ≤ T, then latest per
+    * key. ClickHouse users write this as `WHERE version <= T` before
+    * FINAL (the filter COMMUTES with per-key-latest: it only narrows
+    * each key's candidate set), and the reference versions statements
+    * by `last_seen` (`ReplacingMergeTree(last_seen)`, engine.py:152),
+    * so this is its time-travel read. Composes f3's
+    * [[ReplacingMerge.latestByKey]] unchanged — the pushed filter
+    * reaches the scan, the single latest-per-key window is the only
+    * shuffle. Keys present only after T drop (no state existed yet).
+    */
+  def f21FinalAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ReplacingMerge.latestByKey(
+      t(s, dir, "orders")
+        .filter($"o_orderdate" <= lit("1997-06-30").cast("timestamp")),
+      keys = Seq($"o_custkey"),
+      version = Seq($"o_orderdate", $"o_orderkey"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+  }
+
+  val f21Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |  WHERE o_orderdate <= TIMESTAMP '1997-06-30 00:00:00')
+      |WHERE rn = 1""".stripMargin
+
   /** f4 — the stats materialized view: per (dataset, schema) distinct
     * entities + statement counts.
     */
@@ -1464,7 +1494,8 @@ object Queries {
     "f18_xref_judgements" -> (f18XrefJudgements _),
     "f19_xref_reverse" -> (f19XrefReverse _),
     "f20_resolver_canonical" -> (f20ResolverCanonical _),
-    "f20b_resolver_incremental" -> (f20bResolverIncremental _)
+    "f20b_resolver_incremental" -> (f20bResolverIncremental _),
+    "f21_final_asof" -> (f21FinalAsof _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1510,6 +1541,7 @@ object Queries {
     "f18_xref_judgements" -> f18Sql,
     "f19_xref_reverse" -> f19Sql,
     "f20_resolver_canonical" -> f20Sql,
-    "f20b_resolver_incremental" -> f20bSql
+    "f20b_resolver_incremental" -> f20bSql,
+    "f21_final_asof" -> f21Sql
   )
 }

@@ -249,7 +249,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // claim made structural — a broadcast-relabel pass over the
     // checkpointed prior mapping (+ union of batch-sized fresh rows);
     // any Exchange means the fold started recomputing the graph
-    Shape("f20b_resolver_incremental", maxShuffles = 0))
+    Shape("f20b_resolver_incremental", maxShuffles = 0),
+    // r12: the as-of FINAL is f3's single latest-per-key window over a
+    // PUSHED version-cutoff scan — time travel must not add a shuffle
+    Shape("f21_final_asof", maxShuffles = 1, minPushedScans = 1))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that

@@ -199,6 +199,39 @@ class QueriesSpec extends AnyFunSuite {
       out.count())
   }
 
+  test("f21 final-as-of: cutoff respected, late-born keys absent, " +
+    "max-cutoff equals plain FINAL") {
+    import spark.implicits._
+    val out = Queries.f21FinalAsof(spark, sf)
+    assert(out.count() > 0)
+    // every served row's version is at or before the cutoff
+    val orders = Tables.load(spark, sf, "orders")
+    val late = orders
+      .filter($"o_orderdate" > org.apache.spark.sql.functions.lit(
+        "1997-06-30").cast("timestamp"))
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(out.select($"o_orderkey").as[Long].collect()
+      .forall(!late.contains(_)), "a post-cutoff version leaked")
+    // a key whose history starts only after the cutoff must be absent
+    val allKeys = orders.select($"o_custkey").distinct().count()
+    assert(out.count() < allKeys || {
+      // (possible only if every key has a pre-cutoff row)
+      orders.groupBy($"o_custkey")
+        .agg(org.apache.spark.sql.functions.min($"o_orderdate").as("m"))
+        .filter($"m" > org.apache.spark.sql.functions.lit(
+          "1997-06-30").cast("timestamp")).count() == 0
+    })
+    // cutoff at/after max version degenerates to f3's plain FINAL
+    val f3 = Queries.f3ReplacingMerge(spark, sf)
+    val atMax = graft.operators.ReplacingMerge.latestByKey(
+      orders.filter($"o_orderdate" <= org.apache.spark.sql.functions
+        .lit("2999-01-01").cast("timestamp")),
+      keys = Seq($"o_custkey"),
+      version = Seq($"o_orderdate", $"o_orderkey"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    assert(atMax.exceptAll(f3).isEmpty && f3.exceptAll(atMax).isEmpty)
+  }
+
   test("q20 asof: every match is the same user's latest prior click") {
     val out = Queries.q20AsofJoin(spark, sf)
     assert(out.count() > 0)
