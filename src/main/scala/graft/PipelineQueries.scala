@@ -892,6 +892,14 @@ object PipelineQueries {
   def t3bBpeTokenCount(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenCount(docs(s, dir))
 
+  /** t15 — declared rows-only like t3b (ranked greedy merging is not
+    * SQL); gated by the PipelineSpec id-grain round-trip, the
+    * t3b count consistency, the bounded-vocab assertion, and the
+    * zero-unknown check — see [[TextAnalysis.bpeTokenize]].
+    */
+  def t15BpeTokenize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenize(docs(s, dir))
+
   def t4DocFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.docFingerprint(docs(s, dir))
 
@@ -2060,6 +2068,7 @@ object PipelineQueries {
     "t9_chunking" -> (t9Chunking _),
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
     "t14_bigram_surprisal" -> (t14BigramSurprisal _),
+    "t15_bpe_tokenize" -> (t15BpeTokenize _),
     "t11_dup_passages" -> (t11DupPassages _),
     "t12_sequence_pack" -> (t12SequencePack _),
     "d11_passage_scrub" -> (d11PassageScrub _),

@@ -236,6 +236,70 @@ object TextAnalysis {
       .toDF("doc_id", "bpe_tokens")
   }
 
+  /** t15 — tokenize to IDS: the training-data deliverable t3b only
+    * counts — every document as an id sequence under a corpus-derived
+    * subword vocabulary. Two stages:
+    *
+    *   1. VOCAB BUILD — one token-grain aggregation over the encoded
+    *      corpus, ids assigned by (count desc, token asc). The collect
+    *      is the documented BOUNDED class at any corpus size: a
+    *      greedy-merge encoder can only emit single characters or one
+    *      of the |merges| trained merge outputs, so |vocab| ≤
+    *      |alphabet| + |merges| — a model artifact, not corpus-sized
+    *      (spec-asserted).
+    *   2. APPLY — scan-local re-encode + id lookup through the
+    *      broadcast map, with the t3b per-partition distinct-word
+    *      memo. The RETURNED plan is a pure scan projection: zero
+    *      shuffles, the vocab job having run eagerly at build time
+    *      (the d12/d13 discipline for two-pass operators).
+    *
+    * Tokens outside the map (an external vocab applied to a drifted
+    * corpus) emit id −1 so coverage gaps are visible, never silent;
+    * on the same-corpus face the spec asserts none occur.
+    */
+  def bpeTokenize(
+      documents: DataFrame,
+      merges: IndexedSeq[(String, String)] =
+        graft.functions.Bpe.defaultMerges): DataFrame = {
+    import graft.functions.Bpe
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    val counts = documents.select(col("text")).as[String]
+      .mapPartitions { it =>
+        val vocab = new Bpe.Vocab(bc.value)
+        val memo =
+          scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.flatMap { t =>
+          Bpe.preTokens(t)
+            .flatMap(w => memo.getOrElseUpdate(w, vocab.encode(w)))
+        }
+      }
+      .groupBy(col("value")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ids: Map[String, Long] = counts
+      .sortBy { case (tok, n) => (-n, tok) }
+      .zipWithIndex.map { case ((tok, _), i) => tok -> i.toLong }
+      .toMap
+    val bcIds = spark.sparkContext.broadcast(ids)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val vocab = new Bpe.Vocab(bc.value)
+        val idOf = bcIds.value
+        val memo =
+          scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        it.map { case (id, t) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          Bpe.preTokens(t).foreach { w =>
+            out ++= memo.getOrElseUpdate(w,
+              vocab.encode(w).map(tok => idOf.getOrElse(tok, -1L)).toArray)
+          }
+          (id, out.length.toLong, out.toArray)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "ids")
+  }
+
   /** t4 — document fingerprint: md5 of normalized text (exact identity)
     * plus the minimum shingle hash (content-sketch identity, stable
     * under local edits).

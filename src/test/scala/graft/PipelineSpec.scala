@@ -1441,6 +1441,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked == out.size, "no extra windows beyond the decode")
   }
 
+  test("t15 bpe tokenize: id round-trip, t3b count consistency, " +
+    "bounded vocab, zero unknowns") {
+    import graft.functions.Bpe
+    val out = SparkEntry.queries("t15_bpe_tokenize")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toVector)).toMap
+    // rebuild the id map independently: same (count desc, token asc)
+    // rule over a driver-side re-encode of the whole corpus
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val vocab = new Bpe.Vocab(Bpe.defaultMerges)
+    def toks(t: String): Vector[String] =
+      Bpe.preTokens(t).flatMap(vocab.encode).toVector
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { case (_, t) =>
+      toks(t).foreach(tok => freq(tok) = freq.getOrElse(tok, 0L) + 1L) }
+    val idOf = freq.toArray.sortBy { case (tok, n) => (-n, tok) }
+      .zipWithIndex.map { case ((tok, _), i) => tok -> i.toLong }.toMap
+    val inv = idOf.map(_.swap)
+    var checked = 0
+    texts.foreach { case (id, t) =>
+      val (n, ids) = out(id)
+      val expect = toks(t)
+      assert(n == expect.length && ids.length == expect.length,
+        s"doc $id token count mismatch")
+      assert(ids.forall(_ >= 0L), s"doc $id emitted an unknown id")
+      // id-grain round-trip: decoding the ids re-yields the exact
+      // token sequence (and so, concatenated, the pre-token stream)
+      assert(ids.map(inv) == expect, s"doc $id id round-trip mismatch")
+      checked += 1
+    }
+    assert(checked == out.size)
+    // the structural bound that makes the vocab collect broadcast-safe
+    val alphabet = texts.flatMap(_._2.toSet).toSet.size
+    assert(idOf.size <= alphabet + Bpe.defaultMerges.size + 1,
+      s"vocab ${idOf.size} exceeds alphabet $alphabet + merges bound")
+    // count consistency with the t3b face
+    val t3b = SparkEntry.queries("t3b_bpe_token_count")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(texts.forall { case (id, _) => out(id)._1 == t3b(id) })
+  }
+
   test("m7 spectrogram: band powers match a direct Walsh recompute") {
     val masks = Seq(1, 2, 4, 8, 16, 32)
     val out = SparkEntry.queries("m7_spectrogram")(spark, sf).collect()

@@ -57,6 +57,10 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("f11_canonical_lookup", maxShuffles = 3),
     Shape("f12_entity_query", maxShuffles = 3),
     Shape("t1_lang_id", maxShuffles = 0),
+    // r12: the RETURNED t15 plan is the scan-local apply stage — the
+    // vocab-build aggregation ran eagerly at query build (d12/d13
+    // discipline); a shuffle here means ids joined instead of mapped
+    Shape("t15_bpe_tokenize", maxShuffles = 0),
     Shape("t4_doc_fingerprint", maxShuffles = 0),
     // r6: the as-of join must stay the union-and-carry form — one
     // shuffle for the click dedup, one for the per-user carry window;
