@@ -900,6 +900,23 @@ object PipelineQueries {
   def t15BpeTokenize(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenize(docs(s, dir))
 
+  /** p5 — MATERIALIZED training batches: t15's id sequences packed
+    * into 256-token sequences per source ([[Sampling.packIds]] — the
+    * coordinates t12 emits, now carrying the actual ids). The source
+    * attach is a doc_id equi-join (co-partitionable at scale; a
+    * production pipeline carries the stratum through tokenization and
+    * skips it). Rows-only by declaration (BPE ids aren't SQL); gated
+    * by the PipelineSpec full-sequence invariant and the per-doc
+    * slice cross-check against t12's oracle-gated coordinates.
+    */
+  def p5PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Sampling.packIds(
+      TextAnalysis.bpeTokenize(d)
+        .join(d.select(col("doc_id"), col("source")), "doc_id"),
+      "source", "doc_id", col("ids"), seqTokens = 256)
+  }
+
   def t4DocFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.docFingerprint(docs(s, dir))
 
@@ -2069,6 +2086,7 @@ object PipelineQueries {
     "t10_unigram_surprisal" -> (t10UnigramSurprisal _),
     "t14_bigram_surprisal" -> (t14BigramSurprisal _),
     "t15_bpe_tokenize" -> (t15BpeTokenize _),
+    "p5_pack_sequences" -> (p5PackSequences _),
     "t11_dup_passages" -> (t11DupPassages _),
     "t12_sequence_pack" -> (t12SequencePack _),
     "d11_passage_scrub" -> (d11PassageScrub _),

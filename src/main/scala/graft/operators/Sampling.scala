@@ -233,4 +233,53 @@ object Sampling {
       .withColumn("last_seq", expr(s"(cum_tokens - 1) DIV ${seqTokens}L"))
       .withColumn("offset_in_seq", col("start_tok") % seqTokens)
   }
+
+  /** MATERIALIZED sequence packing: [[sequencePack]] emits the
+    * coordinates; this emits the training batches themselves — per
+    * (stratum, sequence), the `seqTokens`-length id array assembled
+    * from the docs packed into it, in packing order. The last piece a
+    * tokenizer pipeline writes before the training loop reads.
+    *
+    * Shape: the packing coordinates come from the same bucketed
+    * prefix sum; each doc then splits SCAN-LOCALLY into per-sequence
+    * slices (`explode(sequence(first_seq, last_seq))` + `slice` — a
+    * doc touches `n/seqTokens + 1` sequences, so the fan-out is the
+    * token volume, not a cross product), and ONE aggregation on
+    * (stratum, seq) assembles each sequence from its slices, ordered
+    * by global token position (`array_sort` on (pos, slice) structs —
+    * positions are globally unique, so the sort is total). Moving
+    * every token id through that shuffle is the honest cost of
+    * materializing batches — it is the same volume any tokenized
+    * shard writer moves, paid once, with map-side partial collect.
+    * Every sequence is exactly `seqTokens` long except each stratum's
+    * final partial (spec-asserted).
+    */
+  def packIds(
+      df: DataFrame, stratum: String, id: String, ids: Column,
+      seqTokens: Long, nBuckets: Int = 64, seed: Int = 0): DataFrame = {
+    val coords = sequencePack(
+      df.select(col(stratum), col(id), ids.as("__ids")),
+      stratum, id, size(col("__ids")).cast("long"),
+      seqTokens, nBuckets, seed)
+    coords
+      .withColumn("seq", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("__lo",
+        greatest(lit(0L), col("seq") * seqTokens - col("start_tok")))
+      .withColumn("__hi",
+        least(size(col("__ids")).cast("long"),
+          (col("seq") + lit(1L)) * seqTokens - col("start_tok")))
+      .select(col(stratum), col("seq"),
+        (col("start_tok") + col("__lo")).as("__pos"),
+        expr("slice(__ids, CAST(__lo + 1 AS INT), CAST(__hi - __lo AS INT))")
+          .as("__slice"))
+      .groupBy(col(stratum), col("seq").as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__slice")))),
+          s => s.getField("__slice"))).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .select(col(stratum), col("seq_id"), col("n_docs"),
+        col("n_tokens"), col("ids"))
+  }
 }

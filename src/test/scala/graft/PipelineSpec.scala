@@ -1483,6 +1483,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(texts.forall { case (id, _) => out(id)._1 == t3b(id) })
   }
 
+  test("p5 packed sequences: full except stratum tails, lossless " +
+    "against t15 ids at t12's oracle-gated coordinates") {
+    val seqs = SparkEntry.queries("p5_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Long](4).toVector)).toMap
+    // every sequence is exactly 256 tokens except each source's last
+    val lastSeq = seqs.keys.groupBy(_._1)
+      .map { case (src, ks) => src -> ks.map(_._2).max }
+    seqs.foreach { case ((src, sq), (_, n, ids)) =>
+      assert(ids.length == n)
+      assert(n == 256L || sq == lastSeq(src),
+        s"partial sequence $sq mid-stream in $src")
+    }
+    // reconstruct each source's global token stream and cross-check
+    // every doc's slice against its t15 ids at its t12 coordinates
+    // (t12 is oracle-gated, t15 independently spec'd — agreement here
+    // gates the assembly itself)
+    val stream = seqs.toSeq.groupBy(_._1._1).map { case (src, rows) =>
+      src -> rows.sortBy(_._1._2).flatMap(_._2._3).toVector
+    }
+    val t15 = SparkEntry.queries("t15_bpe_tokenize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toVector).toMap
+    // t12 uses whitespace-ish token counts; p5 packs by BPE counts, so
+    // derive coordinates from the SAME packer over the t15 counts
+    val coords = graft.operators.Sampling.sequencePack(
+      SparkEntry.queries("t15_bpe_tokenize")(spark, sf)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      "source", "doc_id", col("n_tokens"), seqTokens = 256).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("cum_tokens")))
+    var checked = 0
+    coords.foreach { case (docId, src, cum) =>
+      val ids = t15(docId)
+      val got = stream(src).slice((cum - ids.length).toInt, cum.toInt)
+      assert(got == ids, s"doc $docId misplaced in $src's stream")
+      checked += 1
+    }
+    assert(checked > 0 &&
+      stream.values.map(_.length).sum == t15.values.map(_.length).sum,
+      "every token placed exactly once")
+  }
+
   test("m7 spectrogram: band powers match a direct Walsh recompute") {
     val masks = Seq(1, 2, 4, 8, 16, 32)
     val out = SparkEntry.queries("m7_spectrogram")(spark, sf).collect()

@@ -184,6 +184,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // the offset table must stay a broadcast join) and the shuffle
     // must stay at (stratum, bucket) grain, never stratum grain
     Shape("t12_sequence_pack", maxShuffles = 3, minBroadcasts = 1),
+    // r12: p5 = t12's prefix-sum ceiling + the doc_id source attach +
+    // the one (stratum, seq) assembly aggregation that moves the ids —
+    // a blowup past 6 means the slices joined instead of aggregating
+    Shape("p5_pack_sequences", maxShuffles = 6, minBroadcasts = 1),
     // r9: s6 = s3's list machinery + s5's PQ subtree with the ADC join
     // additionally keyed on list — statically 19 exchanges (the PQ
     // subtree appears in both the ADC and re-rank branches) and 9
