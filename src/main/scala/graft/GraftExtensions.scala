@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{BigramStatsExpression, DotProductExpression,
-  DoubleMetaphoneExpression, MetaphoneExpression,
+  DoubleMetaphoneExpression, KmvDistinctAggregate, KmvSketchAggregate,
+  MetaphoneExpression,
   MinHashBandsExpression, MinHashSignatureExpression,
   MinHashWordsExpression, NgramHashesExpression, Phonetics,
   ShinglesExpression, SimHashExpression, TokenHashesExpression,
@@ -75,6 +76,28 @@ object GraftFunctionRegistry {
             TopKAggregate(v, k, cap).toAggregateExpression()
           case _ => throw new IllegalArgumentException(
             "graft_top_k(value, k: int literal[, capacity: int literal])")
+        }
+      }),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(
+        classOf[KmvDistinctAggregate].getName, "graft_kmv_distinct"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, Literal(k: Int, IntegerType)) =>
+            KmvDistinctAggregate(v, k).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_distinct(value, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(
+        classOf[KmvSketchAggregate].getName, "graft_kmv_sketch"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, Literal(k: Int, IntegerType)) =>
+            KmvSketchAggregate(v, k).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_sketch(value, k: int literal)")
         }
       }),
     (FunctionIdentifier("graft_top_k_weighted"),

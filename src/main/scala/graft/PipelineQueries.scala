@@ -1244,6 +1244,44 @@ object PipelineQueries {
        |  md5(clean) AS clean_hash
        |FROM scrubbed""".stripMargin
 
+  /** d14 — exact duplicated-substring runs ≥ 12 tokens at 8-token
+    * anchors, df cap 20 ([[Dedup.dupSpans]] — the Lee et al. 2022
+    * suffix-grain dedup, relationally). The oracle rebuilds the
+    * identical anchor → df-cap → diagonal-islands pipeline (same
+    * 60-bit gram hashes, same cap), so positions and run lengths are
+    * hash-gated exactly.
+    */
+  def d14DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(s, dir), k = 8, minRun = 12, maxDf = 20)
+
+  val d14Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |anch AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${duckHash60("'0'", "array_to_string(ws[i:i+7], ' ')")} AS h
+       |  FROM toks, LATERAL unnest(range(1, len(ws) - 6)) t(i)),
+       |sel AS (
+       |  SELECT h FROM anch GROUP BY h
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |    b.pos AS pb
+       |  FROM anch a JOIN sel USING (h) JOIN anch b USING (h)
+       |  WHERE a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT *, pa - pb AS diag,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |      ORDER BY pa) AS isl
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
+       |    CAST(MIN(pb) AS BIGINT) AS start_b,
+       |    CAST(MAX(pa) - MIN(pa) + 8 AS BIGINT) AS run_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, isl)
+       |SELECT doc_a, doc_b, start_a, start_b, run_len
+       |FROM runs WHERE run_len >= 12""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -1912,6 +1950,36 @@ object PipelineQueries {
        |  CAST(budget AS BIGINT) AS budget
        |FROM c WHERE cum_tokens <= budget""".stripMargin
 
+  /** q25 — distinct 3-shingles per source through the MERGEABLE
+    * K-Minimum-Values sketch ([[graft.functions.Kmv]] — the
+    * ClickHouse `uniq()` surface): ONE aggregation whose shuffle
+    * carries ≤ k longs per (task, source) with map-side combine,
+    * where q8's exact COUNT(DISTINCT) expands the full value grain.
+    * On this corpus the per-source shingle cardinality (1.5k at
+    * sf0.01, 11k at sf0.1) sits under k = 16384, so the buffer never
+    * saturates and the estimate is EXACT — the DuckDB oracle gates
+    * it (the q23 discipline); the saturated regime (distinct ≫ k,
+    * the sf1+ shape) is spec-gated against the ~1/sqrt(k-2) relative
+    * standard error, and the stored-sketch set-operation estimators
+    * (union/Jaccard/intersection without rescanning either corpus)
+    * are spec-gated against exact set algebra.
+    */
+  def q25DistinctKmv(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        explode(Dedup.shinglesN(col("text"), 3)).as("g"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Kmv.kmvDistinct(col("g"), 16384)
+        .as("distinct_shingles"))
+
+  val q25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, ${duckWords("text")} AS ws FROM documents),
+       |sh AS (SELECT source, unnest(${duckShinglesN(3)}) AS g FROM toks)
+       |SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT)
+       |  AS distinct_shingles
+       |FROM sh GROUP BY source""".stripMargin
+
   /** q23 — heavy hitters per source through the MERGEABLE top-k
     * sketch ([[graft.functions.TopKAggregate]] — the ClickHouse
     * `topK()` surface): top-5 terms per source as ONE aggregation
@@ -2104,8 +2172,10 @@ object PipelineQueries {
     "p4_dataset_mix" -> (p4DatasetMix _),
     "q23_topk_sketch" -> (q23TopkSketch _),
     "q23b_topk_weighted" -> (q23bTopkWeighted _),
+    "q25_distinct_kmv" -> (q25DistinctKmv _),
     "d12_semdedup" -> (d12SemDedup _),
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
+    "d14_dup_spans" -> (d14DupSpans _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -2157,8 +2227,10 @@ object PipelineQueries {
     "p4_dataset_mix" -> p4Sql,
     "q23_topk_sketch" -> q23Sql,
     "q23b_topk_weighted" -> q23bSql,
+    "q25_distinct_kmv" -> q25Sql,
     "d12_semdedup" -> d12Sql,
     "d13_semdedup_incremental" -> d13Sql,
+    "d14_dup_spans" -> d14Sql,
     "t13_gopher_filter" -> t13Sql
   )
 }

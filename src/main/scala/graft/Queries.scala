@@ -1179,7 +1179,7 @@ object Queries {
   // ftmq Query surface: EntityQuery / adjacency / country stats
   // ===========================================================
 
-  import graft.operators.{Adjacency, EntityQuery}
+  import graft.operators.{Adjacency, EntityQuery, Traverse}
 
   /** Statement set with entity-type edges: nations are entities,
     * customer/supplier statements include a `nation` prop of
@@ -1214,21 +1214,51 @@ object Queries {
   }
 
   /** DuckDB twin of [[graphStatements]]. */
-  private val graphCte: String = {
-    def sel(eid: String, schema: String, prop: String, ptype: String,
-        value: String, from: String) =
-      s"""SELECT $eid AS entity_id, $eid AS canonical_id, '$schema' AS "schema",
-         |  'tpch_graph' AS dataset, '$prop' AS prop, '$ptype' AS prop_type,
-         |  CAST($value AS VARCHAR) AS value FROM $from""".stripMargin
-    val parts = Seq(
-      sel("'nation-' || n_nationkey", "Nation", "name", "name", "n_name", "nation"),
-      sel("'customer-' || c_custkey", "Customer", "name", "name", "c_name", "customer"),
-      sel("'customer-' || c_custkey", "Customer", "mktsegment", "string", "c_mktsegment", "customer"),
-      sel("'customer-' || c_custkey", "Customer", "acctbal", "number", "c_acctbal", "customer"),
-      sel("'customer-' || c_custkey", "Customer", "nation", "entity", "'nation-' || c_nationkey", "customer"),
-      sel("'supplier-' || s_suppkey", "Supplier", "name", "name", "s_name", "supplier"),
-      sel("'supplier-' || s_suppkey", "Supplier", "acctbal", "number", "s_acctbal", "supplier"),
-      sel("'supplier-' || s_suppkey", "Supplier", "nation", "entity", "'nation-' || s_nationkey", "supplier"))
+  private def graphSel(eid: String, schema: String, prop: String,
+      ptype: String, value: String, from: String) =
+    s"""SELECT $eid AS entity_id, $eid AS canonical_id, '$schema' AS "schema",
+       |  'tpch_graph' AS dataset, '$prop' AS prop, '$ptype' AS prop_type,
+       |  CAST($value AS VARCHAR) AS value FROM $from""".stripMargin
+
+  private val graphCteParts: Seq[String] = Seq(
+    graphSel("'nation-' || n_nationkey", "Nation", "name", "name", "n_name", "nation"),
+    graphSel("'customer-' || c_custkey", "Customer", "name", "name", "c_name", "customer"),
+    graphSel("'customer-' || c_custkey", "Customer", "mktsegment", "string", "c_mktsegment", "customer"),
+    graphSel("'customer-' || c_custkey", "Customer", "acctbal", "number", "c_acctbal", "customer"),
+    graphSel("'customer-' || c_custkey", "Customer", "nation", "entity", "'nation-' || c_nationkey", "customer"),
+    graphSel("'supplier-' || s_suppkey", "Supplier", "name", "name", "s_name", "supplier"),
+    graphSel("'supplier-' || s_suppkey", "Supplier", "acctbal", "number", "s_acctbal", "supplier"),
+    graphSel("'supplier-' || s_suppkey", "Supplier", "nation", "entity", "'nation-' || s_nationkey", "supplier"))
+
+  private val graphCte: String =
+    s"""WITH gs AS (
+       |${graphCteParts.mkString("\nUNION ALL\n")}
+       |)""".stripMargin
+
+  /** [[graphStatements]] extended with Order entities (order →
+    * customer references) — the deeper graph f22's traversal needs
+    * (without orders, every path from a nation dead-ends at hop 1).
+    */
+  def orderGraphStatements(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Statements.unpivot(
+      t(s, dir, "orders"),
+      concat(lit("order-"), $"o_orderkey"),
+      schema = "Order", dataset = "tpch_graph",
+      Seq(
+        PropSpec("status", "string", $"o_orderstatus"),
+        PropSpec("customer", "entity",
+          concat(lit("customer-"), $"o_custkey"))))
+    graphStatements(s, dir).unionAll(ord)
+  }
+
+  /** DuckDB twin of [[orderGraphStatements]]. */
+  private val orderGraphCte: String = {
+    val parts = graphCteParts ++ Seq(
+      graphSel("'order-' || o_orderkey", "Order", "status", "string",
+        "o_orderstatus", "orders"),
+      graphSel("'order-' || o_orderkey", "Order", "customer", "entity",
+        "'customer-' || o_custkey", "orders"))
     s"""WITH gs AS (
        |${parts.mkString("\nUNION ALL\n")}
        |)""".stripMargin
@@ -1283,6 +1313,50 @@ object Queries {
        |UNION ALL
        |SELECT value AS entity_id, prop, entity_id AS adjacent_id, 'in' AS direction
        |FROM edges WHERE value IN (SELECT entity_id FROM targets)""".stripMargin
+
+  /** f22 — bounded multi-hop traversal ([[operators.Traverse.khop]]):
+    * the neighborhood expansion an investigator runs after f13's
+    * one-hop `get_adjacent` — "everything within 2 hops of NATION_7,
+    * with the hop distance". The graph extends [[graphStatements]]
+    * with Order entities (order → customer references), so hop 1
+    * reaches NATION_7's customers and suppliers and hop 2 reaches
+    * those customers' orders — a real 3-level entity graph, not a
+    * star. Oracle: a recursive CTE bounded by the same hop limit,
+    * MIN(hops) per vertex (level-synchronous BFS discovers each
+    * vertex first at its minimal depth; the recursion enumerates all
+    * depths and the MIN collapses them — same answer, different
+    * evaluation shape).
+    */
+  def f22KhopTraversal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gs = orderGraphStatements(s, dir)
+    val edges = gs.filter($"prop_type" === "entity")
+      .select($"entity_id".as("src"), $"value".as("dst"))
+    val seeds = gs
+      .filter($"schema" === "Nation" && $"prop" === "name" &&
+        $"value" === "NATION_7")
+      .select($"entity_id".as("id"))
+    Traverse.khop(edges, seeds, maxHops = 2)
+      .select($"id".as("entity_id"), $"hops".cast("long").as("hops"))
+  }
+
+  val f22Sql: String =
+    s"""$orderGraphCte,
+       |edges AS (
+       |  SELECT entity_id AS src, value AS dst FROM gs
+       |  WHERE prop_type = 'entity'),
+       |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |seeds AS (
+       |  SELECT DISTINCT entity_id AS id FROM gs
+       |  WHERE "schema" = 'Nation' AND prop = 'name' AND value = 'NATION_7'),
+       |walk(id, hops) AS (
+       |  SELECT id, 0 FROM seeds
+       |  UNION
+       |  SELECT u.dst, w.hops + 1
+       |  FROM und u JOIN walk w ON u.src = w.id WHERE w.hops < 2)
+       |SELECT id AS entity_id, CAST(MIN(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY id"""
+      .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** f14 — country stats (reference dataset stats expose per-country
     * entity counts): entities + statements per referenced nation.
@@ -1495,7 +1569,8 @@ object Queries {
     "f19_xref_reverse" -> (f19XrefReverse _),
     "f20_resolver_canonical" -> (f20ResolverCanonical _),
     "f20b_resolver_incremental" -> (f20bResolverIncremental _),
-    "f21_final_asof" -> (f21FinalAsof _)
+    "f21_final_asof" -> (f21FinalAsof _),
+    "f22_khop_traversal" -> (f22KhopTraversal _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1542,6 +1617,7 @@ object Queries {
     "f19_xref_reverse" -> f19Sql,
     "f20_resolver_canonical" -> f20Sql,
     "f20b_resolver_incremental" -> f20bSql,
-    "f21_final_asof" -> f21Sql
+    "f21_final_asof" -> f21Sql,
+    "f22_khop_traversal" -> f22Sql
   )
 }

@@ -115,4 +115,79 @@ object NgramHashesExpression {
     }
     new GenericArrayData(out)
   }
+
+  /** Column form of the POSITIONAL variant. */
+  def ngramHashesAll(words: Column, n: Int, seed: Int): Column =
+    GraftSqlBridge.column(
+      NgramHashesAllExpression(GraftSqlBridge.expression(words), n, seed))
+
+  /** One hash per gram POSITION (index i = the gram starting at word
+    * i), no distinct — [[NgramHashesAllExpression]]'s kernel. < n
+    * words → empty.
+    */
+  def hashesAll(ws: ArrayData, n: Int, seed: Int): ArrayData = {
+    val m = ws.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    def word(i: Int): UTF8String = {
+      val w = ws.getUTF8String(i)
+      if (w == null) EMPTY else w
+    }
+    val prefix = (java.lang.Integer.toString(seed) + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val md = MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      var g = word(i)
+      var k = 1
+      while (k < n) { g = UTF8String.concat(g, SPACE, word(i + k)); k += 1 }
+      md.reset()
+      md.update(prefix)
+      md.update(g.getBytes)
+      md.digest(d, 0, 16)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The POSITIONAL sibling of [[NgramHashesExpression]]: one 60-bit
+  * seeded-md5 hash per gram start position (array index = word
+  * position, nothing deduplicated) — the form a substring-run
+  * detector needs: d14 anchors runs at (doc, pos), so losing
+  * positions (or collapsing repeats) would lose the run geometry.
+  * Same digest kernel, one compiled pass per row.
+  */
+case class NgramHashesAllExpression(child: Expression, n: Int, seed: Int)
+    extends UnaryExpression {
+
+  require(n >= 2, s"ngram width must be >= 2, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_ngram_hashes_all requires ARRAY<STRING>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes_all"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashesExpression.hashesAll(input.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramHashesExpression.hashesAll($c, $n, $seed)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramHashesAllExpression =
+    copy(child = newChild)
 }

@@ -748,4 +748,82 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
         col("best_cos"))
   }
+
+  /** d14 — EXACT duplicated-substring runs (the suffix-grain dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, re-expressed relationally): every maximal
+    * token run of length ≥ `minRun` shared verbatim between two
+    * documents, with its exact start positions — the artifact an
+    * exact-substring scrub consumes, where d11/t11 only see
+    * fixed-width passage shingles without geometry.
+    *
+    * Lee et al. build a corpus suffix array — a pointer-chasing
+    * structure a shared-nothing engine can't traverse. The relational
+    * equivalent used here:
+    *
+    *   1. anchor every k-token window at its position: (doc, pos, h)
+    *      with h the 60-bit gram hash, ONE compiled pass per doc
+    *      ([[graft.functions.NgramHashesAllExpression]] — the gram
+    *      TEXT never leaves the scan, only 8-byte hashes shuffle);
+    *   2. keep anchors whose gram appears in 2..maxDf distinct docs —
+    *      df ≥ 2 because a run needs two documents, df ≤ maxDf
+    *      because boilerplate shared by half the corpus would square
+    *      the pair fanout (Lee et al. cap the same way; the cap is
+    *      the documented lossy edge: a capped anchor inside a run
+    *      splits it — the oracle applies the identical cap);
+    *   3. equi-join anchors on h (never all-pairs — the df cap bounds
+    *      every hash's fanout), doc_a < doc_b;
+    *   4. a shared run is a maximal set of consecutive anchors on one
+    *      DIAGONAL (pa − pb constant): gaps-and-islands per
+    *      (doc_a, doc_b, diag) — island id = pa − row_number() — then
+    *      one aggregate per island: run_len = max(pa) − min(pa) + k.
+    *      The island aggregation reuses the window's clustering
+    *      (group keys ⊇ partition keys), so steps 4–5 cost ONE
+    *      exchange total.
+    *
+    * 100 TB shape: anchor grain = corpus tokens (scan-linear), every
+    * shuffle is hash- or pair-bounded, and the df cap makes the join
+    * fanout per gram ≤ maxDf² occurrences — no stage is quadratic in
+    * the corpus. Within-doc gram repeats are not separately capped
+    * (a pathological doc repeating one gram 10⁶ times belongs to
+    * t7's repetition filter upstream).
+    */
+  def dupSpans(
+      documents: DataFrame,
+      k: Int = 8,
+      minRun: Int = 12,
+      maxDf: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"dupSpans: anchor width k must be >= 2, got $k")
+    require(minRun >= k,
+      s"dupSpans: minRun ($minRun) must be >= k ($k) — shorter runs " +
+        "are invisible to k-token anchors")
+    val anch = documents
+      .select(col("doc_id"), posexplode(
+        graft.functions.NgramHashesExpression
+          .ngramHashesAll(words(col("text")), k, 0)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val sel = anch
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDf)
+      .select(col("h"))
+    val capped = anch.join(sel, Seq("h"))
+    val m = capped
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(capped.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).cast("long").as("start_a"),
+        min(col("pb")).cast("long").as("start_b"),
+        (max(col("pa")) - min(col("pa")) + k).cast("long").as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("run_len"))
+  }
 }

@@ -38,4 +38,47 @@ class ComponentsSpec extends AnyFunSuite {
     val stars = labelsOf(Components.minLabelStars(path))
     assert(stars.size == 61 && stars.values.forall(_ == 0L))
   }
+
+  // ---- Traverse.khop (f22) ----
+
+  private def hopsOf(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  test("khop == brute-force BFS distances on a randomized graph") {
+    import graft.operators.Traverse
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = Seq.fill(140)((rnd.nextInt(n).toString, rnd.nextInt(n).toString))
+    val seeds = Seq("0", "1")
+    // reference BFS over the symmetrized adjacency
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    val got = hopsOf(Traverse.khop(
+      edges.toDF("src", "dst"), seeds.toDF("id"), maxHops = 3))
+    assert(got == dist,
+      s"mismatch: extra=${got.toSet -- dist.toSet} missing=${dist.toSet -- got.toSet}")
+  }
+
+  test("khop edge semantics: maxHops=0, absent seeds, unreachable region") {
+    import graft.operators.Traverse
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    // maxHops=0 → exactly the seed set at hop 0, even seeds the edge
+    // list never mentions
+    val zero = hopsOf(Traverse.khop(edges, Seq("a", "ghost").toDF("id"), 0))
+    assert(zero == Map("a" -> 0, "ghost" -> 0))
+    // the x-y component is unreachable from a at any depth; c is found
+    // at its minimal depth 2 even though maxHops allows 5
+    val got = hopsOf(Traverse.khop(edges, Seq("a").toDF("id"), 5))
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
 }

@@ -550,4 +550,82 @@ class FunctionsSpec extends AnyFunSuite {
         s"trial $trial diverged on $words at $k merges:\n$fast\n$slow")
     }
   }
+
+  // ---- KMV distinct sketch (q25) ----
+
+  test("kmv exact regime: estimate == countDistinct while under k") {
+    import graft.functions.Kmv
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 5000).map(_ =>
+      (s"g${rnd.nextInt(4)}", s"v${rnd.nextInt(200)}"))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = df.groupBy(col("g"))
+      .agg(Kmv.kmvDistinct(col("v"), 1024).as("est"),
+        countDistinct(col("v")).as("exact"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"${r.getString(0)}: est ${r.getLong(1)} != exact ${r.getLong(2)}"))
+  }
+
+  test("kmv saturated regime: bounded relative error, partition-invariant") {
+    import graft.functions.Kmv
+    import spark.implicits._
+    // 50k distinct values >> k=512; the sketch is a deterministic
+    // function of the value SET, so the estimate must be bit-identical
+    // under any partitioning/merge shape, and within the KMV
+    // ~1/sqrt(k-2) relative standard error of the truth
+    val df = (0 until 50000).map(i => s"val_$i").toDF("v")
+    val est1 = df.repartition(1)
+      .agg(Kmv.kmvDistinct(col("v"), 512)).collect()(0).getLong(0)
+    val est13 = df.repartition(13)
+      .agg(Kmv.kmvDistinct(col("v"), 512)).collect()(0).getLong(0)
+    assert(est1 == est13, s"partitioning changed the estimate: $est1 / $est13")
+    val relErr = math.abs(est1 - 50000.0) / 50000.0
+    assert(relErr < 0.15, s"estimate $est1 off by ${relErr * 100}%")
+  }
+
+  test("kmv sketch set ops: exact in the unsaturated regime, bounded saturated") {
+    import graft.functions.Kmv
+    import spark.implicits._
+    // A = 0..599, B = 400..999 → |A∩B| = 200, |A∪B| = 1000, J = 0.2
+    val rows = (0 until 600).map(i => ("A", s"x$i")) ++
+      (400 until 1000).map(i => ("B", s"x$i"))
+    val sk = rows.toDF("s", "v").repartition(5).groupBy(col("s"))
+      .agg(Kmv.kmvSketch(col("v"), 2048).as("sk"))
+    val both = sk.filter(col("s") === "A").select(col("sk").as("a"))
+      .crossJoin(sk.filter(col("s") === "B").select(col("sk").as("b")))
+    // unsaturated (600 < k): the sketches hold every hash — set
+    // estimates are EXACT
+    val r = both.select(
+      Kmv.jaccardEstimate(col("a"), col("b"), 2048).as("j"),
+      Kmv.intersectEstimate(col("a"), col("b"), 2048).as("i"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.2) < 1e-12, s"jaccard ${r.getDouble(0)}")
+    assert(r.getLong(1) == 200L, s"intersect ${r.getLong(1)}")
+    // saturated (k=64): deterministic estimates within a loose bound
+    val sk64 = rows.toDF("s", "v").groupBy(col("s"))
+      .agg(Kmv.kmvSketch(col("v"), 64).as("sk"))
+    val r64 = sk64.filter(col("s") === "A").select(col("sk").as("a"))
+      .crossJoin(sk64.filter(col("s") === "B").select(col("sk").as("b")))
+      .select(Kmv.jaccardEstimate(col("a"), col("b"), 64).as("j"),
+        Kmv.intersectEstimate(col("a"), col("b"), 64).as("i"))
+      .collect()(0)
+    assert(math.abs(r64.getDouble(0) - 0.2) < 0.15, s"jaccard64 ${r64.getDouble(0)}")
+    assert(math.abs(r64.getLong(1) - 200.0) < 150.0, s"intersect64 ${r64.getLong(1)}")
+  }
+
+  test("kmv SQL faces registered: graft_kmv_distinct / graft_kmv_sketch") {
+    GraftFunctionRegistry.registerAll(spark)
+    import spark.implicits._
+    (0 until 300).map(i => s"u${i % 97}").toDF("v")
+      .createOrReplaceTempView("kmv_in")
+    val est = spark.sql(
+      "SELECT graft_kmv_distinct(v, 512) FROM kmv_in").collect()(0).getLong(0)
+    assert(est == 97L)
+    val sk = spark.sql(
+      "SELECT graft_kmv_sketch(v, 512) FROM kmv_in").collect()(0).getSeq[Long](0)
+    assert(sk.length == 97 && sk == sk.sorted)
+  }
 }

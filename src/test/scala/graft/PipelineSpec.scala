@@ -1562,4 +1562,66 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(checked == out.size, "no extra windows beyond the decode")
   }
+
+  // ---- d14 exact duplicated-substring runs ----
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("d14 dupSpans: planted run reported with exact geometry") {
+    import spark.implicits._
+    // doc 1: 40 unique tokens; doc 2 embeds doc 1's tokens [5, 25) at
+    // its own positions [3, 23), padded with distinct tokens — ONE
+    // maximal shared run of 20 tokens, nothing else in common
+    val shared = (5 until 25).map(i => s"s$i")
+    val doc1 = (0 until 5).map(i => s"a$i") ++ shared ++
+      (25 until 40).map(i => s"a$i")
+    val doc2 = (0 until 3).map(i => s"b$i") ++ shared ++
+      (0 until 14).map(i => s"c$i")
+    val df = Seq((1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(spansOf(Dedup.dupSpans(df, k = 8, minRun = 12, maxDf = 20)) ==
+      Set((1L, 2L, 5L, 3L, 20L)))
+    // a higher minRun than the run suppresses it
+    assert(Dedup.dupSpans(df, k = 8, minRun = 21, maxDf = 20).isEmpty)
+  }
+
+  test("d14 dupSpans: identical docs, short docs, two disjoint runs") {
+    import spark.implicits._
+    val toks30 = (0 until 30).map(i => s"w$i")
+    val idPair = Seq((1L, toks30.mkString(" ")), (2L, toks30.mkString(" ")))
+      .toDF("doc_id", "text")
+    // identical 30-token docs → one full-length diagonal-0 run
+    assert(spansOf(Dedup.dupSpans(idPair, 8, 12, 20)) ==
+      Set((1L, 2L, 0L, 0L, 30L)))
+    // docs under the anchor width produce no anchors at all
+    val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(tiny, 8, 8, 20).isEmpty)
+    // two runs on different diagonals of the same pair stay separate
+    val r1 = (0 until 12).map(i => s"p$i")
+    val r2 = (0 until 12).map(i => s"q$i")
+    val dA = r1 ++ (0 until 6).map(i => s"x$i") ++ r2
+    val dB = r2 ++ (0 until 9).map(i => s"y$i") ++ r1
+    val two = Seq((1L, dA.mkString(" ")), (2L, dB.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(spansOf(Dedup.dupSpans(two, 8, 12, 20)) ==
+      Set((1L, 2L, 0L, 21L, 12L), (1L, 2L, 18L, 0L, 12L)))
+  }
+
+  test("d14 dupSpans: df cap drops corpus-wide boilerplate") {
+    import spark.implicits._
+    // the same 14-token run in 25 docs: with maxDf = 20 every anchor
+    // is boilerplate-capped → no spans; raising the cap to 30 reports
+    // all 300 pairs
+    val run = (0 until 14).map(i => s"r$i").mkString(" ")
+    val df = (1L to 25L).map(i => (i, s"u${i}a u${i}b $run u${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSpans(df, 8, 12, 20).isEmpty)
+    val wide = Dedup.dupSpans(df, 8, 12, 30)
+    assert(wide.count() == 300L) // C(25,2) pairs, one run each
+    assert(spansOf(wide).forall { case (_, _, sa, sb, len) =>
+      sa == 2L && sb == 2L && len == 14L })
+  }
 }

@@ -260,7 +260,21 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("f20b_resolver_incremental", maxShuffles = 0),
     // r12: the as-of FINAL is f3's single latest-per-key window over a
     // PUSHED version-cutoff scan — time travel must not add a shuffle
-    Shape("f21_final_asof", maxShuffles = 1, minPushedScans = 1))
+    Shape("f21_final_asof", maxShuffles = 1, minPushedScans = 1),
+    // r12: the KMV distinct sketch is the q23 shape — explode scan →
+    // ONE aggregate whose partials carry ≤ k longs per (task, source);
+    // a second exchange means the sketch fell back to a value-grain
+    // distinct
+    Shape("q25_distinct_kmv", maxShuffles = 1),
+    // r12: substring-run dedup = anchor scan → df-cap agg (2: the
+    // countDistinct pair) → anchor self-join on h (1 + the cap join) →
+    // ONE diagonal-islands exchange whose clustering the run aggregate
+    // reuses (group keys ⊇ window partition keys — no second exchange)
+    Shape("d14_dup_spans", maxShuffles = 6),
+    // r12: the RETURNED k-hop frame is the final visited checkpoint —
+    // all frontier joins already ran (frontier-bounded, inside khop);
+    // an Exchange here means the traversal leaked lazy plan
+    Shape("f22_khop_traversal", maxShuffles = 0))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
