@@ -481,6 +481,35 @@ object Streams {
         graft.sources.VecStore.compact(spark, table, buckets)
     }
 
+  /** st18 — streaming CARDINALITY telemetry: the q25 K-Minimum-Values
+    * sketch maintained continuously over a document stream
+    * ([[graft.sources.SketchStore]]): each micro-batch folds one
+    * batch-grain sketch row per source into the versioned sketch
+    * table, and [[graft.sources.SketchStore.readEstimates]] serves
+    * "distinct shingles per source, ever" at any moment without a
+    * corpus rescan — the mix-drift monitor a continuously-ingesting
+    * training pipeline wants (a source whose cardinality curve goes
+    * flat is re-sending old content; one that jumps is a new crawl).
+    *
+    * Why a SKETCH and not a counter: the state is a value-hash SET,
+    * so the read-side fold (union) is IDEMPOTENT in batches — a
+    * replayed micro-batch after a checkpoint restart appends rows the
+    * union absorbs, and served estimates cannot double-count under
+    * at-least-once delivery (spec-asserted). `compactEvery` bounds
+    * fold-at-read cost with the staged-swap OPTIMIZE every N batches
+    * (the st13 cadence discipline; estimates invariant across it).
+    */
+  def sketchCardinality(
+      docs: DataFrame, table: String, k: Int = 16384,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(docs) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      graft.sources.SketchStore.applyBatch(spark, batch, table, k, batchId)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.sources.SketchStore.compact(spark, table, k)
+    }
+
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at
     * stream grain — two unbounded event streams joined on key +
     * event-time range through Spark's NATIVE stream-stream inner

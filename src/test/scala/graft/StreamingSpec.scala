@@ -1224,4 +1224,70 @@ class StreamingSpec extends AnyFunSuite {
         "late point beyond the watermark must not attribute")
     } finally q.stop()
   }
+
+  test("st18 streaming cardinality: served == batch recompute, replay-proof, compact-invariant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val table = "st18_sketch"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.Probes.dropManaged(spark, table)
+    val k = 1024
+    // deterministic doc maker: source s contributes distinct shingles
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def doc(id: Long, s: String, words: Seq[String]): (Long, String, String) = {
+      val d = (id, words.mkString(" "), s); seen += d; d
+    }
+    def servedNow(): Map[String, Long] =
+      graft.sources.SketchStore.readEstimates(spark, table, k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def exactNow(): Map[String, Long] = {
+      import org.apache.spark.sql.functions._
+      seen.toSeq.toDF("doc_id", "text", "source")
+        .select(col("source"), explode(
+          graft.operators.Dedup.shinglesN(col("text"),
+            graft.sources.SketchStore.shingleN)).as("g"))
+        .groupBy("source").agg(countDistinct("g").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.sketchCardinality(
+      in.toDF().toDF("doc_id", "text", "source"), table, k, compactEvery = 3)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st18_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 0: two sources; under k → estimates are EXACT
+      in.addData(
+        doc(1L, "a", (0 until 30).map(i => s"w$i")),
+        doc(2L, "b", (0 until 20).map(i => s"x$i")))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after batch 0")
+      // batch 1: overlap within a (re-sent shingles must not double-
+      // count — the set-union property) + fresh content for b
+      in.addData(
+        doc(3L, "a", (0 until 30).map(i => s"w$i")), // all re-sent
+        doc(4L, "b", (15 until 40).map(i => s"x$i")))
+      q.processAllAvailable()
+      val afterB1 = servedNow()
+      assert(afterB1 == exactNow(), "after batch 1")
+      assert(afterB1("a") == 28L, "re-sent content must not move a") // 30 words → 28 shingles
+      // batch 2 trips compactEvery=3 → one folded row per source,
+      // estimates invariant
+      in.addData(doc(5L, "c", (0 until 12).map(i => s"y$i")))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after compacting batch 2")
+      assert(spark.table(table).groupBy("source").count()
+        .collect().forall(_.getLong(1) == 1L), "compact folds to 1 row/source")
+      // replay shape: re-apply batch 1's rows OUT of band (what a
+      // checkpoint-restart redelivery does) — the union absorbs them
+      graft.sources.SketchStore.applyBatch(spark,
+        Seq(seen(2), seen(3)).toDF("doc_id", "text", "source"),
+        table, k, batchId = 1L)
+      assert(servedNow() == exactNow(), "replayed batch must be a no-op")
+      // manual compact is idempotent
+      graft.sources.SketchStore.compact(spark, table, k)
+      graft.sources.SketchStore.compact(spark, table, k)
+      assert(servedNow() == exactNow(), "after double compact")
+    } finally q.stop()
+  }
 }
