@@ -1282,6 +1282,72 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, start_a, start_b, run_len
        |FROM runs WHERE run_len >= 12""".stripMargin
 
+  /** d14b — the exact-substring scrub ([[Dedup.spanScrub]], d14's
+    * application step): spans delete from the later doc of each pair
+    * (one copy provably survives), per-doc interval unions applied
+    * scan-locally. The oracle rebuilds d14's full span pipeline, the
+    * identical interval-union islands, and a per-token anti-join
+    * apply — the clean-text hash gates mine → merge → scrub
+    * end-to-end (the d11 gating pattern).
+    */
+  def d14bSpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanScrub(docs(s, dir), k = 8, minRun = 12, maxDf = 20)
+
+  val d14bSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |anch AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${duckHash60("'0'", "array_to_string(ws[i:i+7], ' ')")} AS h
+       |  FROM toks, LATERAL unnest(range(1, len(ws) - 6)) t(i)),
+       |sel AS (
+       |  SELECT h FROM anch GROUP BY h
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |    b.pos AS pb
+       |  FROM anch a JOIN sel USING (h) JOIN anch b USING (h)
+       |  WHERE a.doc_id < b.doc_id),
+       |islq AS (
+       |  SELECT *, pa - pb AS diag,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |      ORDER BY pa) AS isl
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       |    MAX(pa) - MIN(pa) + 8 AS run_len
+       |  FROM islq GROUP BY doc_a, doc_b, diag, isl
+       |  HAVING MAX(pa) - MIN(pa) + 8 >= 12),
+       |ints AS (
+       |  SELECT doc_b AS doc_id, start_b AS s, start_b + run_len AS e
+       |  FROM runs),
+       |ordi AS (
+       |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM ints),
+       |isli AS (
+       |  SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0
+       |    END) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+       |  FROM ordi),
+       |miv AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isli
+       |  GROUP BY doc_id, g),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+       |  FROM toks, LATERAL unnest(range(1, len(ws) + 1)) t(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.w FROM tok t LEFT JOIN miv v
+       |    ON t.doc_id = v.doc_id AND t.pos >= v.s AND t.pos < v.e
+       |  WHERE v.doc_id IS NULL),
+       |ka AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS h
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.ws) - coalesce(ka.n_kept, 0) AS BIGINT)
+       |    AS n_tokens_removed,
+       |  coalesce(ka.h, md5('')) AS clean_hash
+       |FROM toks t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin
+
   // ===========================================================
   // m-block: multimodal columns
   // ===========================================================
@@ -2176,6 +2242,7 @@ object PipelineQueries {
     "d12_semdedup" -> (d12SemDedup _),
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "d14_dup_spans" -> (d14DupSpans _),
+    "d14b_span_scrub" -> (d14bSpanScrub _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -2231,6 +2298,7 @@ object PipelineQueries {
     "d12_semdedup" -> d12Sql,
     "d13_semdedup_incremental" -> d13Sql,
     "d14_dup_spans" -> d14Sql,
+    "d14b_span_scrub" -> d14bSql,
     "t13_gopher_filter" -> t13Sql
   )
 }

@@ -826,4 +826,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("run_len"))
   }
+
+  /** d14b — the exact-substring SCRUB, [[dupSpans]]'s application step
+    * (what Lee et al. 2022 actually do with the runs: delete all but
+    * one copy). Keep-first rule: a span deletes from the HIGHER-id
+    * side of each pair (the earlier doc keeps its copy; a doc that is
+    * the later side of several pairs loses the union of those spans).
+    *
+    * Shape: the span table reduces to per-doc interval UNIONS —
+    * classic gaps-and-islands over (s, e)-sorted intervals (running
+    * max of prior ends; a start past it opens an island) — then ONE
+    * doc-grain join attaches each doc's merged intervals (span-
+    * bounded arrays) and the deletion runs scan-locally per row:
+    * tokens outside every interval survive, the cleaned text hashes.
+    * Token grain never shuffles — only interval rows and doc ids do.
+    * Docs with no spans pass through with 0 removed (LEFT join).
+    *
+    * Output matches d11's scrub face: (doc_id, n_tokens_removed,
+    * clean_hash) for EVERY document — d11 scrubs corpus-frequent
+    * fixed-width passages wherever they appear; this removes the
+    * exact maximal runs while provably keeping one copy.
+    */
+  def spanScrub(
+      documents: DataFrame,
+      k: Int = 8,
+      minRun: Int = 12,
+      maxDf: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupSpans(documents, k, minRun, maxDf)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("run_len")).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val pmax = max(col("e"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .withColumn("fresh",
+        when(pmax.isNull || col("s") > pmax, 1).otherwise(0))
+      .withColumn("g", sum(col("fresh")).over(wOrd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val kept = filter(
+      transform(col("ws"), (wd, i) => struct(wd.as("w"), i.as("i"))),
+      p => !exists(col("ivs"),
+        v => p.getField("i") >= v.getField("s") &&
+          p.getField("i") < v.getField("e")))
+    documents
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), words(col("text")).as("ws"),
+        coalesce(col("ivs"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("ivs"))
+      .select(col("doc_id"),
+        (size(col("ws")) - size(kept)).cast("long").as("n_tokens_removed"),
+        md5(concat_ws(" ", transform(kept, p => p.getField("w"))))
+          .as("clean_hash"))
+  }
 }

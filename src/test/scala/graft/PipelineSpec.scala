@@ -1610,6 +1610,49 @@ class PipelineSpec extends AnyFunSuite {
       Set((1L, 2L, 0L, 21L, 12L), (1L, 2L, 18L, 0L, 12L)))
   }
 
+  test("d14b spanScrub: keep-first deletion, overlap union, full wipe") {
+    import spark.implicits._
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // planted pair from the d14 spec: doc 1 (earlier) KEEPS its copy,
+    // doc 2 loses exactly the shared [3, 23) span
+    val shared = (5 until 25).map(i => s"s$i")
+    val doc1 = (0 until 5).map(i => s"a$i") ++ shared ++
+      (25 until 40).map(i => s"a$i")
+    val doc2 = (0 until 3).map(i => s"b$i") ++ shared ++
+      (0 until 14).map(i => s"c$i")
+    val out = Dedup.spanScrub(
+      Seq((1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")))
+        .toDF("doc_id", "text"), 8, 12, 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) == ((0L, md5Hex(doc1.mkString(" ")))))
+    val doc2clean = (0 until 3).map(i => s"b$i") ++ (0 until 14).map(i => s"c$i")
+    assert(out(2L) == ((20L, md5Hex(doc2clean.mkString(" ")))))
+    // overlapping spans from TWO earlier partners union before
+    // deletion: doc 3 shares [0, 16) with doc 1 and [8, 24) with
+    // doc 2 → removed = |[0, 24)| = 24, not 32
+    val seg = (0 until 24).map(i => s"o$i")
+    val d1 = seg.take(16) ++ (0 until 10).map(i => s"d$i")
+    val d2 = (0 until 10).map(i => s"e$i") ++ seg.drop(8)
+    val d3 = seg ++ (0 until 8).map(i => s"f$i")
+    val out2 = Dedup.spanScrub(
+      Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+        (3L, d3.mkString(" "))).toDF("doc_id", "text"), 8, 12, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(3L) == 24L, s"union of overlapping spans: $out2")
+    assert(out2(1L) == 0L && out2(2L) == 0L)
+    // an identical twin is wiped entirely; md5 of the empty clean text
+    val toks30 = (0 until 30).map(i => s"w$i").mkString(" ")
+    val wiped = Dedup.spanScrub(
+      Seq((1L, toks30), (2L, toks30)).toDF("doc_id", "text"), 8, 12, 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(wiped(2L) == ((30L, md5Hex(""))))
+    assert(wiped(1L) == ((0L, md5Hex(toks30))))
+  }
+
   test("d14 dupSpans: df cap drops corpus-wide boilerplate") {
     import spark.implicits._
     // the same 14-token run in 25 docs: with maxDf = 20 every anchor

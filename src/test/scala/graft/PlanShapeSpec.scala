@@ -271,6 +271,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE diagonal-islands exchange whose clustering the run aggregate
     // reuses (group keys ⊇ window partition keys — no second exchange)
     Shape("d14_dup_spans", maxShuffles = 6),
+    // r12: d14b = d14's pipeline + the interval-union islands window +
+    // the doc-grain interval attach; token grain must never shuffle
+    // (the apply is a scan-local HOF over span-bounded interval arrays)
+    Shape("d14b_span_scrub", maxShuffles = 9),
     // r12: the RETURNED k-hop frame is the final visited checkpoint —
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
