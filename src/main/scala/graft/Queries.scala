@@ -1252,13 +1252,46 @@ object Queries {
     graphStatements(s, dir).unionAll(ord)
   }
 
+  private val orderGraphParts: Seq[String] = graphCteParts ++ Seq(
+    graphSel("'order-' || o_orderkey", "Order", "status", "string",
+      "o_orderstatus", "orders"),
+    graphSel("'order-' || o_orderkey", "Order", "customer", "entity",
+      "'customer-' || o_custkey", "orders"))
+
   /** DuckDB twin of [[orderGraphStatements]]. */
-  private val orderGraphCte: String = {
-    val parts = graphCteParts ++ Seq(
-      graphSel("'order-' || o_orderkey", "Order", "status", "string",
-        "o_orderstatus", "orders"),
-      graphSel("'order-' || o_orderkey", "Order", "customer", "entity",
-        "'customer-' || o_custkey", "orders"))
+  private val orderGraphCte: String =
+    s"""WITH gs AS (
+       |${orderGraphParts.mkString("\nUNION ALL\n")}
+       |)""".stripMargin
+
+  /** [[orderGraphStatements]] further extended with nation → region
+    * references and Region entities — without them nations are
+    * mutually unreachable islands and no cross-nation path exists
+    * (f23's whole question).
+    */
+  def regionGraphStatements(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val natRegion = Statements.unpivot(
+      t(s, dir, "nation"),
+      concat(lit("nation-"), $"n_nationkey"),
+      schema = "Nation", dataset = "tpch_graph",
+      Seq(PropSpec("region", "entity",
+        concat(lit("region-"), $"n_regionkey"))))
+    val region = Statements.unpivot(
+      t(s, dir, "region"),
+      concat(lit("region-"), $"r_regionkey"),
+      schema = "Region", dataset = "tpch_graph",
+      Seq(PropSpec("name", "name", $"r_name")))
+    orderGraphStatements(s, dir).unionAll(natRegion).unionAll(region)
+  }
+
+  /** DuckDB twin of [[regionGraphStatements]]. */
+  private val regionGraphCte: String = {
+    val parts = orderGraphParts ++ Seq(
+      graphSel("'nation-' || n_nationkey", "Nation", "region", "entity",
+        "'region-' || n_regionkey", "nation"),
+      graphSel("'region-' || r_regionkey", "Region", "name", "name",
+        "r_name", "region"))
     s"""WITH gs AS (
        |${parts.mkString("\nUNION ALL\n")}
        |)""".stripMargin
@@ -1356,6 +1389,87 @@ object Queries {
        |  FROM und u JOIN walk w ON u.src = w.id WHERE w.hops < 2)
        |SELECT id AS entity_id, CAST(MIN(hops) AS BIGINT) AS hops
        |FROM walk GROUP BY id"""
+      .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** f23 — shortest-path membership ([[operators.Traverse
+    * .shortestPathMembers]]): "how are nation-3's customers connected
+    * to the suppliers of its sibling nations" — every vertex on any
+    * shortest path between the two seed SETS over the region-extended
+    * graph (the canonical 4-hop shape: customer → nation-3 → region →
+    * sibling nation → supplier). Seed sets are DATA-derived (the
+    * customers referencing nation-3; the suppliers of same-region
+    * non-3 nations), so the query is meaningful at every scale factor
+    * — hand-picked entity ids would be connected at one SF and
+    * disconnected at another. Meet-in-the-middle: two 4-hop BFS
+    * expansions + the `distA + distB = dist` membership identity —
+    * the path DAG a UI renders, not one arbitrary path (SQL can state
+    * the identity; picking a canonical single path needs ordering
+    * hacks). Oracle: two depth-bounded recursive CTEs + the identical
+    * identity.
+    */
+  def f23ShortestPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gs = regionGraphStatements(s, dir)
+    val edges = gs.filter($"prop_type" === "entity")
+      .select($"entity_id".as("src"), $"value".as("dst"))
+    val seedsA = gs
+      .filter($"schema" === "Customer" && $"prop" === "nation" &&
+        $"value" === "nation-3")
+      .select($"entity_id".as("id"))
+    val n3Region = gs
+      .filter($"entity_id" === "nation-3" && $"prop" === "region")
+      .select($"value".as("region_id"))
+    val siblingNations = gs
+      .filter($"schema" === "Nation" && $"prop" === "region" &&
+        $"entity_id" =!= "nation-3")
+      .join(broadcast(n3Region), $"value" === $"region_id")
+      .select($"entity_id".as("nation_id"))
+    val seedsB = gs
+      .filter($"schema" === "Supplier" && $"prop" === "nation")
+      .join(broadcast(siblingNations), $"value" === $"nation_id")
+      .select($"entity_id".as("id"))
+    Traverse.shortestPathMembers(edges, seedsA, seedsB, maxHops = 4)
+      .select($"id".as("entity_id"), $"hops_a", $"hops_b", $"dist")
+  }
+
+  val f23Sql: String =
+    s"""$regionGraphCte,
+       |edges AS (
+       |  SELECT entity_id AS src, value AS dst FROM gs
+       |  WHERE prop_type = 'entity'),
+       |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |seedsa AS (
+       |  SELECT DISTINCT entity_id AS id FROM gs
+       |  WHERE "schema" = 'Customer' AND prop = 'nation'
+       |    AND value = 'nation-3'),
+       |nreg AS (SELECT value AS r FROM gs
+       |  WHERE entity_id = 'nation-3' AND prop = 'region' LIMIT 1),
+       |sib AS (
+       |  SELECT entity_id AS nid FROM gs
+       |  WHERE "schema" = 'Nation' AND prop = 'region'
+       |    AND value = (SELECT r FROM nreg)
+       |    AND entity_id <> 'nation-3'),
+       |seedsb AS (
+       |  SELECT DISTINCT entity_id AS id FROM gs
+       |  WHERE "schema" = 'Supplier' AND prop = 'nation'
+       |    AND value IN (SELECT nid FROM sib)),
+       |walka(id, h) AS (
+       |  SELECT id, 0 FROM seedsa
+       |  UNION
+       |  SELECT u.dst, w.h + 1 FROM und u JOIN walka w ON u.src = w.id
+       |  WHERE w.h < 4),
+       |walkb(id, h) AS (
+       |  SELECT id, 0 FROM seedsb
+       |  UNION
+       |  SELECT u.dst, w.h + 1 FROM und u JOIN walkb w ON u.src = w.id
+       |  WHERE w.h < 4),
+       |da AS (SELECT id, MIN(h) AS ha FROM walka GROUP BY id),
+       |db AS (SELECT id, MIN(h) AS hb FROM walkb GROUP BY id),
+       |j AS (SELECT da.id, ha, hb FROM da JOIN db USING (id)),
+       |dm AS (SELECT MIN(ha + hb) AS d FROM j)
+       |SELECT id AS entity_id, CAST(ha AS BIGINT) AS hops_a,
+       |  CAST(hb AS BIGINT) AS hops_b, CAST(d AS BIGINT) AS dist
+       |FROM j, dm WHERE ha + hb = d"""
       .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** f14 — country stats (reference dataset stats expose per-country
@@ -1570,7 +1684,8 @@ object Queries {
     "f20_resolver_canonical" -> (f20ResolverCanonical _),
     "f20b_resolver_incremental" -> (f20bResolverIncremental _),
     "f21_final_asof" -> (f21FinalAsof _),
-    "f22_khop_traversal" -> (f22KhopTraversal _)
+    "f22_khop_traversal" -> (f22KhopTraversal _),
+    "f23_shortest_path" -> (f23ShortestPath _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1618,6 +1733,7 @@ object Queries {
     "f20_resolver_canonical" -> f20Sql,
     "f20b_resolver_incremental" -> f20bSql,
     "f21_final_asof" -> f21Sql,
-    "f22_khop_traversal" -> f22Sql
+    "f22_khop_traversal" -> f22Sql,
+    "f23_shortest_path" -> f23Sql
   )
 }

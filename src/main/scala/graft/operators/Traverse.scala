@@ -36,53 +36,96 @@ object Traverse {
     * hops = 0 (seed ids absent from the edge list still appear).
     */
   def khop(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"Traverse.khop: maxHops must be >= 0, got $maxHops")
     val sc = edges0.sparkSession.sparkContext
+    val (edges, edgeBlocks) = symmetrized(edges0)
+    val out = khopOn(edges, seeds, maxHops)
+    Components.release(sc, edgeBlocks)
+    out
+  }
+
+  /** Symmetrize + dedup + eager-checkpoint an edge list once; the
+    * caller releases the returned blocks when every traversal over it
+    * is done (shortestPathMembers runs TWO expansions on one copy).
+    */
+  private def symmetrized(edges0: DataFrame): (DataFrame, Set[Int]) = {
     val und = edges0.select(col("src"), col("dst"))
-    val (edges, edgeBlocks) = Components.checkpointDiff(sc) {
+    Components.checkpointDiff(edges0.sparkSession.sparkContext) {
       und
         .union(und.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .localCheckpoint()
     }
+  }
+
+  /** The BFS loop over an ALREADY symmetrized+checkpointed edge set. */
+  private def khopOn(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"Traverse.khop: maxHops must be >= 0, got $maxHops")
+    val sc = edges.sparkSession.sparkContext
     var (visited, visitedBlocks) = Components.checkpointDiff(sc) {
       seeds.select(col("id")).distinct()
         .withColumn("hops", lit(0).cast("int"))
         .localCheckpoint()
     }
-    var frontier = visited
-    var frontierBlocks = Set.empty[Int]
     var h = 1
     var emptied = maxHops == 0
     while (!emptied && h <= maxHops) {
-      val (next, nextBlocks) = Components.checkpointDiff(sc) {
-        frontier.select(col("id").as("src"))
+      // ONE materialization per round: the new visited checkpoint.
+      // The frontier is the previous round's hops = h-1 slice of the
+      // (already cached) visited blocks — a scan, not a second
+      // checkpoint; the round's growth check is a filter-count over
+      // the new blocks.
+      val frontier = visited.filter(col("hops") === h - 1)
+      val (nv, nvBlocks) = Components.checkpointDiff(sc) {
+        val next = frontier.select(col("id").as("src"))
           .join(edges, Seq("src"))
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
           .withColumn("hops", lit(h).cast("int"))
-          .localCheckpoint()
+        visited.union(next).localCheckpoint()
       }
-      emptied = next.isEmpty
-      if (emptied) {
-        Components.release(sc, nextBlocks)
-      } else {
-        val (nv, nvBlocks) = Components.checkpointDiff(sc) {
-          visited.union(next).localCheckpoint()
-        }
-        // the new visited checkpoint is eager: the old visited and the
-        // pre-previous frontier no longer back anything — release them
-        Components.release(sc, visitedBlocks)
-        Components.release(sc, frontierBlocks)
-        visited = nv
-        visitedBlocks = nvBlocks
-        frontier = next
-        frontierBlocks = nextBlocks
-      }
+      emptied = nv.filter(col("hops") === h).isEmpty
+      Components.release(sc, visitedBlocks)
+      visited = nv
+      visitedBlocks = nvBlocks
       h += 1
     }
-    Components.release(sc, frontierBlocks)
-    Components.release(sc, edgeBlocks)
     visited
+  }
+
+  /** Shortest-path MEMBERSHIP between two seed sets — "how are A and
+    * B connected": every vertex on ANY shortest A–B path, via the
+    * classic meet-in-the-middle identity `distA(v) + distB(v) =
+    * dist(A, B)`. Two bounded BFS expansions ([[khop]], each only
+    * `maxHops` deep — half the path budget each, so the per-side
+    * frontier stays small where a one-sided 2·maxHops walk explodes),
+    * one equi-join on vertex, and the minimum rides a broadcast
+    * 1-row aggregate — no driver-side collect. Empty when A and B
+    * are further apart than 2·maxHops (or disconnected): the null
+    * min joins nothing.
+    *
+    * Output: (id, hops_a, hops_b, dist) for members only — the path
+    * DAG a UI renders, not one arbitrary path.
+    */
+  def shortestPathMembers(
+      edges0: DataFrame, seedsA: DataFrame, seedsB: DataFrame,
+      maxHops: Int): DataFrame = {
+    val sc = edges0.sparkSession.sparkContext
+    // symmetrize ONCE; both expansions walk the same checkpointed copy
+    val (edges, edgeBlocks) = symmetrized(edges0)
+    val da = khopOn(edges, seedsA, maxHops)
+      .withColumnRenamed("hops", "hops_a")
+    val db = khopOn(edges, seedsB, maxHops)
+      .withColumnRenamed("hops", "hops_b")
+    Components.release(sc, edgeBlocks)
+    val joined = da.join(db, Seq("id"))
+    val dmin = joined
+      .agg(min(col("hops_a") + col("hops_b")).as("d"))
+    joined
+      .join(broadcast(dmin),
+        col("hops_a") + col("hops_b") === col("d"))
+      .select(col("id"), col("hops_a").cast("long").as("hops_a"),
+        col("hops_b").cast("long").as("hops_b"),
+        col("d").cast("long").as("dist"))
   }
 }

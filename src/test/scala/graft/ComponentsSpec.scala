@@ -68,6 +68,49 @@ class ComponentsSpec extends AnyFunSuite {
       s"mismatch: extra=${got.toSet -- dist.toSet} missing=${dist.toSet -- got.toSet}")
   }
 
+  test("shortestPathMembers == brute-force meet-in-the-middle on a randomized graph") {
+    import graft.operators.Traverse
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = Seq.fill(70)((rnd.nextInt(n).toString, rnd.nextInt(n).toString))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def bfs(seeds: Set[String], maxH: Int): Map[String, Int] = {
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds
+      for (h <- 1 to maxH) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      dist
+    }
+    val (sa, sb) = (Set("0"), Set("1", "2"))
+    val da = bfs(sa, 3); val db = bfs(sb, 3)
+    val common = da.keySet intersect db.keySet
+    val want: Set[(String, Long, Long, Long)] =
+      if (common.isEmpty) Set.empty
+      else {
+        val d = common.map(v => da(v) + db(v)).min
+        common.filter(v => da(v) + db(v) == d)
+          .map(v => (v, da(v).toLong, db(v).toLong, d.toLong))
+      }
+    val got = Traverse.shortestPathMembers(
+      edges.toDF("src", "dst"), sa.toSeq.toDF("id"), sb.toSeq.toDF("id"),
+      maxHops = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // disconnected seed sets → empty, not an error
+    val far = Traverse.shortestPathMembers(
+      Seq(("a", "b"), ("x", "y")).toDF("src", "dst"),
+      Seq("a").toDF("id"), Seq("x").toDF("id"), maxHops = 5)
+    assert(far.isEmpty)
+  }
+
   test("khop edge semantics: maxHops=0, absent seeds, unreachable region") {
     import graft.operators.Traverse
     import spark.implicits._

@@ -278,7 +278,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // r12: the RETURNED k-hop frame is the final visited checkpoint —
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
-    Shape("f22_khop_traversal", maxShuffles = 0))
+    Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: f23's returned plan joins the two visited CHECKPOINTS (the
+    // expansions already ran) + the broadcast 1-row min — membership
+    // costs the da⋈db equi-join, never a re-expansion
+    Shape("f23_shortest_path", maxShuffles = 5, minBroadcasts = 1))
 
   // t8 r8: the vocabulary rollup lost its forced broadcast — its row
   // count grows with corpus vocabulary, the one former small side that
