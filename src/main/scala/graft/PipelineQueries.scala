@@ -1533,6 +1533,70 @@ object PipelineQueries {
       |  CAST(sum(b) AS BIGINT) AS sum_b
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** m8 — image PERCEPTUAL-hash dedup through the REAL codec path:
+    * each document synthesizes a 4×h BMP (m3's ASCII-pixel rule),
+    * round-trips [[Codecs.bmp24Encode]]/[[Codecs.bmpChannels]] inside
+    * the partition, and the decoded pixels reduce to a 60-bit dHash
+    * (adjacent-GRAY comparisons over the first 61 pixels — the
+    * difference hash of Krawetz's aHash/dHash family: robust to
+    * uniform brightness shifts, integer-exact here because gray =
+    * (299r + 587g + 114b) / 1000 floor-divides decoded ints). The
+    * dedup verdict is d1's window pattern on the hash — one shuffle,
+    * image bytes never leave the scan. The oracle re-derives gray
+    * values from character codes (the m2b/m3 ASCII contract), builds
+    * the identical bit pattern with exact shifts, so the hash gates
+    * decode plumbing + hash arithmetic end-to-end. 60 bits, not 64:
+    * the sum of distinct powers stays under 2^61 — BIGINT-safe in
+    * both engines (the house 60-bit convention).
+    */
+  def m8ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 192) // 4·(192/12) = 64 ≥ 61 pixels
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m8 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val h = b.length / 12
+        val px = new Array[Int](4 * h)
+        var i = 0
+        while (i < px.length) {
+          px(i) = ((b(i * 3) & 0xff) << 16) | ((b(i * 3 + 1) & 0xff) << 8) |
+            (b(i * 3 + 2) & 0xff)
+          i += 1
+        }
+        Multimodal.Frame(id, 0L, Codecs.bmp24Encode(4, h, px))
+      }
+    import org.apache.spark.sql.expressions.Window
+    Multimodal.imageDhash(frames)(Codecs.bmpChannels)
+      .withColumn("dup_of",
+        min(col("doc_id")).over(Window.partitionBy(col("dhash"))))
+  }
+
+  val m8Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 192),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    (ascii(substring(text, CAST(i * 3 + 1 AS INT), 1)) * 299 +
+      |     ascii(substring(text, CAST(i * 3 + 2 AS INT), 1)) * 587 +
+      |     ascii(substring(text, CAST(i * 3 + 3 AS INT), 1)) * 114)
+      |      // 1000 AS gray
+      |  FROM s, LATERAL unnest(range(0, 61)) t(i)),
+      |h AS (
+      |  SELECT a.doc_id,
+      |    SUM(CASE WHEN a.gray > b.gray
+      |      THEN (1::BIGINT << CAST(a.i AS INT)) ELSE 0 END) AS dhash
+      |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  WHERE a.i < 60 GROUP BY a.doc_id)
+      |SELECT s.doc_id,
+      |  CAST((length(s.text) // 12) * 4 AS BIGINT) AS n_pixels,
+      |  CAST(h.dhash AS BIGINT) AS dhash,
+      |  MIN(s.doc_id) OVER (PARTITION BY h.dhash) AS dup_of
+      |FROM s JOIN h ON s.doc_id = h.doc_id""".stripMargin
+
   /** m5 — the first LOSSY decoder at the plug-point (r11): each
     * document's bytes become the gray pixels of a synthesized
     * width-8 JPEG ([[Codecs.jpegGrayEncode]], pure-JDK imageio),
@@ -2243,6 +2307,7 @@ object PipelineQueries {
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "d14_dup_spans" -> (d14DupSpans _),
     "d14b_span_scrub" -> (d14bSpanScrub _),
+    "m8_image_dhash" -> (m8ImageDhash _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -2299,6 +2364,7 @@ object PipelineQueries {
     "d13_semdedup_incremental" -> d13Sql,
     "d14_dup_spans" -> d14Sql,
     "d14b_span_scrub" -> d14bSql,
+    "m8_image_dhash" -> m8Sql,
     "t13_gopher_filter" -> t13Sql
   )
 }

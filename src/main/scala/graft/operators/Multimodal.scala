@@ -82,4 +82,44 @@ object Multimodal {
     frames.mapPartitions(it =>
       it.map(f => FrameFeature(f.doc_id, f.frame_idx, decoder(f.frame))))
   }
+
+  /** Integer luma of decoded pixel `i` (channels interleaved r,g,b as
+    * exact small ints): (299r + 587g + 114b) / 1000, floor — the
+    * BT.601 weights in exact integer arithmetic so both engines and
+    * every partitioning agree bit-for-bit.
+    */
+  private def gray(f: Array[Float], i: Int): Int =
+    (f(3 * i).toInt * 299 + f(3 * i + 1).toInt * 587 +
+      f(3 * i + 2).toInt * 114) / 1000
+
+  /** 60-bit difference hash (dHash, the Krawetz aHash/dHash family)
+    * over DECODED frames: bit i = gray(i) > gray(i+1) for the first
+    * 61 pixels — invariant to uniform brightness shifts (every
+    * comparison shifts both sides), one bit-flip per local pixel
+    * edit. 60 bits keeps the sum of powers BIGINT-safe in any engine
+    * (the house 60-bit convention). Frames must decode to ≥ 61 pixels
+    * (the m8 length filter guarantees it; a shorter frame throws
+    * rather than hashing garbage).
+    */
+  def imageDhash(frames: org.apache.spark.sql.Dataset[Frame])(
+      decoder: Array[Byte] => Array[Float]):
+      org.apache.spark.sql.DataFrame = {
+    import frames.sparkSession.implicits._
+    decodeFrames(frames)(decoder)
+      .map { f =>
+        require(f.feature.length >= 3 * 61,
+          s"imageDhash needs >= 61 decoded pixels, got ${f.feature.length / 3}")
+        var hash = 0L
+        var prev = gray(f.feature, 0)
+        var i = 1
+        while (i <= 60) {
+          val g = gray(f.feature, i)
+          if (prev > g) hash |= 1L << (i - 1)
+          prev = g
+          i += 1
+        }
+        (f.doc_id, (f.feature.length / 3).toLong, hash)
+      }
+      .toDF("doc_id", "n_pixels", "dhash")
+  }
 }

@@ -374,4 +374,42 @@ class CodecsSpec extends AnyFunSuite {
       .toMap
     assert(got == expected)
   }
+
+  test("m8 dHash: brightness-shift invariant, local-edit flips few bits, short frame refuses") {
+    import SparkTestSession._
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // 80 pixels of random channel values in [20, 200)
+    val base = Array.fill(80)(Array.fill(3)(20 + rnd.nextInt(180)))
+    def bmpOf(px: Array[Array[Int]]): Array[Byte] =
+      Codecs.bmp24Encode(4, px.length / 4,
+        px.map(c => (c(0) << 16) | (c(1) << 8) | c(2)))
+    def hashOf(id: Long, px: Array[Array[Int]]): Long =
+      Multimodal.imageDhash(
+        Seq(Multimodal.Frame(id, 0L, bmpOf(px))).toDS())(Codecs.bmpChannels)
+        .collect()(0).getLong(2)
+    val h0 = hashOf(1L, base)
+    // +40 on every channel: every gray shifts by the same amount →
+    // every comparison is unchanged → IDENTICAL hash (the perceptual
+    // property that separates dHash from a content hash)
+    val brighter = base.map(_.map(_ + 40))
+    assert(hashOf(2L, brighter) == h0, "uniform brightness must not move dHash")
+    // one pixel edited inside the hashed window flips at most its two
+    // adjacent comparisons
+    val edited = base.map(_.clone())
+    edited(30) = Array(255, 255, 255)
+    val flips = java.lang.Long.bitCount(hashOf(3L, edited) ^ h0)
+    assert(flips >= 1 && flips <= 2, s"local edit flipped $flips bits")
+    // an edit PAST the 61-pixel hash window changes nothing
+    val tail = base.map(_.clone())
+    tail(70) = Array(0, 0, 0)
+    assert(hashOf(4L, tail) == h0, "edit outside the hashed window")
+    // a frame under 61 pixels refuses loudly instead of hashing garbage
+    val tiny = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageDhash(
+        Seq(Multimodal.Frame(5L, 0L, bmpOf(base.take(40)))).toDS())(
+        Codecs.bmpChannels).collect()
+    }
+    assert(tiny.getMessage != null)
+  }
 }

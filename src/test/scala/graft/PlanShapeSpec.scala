@@ -279,6 +279,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: m8 = pushed length-filter scan → in-partition encode/
+    // decode/hash (image bytes never leave the scan) → ONE window
+    // exchange on the 8-byte hash for the dup verdict
+    Shape("m8_image_dhash", maxShuffles = 1, minPushedScans = 1),
     // r12: f23's returned plan joins the two visited CHECKPOINTS (the
     // expansions already ran) + the broadcast 1-row min — membership
     // costs the da⋈db equi-join, never a re-expansion
