@@ -12,7 +12,7 @@ import graft.functions.{BigramStatsExpression, DotProductExpression,
   MinHashWordsExpression, NgramHashesExpression, Phonetics,
   ShinglesExpression, SimHashExpression, TokenHashesExpression,
   TopKAggregate, TopKWeightedAggregate, VectorSumAggregate,
-  WordStatsExpression}
+  WindowFunnelAggregate, WordStatsExpression}
 
 /** The SQL-function surface: every graft function a pure-SQL user
   * needs, as (identifier, info, builder) triples — injected at
@@ -98,6 +98,23 @@ object GraftFunctionRegistry {
             KmvSketchAggregate(v, k).toAggregateExpression()
           case _ => throw new IllegalArgumentException(
             "graft_kmv_sketch(value, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_window_funnel"),
+      new ExpressionInfo(
+        classOf[WindowFunnelAggregate].getName, "graft_window_funnel"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(w: Long, org.apache.spark.sql.types.LongType)) =>
+            WindowFunnelAggregate(ts, step, n, w).toAggregateExpression()
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(w: Int, IntegerType)) =>
+            WindowFunnelAggregate(ts, step, n, w.toLong)
+              .toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_window_funnel(ts_us, step, n_steps: int literal, " +
+              "window_us: long literal)")
         }
       }),
     (FunctionIdentifier("graft_top_k_weighted"),

@@ -1561,6 +1561,59 @@ object Queries {
     * doc). DuckDB's native inequality join is the oracle. Gap is exact
     * integer microseconds (no raw timestamps in outputs — class doc).
     */
+  /** q26 — sliding-window funnel depth (the ClickHouse
+    * `windowFunnel()` aggregate, [[graft.functions
+    * .WindowFunnelAggregate]]): per user, the deepest prefix of
+    * view → click → purchase completed as a non-decreasing-timestamp
+    * chain within 1 hour of the chain's FIRST step. ONE aggregation
+    * whose state is the group's funnel-matching events (merge =
+    * concat, sort once at eval — the ClickHouse state shape); users
+    * whose funnel events never include a view keep a depth-0 row.
+    * Oracle: the EXISTS formulation of the same chain semantics
+    * (depth ≥ k iff a chain of the first k steps exists) — the greedy
+    * latest-chain-start pass is spec-proven equal to brute-force
+    * exists on randomized streams.
+    */
+  def q26WindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .when($"event_type" === "purchase", 3)
+          .otherwise(0).as("step"))
+      .filter($"step" >= 1)
+      .groupBy($"user_id")
+      .agg(graft.functions.WindowFunnelAggregate
+        .windowFunnel($"ts_us", $"step", 3, 3600L * 1000000L)
+        .as("funnel_depth"))
+  }
+
+  val q26Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+      |d3 AS (
+      |  SELECT DISTINCT v.user_id FROM v
+      |  JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+      |    AND c.t <= v.t + 3600000000
+      |  JOIN p ON p.user_id = v.user_id AND p.t >= c.t
+      |    AND p.t <= v.t + 3600000000),
+      |d2 AS (
+      |  SELECT DISTINCT v.user_id FROM v
+      |  JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+      |    AND c.t <= v.t + 3600000000),
+      |d1 AS (SELECT DISTINCT user_id FROM v)
+      |SELECT user_id, CAST(
+      |  CASE WHEN user_id IN (SELECT user_id FROM d3) THEN 3
+      |       WHEN user_id IN (SELECT user_id FROM d2) THEN 2
+      |       WHEN user_id IN (SELECT user_id FROM d1) THEN 1
+      |       ELSE 0 END AS BIGINT) AS funnel_depth
+      |FROM (SELECT DISTINCT user_id FROM e)""".stripMargin
+
   def q24IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
@@ -1662,6 +1715,7 @@ object Queries {
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q24_interval_join" -> (q24IntervalJoin _),
     "q24b_overlap_join" -> (q24bOverlapJoin _),
+    "q26_window_funnel" -> (q26WindowFunnel _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1714,6 +1768,7 @@ object Queries {
     "q22_grouping_sets" -> q22Sql,
     "q24_interval_join" -> q24Sql,
     "q24b_overlap_join" -> q24bSql,
+    "q26_window_funnel" -> q26Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -616,6 +616,62 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r64.getLong(1) - 200.0) < 150.0, s"intersect64 ${r64.getLong(1)}")
   }
 
+  // ---- window funnel (q26) ----
+
+  test("windowFunnel greedy ≡ brute-force exists on randomized streams") {
+    import graft.functions.WindowFunnelAggregate
+    // exists semantics, evaluated literally: depth >= k iff a chain
+    // e1..ek with steps 1..k, non-decreasing ts, all within window of
+    // e1 exists
+    def brute(ev: Seq[(Long, Int)], n: Int, win: Long): Long = {
+      def chainOf(k: Int): Boolean = {
+        def ext(startTs: Long, lastTs: Long, step: Int): Boolean =
+          if (step > k) true
+          else ev.exists { case (t, s) =>
+            s == step && t >= lastTs && t - startTs <= win &&
+              ext(startTs, t, step + 1)
+          }
+        ev.exists { case (t, s) => s == 1 && ext(t, t, 2) }
+      }
+      (1 to n).reverse.find(chainOf).getOrElse(0).toLong
+    }
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 200) {
+      val n = 3
+      val win = 1 + rnd.nextInt(20)
+      val ev = Seq.fill(rnd.nextInt(14))(
+        (rnd.nextInt(30).toLong, 1 + rnd.nextInt(n)))
+      val got = WindowFunnelAggregate.depth(ev, n, win.toLong)
+      val want = brute(ev, n, win.toLong)
+      assert(got == want,
+        s"trial $trial: greedy $got != brute $want on win=$win ev=$ev")
+    }
+  }
+
+  test("windowFunnel: partition-invariant, tie chains, window edge, SQL face") {
+    import graft.functions.WindowFunnelAggregate.windowFunnel
+    import spark.implicits._
+    // exact window edge: purchase at start + win chains; +1 beyond drops
+    val edge = Seq((1L, 0L, 1), (1L, 50L, 2), (1L, 100L, 3),
+      (2L, 0L, 1), (2L, 50L, 2), (2L, 101L, 3),
+      (3L, 10L, 1), (3L, 10L, 2), (3L, 10L, 3)) // ties chain (≤ rule)
+      .toDF("user_id", "ts_us", "step")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy(col("user_id"))
+        .agg(windowFunnel(col("ts_us"), col("step"), 3, 100L).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(edge)
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 3L), got.toString)
+    assert(run(edge.repartition(7)) == got, "repartition moved the depth")
+    GraftFunctionRegistry.registerAll(spark)
+    edge.createOrReplaceTempView("funnel_in")
+    val viaSql = spark.sql(
+      """SELECT user_id, graft_window_funnel(ts_us, step, 3, 100L) AS d
+        |FROM funnel_in GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == got)
+  }
+
   test("kmv SQL faces registered: graft_kmv_distinct / graft_kmv_sketch") {
     GraftFunctionRegistry.registerAll(spark)
     import spark.implicits._

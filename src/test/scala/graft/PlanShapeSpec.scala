@@ -279,6 +279,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: q26 = projected event scan → ONE funnel aggregate whose
+    // partials carry the group's funnel events (map-side combine);
+    // a second exchange means the chain logic fell back to joins
+    Shape("q26_window_funnel", maxShuffles = 1),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict
