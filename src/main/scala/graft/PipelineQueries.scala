@@ -335,6 +335,67 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** s8 — MMR-diversified ANN top-k ([[Similarity.mmrTopK]], λ=0.7,
+    * shortlist 40, k=8): every greedy decision is integer-exact
+    * (rel4/sim4 = round(round(cos,4)·10⁴) as BIGINT, score =
+    * 7·rel4 − 3·maxSim4, ties → smaller id), so the DuckDB oracle —
+    * the SAME greedy UNROLLED as 8 CTE steps (step n: max-sim against
+    * chosen(n−1), window argmax, union into chosen(n)) — hash-gates
+    * every selection, not just the final set.
+    */
+  def s8AnnMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.mmrTopK(e, e.filter(col("vec_id") < 10),
+      shortlist = 40, k = 8)
+  }
+
+  val s8Sql: String = {
+    def sc4(a: String, b: String) =
+      s"CAST(round(round(${duckCos(a, b)}, 4) * 10000) AS BIGINT)"
+    val steps = (2 to 8).map { n =>
+      s"""ms$n AS (
+         |  SELECT c.query_id, c.nid, MAX(${sc4("c.cv", "h.cv")}) AS msim4
+         |  FROM cand c JOIN chosen${n - 1} h USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM chosen${n - 1} x
+         |    WHERE x.query_id = c.query_id AND x.nid = c.nid)
+         |  GROUP BY c.query_id, c.nid),
+         |pick$n AS (
+         |  SELECT query_id, nid, score FROM (
+         |    SELECT m.query_id, m.nid, 7 * c.rel4 - 3 * m.msim4 AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY m.query_id
+         |        ORDER BY 7 * c.rel4 - 3 * m.msim4 DESC, m.nid) AS rn
+         |    FROM ms$n m JOIN cand c
+         |      ON c.query_id = m.query_id AND c.nid = m.nid)
+         |  WHERE rn = 1),
+         |chosen$n AS MATERIALIZED (
+         |  SELECT * FROM chosen${n - 1}
+         |  UNION ALL
+         |  SELECT p.query_id, p.nid, c.cv, p.score, $n AS rank
+         |  FROM pick$n p JOIN cand c
+         |    ON c.query_id = p.query_id AND c.nid = p.nid)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |cand0 AS (
+       |  SELECT q.query_id, e.vec_id AS nid, e.v AS cv,
+       |    ${sc4("qv", "e.v")} AS rel4
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, nid, cv, rel4 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel4 DESC, nid) AS rn FROM cand0)
+       |  WHERE rn <= 40),
+       |chosen1 AS MATERIALIZED (
+       |  SELECT query_id, nid, cv, 7 * rel4 AS score, 1 AS rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel4 DESC, nid) AS rn FROM cand)
+       |  WHERE rn = 1)$steps
+       |SELECT query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(score AS BIGINT) AS mmr_scaled
+       |FROM chosen8""".stripMargin
+  }
+
   def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, numPlanes = 8)
@@ -2308,6 +2369,7 @@ object PipelineQueries {
     "d14_dup_spans" -> (d14DupSpans _),
     "d14b_span_scrub" -> (d14bSpanScrub _),
     "m8_image_dhash" -> (m8ImageDhash _),
+    "s8_ann_mmr" -> (s8AnnMmr _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -2365,6 +2427,7 @@ object PipelineQueries {
     "d14_dup_spans" -> d14Sql,
     "d14b_span_scrub" -> d14bSql,
     "m8_image_dhash" -> m8Sql,
+    "s8_ann_mmr" -> s8Sql,
     "t13_gopher_filter" -> t13Sql
   )
 }

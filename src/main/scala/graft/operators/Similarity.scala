@@ -850,4 +850,125 @@ object Similarity {
     topKPerQuery(
       scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
   }
+
+  /** One MMR candidate: id, 4dp-scaled relevance-to-query, embedding. */
+  final case class MmrCand(nid: Long, rel4: Long, cv: Seq[Float])
+
+  /** s8 — MMR-diversified top-k (Maximal Marginal Relevance, Carbonell
+    * & Goldstein, SIGIR 1998): after ANN retrieval, greedily re-rank a
+    * bounded shortlist so each pick balances relevance to the query
+    * against redundancy with what's already picked — the diversity
+    * pass a training-data sampler runs so "top-k nearest" doesn't
+    * return k near-copies. λ = 0.7 fixed, and every quantity is
+    * INTEGER-exact so both engines and any partitioning agree
+    * bit-for-bit on every greedy decision (the q20b/q24 rationale at
+    * selection grain): rel4/sim4 = round(round(cos, 4) · 10⁴) as
+    * BIGINT, score = 7·rel4 − 3·max(sim4 over picked), ties → smaller
+    * neighbor id. The shortlist itself ranks by (rel4 DESC, id) — the
+    * ROUNDED integer — so shortlist membership can't diverge on raw
+    * double ordering either.
+    *
+    * Scale shape: scoring is s1's broadcast-query scan; the shortlist
+    * window bounds each query's candidate set to `shortlist` rows;
+    * the greedy runs IN-PARTITION on collected per-query arrays
+    * (shortlist-bounded structs — k·shortlist sims per query, never a
+    * pairwise join), so the only exchanges are the shortlist window
+    * and the per-query grouping. Nothing is corpus² anywhere.
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      shortlist: Int = 40,
+      k: Int = 8): DataFrame = {
+    require(shortlist >= k, s"mmrTopK: shortlist ($shortlist) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("cv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("query_id"))
+      .withColumn("rel4",
+        round(round(Dedup.cosineWithNorms(col("qv"), col("cv"),
+          col("qn"), col("cn")), 4) * 10000).cast("long"))
+    val short = scored
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rel4").desc, col("nid"))))
+      .filter(col("__rn") <= shortlist)
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("nid"), col("rel4"), col("cv"))).as("cands"))
+      .as[(Long, Seq[MmrCand])]
+    short.flatMap { case (qid, cands0) =>
+      val cands = cands0.toArray
+      val n = cands.length
+      val norms = cands.map(cd => math.sqrt(selfDot(cd.cv)))
+      val picked = Array.fill(n)(false)
+      // max sim4 vs picked so far — the LITERAL max (negative when the
+      // pick set is anti-correlated with the candidate: redundancy can
+      // be a bonus), unset until the first pick lands; every survivor
+      // is refreshed after each pick, so from rank 2 on it is the true
+      // max over the picked set
+      val maxSim4 = Array.fill(n)(Long.MinValue)
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var bestNid = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val sc = 7L * cands(i).rel4 -
+              (if (r == 1) 0L else 3L * maxSim4(i))
+            if (sc > bestScore || (sc == bestScore && cands(i).nid < bestNid)) {
+              best = i; bestScore = sc; bestNid = cands(i).nid
+            }
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((qid, cands(best).nid, r.toLong, bestScore))
+        // fold the new pick into every survivor's redundancy term
+        var j = 0
+        while (j < n) {
+          if (!picked(j)) {
+            val s4 = sim4(cands(j).cv, norms(j), cands(best).cv, norms(best))
+            if (s4 > maxSim4(j)) maxSim4(j) = s4
+          }
+          j += 1
+        }
+        r += 1
+      }
+      out.result()
+    }.toDF("query_id", "neighbor_id", "rank", "mmr_scaled")
+  }
+
+  /** Sequential float-to-double dot — the [[graft.functions
+    * .DotProductExpression]] fold, element order and double adds
+    * identical to both engines' array dot.
+    */
+  private def selfDot(v: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s
+  }
+
+  /** round(round(cos, 4) · 10⁴) as the exact integer both engines
+    * compute: 4dp via BigDecimal HALF_UP (= SQL round), then the
+    * scale-up rounds away the 1e-12 binary residue.
+    */
+  private def sim4(a: Seq[Float], na: Double, b: Seq[Float], nb: Double): Long = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    val r4 = java.math.BigDecimal.valueOf(s / (na * nb))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    math.round(r4 * 10000.0)
+  }
 }

@@ -1563,6 +1563,97 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked == out.size, "no extra windows beyond the decode")
   }
 
+  // ---- s8 MMR-diversified top-k ----
+
+  test("s8 mmrTopK ≡ independent greedy reference on randomized corpora") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def cosS4(a: Seq[Float], b: Seq[Float]): Long = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.round(JBD.valueOf(c)
+        .setScale(4, RoundingMode.HALF_UP).doubleValue() * 10000.0)
+    }
+    // independent evaluator: recompute max-sim from scratch each round
+    // (the operator folds incrementally — different code shape)
+    def reference(vecs: Map[Long, Seq[Float]], qid: Long, shortlist: Int,
+        k: Int): Seq[(Long, Long, Long, Long)] = {
+      val rel = vecs.collect { case (i, v) if i != qid =>
+        i -> cosS4(vecs(qid), v) }
+      val cand = rel.toSeq.sortBy { case (i, r) => (-r, i) }.take(shortlist)
+      var sel = Vector.empty[Long]
+      (1 to math.min(k, cand.size)).map { r =>
+        val scored = cand.filterNot { case (i, _) => sel.contains(i) }
+          .map { case (i, rl) =>
+            val pen = if (sel.isEmpty) 0L
+              else sel.map(s => cosS4(vecs(i), vecs(s))).max
+            (i, 7L * rl - 3L * pen)
+          }
+        val (bi, bs) = scored.minBy { case (i, sc) => (-sc, i) }
+        sel :+= bi
+        (qid, bi, r.toLong, bs)
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val n = 25 + rnd.nextInt(10)
+      val vecs = (0L until n.toLong).map(i =>
+        i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)).toMap
+      val df = vecs.toSeq.map { case (i, v) => (i, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.mmrTopK(
+        df, df.filter(col("vec_id") < 2), shortlist = 12, k = 6)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = (0L until 2L).flatMap(reference(vecs, _, 12, 6)).toSet
+      assert(got == want, s"trial $trial: ${got -- want} vs ${want -- got}")
+    }
+  }
+
+  test("s8 mmrTopK diversifies: near-copies demoted, anti-correlation is a bonus") {
+    import spark.implicits._
+    // query along +x; cluster A: three near-copies sharing one
+    // residual direction; b: EQUALLY relevant but orthogonal residual
+    // — plain top-3 would take all three A's (marginally higher rel),
+    // while MMR's redundancy term (twins ≈ 1.0, b vs A ≈ 0.64) must
+    // pull b to rank 2
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val a1 = Seq(0.80f, 0.60f, 0.00f, 0.0f)
+    val a2 = Seq(0.80f, 0.599f, 0.001f, 0.0f)
+    val a3 = Seq(0.80f, 0.601f, 0.000f, 0.001f)
+    val b = Seq(0.799f, 0.00f, 0.60f, 0.0f)
+    val df = Seq((0L, q), (1L, a1), (2L, a2), (3L, a3), (4L, b))
+      .toDF("vec_id", "embedding")
+    val picks = graft.operators.Similarity.mmrTopK(
+      df, df.filter(col("vec_id") === 0L), shortlist = 4, k = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(picks(1L) != 4L && picks(2L) == 4L,
+      s"rank 2 must diversify to b: $picks")
+    // anti-correlated pair: the literal max-sim is NEGATIVE, so the
+    // second pick's score EXCEEDS 7·rel4 (redundancy term is a bonus
+    // — the semantics the oracle pinned, and exactly the case the
+    // max(0, ·) floor a naive implementation writes would get wrong)
+    def cosS4(a: Seq[Float], b: Seq[Float]): Long = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.round(java.math.BigDecimal.valueOf(c)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() * 10000.0)
+    }
+    val v0 = Seq(1.0f, 0.0f); val v1 = Seq(0.9f, 0.1f); val v2 = Seq(-0.5f, 0.9f)
+    val df2 = Seq((0L, v0), (1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.mmrTopK(
+      df2, df2.filter(col("vec_id") === 0L), shortlist = 2, k = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3))).toSet
+    val want2 = (2L, 2L, 7L * cosS4(v0, v2) - 3L * cosS4(v2, v1))
+    assert(rows.contains(want2),
+      s"anti-correlated second pick must carry the negative-sim bonus " +
+        s"(want $want2): $rows")
+    assert(want2._3 > 7L * cosS4(v0, v2), "the bonus must be positive")
+  }
+
   // ---- d14 exact duplicated-substring runs ----
 
   private def spansOf(df: org.apache.spark.sql.DataFrame)

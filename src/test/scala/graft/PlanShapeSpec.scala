@@ -279,6 +279,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: s8 = s1's broadcast-query scoring scan → ONE query-keyed
+    // exchange shared by the shortlist window AND the per-query
+    // grouping (clustering reuse) → in-partition greedy on bounded
+    // arrays; a second exchange means the greedy leaked into joins
+    Shape("s8_ann_mmr", maxShuffles = 1, minBroadcasts = 1),
     // r12: q26 = projected event scan → ONE funnel aggregate whose
     // partials carry the group's funnel events (map-side combine);
     // a second exchange means the chain logic fell back to joins
