@@ -731,6 +731,72 @@ object Streams {
       }
   }
 
+  final case class FunnelEvt(user_id: Long, ts: java.sql.Timestamp, step: Int)
+  final case class FunnelState(best_depth: Int, events: Seq[(Long, Int)])
+  final case class FunnelOut(user_id: Long, funnel_depth: Long)
+
+  /** st19 — the STREAMING funnel: q26's `windowFunnel` depth served
+    * continuously per user ([[graft.functions.WindowFunnelAggregate]]
+    * semantics exactly — non-decreasing-ts chains within `windowMs`
+    * of the chain's first step). Custom state via
+    * flatMapGroupsWithState, and the state bound is EXACT, not a
+    * heuristic: a chain spans at most `windowMs`, and Spark drops
+    * events below the watermark, so any chain involving a FUTURE
+    * event lies entirely at ts ≥ watermark − windowMs — buffered
+    * events older than that can never join another chain and evict
+    * losslessly. State per active user = (monotone best depth, the
+    * events inside that horizon); every batch re-runs the shared
+    * greedy kernel over the bounded buffer and emits the user's
+    * updated depth. Chains SPANNING micro-batches are found (the
+    * buffer holds the live horizon), and a late event beyond the
+    * watermark is dropped by the engine before it can corrupt a
+    * depth — the at-most-once contract of st17 (spec-asserted).
+    * Idle users time out `windowMs` past their last event once the
+    * watermark passes: every still-possible chain has closed, the
+    * final depth was already emitted.
+    */
+  def funnelStream(
+      events: DataFrame,
+      nSteps: Int = 3,
+      windowMs: Long = 3600 * 1000L,
+      watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("step").cast("int").as("step"))
+      .as[FunnelEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FunnelEvt], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = it
+              .filter(e => e.step >= 1 && e.step <= nSteps)
+              .map(e => (e.ts.getTime, e.step)).toSeq
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption.getOrElse(FunnelState(0, Nil))
+              val all = prev.events ++ incoming
+              val depth = math.max(prev.best_depth.toLong,
+                graft.functions.WindowFunnelAggregate
+                  .depth(all, nSteps, windowMs)).toInt
+              // exact eviction: below watermark − window nothing can
+              // chain with a future (≥ watermark) event
+              val wm = state.getCurrentWatermarkMs()
+              val kept = all.filter(_._1 >= wm - windowMs)
+              val lastMs = all.map(_._1).max
+              state.update(FunnelState(depth, kept))
+              state.setTimeoutTimestamp(lastMs + windowMs)
+              Iterator.single(FunnelOut(uid, depth.toLong))
+            }
+          }
+      }
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

@@ -1225,6 +1225,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st19 streaming funnel: cross-batch chains, watermark drop, batch-q26 parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, Timestamp, Int)]
+    val q = Streams.funnelStream(
+      in.toDF().toDF("user_id", "ts", "step"),
+      nSteps = 3, windowMs = 30 * 60 * 1000L, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("st19_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    def latest(): Map[Long, Long] =
+      spark.table("st19_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    try {
+      // batch 1: user 1 starts a chain (view@0, click@10); user 2 only clicks
+      in.addData((1L, t(0), 1), (1L, t(10), 2), (2L, t(5), 2))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> 2L, 2L -> 0L), latest().toString)
+      // batch 2: the purchase lands 25 min after the view — INSIDE the
+      // 30-min window, chain completes ACROSS batches
+      in.addData((1L, t(25), 3))
+      q.processAllAvailable()
+      assert(latest()(1L) == 3L, "cross-batch chain must complete")
+      // user 3: view@21 + purchase@34 with no click — depth stays 1;
+      // a complete fresh chain in the next batch lifts it to 3
+      in.addData((3L, t(21), 1), (3L, t(34), 3))
+      q.processAllAvailable()
+      assert(latest()(3L) == 1L)
+      in.addData((3L, t(40), 1), (3L, t(54), 2), (3L, t(56), 3))
+      q.processAllAvailable()
+      assert(latest()(3L) == 3L, "the fresh complete chain must win")
+      // depth equals batch q26's aggregate over the same live events
+      val depth26 = Seq((3L, t(40).getTime * 1000, 1),
+        (3L, t(54).getTime * 1000, 2), (3L, t(56).getTime * 1000, 3),
+        (3L, t(21).getTime * 1000, 1), (3L, t(34).getTime * 1000, 3))
+        .toDF("user_id", "ts_us", "step")
+        .groupBy(org.apache.spark.sql.functions.col("user_id"))
+        .agg(graft.functions.WindowFunnelAggregate
+          .windowFunnel(org.apache.spark.sql.functions.col("ts_us"),
+            org.apache.spark.sql.functions.col("step"), 3,
+            30L * 60 * 1000 * 1000)
+          .as("d"))
+        .collect()(0).getLong(1)
+      assert(depth26 == 3L, "batch twin parity")
+      // advance the watermark far ahead, then send a LATE view for
+      // user 2 — dropped at the watermark, depth must not move
+      in.addData((9L, t(59), 1))
+      q.processAllAvailable()
+      in.addData((2L, t(6), 1))
+      q.processAllAvailable()
+      assert(latest()(2L) == 0L, "late event beyond the watermark must drop")
+    } finally q.stop()
+  }
+
   test("st18 streaming cardinality: served == batch recompute, replay-proof, compact-invariant") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
