@@ -2171,6 +2171,58 @@ object PipelineQueries {
        |  AS distinct_shingles
        |FROM sh GROUP BY source""".stripMargin
 
+  /** d15 — the SOURCE-OVERLAP matrix from stored sketches: estimated
+    * shared-shingle count and Jaccard for every source pair, computed
+    * ENTIRELY from the per-source KMV sketches (q25's aggregate —
+    * [[graft.functions.Kmv.intersectEstimate]]/[[graft.functions.Kmv
+    * .jaccardEstimate]]) — the "which crawls overlap / did an eval
+    * set leak between sources" audit. The corpus is scanned ONCE to
+    * build ≤ k-long sketches; the pair grid is sources² sketch rows
+    * (broadcast — source cardinality is catalog-bounded), never a
+    * value-grain pair join. In the unsaturated regime the estimates
+    * are EXACT (the sketch holds every hash), which is what the
+    * DuckDB oracle — literal COUNT(DISTINCT) set algebra per pair —
+    * gates; Jaccard rides 6dp-rounded (one double division of
+    * identical integer operands on both engines).
+    */
+  def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val k = 16384
+    val sk = docs(s, dir)
+      .select(col("source"),
+        explode(Dedup.shinglesN(col("text"), 3)).as("g"))
+      .groupBy(col("source"))
+      .agg(Kmv.kmvSketch(col("g"), k).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        Kmv.intersectEstimate(col("ska"), col("skb"), k).as("shared"),
+        round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
+          .as("jaccard"))
+  }
+
+  val d15Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, ${duckWords("text")} AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source, unnest(${duckShinglesN(3)}) AS g
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source)
+       |SELECT sa.source AS source_a, sb.source AS source_b,
+       |  coalesce(p.shared, 0) AS shared,
+       |  round(CAST(coalesce(p.shared, 0) AS DOUBLE) /
+       |    CAST(sa.n + sb.n - coalesce(p.shared, 0) AS DOUBLE), 6)
+       |    AS jaccard
+       |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+       |LEFT JOIN pairs p
+       |  ON p.source_a = sa.source AND p.source_b = sb.source""".stripMargin
+
   /** q23 — heavy hitters per source through the MERGEABLE top-k
     * sketch ([[graft.functions.TopKAggregate]] — the ClickHouse
     * `topK()` surface): top-5 terms per source as ONE aggregation
@@ -2368,6 +2420,7 @@ object PipelineQueries {
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "d14_dup_spans" -> (d14DupSpans _),
     "d14b_span_scrub" -> (d14bSpanScrub _),
+    "d15_source_overlap" -> (d15SourceOverlap _),
     "m8_image_dhash" -> (m8ImageDhash _),
     "s8_ann_mmr" -> (s8AnnMmr _),
     "t13_gopher_filter" -> (t13GopherFilter _)
@@ -2426,6 +2479,7 @@ object PipelineQueries {
     "d13_semdedup_incremental" -> d13Sql,
     "d14_dup_spans" -> d14Sql,
     "d14b_span_scrub" -> d14bSql,
+    "d15_source_overlap" -> d15Sql,
     "m8_image_dhash" -> m8Sql,
     "s8_ann_mmr" -> s8Sql,
     "t13_gopher_filter" -> t13Sql

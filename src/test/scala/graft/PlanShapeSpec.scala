@@ -279,6 +279,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: d15 = ONE corpus scan into per-source sketches (the q25
+    // exchange) + a broadcast sources² sketch grid; the pair algebra
+    // runs on ≤k-long arrays — no value-grain pair join anywhere
+    Shape("d15_source_overlap", maxShuffles = 2, minBroadcasts = 1),
     // r12: s8 = s1's broadcast-query scoring scan → ONE query-keyed
     // exchange shared by the shortlist window AND the per-query
     // grouping (clustering reuse) → in-partition greedy on bounded
