@@ -115,14 +115,20 @@ object Cli {
 
       case "ingest" :: table :: path :: rest =>
         val ts = rest.headOption.getOrElse("2026-01-01 00:00:00")
-        // name props carry prop_type=name (the FTM schema model's
-        // typing, which the fpx feed filters on — statements.py:51-57)
+        // optional 4th arg: comma-separated reference props to type as
+        // prop_type=entity (FTM schema refs like parent/ownershipOwner
+        // — what `traverse` walks); name props carry prop_type=name
+        // (the FTM schema model's typing, which the fpx feed filters
+        // on — statements.py:51-57)
+        val entityProps = rest.drop(1).headOption
+          .map(_.split(",").toSeq).getOrElse(Seq.empty)
         // same id mint as the programmatic write path
         // (Statements.statementId: sha256-40 over
         // dataset.entity_id.prop.value) — a CLI-ingested statement and
         // an unpivot-written one must collapse under the same
         // ReplacingMergeTree key, or upserts silently duplicate
-        val stmts = FtmJson.statements(spark, path, Map("name" -> "name"))
+        val stmts = FtmJson.statements(spark, path,
+          Map("name" -> "name") ++ entityProps.map(_ -> "entity"))
           .withColumn("id",
             Statements.statementId(col("dataset"), col("entity_id"),
               col("prop"), col("value"), lit(false)))
@@ -265,6 +271,25 @@ object Cli {
           .collect()
           .foreach(r => println(r.mkString("\t")))
 
+      // traverse <table> <seed entity_id> [hops] — everything within
+      // `hops` of the seed over the stored graph's entity-type props
+      // (f22's BFS against the live StatementStore), printed as
+      // (entity_id, hops) ascending
+      case "traverse" :: table :: seedId :: rest if rest.length <= 1 =>
+        val hops = rest.headOption.map(_.toInt).getOrElse(2)
+        val stmts = StatementStore.readFinal(spark, table)
+        val edges = stmts
+          .filter(org.apache.spark.sql.functions.col("prop_type") === "entity")
+          .select(
+            org.apache.spark.sql.functions.col("entity_id").as("src"),
+            org.apache.spark.sql.functions.col("value").as("dst"))
+        import spark.implicits._
+        graft.operators.Traverse
+          .khop(edges, Seq(seedId).toDF("id"), hops)
+          .orderBy("hops", "id")
+          .collect()
+          .foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+
       case "query" :: table :: opts =>
         val kv = opts.map(_.split("=", 2)).collect {
           case Array(k, v) => (k, v)
@@ -284,7 +309,7 @@ object Cli {
 
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|query, " +
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query, " +
             s"got: $other")
     }
 }

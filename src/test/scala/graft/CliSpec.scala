@@ -296,4 +296,39 @@ class CliSpec extends AnyFunSuite {
     assert(fin.collect()(0).getAs[java.sql.Timestamp]("last_seen")
       .toString.startsWith("2026-03-01"))
   }
+
+  test("cli traverse: k-hop over entity props of a CLI-ingested store") {
+    import spark.implicits._
+    clean("cli_trav", "cli_trav_fpx")
+    // org ← person chain: o1 ← p1 ← (owns) — p2 shares the org; p3 is
+    // a disconnected island
+    val entities = Seq(
+      ("p1", "Person", Seq("ds"),
+        Map("name" -> Seq("Ann"), "parent" -> Seq("o1"))),
+      ("p2", "Person", Seq("ds"),
+        Map("name" -> Seq("Bob"), "parent" -> Seq("o1"))),
+      ("c1", "Company", Seq("ds"),
+        Map("name" -> Seq("Shell Co"), "owner" -> Seq("p1"))),
+      ("p3", "Person", Seq("ds"), Map("name" -> Seq("Eve"))))
+      .toDF("id", "schema", "datasets", "properties")
+    graft.sources.FtmJson.writeEntities(entities, "/tmp/graft_cli_trav_in")
+    Cli.run(spark, List("init", "cli_trav"))
+    Cli.run(spark, List("ingest", "cli_trav", "/tmp/graft_cli_trav_in",
+      "2026-01-01 00:00:00", "parent,owner"))
+    def trav(seed: String, hops: Int): Map[String, Int] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        Cli.run(spark, List("traverse", "cli_trav", seed, hops.toString))
+      }
+      out.toString.linesIterator.map { l =>
+        val Array(id, h) = l.split("\t"); id -> h.toInt
+      }.toMap
+    }
+    // from c1: owner p1 (1), p1's org o1 (2), o1's other member p2 (3)
+    assert(trav("c1", 3) ==
+      Map("c1" -> 0, "p1" -> 1, "o1" -> 2, "p2" -> 3))
+    // hop budget cuts the walk; the island never appears
+    assert(trav("c1", 1) == Map("c1" -> 0, "p1" -> 1))
+    assert(!trav("c1", 5).contains("p3"))
+  }
 }
