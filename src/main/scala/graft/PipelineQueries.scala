@@ -1765,6 +1765,49 @@ object PipelineQueries {
       |  CAST(max(px) AS BIGINT) AS max_px
       |FROM v GROUP BY doc_id""".stripMargin
 
+  /** m9 — the DICTIONARY-codec class at the plug-point (r12): each
+    * document's bytes become the palette indices of a synthesized
+    * width-8 grayscale GIF ([[Codecs.gifGrayEncode]] — REAL LZW,
+    * variable 9→12-bit codes, mid-stream CLEAR resets on long docs),
+    * decoded back inside the partition by the hand-rolled
+    * [[Codecs.gifGrayWithDims]] through the same `decodeFrames`
+    * contract as m2b/m3/m5/m6. GIF is lossless, so the oracle gates
+    * the decoded VALUES (count/sum/min/max from character codes) —
+    * any LZW bit-width desync or dictionary error anywhere fails the
+    * hash — and CodecsSpec additionally cross-validates both codec
+    * sides against the JDK's independent GIF implementation
+    * (including its interlaced writer output). Zero shuffles.
+    */
+  def m9GifDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m9 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val h = b.length / 8
+        val px = new Array[Int](8 * h)
+        var i = 0
+        while (i < px.length) { px(i) = b(i) & 0xff; i += 1 }
+        Multimodal.Frame(id, 0L, Codecs.gifGrayEncode(8, h, px))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.gifGrayWithDims)
+      .map { f =>
+        val px = f.feature.drop(2).map(_.toLong)
+        (f.doc_id, f.feature(0).toLong, f.feature(1).toLong,
+          px.length.toLong, px.sum, px.min, px.max)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_px",
+        "min_px", "max_px")
+  }
+
+  /** m9's DuckDB twin — identical to m6's (both lossless, same
+    * synthesis rule): pixel statistics from character codes. */
+  val m9Sql: String = m6Sql
+
   /** m7 — windowed SPECTRUM over the decoded audio: per 64-sample
     * window, signal power in six square-wave frequency bands — the
     * Rademacher basis, i.e. the single-bit rows of the 64-point
@@ -2422,6 +2465,7 @@ object PipelineQueries {
     "d14b_span_scrub" -> (d14bSpanScrub _),
     "d15_source_overlap" -> (d15SourceOverlap _),
     "m8_image_dhash" -> (m8ImageDhash _),
+    "m9_gif_decode" -> (m9GifDecode _),
     "s8_ann_mmr" -> (s8AnnMmr _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
@@ -2481,6 +2525,7 @@ object PipelineQueries {
     "d14b_span_scrub" -> d14bSql,
     "d15_source_overlap" -> d15Sql,
     "m8_image_dhash" -> m8Sql,
+    "m9_gif_decode" -> m9Sql,
     "s8_ann_mmr" -> s8Sql,
     "t13_gopher_filter" -> t13Sql
   )

@@ -548,4 +548,229 @@ object Codecs {
     }
     out
   }
+
+  // ===========================================================
+  // GIF87a (LZW) — the DICTIONARY-codec class (PNG covered the
+  // predictive-filter + deflate class, JPEG the lossy-transform
+  // class). Grayscale via a 256-entry gray global color table;
+  // pixel index = gray value, so the codec is LOSSLESS and
+  // cross-engine oracles recompute features from the synthesis
+  // rule bit-for-bit (the bmp/png contract). Both sides are
+  // hand-rolled and the SPEC cross-validates each against the
+  // JDK's independent GIF implementation (javax.imageio ships a
+  // reader AND writer): myDecode∘myEncode, imageioDecode∘myEncode,
+  // and myDecode∘imageioEncode must all be identity — any LZW
+  // bit-width off-by-one desyncs one of the three.
+  // ===========================================================
+
+  private val gifHeader = "GIF87a".getBytes("US-ASCII")
+
+  /** Encode grayscale pixels (row-major, 0–255) as a single-image
+    * non-interlaced GIF87a with a 256-gray global color table and
+    * REAL LZW compression (variable code width 9→12, dictionary
+    * reset via CLEAR when the 12-bit space fills — the uncompressed-
+    * GIF trick is not used, so decoders exercise real dict growth).
+    */
+  def gifGrayEncode(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"gifGrayEncode: ${gray.length} pixels for ${width}x$height")
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"bad dimensions ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gifHeader)
+    // logical screen descriptor: GCT present, 8 bits, 256 entries
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // image descriptor at (0,0), no local table, not interlaced
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0)
+    out.write(8) // LZW minimum code size
+    // LZW: clear=256, eoi=257; bit-packed LSB-first into 255-byte
+    // sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def flushByte(): Unit =
+      while (bitCnt >= 8) {
+        data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize; flushByte()
+    }
+    val Clear = 256; val Eoi = 257
+    var dict = new java.util.HashMap[Long, Integer]()
+    var nextFree = 258
+    emit(Clear)
+    var prefix = gray(0) & 0xff
+    i = 1
+    while (i < gray.length) {
+      val b = gray(i) & 0xff
+      val key = (prefix.toLong << 8) | b
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        emit(prefix)
+        dict.put(key, Integer.valueOf(nextFree))
+        nextFree += 1
+        // widen AFTER the add the decoder will mirror one step later
+        if (nextFree == (1 << codeSize) + 1) {
+          if (codeSize < 12) codeSize += 1
+          else { emit(Clear); dict = new java.util.HashMap(); nextFree = 258; codeSize = 9 }
+        }
+        prefix = b
+      }
+      i += 1
+    }
+    emit(prefix)
+    emit(Eoi)
+    if (bitCnt > 0) { data.write((bitBuf & 0xff).toInt) }
+    // sub-blocks
+    val payload = data.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      out.write(n)
+      out.write(payload, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a single-image non-interlaced 8-bit GIF (87a or 89a; 89a
+    * extension blocks are skipped) whose image uses the global color
+    * table. Returns `[width, height, px...]` where px is the PALETTE
+    * INDEX as an exact Float — for the gray fixtures index = gray, and
+    * index-level decode keeps the contract engine-recomputable for
+    * ANY palette. Throws `IllegalArgumentException` on anything
+    * undecodable — wrong signature, missing color table, interlace,
+    * truncated data, bad LZW codes — per the Codecs loud-failure
+    * contract.
+    */
+  def gifGrayWithDims(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length > 13 + 10, "GIF too short")
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    require(hdr == "GIF87a" || hdr == "GIF89a", s"not a GIF payload: $hdr")
+    def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global color table")
+    val gctSize = 2 << (packed & 7)
+    var pos = 13 + 3 * gctSize
+    // skip 89a extension blocks (0x21 label, sub-blocks to 0)
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2
+      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+      pos += 1
+    }
+    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2c,
+      s"expected image descriptor at $pos")
+    val width = u16(pos + 5); val height = u16(pos + 7)
+    val ipacked = bytes(pos + 9) & 0xff
+    val interlaced = (ipacked & 0x40) != 0
+    require((ipacked & 0x80) == 0, "local color table unsupported")
+    pos += 10
+    val minCode = bytes(pos) & 0xff
+    require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+    pos += 1
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while ((bytes(pos) & 0xff) != 0) {
+      val n = bytes(pos) & 0xff
+      require(pos + 1 + n <= bytes.length, "sub-block overruns payload")
+      data.write(bytes, pos + 1, n)
+      pos += 1 + n
+    }
+    val lzw = data.toByteArray
+    val Clear = 1 << minCode; val Eoi = Clear + 1
+    val maxEntries = 4096
+    val prefixOf = new Array[Int](maxEntries)
+    val suffixOf = new Array[Int](maxEntries)
+    val out = new Array[Float](2 + width * height)
+    out(0) = width.toFloat; out(1) = height.toFloat
+    var outPos = 2
+    var bitPos = 0
+    def read(n: Int): Int = {
+      require(bitPos + n <= lzw.length * 8, "LZW stream truncated")
+      var v = 0; var got = 0
+      while (got < n) {
+        val byte = lzw(bitPos >> 3) & 0xff
+        v |= ((byte >> (bitPos & 7)) & 1) << got
+        got += 1; bitPos += 1
+      }
+      v
+    }
+    def emitStr(code: Int): Int = { // writes string of `code`, returns first index
+      var stack = List.empty[Int]
+      var c = code
+      while (c >= Clear + 2) { stack ::= suffixOf(c); c = prefixOf(c) }
+      stack ::= c
+      val first = stack.head
+      stack.foreach { px =>
+        require(outPos < out.length, "LZW decodes past the pixel count")
+        require(px < gctSize, s"palette index $px outside the color table")
+        out(outPos) = px.toFloat; outPos += 1
+      }
+      first
+    }
+    var codeSize = minCode + 1
+    var nextFree = Clear + 2
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read(codeSize)
+      if (code == Clear) {
+        codeSize = minCode + 1; nextFree = Clear + 2; prev = -1
+      } else if (code == Eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < Clear, s"first code after clear must be a root, got $code")
+        emitStr(code)
+        prev = code
+      } else {
+        require(code <= nextFree, s"LZW code $code beyond dictionary")
+        val first =
+          if (code < nextFree) emitStr(code)
+          else { // KwKwK: str(prev) + first(str(prev))
+            var c = prev
+            while (c >= Clear + 2) c = prefixOf(c)
+            emitStr(prev)
+            require(outPos < out.length, "LZW decodes past the pixel count")
+            out(outPos) = c.toFloat; outPos += 1
+            c
+          }
+        if (nextFree < maxEntries) {
+          prefixOf(nextFree) = prev; suffixOf(nextFree) = first
+          nextFree += 1
+          if (nextFree == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(outPos == out.length,
+      s"decoded ${outPos - 2} pixels for ${width}x$height")
+    if (!interlaced) out
+    else {
+      // GIF 4-pass interlace: decoded row order is 0,8,16… / 4,12… /
+      // 2,6,10… / 1,3,5… — permute back to top-down
+      val fixed = new Array[Float](out.length)
+      fixed(0) = out(0); fixed(1) = out(1)
+      var src = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var row = start
+        while (row < height) {
+          System.arraycopy(out, 2 + src * width, fixed, 2 + row * width, width)
+          src += 1
+          row += step
+        }
+      }
+      fixed
+    }
+  }
 }

@@ -375,6 +375,58 @@ class CodecsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("GIF codec: LZW round-trip ≡ identity, cross-validated against the JDK's GIF both ways") {
+    val rnd = new scala.util.Random(3)
+    // sizes chosen to cross LZW code-width boundaries (12k random →
+    // widths 9..12 + a mid-stream CLEAR) and to force the KwKwK case
+    // (strict alternation); full 0–255 index range
+    for ((px, w) <- Seq(
+        (Array.fill(1)(rnd.nextInt(256)), 1),
+        (Array.fill(7)(rnd.nextInt(256)), 1),
+        (Array.fill(300)(rnd.nextInt(256)), 4),
+        (Array.fill(12000)(rnd.nextInt(256)), 4),
+        (Array.tabulate(9000)(i => i % 2 * 255), 4))) {
+      val h = px.length / w
+      val enc = Codecs.gifGrayEncode(w, h, px.take(w * h))
+      val dec = Codecs.gifGrayWithDims(enc)
+      assert(dec(0) == w && dec(1) == h)
+      assert((0 until w * h).forall(i => dec(2 + i) == px(i).toFloat),
+        s"own round-trip at ${px.length}px")
+      // the JDK's INDEPENDENT LZW implementation must agree on our
+      // bytes — any code-width off-by-one desyncs here
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(enc))
+      assert(img.getWidth == w && img.getHeight == h)
+      assert((0 until w * h).forall(i =>
+        (img.getRGB(i % w, i / w) & 0xff) == px(i)),
+        s"imageio cross-decode at ${px.length}px")
+    }
+    // reverse arm: our decoder reads the JDK WRITER's output — which
+    // is INTERLACED, driving the 4-pass de-interlace path
+    val w = 16; val h = 20
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(_.toByte), Array.tabulate(256)(_.toByte),
+      Array.tabulate(256)(_.toByte))
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (i <- 0 until w * h) bi.getRaster.setSample(i % w, i / w, 0, px(i))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "gif", bos)
+    val dec = Codecs.gifGrayWithDims(bos.toByteArray)
+    assert(dec(0) == w && dec(1) == h &&
+      (0 until w * h).forall(i => dec(2 + i) == px(i).toFloat),
+      "jdk-writer (interlaced) cross-decode")
+    // loud-failure contract
+    assertThrows[IllegalArgumentException] {
+      Codecs.gifGrayWithDims("not a gif at all".getBytes)
+    }
+    assertThrows[IllegalArgumentException] {
+      val enc = Codecs.gifGrayEncode(4, 4, Array.fill(16)(7))
+      Codecs.gifGrayWithDims(enc.take(enc.length - 9)) // truncated
+    }
+  }
+
   test("m8 dHash: brightness-shift invariant, local-edit flips few bits, short frame refuses") {
     import SparkTestSession._
     import spark.implicits._

@@ -279,6 +279,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: m9 = pushed length-filter scan → in-partition LZW
+    // encode/decode/stats — a zero-shuffle codec pipeline
+    Shape("m9_gif_decode", maxShuffles = 0, minPushedScans = 1),
     // r12: d15 = ONE corpus scan into per-source sketches (the q25
     // exchange) + a broadcast sources² sketch grid; the pair algebra
     // runs on ≤k-long arrays — no value-grain pair join anywhere
