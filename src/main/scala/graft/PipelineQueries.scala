@@ -934,6 +934,48 @@ object PipelineQueries {
        |    AS n_failed
        |FROM r""".stripMargin
 
+  /** p6 — CURRICULUM packing: the training schedule quality-ordered —
+    * documents stratify by their Gopher rule-failure count (t13's
+    * integer-exact battery: level 0 = passes everything, trains
+    * first) and pack into fixed-length sequences WITHIN each level
+    * (t12's bucketed prefix sum per stratum), so the training loop
+    * reads batches in (level, seq) order: cleanest data first, each
+    * level internally hash-shuffled — the curriculum form of Rae et
+    * al.'s filtering, keeping every document (down-ranked, not
+    * dropped). One scan computes the rules, the packing is the t12
+    * machinery with level as the stratum — the oracle composes the
+    * two proven twins and hash-gates the full schedule.
+    */
+  def p6Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val leveled = TextAnalysis.gopherFilter(docs(s, dir))
+      .select(col("doc_id"), col("n_failed").as("level"),
+        col("n_words").as("n_tokens"))
+    Sampling.sequencePack(leveled, stratum = "level", id = "doc_id",
+      tokens = col("n_tokens"), seqTokens = 256)
+  }
+
+  val p6Sql: String =
+    s"""WITH ${duckGopherMetrics("", "")},
+       |lv AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(${duckGopherRules.map { case (_, p) =>
+            s"(CASE WHEN $p THEN 0 ELSE 1 END)" }.mkString(" + ")}
+       |      AS BIGINT) AS level,
+       |    ${duckHash60("'0'", "CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM m),
+       |c AS (
+       |  SELECT doc_id, level, n_words AS n_tokens,
+       |    CAST(SUM(n_words) OVER (PARTITION BY level ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM lv WHERE n_words > 0)
+       |SELECT doc_id, level, n_tokens, cum_tokens,
+       |  CAST(cum_tokens - n_tokens AS BIGINT) AS start_tok,
+       |  CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS first_seq,
+       |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS last_seq,
+       |  CAST((cum_tokens - n_tokens) % 256 AS BIGINT) AS offset_in_seq
+       |FROM c""".stripMargin
+
   def t3TokenCount(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(docs(s, dir))
 
@@ -2441,6 +2483,7 @@ object PipelineQueries {
     "t14_bigram_surprisal" -> (t14BigramSurprisal _),
     "t15_bpe_tokenize" -> (t15BpeTokenize _),
     "p5_pack_sequences" -> (p5PackSequences _),
+    "p6_curriculum" -> (p6Curriculum _),
     "t11_dup_passages" -> (t11DupPassages _),
     "t12_sequence_pack" -> (t12SequencePack _),
     "d11_passage_scrub" -> (d11PassageScrub _),
@@ -2516,6 +2559,7 @@ object PipelineQueries {
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,
     "p4_dataset_mix" -> p4Sql,
+    "p6_curriculum" -> p6Sql,
     "q23_topk_sketch" -> q23Sql,
     "q23b_topk_weighted" -> q23bSql,
     "q25_distinct_kmv" -> q25Sql,

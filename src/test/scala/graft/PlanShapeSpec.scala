@@ -279,6 +279,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: p6 = ONE gopher-rule scan (compiled metrics, no joins) →
+    // t12's bucketed prefix sum keyed by quality level — the same
+    // ≤3-exchange budget as t12 plus the level derivation being free
+    Shape("p6_curriculum", maxShuffles = 3, minBroadcasts = 1),
     // r12: m9 = pushed length-filter scan → in-partition LZW
     // encode/decode/stats — a zero-shuffle codec pipeline
     Shape("m9_gif_decode", maxShuffles = 0, minPushedScans = 1),
