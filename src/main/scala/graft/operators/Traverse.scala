@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *     (a 100 TB edge list with a 1k-entity seed moves kB per round);
   *   - rounds are bounded by `maxHops` (a user-facing contract, not a
   *     convergence hope), so the plan is k joins deep, not data-driven;
-  *   - every round's frontier/visited snapshot is `localCheckpoint`ed
-  *     (the [[Components]] discipline) so lineage stays flat and
-  *     superseded snapshots release their blocks immediately.
+  *   - each round eager-checkpoints exactly ONE frame — the new
+  *     visited set (the [[Components]] discipline; the frontier is the
+  *     previous round's hops slice of those cached blocks) — so
+  *     lineage stays flat and superseded snapshots release their
+  *     blocks immediately.
   *
   * Distances are exact minimal hop counts: level-synchronous expansion
   * discovers every vertex first at its minimal depth, and the visited
