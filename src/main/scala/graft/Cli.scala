@@ -121,7 +121,11 @@ object Cli {
         // (the FTM schema model's typing, which the fpx feed filters
         // on — statements.py:51-57)
         val entityProps = rest.drop(1).headOption
-          .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+        require(!entityProps.contains("name"),
+          "'name' cannot be an entity prop: the fpx feed and the FTM " +
+            "model type it as prop_type=name")
         // same id mint as the programmatic write path
         // (Statements.statementId: sha256-40 over
         // dataset.entity_id.prop.value) — a CLI-ingested statement and

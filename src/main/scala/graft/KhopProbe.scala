@@ -41,6 +41,7 @@ object KhopProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    var reachPerTag = Map.empty[String, Long]
     val out = for (tag <- Seq("judgements_base", "judgements")) yield {
       val edges = spark.read.parquet(s"$dir/$tag.parquet")
       val nEdges = edges.count()
@@ -53,11 +54,18 @@ object KhopProbe {
       }
       val reach = samples.head._2
       require(samples.forall(_._2 == reach), s"$tag: reach varied")
+      reachPerTag += tag -> reach
       val tFull = samples.map(_._1).sorted.apply(1) // median of 3
       s""""$tag":{"edges":$nEdges,"reach":$reach,""" +
         s""""edge_stage_sec":$tBase,"full_sec":$tFull,""" +
         s""""bfs_rounds_sec":${tFull - tBase}}"""
     }
+    // the load-bearing assertion: scaling ADDED components, so the
+    // fixed seeds' neighborhood must be IDENTICAL at both scales — a
+    // flat timing over a shrunken traversal would be a false positive
+    require(reachPerTag.values.toSet.size == 1,
+      s"reach differs across scales: $reachPerTag — the generator's " +
+        "constant-density contract broke and the timing ratio is void")
     println(out.mkString("{", ",", "}"))
     spark.stop()
   }

@@ -375,7 +375,9 @@ object PipelineQueries {
          |    ON c.query_id = p.query_id AND c.nid = p.nid)""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE list_dot_product(
+       |    CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |cand0 AS (
        |  SELECT q.query_id, e.vec_id AS nid, e.v AS cv,

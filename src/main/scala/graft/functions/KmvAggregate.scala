@@ -61,47 +61,62 @@ object Kmv {
     XXH64.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes(), seed) ^ Long.MinValue
 
-  /** Buffer: the k smallest flipped hashes, natural (= unsigned) order. */
-  type Buf = java.util.TreeSet[java.lang.Long]
+  /** Buffer: the k smallest flipped hashes (natural = unsigned order)
+    * plus a DROPPED flag — true once any distinct hash was ever
+    * rejected or evicted, i.e. the set stopped being the complete
+    * distinct-hash set. The flag is what makes the exactness
+    * guarantee hold INCLUSIVE of k distinct values: a buffer that is
+    * full but never dropped anything still holds everything.
+    */
+  final class Buf extends Serializable {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var dropped = false
+  }
 
   private[functions] def insert(buf: Buf, h: Long, k: Int): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last() && !buf.contains(h)) {
-      buf.pollLast(); buf.add(h); ()
+    if (buf.set.contains(h)) () // duplicate value: set stays complete
+    else if (buf.set.size < k) { buf.set.add(h); () }
+    else {
+      buf.dropped = true // either h or the evicted max is lost
+      if (h < buf.set.last()) { buf.set.pollLast(); buf.set.add(h); () }
     }
   }
 
   private[functions] def mergeBufs(b: Buf, o: Buf, k: Int): Buf = {
-    b.addAll(o)
-    while (b.size > k) b.pollLast()
+    b.set.addAll(o.set)
+    b.dropped ||= o.dropped
+    while (b.set.size > k) { b.set.pollLast(); b.dropped = true }
     b
   }
 
-  /** (k-1)/θ when saturated; exact size below k. The flipped k-th
-    * value maps back to unsigned u = flipped + 2^63, θ = (u+1)/2^64 —
-    * one double division of identical operands on every merge shape.
+  /** Exact size while nothing was ever dropped (≤ k distinct —
+    * INCLUSIVE); (k-1)/θ once saturated. The flipped k-th value maps
+    * back to unsigned u = flipped + 2^63, θ = (u+1)/2^64 — one double
+    * division of identical operands on every merge shape.
     */
   private[functions] def estimate(buf: Buf, k: Int): Long =
-    if (buf.size < k) buf.size.toLong
+    if (!buf.dropped) buf.set.size.toLong
     else {
-      val u = buf.last().toDouble + 9.223372036854775808e18
+      val u = buf.set.last().toDouble + 9.223372036854775808e18
       math.round((k - 1).toDouble * 1.8446744073709551616e19 / (u + 1.0))
     }
 
   private[functions] def ser(buf: Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+    val bb = ByteBuffer.allocate(5 + 8 * buf.set.size)
+    bb.put(if (buf.dropped) 1.toByte else 0.toByte)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
     while (it.hasNext) bb.putLong(it.next())
     bb.array()
   }
 
   private[functions] def de(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
+    val out = new Buf()
+    out.dropped = bb.get() == 1.toByte
     val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
     var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
+    while (i < n) { out.set.add(bb.getLong); i += 1 }
     out
   }
 
@@ -126,8 +141,11 @@ object Kmv {
   private def unionSketch(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
-  /** Distinct estimate from a stored sketch column (same estimator as
-    * [[KmvDistinctAggregate]], in column algebra).
+  /** Distinct estimate from a stored sketch column (the
+    * [[KmvDistinctAggregate]] estimator in column algebra). The array
+    * form carries no dropped flag, so exactness here is STRICT
+    * (size < k): a full array is treated as saturated — one distinct
+    * value of headroom vs the aggregate's inclusive guarantee.
     */
   def distinctEstimate(sk: Column, k: Int): Column = {
     val kth = element_at(sk, k).cast("double") + lit(9.223372036854775808e18)
@@ -175,8 +193,7 @@ case class KmvDistinctAggregate(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kmv_distinct"
 
-  override def createAggregationBuffer(): Kmv.Buf =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): Kmv.Buf = new Kmv.Buf()
 
   override def update(buf: Kmv.Buf, input: InternalRow): Kmv.Buf = {
     val v = child.eval(input)
@@ -222,8 +239,7 @@ case class KmvSketchAggregate(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kmv_sketch"
 
-  override def createAggregationBuffer(): Kmv.Buf =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): Kmv.Buf = new Kmv.Buf()
 
   override def update(buf: Kmv.Buf, input: InternalRow): Kmv.Buf = {
     val v = child.eval(input)
@@ -235,8 +251,8 @@ case class KmvSketchAggregate(
   override def merge(b: Kmv.Buf, o: Kmv.Buf): Kmv.Buf = Kmv.mergeBufs(b, o, k)
 
   override def eval(buf: Kmv.Buf): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+    val out = new Array[Any](buf.set.size)
+    val it = buf.set.iterator()
     var i = 0
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new GenericArrayData(out)

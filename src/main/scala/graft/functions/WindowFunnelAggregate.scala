@@ -79,12 +79,15 @@ case class WindowFunnelAggregate(
     val t = left.eval(input)
     val s = right.eval(input)
     if (t != null && s != null) {
-      val step = s match {
-        case i: java.lang.Integer => i.intValue()
-        case l: java.lang.Long => l.intValue()
+      // range-check on the WIDE value: a corrupt BIGINT step like
+      // 2^32+1 must be ignored like any unmatched condition, not
+      // truncated into the valid range
+      val stepL = s match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
       }
-      if (step >= 1 && step <= nSteps)
-        buf += ((t.asInstanceOf[java.lang.Long].longValue(), step))
+      if (stepL >= 1L && stepL <= nSteps.toLong)
+        buf += ((t.asInstanceOf[java.lang.Long].longValue(), stepL.toInt))
     }
     buf
   }

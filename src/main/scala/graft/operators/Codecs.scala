@@ -664,25 +664,32 @@ object Codecs {
     val gctSize = 2 << (packed & 7)
     var pos = 13 + 3 * gctSize
     // skip 89a extension blocks (0x21 label, sub-blocks to 0)
-    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+    // every positional read below must be bounds-checked: the
+    // loud-failure contract is IllegalArgumentException, never an
+    // index error escaping from a truncated/crafted payload
+    def at(p: Int): Int = {
+      require(p < bytes.length, s"GIF truncated at offset $p")
+      bytes(p) & 0xff
+    }
+    while (pos < bytes.length && at(pos) == 0x21) {
       pos += 2
-      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+      while (at(pos) != 0) pos += 1 + at(pos)
       pos += 1
     }
-    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2c,
+    require(pos + 9 < bytes.length && (bytes(pos) & 0xff) == 0x2c,
       s"expected image descriptor at $pos")
     val width = u16(pos + 5); val height = u16(pos + 7)
     val ipacked = bytes(pos + 9) & 0xff
     val interlaced = (ipacked & 0x40) != 0
     require((ipacked & 0x80) == 0, "local color table unsupported")
     pos += 10
-    val minCode = bytes(pos) & 0xff
+    val minCode = at(pos)
     require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
     pos += 1
     // concatenate sub-blocks
     val data = new java.io.ByteArrayOutputStream()
-    while ((bytes(pos) & 0xff) != 0) {
-      val n = bytes(pos) & 0xff
+    while (at(pos) != 0) {
+      val n = at(pos)
       require(pos + 1 + n <= bytes.length, "sub-block overruns payload")
       data.write(bytes, pos + 1, n)
       pos += 1 + n
@@ -734,7 +741,12 @@ object Codecs {
         emitStr(code)
         prev = code
       } else {
-        require(code <= nextFree, s"LZW code $code beyond dictionary")
+        // code == nextFree is the KwKwK case and is only well-defined
+        // while the dictionary can still GROW — a full-dict stream
+        // sending its next-free slot is malformed, and letting it
+        // through would index prefixOf(4096)
+        require(code < nextFree || (code == nextFree && nextFree < maxEntries),
+          s"LZW code $code beyond dictionary (nextFree=$nextFree)")
         val first =
           if (code < nextFree) emitStr(code)
           else { // KwKwK: str(prev) + first(str(prev))

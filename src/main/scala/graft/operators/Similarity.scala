@@ -884,12 +884,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
+    // zero-norm embeddings have no cosine: drop them on BOTH sides
+    // (the oracle applies the same filter) instead of letting a NaN
+    // ride into the integer rounding and kill the job
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"),
       sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
+      .filter(col("qn") > 0.0)
     val c = corpus.select(col("vec_id").as("nid"),
       col("embedding").as("cv"),
       sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
+      .filter(col("cn") > 0.0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("query_id"))
       .withColumn("rel4",

@@ -93,7 +93,9 @@ object SketchStore {
     */
   def compact(spark: SparkSession, table: String, k: Int): Unit = {
     spark.catalog.refreshTable(table) // see foldSketches
-    val maxVer = spark.table(table).agg(max(col("ver"))).collect()(0).getLong(0)
+    val maxRow = spark.table(table).agg(max(col("ver"))).collect()(0)
+    if (maxRow.isNullAt(0)) return // zero-row table: nothing to fold
+    val maxVer = maxRow.getLong(0)
     val folded = foldSketches(spark, table, k).withColumn("ver", lit(maxVer))
       .select(col("source"), col("sk"), col("ver"))
     val tmp = TableSwap.stageName(spark, table)

@@ -417,14 +417,23 @@ class CodecsSpec extends AnyFunSuite {
     assert(dec(0) == w && dec(1) == h &&
       (0 until w * h).forall(i => dec(2 + i) == px(i).toFloat),
       "jdk-writer (interlaced) cross-decode")
-    // loud-failure contract
+    // loud-failure contract: every malformed shape must surface as
+    // IllegalArgumentException, never an index error
     assertThrows[IllegalArgumentException] {
       Codecs.gifGrayWithDims("not a gif at all".getBytes)
     }
+    val small = Codecs.gifGrayEncode(4, 4, Array.fill(16)(7))
     assertThrows[IllegalArgumentException] {
-      val enc = Codecs.gifGrayEncode(4, 4, Array.fill(16)(7))
-      Codecs.gifGrayWithDims(enc.take(enc.length - 9)) // truncated
+      Codecs.gifGrayWithDims(small.take(small.length - 9)) // truncated tail
     }
+    // truncation INSIDE the structures the walkers scan byte-by-byte:
+    // cut right after the LZW min-code byte (a sub-block length byte
+    // is the next read), and inside the header/descriptor region
+    val lzwStart = 13 + 3 * 256 + 10 + 1
+    for (cut <- Seq(lzwStart, lzwStart + 1, 14, 13 + 3 * 256 + 3))
+      assertThrows[IllegalArgumentException] {
+        Codecs.gifGrayWithDims(small.take(cut))
+      }
   }
 
   test("m8 dHash: brightness-shift invariant, local-edit flips few bits, short frame refuses") {

@@ -109,6 +109,18 @@ class ComponentsSpec extends AnyFunSuite {
       Seq(("a", "b"), ("x", "y")).toDF("src", "dst"),
       Seq("a").toDF("id"), Seq("x").toDF("id"), maxHops = 5)
     assert(far.isEmpty)
+    // coverage contract (documented): a line of length 8 with
+    // maxHops = 4 yields the MIDDLE SLICE — only the midpoint has
+    // both distances within budget — while dist stays exact; at
+    // maxHops >= dist the DAG is complete
+    val line = (0 until 8).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val mid = Traverse.shortestPathMembers(
+      line, Seq("n0").toDF("id"), Seq("n8").toDF("id"), maxHops = 4)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(mid == Set(("n4", 8L)), s"middle slice: $mid")
+    val full = Traverse.shortestPathMembers(
+      line, Seq("n0").toDF("id"), Seq("n8").toDF("id"), maxHops = 8)
+    assert(full.count() == 9L, "maxHops >= dist returns the whole path")
   }
 
   test("khop edge semantics: maxHops=0, absent seeds, unreachable region") {

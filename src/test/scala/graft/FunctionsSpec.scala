@@ -569,6 +569,38 @@ class FunctionsSpec extends AnyFunSuite {
       s"${r.getString(0)}: est ${r.getLong(1)} != exact ${r.getLong(2)}"))
   }
 
+  test("kmv boundary: EXACTLY k distinct answers exactly (the dropped flag)") {
+    import graft.functions.Kmv
+    import spark.implicits._
+    // k distinct values fill the buffer WITHOUT dropping anything —
+    // the estimate must be the exact k, not the (k-1)/θ estimator
+    // (the off-by-one a flag-less full-buffer check gets wrong), and
+    // it must survive merge shapes (partials full but complete)
+    val k = 64
+    val df = (0 until k).flatMap(i => Seq.fill(3)(s"v$i")).toDF("v")
+    assert(df.repartition(1).agg(Kmv.kmvDistinct(col("v"), k))
+      .collect()(0).getLong(0) == k.toLong)
+    assert(df.repartition(9).agg(Kmv.kmvDistinct(col("v"), k))
+      .collect()(0).getLong(0) == k.toLong)
+    // one past k saturates: estimate runs (and is near, not exact-k+1)
+    val over = (0 to k).map(i => s"v$i").toDF("v")
+    val est = over.agg(Kmv.kmvDistinct(col("v"), k)).collect()(0).getLong(0)
+    assert(est > 0, s"saturated estimate $est")
+  }
+
+  test("windowFunnel ignores corrupt BIGINT steps instead of truncating them") {
+    import graft.functions.WindowFunnelAggregate.windowFunnel
+    import spark.implicits._
+    // 2^32 + 1 would truncate to step 1 under a narrowing intValue —
+    // it must be ignored like any unmatched condition
+    val df = Seq((1L, 10L, 4294967297L), (1L, 20L, 2L))
+      .toDF("user_id", "ts_us", "step")
+    val d = df.groupBy(col("user_id"))
+      .agg(windowFunnel(col("ts_us"), col("step").cast("long"), 3, 100L))
+      .collect()(0).getLong(1)
+    assert(d == 0L, s"corrupt step must not open a funnel: depth $d")
+  }
+
   test("kmv saturated regime: bounded relative error, partition-invariant") {
     import graft.functions.Kmv
     import spark.implicits._

@@ -1654,6 +1654,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(want2._3 > 7L * cosS4(v0, v2), "the bonus must be positive")
   }
 
+  test("s8 mmrTopK: zero-norm embeddings are dropped, not NaN-crashed") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f)), // degenerate: no cosine exists
+      (3L, Seq(0.5f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mmrTopK(
+      df, df.filter(col("vec_id") === 0L), shortlist = 3, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 3L), s"zero-norm row must drop silently: $out")
+  }
+
   // ---- d14 exact duplicated-substring runs ----
 
   private def spansOf(df: org.apache.spark.sql.DataFrame)

@@ -1345,5 +1345,15 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.SketchStore.compact(spark, table, k)
       assert(servedNow() == exactNow(), "after double compact")
     } finally q.stop()
+    // a zero-row sketch table (created by an empty first batch) must
+    // treat compact as a no-op, not NPE on the null max(ver)
+    val empty = "st18_empty_sketch"
+    spark.sql(s"DROP TABLE IF EXISTS $empty")
+    graft.Probes.dropManaged(spark, empty)
+    graft.sources.SketchStore.applyBatch(spark,
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      empty, k, batchId = 0L)
+    graft.sources.SketchStore.compact(spark, empty, k)
+    assert(graft.sources.SketchStore.readEstimates(spark, empty, k).isEmpty)
   }
 }
