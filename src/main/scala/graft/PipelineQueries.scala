@@ -2280,9 +2280,13 @@ object PipelineQueries {
         explode(Dedup.shinglesN(col("text"), 3)).as("g"))
       .groupBy(col("source"))
       .agg(Kmv.kmvSketch(col("g"), k).as("sk"))
+    // no FORCED broadcast: at catalog-sized source counts the planner
+    // broadcasts the sketch grid on its own, and at high cardinality
+    // (sf10's 2000 sources = 260MB of sketches) forcing it would pin
+    // an oversized table to every task — let size statistics decide
     val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
     val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
-    a.join(broadcast(b), col("source_a") < col("source_b"))
+    a.join(b, col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
         Kmv.intersectEstimate(col("ska"), col("skb"), k).as("shared"),
         round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
