@@ -2314,6 +2314,58 @@ object PipelineQueries {
        |LEFT JOIN pairs p
        |  ON p.source_a = sa.source AND p.source_b = sb.source""".stripMargin
 
+  /** d15b — d15's HIGH-CARDINALITY scale path: the same overlap
+    * matrix restricted to CANDIDATE pairs — sources sharing at least
+    * one of their first `bands` sketch minimums. The k-min sketch's
+    * smallest entries ARE MinHash values, so the sketch doubles as
+    * its own LSH index: exploding B minimums per source gives a
+    * band join whose output is overlap-driven, not sources² (d15's
+    * measured wall — 2M pairs / 635s at sf10's 2000 sources — falls
+    * to shared-minimum buckets; disjoint-vocabulary sources never
+    * pair). Detection is probabilistic in the overlap: a pair whose
+    * smallest SHARED hash sits within the first B minimums of both
+    * sides is found — the spec measures recall ≥ τ-pairs on
+    * clustered synthetic corpora and the candidate-count collapse.
+    * Declared rows-only: the bands are XXH64 values DuckDB cannot
+    * recompute; the pair ALGEBRA is d15's oracle-gated code on a
+    * subset, and the spec asserts every emitted row equals d15's row
+    * for that pair.
+    */
+  def d15bOverlapLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val k = 16384
+    val bands = 8
+    val sk = docs(s, dir)
+      .select(col("source"),
+        explode(Dedup.shinglesN(col("text"), 3)).as("g"))
+      .groupBy(col("source"))
+      .agg(Kmv.kmvSketch(col("g"), k).as("sk"))
+    overlapFromSketches(sk, k, bands)
+  }
+
+  /** The banded pair algebra over a per-source sketch table — shared
+    * by d15b and its spec (which feeds synthetic clustered corpora).
+    */
+  def overlapFromSketches(sk: DataFrame, k: Int, bands: Int): DataFrame = {
+    import graft.functions.Kmv
+    val banded = sk.select(col("source"), col("sk"),
+      explode(slice(col("sk"), 1, bands)).as("band"))
+    val cand = banded.select(col("band"), col("source").as("source_a"))
+      .join(banded.select(col("band"), col("source").as("source_b")),
+        Seq("band"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b")).distinct()
+    cand
+      .join(sk.select(col("source").as("source_a"), col("sk").as("ska")),
+        Seq("source_a"))
+      .join(sk.select(col("source").as("source_b"), col("sk").as("skb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        Kmv.intersectEstimate(col("ska"), col("skb"), k).as("shared"),
+        round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
+          .as("jaccard"))
+  }
+
   /** q23 — heavy hitters per source through the MERGEABLE top-k
     * sketch ([[graft.functions.TopKAggregate]] — the ClickHouse
     * `topK()` surface): top-5 terms per source as ONE aggregation
@@ -2513,6 +2565,7 @@ object PipelineQueries {
     "d14_dup_spans" -> (d14DupSpans _),
     "d14b_span_scrub" -> (d14bSpanScrub _),
     "d15_source_overlap" -> (d15SourceOverlap _),
+    "d15b_overlap_lsh" -> (d15bOverlapLsh _),
     "m8_image_dhash" -> (m8ImageDhash _),
     "m9_gif_decode" -> (m9GifDecode _),
     "s8_ann_mmr" -> (s8AnnMmr _),

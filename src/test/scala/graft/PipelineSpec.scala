@@ -1654,6 +1654,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(want2._3 > 7L * cosS4(v0, v2), "the bonus must be positive")
   }
 
+  test("d15b banded overlap: subset of d15 rows, cluster collapse, τ-pair recall") {
+    import spark.implicits._
+    // 1) on the live corpus every emitted row must EQUAL d15's exact
+    // row for that pair — the band filter selects pairs, never
+    // changes their algebra
+    val full = PipelineQueries.d15SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val banded = PipelineQueries.d15bOverlapLsh(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(banded.nonEmpty && banded.keySet.subsetOf(full.keySet))
+    banded.foreach { case (k, v) => assert(full(k) == v, s"$k differs") }
+    // 2) clustered synthetic corpus: 8 DISJOINT vocab clusters × 5
+    // sources — candidates collapse to within-cluster pairs (the
+    // sources² wall falls exactly where real corpora are sparse)
+    val rnd = new scala.util.Random(29)
+    val docs2 = (0 until 8).flatMap { c =>
+      // per-cluster BASE SEQUENCE; each source's docs are slices of
+      // it, so within-cluster SHINGLE sets overlap heavily (shared
+      // passages, the real crawl-duplication shape) while clusters
+      // stay vocabulary-disjoint
+      val vocab = (0 until 40).map(w => s"c${c}w$w")
+      val base = Seq.fill(200)(vocab(rnd.nextInt(vocab.length)))
+      (0 until 5).flatMap { s2 =>
+        (0 until 6).map { d =>
+          val start = rnd.nextInt(base.length - 30)
+          (c * 100L + s2 * 10L + d,
+            base.slice(start, start + 30).mkString(" "), s"src_${c}_$s2")
+        }
+      }
+    }.toDF("doc_id", "text", "source")
+    val k = 4096
+    val sk = docs2
+      .select(col("source"), explode(
+        graft.operators.Dedup.shinglesN(col("text"), 3)).as("g"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Kmv.kmvSketch(col("g"), k).as("sk"))
+    val pairs = PipelineQueries.overlapFromSketches(sk, k, bands = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.nonEmpty && pairs.length < 40 * 39 / 2 / 2,
+      s"banding must collapse the grid: ${pairs.length} pairs")
+    // cross-cluster vocabularies are disjoint → no candidate may span
+    // clusters (shared minimums require shared shingles)
+    def cluster(s2: String) = s2.split("_")(1)
+    assert(pairs.forall { case (a, b, _) => cluster(a) == cluster(b) },
+      "cross-cluster candidates are impossible under disjoint vocabularies")
+    // 3) τ-recall: every within-cluster pair has heavy overlap (same
+    // 40-word vocabulary); all C(5,2) × 8 = 80 such pairs must be
+    // found at bands = 8
+    assert(pairs.length == 80, s"recall over the clustered pairs: ${pairs.length}")
+  }
+
   test("s8 mmrTopK: zero-norm embeddings are dropped, not NaN-crashed") {
     import spark.implicits._
     val df = Seq(

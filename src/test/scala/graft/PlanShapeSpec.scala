@@ -279,6 +279,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // all frontier joins already ran (frontier-bounded, inside khop);
     // an Exchange here means the traversal leaked lazy plan
     Shape("f22_khop_traversal", maxShuffles = 0),
+    // r12: d15b = d15's sketch scan + the band self-join (band rows =
+    // sources × B, candidate-bounded output) + the two sketch
+    // attach joins — still never a value-grain pair join
+    Shape("d15b_overlap_lsh", maxShuffles = 5, minBroadcasts = 1),
     // r12: p6 = ONE gopher-rule scan (compiled metrics, no joins) →
     // t12's bucketed prefix sum keyed by quality level — the same
     // ≤3-exchange budget as t12 plus the level derivation being free
