@@ -1001,9 +1001,15 @@ object PipelineQueries {
     * SQL); gated by the PipelineSpec id-grain round-trip, the
     * t3b count consistency, the bounded-vocab assertion, and the
     * zero-unknown check — see [[TextAnalysis.bpeTokenize]].
+    *
+    * The registry face serializes the id array as a space-joined
+    * string: the driver's checker sorts every result column in pandas
+    * to record row counts, and array-typed cells crash that sort —
+    * a string column gives the rows-only record real evidence.
     */
   def t15BpeTokenize(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenize(docs(s, dir))
+      .withColumn("ids", concat_ws(" ", col("ids")))
 
   /** p5 — MATERIALIZED training batches: t15's id sequences packed
     * into 256-token sequences per source ([[Sampling.packIds]] — the
@@ -1020,6 +1026,7 @@ object PipelineQueries {
       TextAnalysis.bpeTokenize(d)
         .join(d.select(col("doc_id"), col("source")), "doc_id"),
       "source", "doc_id", col("ids"), seqTokens = 256)
+      .withColumn("ids", concat_ws(" ", col("ids"))) // see t15 note
   }
 
   def t4DocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -2264,33 +2271,60 @@ object PipelineQueries {
     * [[graft.functions.Kmv.intersectEstimate]]/[[graft.functions.Kmv
     * .jaccardEstimate]]) — the "which crawls overlap / did an eval
     * set leak between sources" audit. The corpus is scanned ONCE to
-    * build ≤ k-long sketches; the pair grid is sources² sketch rows
-    * (broadcast — source cardinality is catalog-bounded), never a
-    * value-grain pair join. In the unsaturated regime the estimates
+    * build ≤ k-long sketches; the pair grid is sketch rows, never a
+    * value-grain pair join — and above [[sourceOverlap]]'s
+    * `bandedAbove` source-count threshold the sources² grid itself
+    * gives way to the banded candidate pre-filter (the d15b algebra),
+    * so the default face survives high source cardinality. In the
+    * unsaturated regime the estimates
     * are EXACT (the sketch holds every hash), which is what the
     * DuckDB oracle — literal COUNT(DISTINCT) set algebra per pair —
     * gates; Jaccard rides 6dp-rounded (one double division of
     * identical integer operands on both engines).
     */
-  def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+  def d15SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(docs(s, dir))
+
+  /** The overlap-matrix entry point with the r13 scale default: below
+    * `bandedAbove` sources (the catalog-grain regime the DuckDB
+    * oracle gates) the EXACT sources² sketch grid runs — every pair,
+    * including zero-overlap ones; above it the banded candidate
+    * pre-filter ([[overlapFromSketches]] — the d15b algebra, every
+    * emitted row spec-equal to the grid's) is the default, because
+    * the grid's pair count is sources² REGARDLESS of true overlap —
+    * the one measured scale-killer of the r12 audit (sf10's 2000
+    * sources: 2M pairs / 635s; the banded path only ever pays for
+    * pairs that share a sketch minimum). A caller who wants the full
+    * grid at high cardinality (e.g. to SEE the zeros) passes
+    * `bandedAbove = Int.MaxValue`. The regime probe is one
+    * approx_count_distinct over the pruned `source` column — a
+    * column-pruned pre-scan, not a second shingle pass.
+    */
+  def sourceOverlap(
+      d: DataFrame, k: Int = 16384, bands: Int = 8,
+      bandedAbove: Int = 256): DataFrame = {
     import graft.functions.Kmv
-    val k = 16384
-    val sk = docs(s, dir)
+    val sk = d
       .select(col("source"),
         explode(Dedup.shinglesN(col("text"), 3)).as("g"))
       .groupBy(col("source"))
       .agg(Kmv.kmvSketch(col("g"), k).as("sk"))
-    // no FORCED broadcast: at catalog-sized source counts the planner
-    // broadcasts the sketch grid on its own, and at high cardinality
-    // (sf10's 2000 sources = 260MB of sketches) forcing it would pin
-    // an oversized table to every task — let size statistics decide
-    val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
-    val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
-    a.join(b, col("source_a") < col("source_b"))
-      .select(col("source_a"), col("source_b"),
-        Kmv.intersectEstimate(col("ska"), col("skb"), k).as("shared"),
-        round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
-          .as("jaccard"))
+    val nSources =
+      d.agg(approx_count_distinct(col("source"))).head().getLong(0)
+    if (nSources > bandedAbove) overlapFromSketches(sk, k, bands)
+    else {
+      // no FORCED broadcast: at catalog-sized source counts the
+      // planner broadcasts the sketch grid on its own, and forcing it
+      // at high cardinality would pin an oversized table to every
+      // task — let size statistics decide
+      val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          Kmv.intersectEstimate(col("ska"), col("skb"), k).as("shared"),
+          round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
+            .as("jaccard"))
+    }
   }
 
   val d15Sql: String =

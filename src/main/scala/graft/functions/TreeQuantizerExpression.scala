@@ -47,8 +47,16 @@ final class TreeMatrix(
 
   def leafCount: Int = leafIds.map(_.length).sum
 
+  // mirrors Spark's RoundBase: NaN/Infinity pass through unchanged
+  // (JBigDecimal.valueOf would throw NumberFormatException), so a
+  // zero-norm embedding (dot/(0·cn) = NaN) scores like the
+  // declarative round() form instead of killing the task: NaN loses
+  // every `v < bestNd` comparison, and first-wins falls back to the
+  // id-ascending head — the array_min-over-structs tie order.
   private def round4(v: Double): Double =
-    JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP).doubleValue()
+    if (v.isNaN || v.isInfinite) v
+    else JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP)
+      .doubleValue()
 
   // the DotProductExpression fold, emb element type resolved by flag
   private def dot(e: ArrayData, floatEmb: Boolean,
@@ -122,6 +130,10 @@ final class TreeMatrix(
       while (i < nTop) {
         if (!taken(i) && tnd(i) < bestNd) { bestNd = tnd(i); best = i }
         i += 1
+      }
+      if (best < 0) { // every remaining score NaN → id-ascending head
+        i = 0
+        while (best < 0) { if (!taken(i)) best = i else i += 1 }
       }
       taken(best) = true; picked(s) = best; s += 1
     }

@@ -48,6 +48,17 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  // working columns used internally by both joins; an input frame
+  // carrying one of these would be silently overwritten by withColumn
+  private val Reserved = Seq("__bin", "__rk", "__rbin", "__ik")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val hit = df.columns.filter(Reserved.contains)
+    require(hit.isEmpty,
+      s"$side input carries reserved working column(s) " +
+        s"${hit.mkString(", ")} — rename them before the join")
+  }
+
   /** Exact floor(t / w) in LONG — IntegralDivide truncates toward
     * zero, so subtract 1 exactly when the remainder is negative.
     */
@@ -90,6 +101,8 @@ object IntervalJoin {
       s"overlap join: left columns ${collisions.mkString(", ")} " +
         s"collide with prefixed right output names; pick a " +
         s"different rightPrefix")
+    requireNoReserved(left, "overlap join: left")
+    requireNoReserved(right, "overlap join: right")
     def expand(df: DataFrame, s: String, e: String): DataFrame = df
       .filter(col(e) > col(s))
       .withColumn("__bin",
@@ -126,6 +139,8 @@ object IntervalJoin {
       s"interval join: point columns ${collisions.mkString(", ")} " +
         s"collide with prefixed interval output names; pick a " +
         s"different intervalPrefix")
+    requireNoReserved(points, "interval join: points")
+    requireNoReserved(intervals, "interval join: intervals")
     // replicate each non-empty interval to every bin it can touch; the
     // end bound is exclusive but bin(end) is kept — at most one
     // spurious bin per interval, removed by the exact filter below

@@ -1203,7 +1203,11 @@ object VecStore {
       val leafTop = spark.table(s"${table}_leafmap").collect()
         .map(r => (r.get(0), r.getLong(1))).toMap
       val leaves = litCents(spark, table).toSeq
-        .groupBy(c => leafTop(c._1))
+        .groupBy { c =>
+          leafTop.getOrElse(c._1, sys.error(
+            s"VecStore: `${table}_cents` leaf ${c._1} missing from " +
+              s"`${table}_leafmap` — corrupt tree tables? re-run init"))
+        }
         .map { case (k, v) => k -> v }
       val tops = Similarity.centNorms(
         spark.table(s"${table}_tops")

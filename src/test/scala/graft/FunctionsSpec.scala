@@ -292,6 +292,44 @@ class FunctionsSpec extends AnyFunSuite {
         col("nd") =!= col("nd2")).count() == 0,
         "probed candidate sets or nd values drifted")
     }
+    // NaN-poisoned row (a NaN element → dot = NaN → norm = NaN): the
+    // declarative form survives it (NaN divisor passes ANSI's
+    // zero-check, Spark's round passes NaN through, NaN sorts last so
+    // the struct argmin falls to the id-ascending head). The native
+    // round4 must do the same instead of throwing
+    // NumberFormatException from BigDecimal.valueOf — one bad row
+    // must never kill an append / migrate / streaming micro-batch.
+    val nrow = Seq((0L, Float.NaN +: Seq.fill(dim - 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+      .localCheckpoint()
+    val ncmp = nrow.withColumn("__pick", topPick)
+      .withColumn("twin", assignTwin)
+      .withColumn("native", TreeQuantizerExpression.treeAssign(
+        col("embedding"), col("__n"), tm))
+      .head()
+    assert(ncmp.getAs[Int]("native") == ncmp.getAs[Int]("twin"),
+      "NaN-norm assign diverged from the declarative twin")
+    // A zero-norm row (all-zero embedding) has NO declarative twin —
+    // ANSI Divide throws on the exact-0.0 divisor — but the native
+    // path divides in Java (NaN), so it must still assign/probe
+    // deterministically: all scores NaN → id-ascending head.
+    val zrow = Seq((0L, Seq.fill(dim)(0f))).toDF("vec_id", "embedding")
+      .withColumn("__n", sqrt(Dedup.dot(col("embedding"), col("embedding"))))
+    val zAssign = zrow.select(TreeQuantizerExpression.treeAssign(
+      col("embedding"), col("__n"), tm)).head().getInt(0)
+    assert(zAssign == leaves(0L).map(_._1.asInstanceOf[Int]).min,
+      "zero-norm assign is not the id-ascending head leaf")
+    // probe must also survive the all-NaN selection (taken(-1) guard):
+    // every leaf of the 2 id-ascending-first tops, nd = NaN
+    val zprobe = zrow.select(explode(TreeQuantizerExpression.treeProbe(
+      col("embedding"), col("__n"), tm, 2)).as("c"))
+      .select(col("c.nd"), col("c.list_id")).collect()
+    assert(zprobe.length == leaves(0L).length + leaves(1L).length,
+      "zero-norm probe candidate set is not the 2 first tops' leaves")
+    assert(zprobe.forall(r => r.getDouble(0).isNaN))
+    assert(zprobe.map(_.getInt(1)).toSet ==
+      (leaves(0L) ++ leaves(1L)).map(_._1.asInstanceOf[Int]).toSet)
   }
 
   test("function registry exposes the full surface to SQL") {

@@ -15,6 +15,12 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
 
+  /** t15/p5 registry faces space-join their id arrays (driver checker
+    * can't sort array cells) — parse the string form back.
+    */
+  private def parseIds(s: String): Vector[Long] =
+    if (s.isEmpty) Vector.empty else s.split(' ').map(_.toLong).toVector
+
   test("d1 exact dedup: identical normalized texts share a canonical id") {
     import spark.implicits._
     val df = Seq(
@@ -1446,7 +1452,7 @@ class PipelineSpec extends AnyFunSuite {
     import graft.functions.Bpe
     val out = SparkEntry.queries("t15_bpe_tokenize")(spark, sf).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getSeq[Long](2).toVector)).toMap
+        (r.getLong(1), parseIds(r.getString(2)))).toMap
     // rebuild the id map independently: same (count desc, token asc)
     // rule over a driver-side re-encode of the whole corpus
     val texts = docs.select("doc_id", "text").collect()
@@ -1487,7 +1493,7 @@ class PipelineSpec extends AnyFunSuite {
     "against t15 ids at t12's oracle-gated coordinates") {
     val seqs = SparkEntry.queries("p5_pack_sequences")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getSeq[Long](4).toVector)).toMap
+        (r.getLong(2), r.getLong(3), parseIds(r.getString(4)))).toMap
     // every sequence is exactly 256 tokens except each source's last
     val lastSeq = seqs.keys.groupBy(_._1)
       .map { case (src, ks) => src -> ks.map(_._2).max }
@@ -1504,7 +1510,7 @@ class PipelineSpec extends AnyFunSuite {
       src -> rows.sortBy(_._1._2).flatMap(_._2._3).toVector
     }
     val t15 = SparkEntry.queries("t15_bpe_tokenize")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](2).toVector).toMap
+      .map(r => r.getLong(0) -> parseIds(r.getString(2))).toMap
     // t12 uses whitespace-ish token counts; p5 packs by BPE counts, so
     // derive coordinates from the SAME packer over the t15 counts
     val coords = graft.operators.Sampling.sequencePack(
@@ -1705,6 +1711,21 @@ class PipelineSpec extends AnyFunSuite {
     // 40-word vocabulary); all C(5,2) × 8 = 80 such pairs must be
     // found at bands = 8
     assert(pairs.length == 80, s"recall over the clustered pairs: ${pairs.length}")
+    // 4) the r13 default-face regime switch: above `bandedAbove`
+    // sources d15's entry point swaps the sources² grid for the
+    // banded pre-filter — SAME rows as overlapFromSketches; below it
+    // the exact grid keeps every pair including the zero-overlap ones
+    val viaFace = PipelineQueries
+      .sourceOverlap(docs2, k, bands = 8, bandedAbove = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(viaFace == pairs.toSet,
+      "banded regime of the default face must equal overlapFromSketches")
+    val grid = PipelineQueries
+      .sourceOverlap(docs2, k, bands = 8, bandedAbove = 1000)
+      .collect()
+    assert(grid.length == 40 * 39 / 2,
+      s"exact regime must keep the full grid: ${grid.length}")
   }
 
   test("s8 mmrTopK: zero-norm embeddings are dropped, not NaN-crashed") {

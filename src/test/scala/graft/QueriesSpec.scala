@@ -149,6 +149,21 @@ class QueriesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       IntervalJoin.join(colliding, "ts", intervals, "s", "e", "k", 7L)
     }
+    // reserved-working-column precondition: an input already carrying
+    // __bin (or __rk/__rbin/__ik) would be silently overwritten —
+    // both joins must refuse loudly instead
+    assertThrows[IllegalArgumentException] {
+      IntervalJoin.join(points.withColumn("__bin", $"ts"),
+        "ts", intervals, "s", "e", "k", 7L)
+    }
+    assertThrows[IllegalArgumentException] {
+      IntervalJoin.join(points, "ts",
+        intervals.withColumn("__ik", $"k"), "s", "e", "k", 7L)
+    }
+    assertThrows[IllegalArgumentException] {
+      IntervalJoin.overlap(intervals.withColumn("__rbin", $"s"),
+        "s", "e", intervals, "s", "e", "k", 7L)
+    }
   }
 
   test("overlap join: half-open intersection, bin-width independence, " +

@@ -17,8 +17,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def _hashable(v):
+    """sort_values chokes on list/ndarray cells — map them to tuples."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_hashable(x) for x in v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # ndarray
+        return tuple(_hashable(x) for x in v.tolist())
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    return v
+
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(_hashable)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
