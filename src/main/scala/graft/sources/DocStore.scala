@@ -69,7 +69,9 @@ object DocStore {
     * text-verification join, while missing index rows (docs landed,
     * index did not) are SILENT false negatives on every later probe.
     * [[compact]] rebuilds the index from the deduped docs, repairing
-    * either drift durably.
+    * either drift durably. The anchor index (when on) lands first for
+    * the same asymmetry: a span candidate naming a doc the store lost
+    * dies loudly when the caller joins for its text.
     */
   def append(
       docs: DataFrame,
@@ -77,6 +79,10 @@ object DocStore {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    if (hasAnchors(spark, table))
+      writeAnchorRows(anchorRows(docs, anchorK(spark, table)),
+        s"${table}_anchors", buckets, SaveMode.Append)
     writeBandRows(bandKeys(docs, numHashes, rowsPerBand),
       s"${table}_bands", buckets, SaveMode.Append)
     writeDocRows(docs, table, buckets, SaveMode.Append)
@@ -91,6 +97,67 @@ object DocStore {
         graft.functions.MinHashSignatureExpression.minhashBands(
           Dedup.words(col("text")), 3, numHashes, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+
+  /** The positional-anchor projection of the EXACT-substring index
+    * (`<table>_anchors`) — the same (doc, pos, 60-bit k-gram hash)
+    * rows batch d14 anchors on ([[Dedup.dupSpans]] step 1, the same
+    * compiled kernel), persisted. This is the relational analog of
+    * Lee et al.'s suffix array and has the same honest size class:
+    * TOKEN grain, one narrow row per token (the band index is
+    * doc-grain). Bucketed AND sorted by `h`, so the probe-time df
+    * count is in-bucket and row-group min/max stats prune scans.
+    */
+  private def anchorRows(docs: DataFrame, anchorK: Int): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.NgramHashesExpression
+          .ngramHashesAll(Dedup.words(col("text")), anchorK, 0)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+
+  private def writeAnchorRows(
+      df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
+    BucketedLayout(df, buckets, Seq("h")).write
+      .mode(mode)
+      .bucketBy(buckets, "h")
+      .sortBy("h")
+      .format("parquet")
+      .saveAsTable(target)
+
+  /** Whether this store maintains the exact-substring anchor index —
+    * the tables' existence IS the mode switch (the VecStore tree-table
+    * discipline): [[initAnchors]] turns it on, and every later
+    * [[append]]/[[compact]] keeps it in step without the caller
+    * re-passing options.
+    */
+  def hasAnchors(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(s"${table}_anchors")
+
+  /** The persisted anchor width. The index is meaningless under any
+    * other k — hashes of different-width grams never collide usefully
+    * — so k lives WITH the store, not in call sites.
+    */
+  def anchorK(spark: SparkSession, table: String): Int =
+    spark.table(s"${table}_anchorsmeta").head().getInt(0)
+
+  /** Build the exact-substring anchor index for an EXISTING store
+    * (from its FINAL rows) and switch anchor maintenance on. Re-init
+    * with a different k rebuilds from scratch — mixed-width anchor
+    * rows would silently never collide.
+    */
+  def initAnchors(
+      spark: SparkSession,
+      table: String,
+      k: Int = 8,
+      buckets: Int = 64): Unit = {
+    require(k >= 2, s"initAnchors: anchor width k must be >= 2, got $k")
+    graft.Probes.dropManaged(spark, s"${table}_anchors")
+    graft.Probes.dropManaged(spark, s"${table}_anchorsmeta")
+    import spark.implicits._
+    Seq(k).toDF("anchor_k").write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_anchorsmeta")
+    writeAnchorRows(anchorRows(readFinal(spark, table), k),
+      s"${table}_anchors", buckets, SaveMode.Overwrite)
+  }
 
   /** Raw read — may contain duplicate doc_ids from re-ingests and
     * rows whose ids have been [[pop]]ped (physically dropped only at
@@ -223,6 +290,93 @@ object DocStore {
       .distinct()
   }
 
+  /** EXACT-substring candidates of `newDocs` against the STORED
+    * corpus — the incremental face of batch d14 ([[Dedup.dupSpans]]):
+    * every maximal ≥ `minRun`-token verbatim run between a stored doc
+    * and a batch doc, computed from the persisted anchor index
+    * without re-anchoring the corpus. Output: (stored_doc_id,
+    * new_doc_id, start_stored, start_new, run_len) — exactly the full
+    * d14 rows over (stored ∪ batch) RESTRICTED to stored×batch pairs
+    * (spec-asserted), with the pair in store/batch order instead of
+    * d14's id order.
+    *
+    * Shape at 100 TB: two narrow scans of the anchor index (both
+    * broadcast-pruned by the batch's probed hashes; the index is
+    * h-bucketed so the df count aggregates in-bucket) and everything
+    * else bounded by the BATCH — the corpus never shuffles and its
+    * text is never read. Scan 1 computes the stored df per probed
+    * hash so the boilerplate cutoff applies BEFORE any anchor row
+    * materializes — a one-scan variant would have to hold the
+    * uncapped hit set, which a boilerplate gram makes corpus-sized.
+    * The df cap is the UNION-corpus cap of the batch algorithm
+    * (stored df ≤ union df makes the stored-side pre-cut lossless),
+    * so restriction equivalence is exact, run geometry included.
+    * A doc_id present in BOTH store and batch must carry the same
+    * text (the re-ingest contract everywhere in this store).
+    */
+  def dupSpanCandidates(
+      spark: SparkSession,
+      table: String,
+      newDocs: DataFrame,
+      minRun: Int = 12,
+      maxDf: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = anchorK(spark, table)
+    require(minRun >= k,
+      s"dupSpanCandidates: minRun ($minRun) must be >= the stored " +
+        s"anchor width k ($k)")
+    // batch anchors feed three subtrees (probe keys, union df, pair
+    // join) — materialize the kernel once (the nearDupCandidates
+    // discipline); batch-sized
+    val anchB = anchorRows(newDocs, k)
+      .select(col("doc_id").as("new_doc_id"), col("pos").as("pb"),
+        col("h"))
+      .localCheckpoint()
+    val probeKeys = anchB.select(col("h")).distinct()
+    val stored = minusDels(spark, table,
+      spark.table(s"${table}_anchors"))
+    // scan 1 — stored df per probed hash (in-bucket aggregate, output
+    // probed-hash-bounded); the stored-side cap is lossless vs the
+    // union cap below
+    val dfStored = stored
+      .join(broadcast(probeKeys), Seq("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nds"))
+      .filter(col("nds") <= maxDf)
+      .select(col("h"))
+      .localCheckpoint() // probed-hash-bounded; keeps scan 2 pruned
+    // scan 2 — the capped hits, now bounded by maxDf × probed hashes
+    val hits = stored
+      .join(broadcast(dfStored), Seq("h"))
+      .select(col("doc_id").as("stored_doc_id"), col("pos").as("ps"),
+        col("h"))
+      .localCheckpoint()
+    // the union-corpus df cap of batch d14, over probed hashes only
+    val sel = hits.select(col("h"), col("stored_doc_id").as("d"))
+      .union(anchB.select(col("h"), col("new_doc_id").as("d")))
+      .distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDf)
+      .select(col("h"))
+    val m = hits.join(broadcast(sel), Seq("h"))
+      .join(broadcast(anchB), Seq("h"))
+      .filter(col("stored_doc_id") =!= col("new_doc_id"))
+      .withColumn("diag", col("ps") - col("pb"))
+    val w = Window
+      .partitionBy(col("stored_doc_id"), col("new_doc_id"), col("diag"))
+      .orderBy(col("ps"))
+    m.withColumn("isl", col("ps") - row_number().over(w))
+      .groupBy(col("stored_doc_id"), col("new_doc_id"), col("diag"),
+        col("isl"))
+      .agg(min(col("ps")).cast("long").as("start_stored"),
+        min(col("pb")).cast("long").as("start_new"),
+        (max(col("ps")) - min(col("ps")) + k).cast("long").as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select(col("stored_doc_id"), col("new_doc_id"),
+        col("start_stored"), col("start_new"), col("run_len"))
+  }
+
   /** Durable dedup of both tables via the shared staged swap
     * ([[TableSwap]] crash-window policy): documents dedup by id
     * (FINAL — [[pop]]ped ids physically dropped), the index rebuilds
@@ -240,7 +394,8 @@ object DocStore {
       docsTmp: String,
       bandsTmp: String,
       snapFiles: Set[String],
-      delsSnap: Set[String])
+      delsSnap: Set[String],
+      anchorsTmp: Option[String] = None)
 
   /** The HEAVY half of [[compact]], runnable OFF the writer's critical
     * path (r12 — the acknowledged st13 stall: the corpus-sized FINAL
@@ -281,7 +436,15 @@ object DocStore {
     val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
     writeBandRows(bandKeys(spark.table(docsTmp), numHashes, rowsPerBand),
       bandsTmp, buckets, SaveMode.Overwrite)
-    CompactStage(docsTmp, bandsTmp, snapFiles, delsSnap)
+    val anchorsTmp = if (!hasAnchors(spark, table)) None else {
+      TableSwap.dropAllStages(spark, s"${table}_anchors")
+      val t = TableSwap.stageName(spark, s"${table}_anchors")
+      writeAnchorRows(
+        anchorRows(spark.table(docsTmp), anchorK(spark, table)),
+        t, buckets, SaveMode.Overwrite)
+      Some(t)
+    }
+    CompactStage(docsTmp, bandsTmp, snapFiles, delsSnap, anchorsTmp)
   }
 
   /** The CHEAP half: catch up and swap. MUST run serialized with the
@@ -310,12 +473,20 @@ object DocStore {
       writeDocRows(deltaRows, st.docsTmp, buckets, SaveMode.Append)
       writeBandRows(bandKeys(deltaRows, numHashes, rowsPerBand),
         st.bandsTmp, buckets, SaveMode.Append)
+      st.anchorsTmp.foreach(t => writeAnchorRows(
+        anchorRows(deltaRows, anchorK(spark, table)), t, buckets,
+        SaveMode.Append))
     }
     TableSwap.swapIn(spark, st.docsTmp, table, partitioned = false)(df =>
       writeDocRows(df, table, buckets, SaveMode.Append))
     TableSwap.swapIn(spark, st.bandsTmp, s"${table}_bands",
       partitioned = false)(df =>
       writeBandRows(df, s"${table}_bands", buckets, SaveMode.Append))
+    st.anchorsTmp.foreach(t =>
+      TableSwap.swapIn(spark, t, s"${table}_anchors",
+        partitioned = false)(df =>
+        writeAnchorRows(df, s"${table}_anchors", buckets,
+          SaveMode.Append)))
     val delsNow =
       if (spark.catalog.tableExists(s"${table}_dels"))
         spark.table(s"${table}_dels").inputFiles.toSet
@@ -343,6 +514,17 @@ object DocStore {
     TableSwap.swapIn(spark, bandsTmp, s"${table}_bands",
       partitioned = false)(df =>
       writeBandRows(df, s"${table}_bands", buckets, SaveMode.Append))
+    if (hasAnchors(spark, table)) {
+      TableSwap.dropAllStages(spark, s"${table}_anchors")
+      val anchorsTmp = TableSwap.stageName(spark, s"${table}_anchors")
+      writeAnchorRows(
+        anchorRows(read(spark, table), anchorK(spark, table)),
+        anchorsTmp, buckets, SaveMode.Overwrite)
+      TableSwap.swapIn(spark, anchorsTmp, s"${table}_anchors",
+        partitioned = false)(df =>
+        writeAnchorRows(df, s"${table}_anchors", buckets,
+          SaveMode.Append))
+    }
     graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 }

@@ -384,6 +384,99 @@ class SourcesSpec extends AnyFunSuite {
       Set((1L, 10L)))
   }
 
+  // r13: the incremental face of exact-substring dedup (d14). The
+  // anchor index is the store's third table; the probe must equal the
+  // BATCH algorithm on the union corpus restricted to stored×batch
+  // pairs — run geometry included — and survive append/pop/compact.
+  test("doc store anchors: dupSpanCandidates ≡ batch d14 restricted to " +
+    "stored×batch; maintained through append, pop, compact") {
+    import spark.implicits._
+    import graft.sources.DocStore
+    import graft.operators.Dedup
+    for (t <- Seq("doc_anch", "doc_anch_bands", "doc_anch_anchors",
+      "doc_anch_anchorsmeta", "doc_anch_dels")) dropTable(t)
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def randText(n: Int): Vector[String] =
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    // stored corpus: 20 random docs; batch: 8 docs, half carrying
+    // verbatim slices of stored docs (the planted runs), plus one
+    // boilerplate gram repeated across MANY stored docs to exercise
+    // the df cap identically on both paths
+    val boiler = Vector("b1", "b2", "b3", "b4", "b5", "b6")
+    val storedTok = (0L until 20L).map { i =>
+      val base = randText(40)
+      // docs 0-11 all carry the boilerplate run → df(boiler grams) = 12+
+      i -> (if (i < 12) base.take(20) ++ boiler ++ base.drop(20) else base)
+    }.toMap
+    val batchTok = (100L until 108L).map { i =>
+      val base = randText(30)
+      val planted = if (i % 2 == 0) {
+        val src = storedTok(i % 20)
+        val at = rnd.nextInt(src.length - 10)
+        base.take(10) ++ src.slice(at, at + 10) ++ base.drop(10)
+      } else base
+      i -> (if (i == 101L) planted.take(5) ++ boiler ++ planted.drop(5)
+            else planted)
+    }.toMap
+    val stored = storedTok.toSeq.map { case (id, ws) =>
+      (id, ws.mkString(" "), "s") }.toDF("doc_id", "text", "source")
+    val batch = batchTok.toSeq.map { case (id, ws) =>
+      (id, ws.mkString(" "), "s") }.toDF("doc_id", "text", "source")
+    val (k, minRun, maxDf) = (4, 6, 8)
+    DocStore.append(stored, "doc_anch", buckets = 4)
+    assert(!DocStore.hasAnchors(spark, "doc_anch"))
+    DocStore.initAnchors(spark, "doc_anch", k = k, buckets = 4)
+    assert(DocStore.hasAnchors(spark, "doc_anch") &&
+      DocStore.anchorK(spark, "doc_anch") == k)
+    // the oracle: batch d14 over the union, restricted to pairs with
+    // one stored and one batch side, re-oriented to store/batch order
+    def restricted(): Set[(Long, Long, Long, Long, Long)] =
+      Dedup.dupSpans(stored.union(batch), k, minRun, maxDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .collect {
+          case (a, b, sa, sb, len) if a < 100L && b >= 100L =>
+            (a, b, sa, sb, len)
+          case (a, b, sa, sb, len) if a >= 100L && b < 100L =>
+            (b, a, sb, sa, len)
+        }.toSet
+    def probe(): Set[(Long, Long, Long, Long, Long)] =
+      DocStore.dupSpanCandidates(spark, "doc_anch", batch, minRun, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val want = restricted()
+    assert(want.nonEmpty, "fixture must plant at least one run")
+    assert(want.exists(_._5 >= 10L), "a planted 10-token run must survive")
+    assert(probe() == want)
+    // plan: the batch side broadcasts; the stored index never shuffles
+    val plan = DocStore
+      .dupSpanCandidates(spark, "doc_anch", batch, minRun, maxDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"probed hashes must broadcast onto the index scan:\n$plan")
+    // maintenance: append keeps the index in step automatically
+    val extra = Seq((50L, batchTok(100L).mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    DocStore.append(extra, "doc_anch", buckets = 4)
+    val afterAppend = probe()
+    assert(afterAppend.exists(_._1 == 50L),
+      "an appended twin of a batch doc must pair with it")
+    // pop: a taken-down doc leaves the candidate space immediately
+    DocStore.pop(spark, "doc_anch", Seq(50L).toDF("doc_id"))
+    assert(probe() == want, "popped doc must vanish from candidates")
+    // compact: anchors rebuilt from FINAL docs; answers unchanged
+    DocStore.compact(spark, "doc_anch", buckets = 4)
+    assert(probe() == want)
+    assert(spark.table("doc_anch_anchors")
+      .filter(col("doc_id") === 50L).count() == 0L,
+      "compact must physically drop the popped doc's anchor rows")
+    // misuse guards
+    assertThrows[IllegalArgumentException] {
+      DocStore.dupSpanCandidates(spark, "doc_anch", batch, minRun = k - 1)
+    }
+  }
+
   // r12: the file-count pin behind BucketedLayout. Spark's bucketBy
   // writer emits one file per (task × partition × bucket); without the
   // pre-write layout shuffle a 16-split source writes 16× the files
