@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{BigramStatsExpression, DotProductExpression,
-  DoubleMetaphoneExpression, KmvDistinctAggregate, KmvSketchAggregate,
-  MetaphoneExpression,
+  DoubleMetaphoneExpression, Kmv, KmvDistinctAggregate,
+  KmvSketchAggregate, MetaphoneExpression,
   MinHashBandsExpression, MinHashSignatureExpression,
   MinHashWordsExpression, NgramHashesExpression, Phonetics,
   ShinglesExpression, SimHashExpression, TokenHashesExpression,
@@ -98,6 +98,68 @@ object GraftFunctionRegistry {
             KmvSketchAggregate(v, k).toAggregateExpression()
           case _ => throw new IllegalArgumentException(
             "graft_kmv_sketch(value, k: int literal)")
+        }
+      }),
+    // r13 — the stored-sketch ALGEBRA in plain SQL: fold persisted
+    // sketch rows (graft_kmv_union aggregate), merge two sketches
+    // (graft_kmv_union2), and estimate distinct/Jaccard/intersection
+    // from stored sketches without rescanning either corpus — the
+    // d15-style audit composes as one SQL statement.
+    (FunctionIdentifier("graft_kmv_union"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvUnionAggregate].getName,
+        "graft_kmv_union"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(sk, Literal(k: Int, IntegerType)) =>
+            graft.functions.KmvUnionAggregate(sk, k)
+              .toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_union(sketch: array<bigint>, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_kmv_union2"),
+      new ExpressionInfo(Kmv.getClass.getName, "graft_kmv_union2"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(a, b, Literal(k: Int, IntegerType)) =>
+            GraftSqlBridge.catalystExpression(Kmv.unionSketch(
+              GraftSqlBridge.column(a), GraftSqlBridge.column(b), k))
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_union2(a, b, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_kmv_estimate"),
+      new ExpressionInfo(Kmv.getClass.getName, "graft_kmv_estimate"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(sk, Literal(k: Int, IntegerType)) =>
+            GraftSqlBridge.catalystExpression(
+              Kmv.distinctEstimate(GraftSqlBridge.column(sk), k))
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_estimate(sketch, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_kmv_jaccard"),
+      new ExpressionInfo(Kmv.getClass.getName, "graft_kmv_jaccard"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(a, b, Literal(k: Int, IntegerType)) =>
+            GraftSqlBridge.catalystExpression(Kmv.jaccardEstimate(
+              GraftSqlBridge.column(a), GraftSqlBridge.column(b), k))
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_jaccard(a, b, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_kmv_intersect"),
+      new ExpressionInfo(Kmv.getClass.getName, "graft_kmv_intersect"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(a, b, Literal(k: Int, IntegerType)) =>
+            GraftSqlBridge.catalystExpression(Kmv.intersectEstimate(
+              GraftSqlBridge.column(a), GraftSqlBridge.column(b), k))
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_intersect(a, b, k: int literal)")
         }
       }),
     (FunctionIdentifier("graft_window_funnel"),

@@ -132,13 +132,26 @@ object Kmv {
       KmvSketchAggregate(GraftSqlBridge.expression(c), k)
         .toAggregateExpression())
 
+  /** Column form: fold STORED sketch rows (array<bigint>) into the
+    * k-min of their union — [[KmvUnionAggregate]], the aggregate
+    * behind `graft_kmv_union` and the SQL twin of
+    * [[graft.sources.SketchStore.foldSketches]]'s column algebra.
+    */
+  def kmvUnion(sk: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvUnionAggregate(GraftSqlBridge.expression(sk), k)
+        .toAggregateExpression())
+
   import org.apache.spark.sql.functions._
 
   /** k-min of the union of two stored sketches — the sketch OF the
     * union (KMV closure under union; ascending flipped order is
-    * preserved by sort). Pure column composition over array<bigint>.
+    * preserved by sort). Pure column composition over array<bigint>;
+    * the SQL face is `graft_kmv_union` over two rows, or this
+    * two-argument scalar via `graft_kmv_intersect`/`_jaccard`'s
+    * internals.
     */
-  private def unionSketch(a: Column, b: Column, k: Int): Column =
+  def unionSketch(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
   /** Distinct estimate from a stored sketch column (the
@@ -267,4 +280,76 @@ case class KmvSketchAggregate(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(
       newChild: Expression): KmvSketchAggregate = copy(child = newChild)
+}
+
+/** The UNION fold over STORED sketches — array<bigint> sketch rows in,
+  * the k-min of their union out (the same ascending flipped-hash array
+  * [[KmvSketchAggregate]] emits, so the result round-trips through
+  * every stored-sketch estimator). This is the aggregate face of
+  * [[graft.sources.SketchStore.foldSketches]]'s column algebra and the
+  * piece that lets d15-style audits compose in PLAIN SQL:
+  *
+  * {{{
+  *   SELECT a.source, b.source,
+  *     graft_kmv_estimate(graft_kmv_union2(a.sk, b.sk, k), k) ...
+  *   -- or fold a sketch history:
+  *   SELECT source, graft_kmv_union(sk, k) FROM sketch_rows GROUP BY 1
+  * }}}
+  *
+  * Mergeable like every KMV face (union-then-trim, associative and
+  * commutative); the shuffle carries ≤ k longs per (task, group).
+  */
+case class KmvUnionAggregate(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Kmv.Buf]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"graft_kmv_union: k must be >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_union requires ARRAY<BIGINT> (a stored sketch), " +
+          s"got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_union"
+
+  override def createAggregationBuffer(): Kmv.Buf = new Kmv.Buf()
+
+  override def update(buf: Kmv.Buf, input: InternalRow): Kmv.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < a.numElements()) { Kmv.insert(buf, a.getLong(i), k); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(b: Kmv.Buf, o: Kmv.Buf): Kmv.Buf = Kmv.mergeBufs(b, o, k)
+
+  override def eval(buf: Kmv.Buf): Any = {
+    val out = new Array[Any](buf.set.size)
+    val it = buf.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Kmv.Buf): Array[Byte] = Kmv.ser(buf)
+  override def deserialize(bytes: Array[Byte]): Kmv.Buf = Kmv.de(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvUnionAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvUnionAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvUnionAggregate = copy(child = newChild)
 }

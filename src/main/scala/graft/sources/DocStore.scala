@@ -420,6 +420,10 @@ object DocStore {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       buckets: Int = 64): CompactStage = {
+    // rewrite at the CREATION bucketing ([[TableSwap.bucketsOf]]) —
+    // a caller-parameter mismatch would leave file bucket ids the
+    // table spec disowns, silently dropped by bucketed reads
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
     val docsTmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
     TableSwap.dropAllStages(spark, s"${table}_bands")
@@ -431,17 +435,17 @@ object DocStore {
       if (spark.catalog.tableExists(s"${table}_dels"))
         spark.table(s"${table}_dels").inputFiles.toSet
       else Set.empty[String]
-    writeDocRows(readFinal(spark, table), docsTmp, buckets,
+    writeDocRows(readFinal(spark, table), docsTmp, b,
       SaveMode.Overwrite)
     val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
     writeBandRows(bandKeys(spark.table(docsTmp), numHashes, rowsPerBand),
-      bandsTmp, buckets, SaveMode.Overwrite)
+      bandsTmp, b, SaveMode.Overwrite)
     val anchorsTmp = if (!hasAnchors(spark, table)) None else {
       TableSwap.dropAllStages(spark, s"${table}_anchors")
       val t = TableSwap.stageName(spark, s"${table}_anchors")
       writeAnchorRows(
         anchorRows(spark.table(docsTmp), anchorK(spark, table)),
-        t, buckets, SaveMode.Overwrite)
+        t, b, SaveMode.Overwrite)
       Some(t)
     }
     CompactStage(docsTmp, bandsTmp, snapFiles, delsSnap, anchorsTmp)
@@ -465,27 +469,28 @@ object DocStore {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       buckets: Int = 64): Unit = {
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
     val delta = spark.table(table).inputFiles.toSet -- st.snapFiles
     if (delta.nonEmpty) {
       val deltaRows = minusDels(spark, table,
         spark.read.format("parquet").load(delta.toSeq: _*))
         .localCheckpoint()
-      writeDocRows(deltaRows, st.docsTmp, buckets, SaveMode.Append)
+      writeDocRows(deltaRows, st.docsTmp, b, SaveMode.Append)
       writeBandRows(bandKeys(deltaRows, numHashes, rowsPerBand),
-        st.bandsTmp, buckets, SaveMode.Append)
+        st.bandsTmp, b, SaveMode.Append)
       st.anchorsTmp.foreach(t => writeAnchorRows(
-        anchorRows(deltaRows, anchorK(spark, table)), t, buckets,
+        anchorRows(deltaRows, anchorK(spark, table)), t, b,
         SaveMode.Append))
     }
     TableSwap.swapIn(spark, st.docsTmp, table, partitioned = false)(df =>
-      writeDocRows(df, table, buckets, SaveMode.Append))
+      writeDocRows(df, table, b, SaveMode.Append))
     TableSwap.swapIn(spark, st.bandsTmp, s"${table}_bands",
       partitioned = false)(df =>
-      writeBandRows(df, s"${table}_bands", buckets, SaveMode.Append))
+      writeBandRows(df, s"${table}_bands", b, SaveMode.Append))
     st.anchorsTmp.foreach(t =>
       TableSwap.swapIn(spark, t, s"${table}_anchors",
         partitioned = false)(df =>
-        writeAnchorRows(df, s"${table}_anchors", buckets,
+        writeAnchorRows(df, s"${table}_anchors", b,
           SaveMode.Append)))
     val delsNow =
       if (spark.catalog.tableExists(s"${table}_dels"))
@@ -501,28 +506,29 @@ object DocStore {
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
       buckets: Int = 64): Unit = {
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
     val docsTmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
     TableSwap.dropAllStages(spark, s"${table}_bands")
-    writeDocRows(readFinal(spark, table), docsTmp, buckets,
+    writeDocRows(readFinal(spark, table), docsTmp, b,
       SaveMode.Overwrite)
     TableSwap.swapIn(spark, docsTmp, table, partitioned = false)(df =>
-      writeDocRows(df, table, buckets, SaveMode.Append))
+      writeDocRows(df, table, b, SaveMode.Append))
     val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
     writeBandRows(bandKeys(read(spark, table), numHashes, rowsPerBand),
-      bandsTmp, buckets, SaveMode.Overwrite)
+      bandsTmp, b, SaveMode.Overwrite)
     TableSwap.swapIn(spark, bandsTmp, s"${table}_bands",
       partitioned = false)(df =>
-      writeBandRows(df, s"${table}_bands", buckets, SaveMode.Append))
+      writeBandRows(df, s"${table}_bands", b, SaveMode.Append))
     if (hasAnchors(spark, table)) {
       TableSwap.dropAllStages(spark, s"${table}_anchors")
       val anchorsTmp = TableSwap.stageName(spark, s"${table}_anchors")
       writeAnchorRows(
         anchorRows(read(spark, table), anchorK(spark, table)),
-        anchorsTmp, buckets, SaveMode.Overwrite)
+        anchorsTmp, b, SaveMode.Overwrite)
       TableSwap.swapIn(spark, anchorsTmp, s"${table}_anchors",
         partitioned = false)(df =>
-        writeAnchorRows(df, s"${table}_anchors", buckets,
+        writeAnchorRows(df, s"${table}_anchors", b,
           SaveMode.Append))
     }
     graft.Probes.dropManaged(spark, s"${table}_dels")

@@ -63,20 +63,50 @@ object SketchStore {
     else write(rows, table, SaveMode.Append)
   }
 
+  /** Take down a SOURCE — the corpus-grain right-to-be-forgotten the
+    * other stores already have ([[DocStore.pop]]/[[VecStore]]): its
+    * names land append-only in `<table>_dels`, every read face
+    * excludes them immediately (a KMV sketch is derived from the
+    * source's raw values — "forget the source" includes its
+    * telemetry), and [[compact]] drops the rows physically and
+    * retires the tombstones. Sticky until compaction, same as
+    * everywhere: a replayed or late micro-batch re-appending the
+    * popped source stays hidden and dies at the next compact.
+    */
+  def pop(spark: SparkSession, table: String, sources: DataFrame): Unit =
+    sources.select(col("source")).distinct()
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dels")
+
+  private def minusDels(
+      spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(s"${table}_dels")) df
+    else {
+      spark.catalog.refreshTable(s"${table}_dels")
+      df.join(
+        broadcast(spark.table(s"${table}_dels")
+          .select(col("source")).distinct()),
+        Seq("source"), "left_anti")
+    }
+
   /** The folded sketch per source: k-min of the union of every
     * appended sketch row (= the sketch of the full history, by KMV
-    * mergeability). collect_list state per source is bounded by
-    * (batches since compact) × k — [[compact]] re-bounds it.
+    * mergeability) — the [[graft.functions.KmvUnionAggregate]] fold
+    * (r13: previously collect_list + flatten, whose partial state per
+    * (task, source) was (batches since compact) × k; the union
+    * aggregate's buffer is ≤ k ALWAYS, so fold-at-read cost no longer
+    * grows between compacts on the shuffle side — [[compact]] still
+    * re-bounds the stored rows). [[pop]]ped sources are excluded
+    * (broadcast anti-join — request-bounded, never data-sized).
     */
   def foldSketches(spark: SparkSession, table: String, k: Int): DataFrame = {
     // the stream's foreachBatch appends from a CLONED session — an
     // observer session's cached file listing goes stale between
     // batches; refresh is metadata-only and makes reads current
     spark.catalog.refreshTable(table)
-    spark.table(table)
+    minusDels(spark, table, spark.table(table))
       .groupBy(col("source"))
-      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
-        1, k).as("sk"))
+      .agg(Kmv.kmvUnion(col("sk"), k).as("sk"))
   }
 
   /** Serving face: the live distinct estimate per source. */
@@ -96,6 +126,15 @@ object SketchStore {
     val maxRow = spark.table(table).agg(max(col("ver"))).collect()(0)
     if (maxRow.isNullAt(0)) return // zero-row table: nothing to fold
     val maxVer = maxRow.getLong(0)
+    // tombstone snapshot BEFORE the fold: the folded rows honor AT
+    // LEAST these pops (foldSketches excludes them), so the tombstones
+    // may retire after the swap — unless new pops landed mid-compact,
+    // which must keep filtering reads until the next compact (the
+    // DocStore delsSnap discipline)
+    val delsSnap =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
     val folded = foldSketches(spark, table, k).withColumn("ver", lit(maxVer))
       .select(col("source"), col("sk"), col("ver"))
     val tmp = TableSwap.stageName(spark, table)
@@ -103,5 +142,11 @@ object SketchStore {
     write(folded, tmp, SaveMode.ErrorIfExists)
     TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
       write(df, table, SaveMode.Append))
+    val delsNow =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    if (delsNow == delsSnap && delsNow.nonEmpty)
+      graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 }

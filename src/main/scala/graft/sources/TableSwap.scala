@@ -50,6 +50,18 @@ object TableSwap {
   private def location(spark: SparkSession, table: String): URI =
     spark.sessionState.catalog.getTableMetadata(ident(table)).location
 
+  /** The live table's bucket count from catalog metadata (None for
+    * unbucketed tables). Compact faces rewrite at the CREATION
+    * bucketing via this instead of trusting a caller parameter: a
+    * rewrite at a different count emits file bucket ids the table's
+    * bucket spec disowns, and bucketed reads then drop those files
+    * SILENTLY — partial results, not an error (the r13 st16b
+    * finding).
+    */
+  def bucketsOf(spark: SparkSession, table: String): Option[Int] =
+    spark.sessionState.catalog.getTableMetadata(ident(table))
+      .bucketSpec.map(_.numBuckets)
+
   /** The stage sibling name for the next compact of `table`: version =
     * one past the version embedded in the live table's current
     * location (1 when the live table still sits in its original,

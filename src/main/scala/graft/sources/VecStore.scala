@@ -761,14 +761,17 @@ object VecStore {
       spark: SparkSession,
       table: String,
       buckets: Int = 16): Unit = {
+    // rewrite at the CREATION bucketing (TableSwap.bucketsOf) — a
+    // caller mismatch would leave file bucket ids the spec disowns
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
     val tmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
-    writeListed(readFinal(spark, table), tmp, buckets,
+    writeListed(readFinal(spark, table), tmp, b,
       SaveMode.Overwrite)
     TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
-      writeListed(df, table, buckets, SaveMode.Append))
+      writeListed(df, table, b, SaveMode.Append))
     if (spark.catalog.tableExists(s"${table}_codes"))
-      rebuildCodes(spark, table, liveCodebook(spark, table), buckets)
+      rebuildCodes(spark, table, liveCodebook(spark, table), b)
     graft.Probes.dropManaged(spark, s"${table}_dels")
   }
 
@@ -803,6 +806,7 @@ object VecStore {
       spark: SparkSession,
       table: String,
       buckets: Int = 16): CompactStage = {
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
     val vecsTmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
     TableSwap.dropAllStages(spark, s"${table}_codes")
@@ -814,7 +818,7 @@ object VecStore {
       if (spark.catalog.tableExists(s"${table}_dels"))
         spark.table(s"${table}_dels").inputFiles.toSet
       else Set.empty[String]
-    writeListed(readFinal(spark, table), vecsTmp, buckets,
+    writeListed(readFinal(spark, table), vecsTmp, b,
       SaveMode.Overwrite)
     val codesTmp =
       if (!spark.catalog.tableExists(s"${table}_codes")) None
@@ -830,7 +834,7 @@ object VecStore {
           writeCodes(spark,
             spark.table(vecsTmp)
               .select(col("vec_id"), col("embedding"), col("list_id")),
-            cb, tmp, buckets)
+            cb, tmp, b)
           Some((tmp, cb.select(col("cb_hash")).head().getString(0)))
         }
       }
@@ -856,6 +860,7 @@ object VecStore {
       table: String,
       st: CompactStage,
       buckets: Int = 16): Unit = {
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
     val delta = spark.table(table).inputFiles.toSet -- st.snapFiles
     val deltaRows =
       if (delta.isEmpty) None
@@ -870,11 +875,11 @@ object VecStore {
           spark.read.format("parquet").option("basePath", base)
             .load(delta.toSeq: _*))
           .localCheckpoint()
-        writeListed(rows, st.vecsTmp, buckets, SaveMode.Append)
+        writeListed(rows, st.vecsTmp, b, SaveMode.Append)
         Some(rows)
       }
     TableSwap.swapIn(spark, st.vecsTmp, table, partitioned = true)(df =>
-      writeListed(df, table, buckets, SaveMode.Append))
+      writeListed(df, table, b, SaveMode.Append))
     if (spark.catalog.tableExists(s"${table}_codes")) {
       val live = liveCodebook(spark, table)
       val liveHash =
@@ -884,15 +889,15 @@ object VecStore {
       st.codesTmp match {
         case Some((tmp, stamp)) if liveHash.contains(stamp) =>
           deltaRows.foreach(rows =>
-            writeCodes(spark, rows, live, tmp, buckets))
+            writeCodes(spark, rows, live, tmp, b))
           TableSwap.swapIn(spark, tmp, s"${table}_codes",
             partitioned = true)(df =>
-            writeListed(df, s"${table}_codes", buckets, SaveMode.Append))
+            writeListed(df, s"${table}_codes", b, SaveMode.Append))
         case _ =>
           // stale stage (mid-build retrain) or a layout the stage
           // declined — drop any staged codes and rebuild inline
           TableSwap.dropAllStages(spark, s"${table}_codes")
-          rebuildCodes(spark, table, live, buckets)
+          rebuildCodes(spark, table, live, b)
       }
     }
     val delsNow =

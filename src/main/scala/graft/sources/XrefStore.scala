@@ -65,11 +65,45 @@ object XrefStore {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Take down a DATASET — the corpus-grain right-to-be-forgotten for
+    * the judgement family (xref rows carry their entities' datasets,
+    * so a dataset is this store's "source"): names land append-only
+    * in `<table>_dsdels`; every judgement read face excludes rows
+    * touching a popped dataset on EITHER side immediately (the row
+    * embeds the forgotten entities' captions/countries — it goes
+    * wholesale); [[compact]] drops the rows physically, rebuilds the
+    * derived `_mapping` from the surviving judgements (removing a
+    * dataset's positives can SPLIT components, so the rebuild is the
+    * full resolver, not a delta), and retires the tombstones. Until
+    * that compact the mapping still carries the popped dataset's
+    * entities — the documented staleness window, same as every
+    * store's pop-to-compact gap.
+    */
+  def popDataset(
+      spark: SparkSession, table: String, datasets: DataFrame): Unit =
+    datasets.select(col("dataset")).distinct()
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dsdels")
+
+  private def minusDsDels(
+      spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(s"${table}_dsdels")) df
+    else {
+      spark.catalog.refreshTable(s"${table}_dsdels")
+      val dels = spark.table(s"${table}_dsdels")
+        .select(col("dataset")).distinct()
+      df.join(broadcast(dels),
+        df("left_dataset") === dels("dataset") ||
+          df("right_dataset") === dels("dataset"),
+        "left_anti")
+    }
+
   /** FINAL read: the latest judgement per (left_id, right_id) —
-    * ReplacingMergeTree(ts). In-bucket window, no Exchange.
+    * ReplacingMergeTree(ts), minus [[popDataset]]ed rows. In-bucket
+    * window, no Exchange (the tombstone anti-join broadcasts).
     */
   def readLatest(spark: SparkSession, table: String): DataFrame =
-    Xref.latestJudgements(read(spark, table))
+    Xref.latestJudgements(minusDsDels(spark, table, read(spark, table)))
 
   /** Reverse lookup via the projection table: all latest judgements
     * whose RIGHT side is the given entity. The equi-filter prunes to
@@ -79,8 +113,8 @@ object XrefStore {
     */
   def lookupByRight(
       spark: SparkSession, table: String, rightId: String): DataFrame =
-    Xref.latestJudgements(
-      spark.table(reverseTable(table)).filter(col("right_id") === rightId))
+    Xref.latestJudgements(minusDsDels(spark, table,
+      spark.table(reverseTable(table)).filter(col("right_id") === rightId)))
 
   /** Durable judgement dedup — the `OPTIMIZE FINAL` analogue for the
     * xref family (engine.optimize, engine.py:117-125): rewrite the
@@ -93,11 +127,21 @@ object XrefStore {
     * included.
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
+    // rewrite at the CREATION bucketing ([[TableSwap.bucketsOf]]) —
+    // a caller-parameter mismatch would otherwise leave file bucket
+    // ids the table spec disowns, which bucketed reads drop silently
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+    // tombstone snapshot BEFORE the FINAL read (the DocStore delsSnap
+    // discipline): the compacted rows honor at least these pops
+    val delsSnap =
+      if (spark.catalog.tableExists(s"${table}_dsdels"))
+        spark.table(s"${table}_dsdels").inputFiles.toSet
+      else Set.empty[String]
     val tmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
-    writeMain(readLatest(spark, table), tmp, buckets, SaveMode.Overwrite)
+    writeMain(readLatest(spark, table), tmp, b, SaveMode.Overwrite)
     TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
-      writeMain(df, table, buckets, SaveMode.Append))
+      writeMain(df, table, b, SaveMode.Append))
     // [[compact]] swaps main THEN `_reverse`; a crash between the two
     // swaps leaves the reverse projection one compaction behind main.
     // That staleness is row-level harmless — both tables hold the same
@@ -105,14 +149,37 @@ object XrefStore {
     // — and re-running compact is the repair. (The per-table swap
     // itself has no absent-name window; policy in [[TableSwap]].)
     val rev = reverseTable(table)
+    val rb = TableSwap.bucketsOf(spark, rev).getOrElse(b)
     val rtmp = TableSwap.stageName(spark, rev)
     TableSwap.dropAllStages(spark, rev)
     // reverse = projection of the already-compacted main: a cheap
     // bucket-local parquet re-read, no second FINAL computation
-    writeReverse(Xref.reverse(read(spark, table)), rtmp, buckets,
+    writeReverse(Xref.reverse(read(spark, table)), rtmp, rb,
       SaveMode.Overwrite)
     TableSwap.swapIn(spark, rtmp, rev, partitioned = false)(df =>
-      writeReverse(df, rev, buckets, SaveMode.Append))
+      writeReverse(df, rev, rb, SaveMode.Append))
+    // a dataset takedown invalidates the derived mapping structurally
+    // (losing positives can split components) — rebuild it from the
+    // surviving judgements with the full resolver, staged + swapped
+    val target = mappingTable(table)
+    if (delsSnap.nonEmpty && spark.catalog.tableExists(target)) {
+      val mb = TableSwap.bucketsOf(spark, target).getOrElse(b)
+      val maxVer = spark.table(target).agg(max(col("ver")))
+        .collect()(0).getLong(0)
+      val rebuilt = Xref.resolverMapping(readLatest(spark, table))
+        .withColumn("ver", lit(maxVer))
+      val mtmp = TableSwap.stageName(spark, target)
+      TableSwap.dropAllStages(spark, target)
+      writeMapping(rebuilt, mtmp, mb, SaveMode.Overwrite)
+      TableSwap.swapIn(spark, mtmp, target, partitioned = false)(df =>
+        writeMapping(df, target, mb, SaveMode.Append))
+    }
+    val delsNow =
+      if (spark.catalog.tableExists(s"${table}_dsdels"))
+        spark.table(s"${table}_dsdels").inputFiles.toSet
+      else Set.empty[String]
+    if (delsNow == delsSnap && delsNow.nonEmpty)
+      graft.Probes.dropManaged(spark, s"${table}_dsdels")
   }
 
   // ---------------------------------------------------------------
@@ -207,8 +274,9 @@ object XrefStore {
       keys = Seq(col("entity_id")), version = Seq(col("ver")))
     val tmp = TableSwap.stageName(spark, target)
     TableSwap.dropAllStages(spark, target)
-    writeMapping(current, tmp, buckets, SaveMode.Overwrite)
+    val mb = TableSwap.bucketsOf(spark, target).getOrElse(buckets)
+    writeMapping(current, tmp, mb, SaveMode.Overwrite)
     TableSwap.swapIn(spark, tmp, target, partitioned = false)(df =>
-      writeMapping(df, target, buckets, SaveMode.Append))
+      writeMapping(df, target, mb, SaveMode.Append))
   }
 }

@@ -481,6 +481,51 @@ object Streams {
         graft.sources.VecStore.compact(spark, table, buckets)
     }
 
+  /** st16's SOURCE-grain face (r13 — completes the delete story
+    * across every store): right-to-be-forgotten requests at corpus
+    * grain (a crawl, a dump, a dataset) pop the source's sketch
+    * telemetry ([[graft.sources.SketchStore.pop]]) and its xref
+    * judgement + derived mapping rows
+    * ([[graft.sources.XrefStore.popDataset]] — a judgement row names
+    * the forgotten entities on either side, so it goes wholesale).
+    * Immediate read-side exclusion from `readEstimates` and the
+    * judgement faces; physical cleanup and the mapping's full-resolver
+    * rebuild at the compact cadence (losing a dataset's positives can
+    * split components — the rebuild is structural, not a delta).
+    * Same replay/crash contract as [[takedownDocs]]: the tombstone
+    * appends are idempotent under re-delivery, takedown is sticky
+    * until compaction.
+    *
+    * `requests` carries one `source` column; either store can be
+    * omitted. Keep `compactEvery` = 0 when the same tables are
+    * compacted by their ingest streams' cadence (the two-compactors
+    * race rule of [[takedownDocs]]).
+    */
+  def takedownSources(
+      requests: DataFrame,
+      sketchTable: Option[String] = None,
+      xrefTable: Option[String] = None,
+      k: Int = 16384,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(requests) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      sketchTable.foreach(t =>
+        graft.sources.SketchStore.pop(spark, t, batch))
+      xrefTable.foreach(t => graft.sources.XrefStore.popDataset(
+        spark, t, batch.select(col("source").as("dataset"))))
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        sketchTable
+          .filter(t => spark.catalog.tableExists(s"${t}_dels"))
+          .foreach(t => graft.sources.SketchStore.compact(spark, t, k))
+        // compact rewrites at the store's CREATION bucketing
+        // (TableSwap.bucketsOf), so no bucket parameter to mismatch
+        xrefTable
+          .filter(t => spark.catalog.tableExists(s"${t}_dsdels"))
+          .foreach(t => graft.sources.XrefStore.compact(spark, t))
+      }
+    }
+
   /** st18 — streaming CARDINALITY telemetry: the q25 K-Minimum-Values
     * sketch maintained continuously over a document stream
     * ([[graft.sources.SketchStore]]): each micro-batch folds one

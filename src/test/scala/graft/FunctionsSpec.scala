@@ -332,6 +332,80 @@ class FunctionsSpec extends AnyFunSuite {
       (leaves(0L) ++ leaves(1L)).map(_._1.asInstanceOf[Int]).toSet)
   }
 
+  test("kmv sketch algebra composes in plain SQL (r13 union/estimate faces)") {
+    import spark.implicits._
+    import graft.functions.Kmv
+    GraftFunctionRegistry.registerAll(spark)
+    val k = 16
+    // per-(source, part) sketch rows — the stored shape (SketchStore)
+    val rows = Seq(
+      ("a", 0, Seq("x1", "x2", "x3", "shared1", "shared2")),
+      ("a", 1, Seq("x4", "shared1", "x5")),
+      ("b", 0, Seq("y1", "shared1", "shared2", "y2")),
+      ("b", 1, Seq("y3", "y4")))
+      .toDF("source", "part", "vals")
+      .select(col("source"), col("part"), explode(col("vals")).as("v"))
+      .groupBy(col("source"), col("part"))
+      .agg(Kmv.kmvSketch(col("v"), k).as("sk"))
+      .localCheckpoint()
+    rows.createOrReplaceTempView("sk_rows")
+    // 1) the union AGGREGATE folds stored rows to the sketch of the
+    // full history — identical to one kmvSketch over all values
+    val foldedSql = spark.sql(
+      s"SELECT source, graft_kmv_union(sk, $k) AS sk FROM sk_rows GROUP BY source")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = Seq(
+      ("a", Seq("x1", "x2", "x3", "shared1", "shared2", "x4", "x5")),
+      ("b", Seq("y1", "shared1", "shared2", "y2", "y3", "y4")))
+      .toDF("source", "vals")
+      .select(col("source"), explode(col("vals")).as("v"))
+      .groupBy(col("source")).agg(Kmv.kmvSketch(col("v"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(foldedSql == direct,
+      "union-aggregate fold must equal the one-pass sketch")
+    // 2) scalar faces == the Scala column algebra, and == exact set
+    // algebra in the unsaturated regime
+    val sqlPair = spark.sql(
+      s"""SELECT graft_kmv_estimate(graft_kmv_union2(a.sk, b.sk, $k), $k) AS u,
+         |  graft_kmv_intersect(a.sk, b.sk, $k) AS i,
+         |  graft_kmv_jaccard(a.sk, b.sk, $k) AS j
+         |FROM (SELECT sk FROM (SELECT source, graft_kmv_union(sk, $k) AS sk
+         |  FROM sk_rows GROUP BY source) WHERE source = 'a') a,
+         |  (SELECT sk FROM (SELECT source, graft_kmv_union(sk, $k) AS sk
+         |  FROM sk_rows GROUP BY source) WHERE source = 'b') b""".stripMargin)
+      .head()
+    // ground truth: |A|=7, |B|=6, shared = {shared1, shared2} = 2
+    assert(sqlPair.getLong(0) == 11L, s"union estimate: $sqlPair")
+    assert(sqlPair.getLong(1) == 2L, s"intersect estimate: $sqlPair")
+    assert(math.abs(sqlPair.getDouble(2) - 2.0 / 11.0) < 1e-9)
+    // 3) the d15-style audit as ONE SQL statement over stored sketches
+    // equals the Scala pair algebra
+    val viaSql = spark.sql(
+      s"""WITH folded AS (
+         |  SELECT source, graft_kmv_union(sk, $k) AS sk
+         |  FROM sk_rows GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  graft_kmv_intersect(a.sk, b.sk, $k) AS shared,
+         |  round(graft_kmv_jaccard(a.sk, b.sk, $k), 6) AS jaccard
+         |FROM folded a JOIN folded b ON a.source < b.source""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaScala = {
+      val f = rows.groupBy(col("source"))
+        .agg(Kmv.kmvUnion(col("sk"), k).as("sk"))
+      val a = f.select(col("source").as("source_a"), col("sk").as("ska"))
+      val b = f.select(col("source").as("source_b"), col("sk").as("skb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          Kmv.intersectEstimate(col("ska"), col("skb"), k).as("shared"),
+          round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
+            .as("jaccard"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+  }
+
   test("function registry exposes the full surface to SQL") {
     import graft.operators.Dedup.words
     GraftFunctionRegistry.registerAll(spark)

@@ -305,6 +305,87 @@ class SourcesSpec extends AnyFunSuite {
       s"compacted xref table must keep its bucketing:\n$plan")
   }
 
+  // r13: source-grain takedown across the remaining stores — the
+  // delete story's last two faces (DocStore/VecStore have id-grain
+  // pop since r11/r12).
+  test("sketch store pop: popped source vanishes from estimates, compact drops rows") {
+    import spark.implicits._
+    import graft.sources.SketchStore
+    Seq("sk_pop", "sk_pop_dels").foreach(dropTable)
+    val k = 64
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "keep"),
+      (2L, "eta theta iota kappa lambda mu", "keep"),
+      (3L, "nu xi omicron pi rho sigma", "gone"))
+      .toDF("doc_id", "text", "source")
+    SketchStore.applyBatch(spark, docs, "sk_pop", k, batchId = 0L)
+    def est(): Map[String, Long] =
+      SketchStore.readEstimates(spark, "sk_pop", k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = est()
+    assert(before.keySet == Set("keep", "gone"))
+    SketchStore.pop(spark, "sk_pop", Seq("gone").toDF("source"))
+    // immediate exclusion, survivor unchanged; raw rows still present
+    assert(est() == before - "gone")
+    assert(spark.table("sk_pop").count() == 2)
+    // sticky: a late batch re-appending the popped source stays hidden
+    SketchStore.applyBatch(spark,
+      Seq((4L, "tau upsilon phi chi psi omega", "gone"))
+        .toDF("doc_id", "text", "source"), "sk_pop", k, batchId = 1L)
+    assert(est() == before - "gone")
+    SketchStore.compact(spark, "sk_pop", k)
+    assert(spark.table("sk_pop").count() == 1,
+      "compact must physically drop the popped source's sketch rows")
+    assert(!spark.catalog.tableExists("sk_pop_dels"),
+      "compact must retire the tombstones")
+    assert(est() == before - "gone")
+  }
+
+  test("xref store popDataset: judgements excluded, mapping rebuilt at compact") {
+    import spark.implicits._
+    Seq("xref_pop", "xref_pop_reverse", "xref_pop_mapping",
+      "xref_pop_dsdels").foreach(dropTable)
+    val mkd = (lds: String, l: String, rds: String, r: String,
+        j: String, ts: Long) =>
+      (lds, l, "Person", "de", s"cap-$l", rds, r, "Person", "fr",
+        s"cap-$r", j, 0.5, ts, "graft")
+    // a(dsA) —positive— b(dsB) —positive— c(dsB): one component; the
+    // a-b edge is the only row touching dsA
+    XrefStore.applyBatch(spark, Seq(
+      mkd("dsA", "a", "dsB", "b", "positive", 1L),
+      mkd("dsB", "b", "dsB", "c", "positive", 1L))
+      .toDF(Xref.columns: _*), "xref_pop", ver = 1L, buckets = 4)
+    def mapping(): Map[String, String] =
+      XrefStore.readMapping(spark, "xref_pop").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val pre = mapping()
+    assert(pre.keySet == Set("a", "b", "c") && pre.values.toSet.size == 1,
+      s"one merged component expected: $pre")
+    XrefStore.popDataset(spark, "xref_pop", Seq("dsA").toDF("dataset"))
+    // immediate exclusion from every judgement face (either side)
+    assert(XrefStore.readLatest(spark, "xref_pop").collect()
+      .map(r => (r.getAs[String]("left_id"), r.getAs[String]("right_id")))
+      .toSet == Set(("b", "c")))
+    assert(XrefStore.lookupByRight(spark, "xref_pop", "b").count() == 0,
+      "the dsA-touching judgement must be gone from reverse lookups")
+    // the mapping is derived state: stale until compact (documented)
+    assert(mapping().keySet == Set("a", "b", "c"))
+    XrefStore.compact(spark, "xref_pop", buckets = 4)
+    // physical drop from main + reverse, tombstones retired, mapping
+    // rebuilt by the full resolver over the survivors — the popped
+    // dataset's entity is GONE from readMapping
+    assert(XrefStore.read(spark, "xref_pop").count() == 1)
+    assert(spark.table(XrefStore.reverseTable("xref_pop")).count() == 1)
+    assert(!spark.catalog.tableExists("xref_pop_dsdels"))
+    val post = mapping()
+    assert(post.keySet == Set("b", "c") && post.values.toSet.size == 1,
+      s"survivors stay merged, popped entity vanishes: $post")
+    // and the rebuilt mapping equals a from-scratch resolver run
+    val scratch = Xref.resolverMapping(XrefStore.readLatest(spark, "xref_pop"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(post == scratch)
+  }
+
   test("export → ingest round-trip preserves the entity") {
     import spark.implicits._
     val stmts = Seq(

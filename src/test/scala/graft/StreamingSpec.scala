@@ -1000,6 +1000,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  // r13 — the source-grain face: one forgotten SOURCE retires its
+  // sketch telemetry and its xref judgement + mapping rows, completing
+  // the delete story across every store.
+  test("st16b source takedown: popped source leaves estimates and, post-compact, the mapping") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("st16b_sk", "st16b_sk_dels", "st16b_xref",
+        "st16b_xref_reverse", "st16b_xref_mapping", "st16b_xref_dsdels"))
+      Probes.dropManaged(spark, t)
+    val k = 64
+    graft.sources.SketchStore.applyBatch(spark, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "keep"),
+      (2L, "eta theta iota kappa lambda mu", "gone"))
+      .toDF("doc_id", "text", "source"), "st16b_sk", k, batchId = 0L)
+    val mkd = (lds: String, l: String, rds: String, r: String,
+        j: String, ts: Long) =>
+      (lds, l, "Person", "de", s"cap-$l", rds, r, "Person", "fr",
+        s"cap-$r", j, 0.5, ts, "graft")
+    graft.sources.XrefStore.applyBatch(spark, Seq(
+      mkd("gone", "a", "dsB", "b", "positive", 1L),
+      mkd("dsB", "b", "dsB", "c", "positive", 1L))
+      .toDF(graft.operators.Xref.columns: _*), "st16b_xref", ver = 1L,
+      buckets = 4)
+    def refresh(): Unit = Seq("st16b_sk_dels", "st16b_xref_dsdels")
+      .filter(spark.catalog.tableExists).foreach { t =>
+        spark.catalog.refreshTable(t) }
+    def estSources(): Set[String] = {
+      refresh()
+      graft.sources.SketchStore.readEstimates(spark, "st16b_sk", k)
+        .collect().map(_.getString(0)).toSet
+    }
+    def mappingIds(): Set[String] = {
+      refresh()
+      spark.catalog.refreshTable("st16b_xref_mapping")
+      graft.sources.XrefStore.readMapping(spark, "st16b_xref")
+        .collect().map(_.getString(0)).toSet
+    }
+    assert(estSources() == Set("keep", "gone"))
+    assert(mappingIds() == Set("a", "b", "c"))
+    val in = MemoryStream[String]
+    val q = Streams.takedownSources(
+      in.toDF().toDF("source"),
+      sketchTable = Some("st16b_sk"), xrefTable = Some("st16b_xref"),
+      k = k, compactEvery = 2)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st16b_ckpt_" + System.nanoTime())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 0: tombstones only — estimates and judgement faces
+      // exclude immediately; the derived mapping is documented-stale
+      in.addData("gone")
+      q.processAllAvailable()
+      assert(estSources() == Set("keep"),
+        "popped source must vanish from readEstimates pre-compact")
+      refresh()
+      assert(graft.sources.XrefStore.readLatest(spark, "st16b_xref")
+        .collect().map(_.getAs[String]("left_id")).toSet == Set("b"))
+      // batch 1: replay; cadence fires → physical cleanup, tombstones
+      // retired, mapping rebuilt by the full resolver — the popped
+      // dataset's entity is gone from readMapping
+      in.addData("gone")
+      q.processAllAvailable()
+      spark.catalog.refreshTable("st16b_sk")
+      spark.catalog.refreshTable("st16b_xref")
+      assert(spark.table("st16b_sk").count() == 1,
+        "compact must drop the popped source's sketch rows")
+      assert(spark.table("st16b_xref").count() == 1,
+        "compact must drop the dataset-touching judgement rows")
+      refresh()
+      assert(!spark.catalog.tableExists("st16b_sk_dels") &&
+        !spark.catalog.tableExists("st16b_xref_dsdels"),
+        "compact must retire both tombstone tables")
+      assert(estSources() == Set("keep"))
+      assert(mappingIds() == Set("b", "c"),
+        "popped dataset's entity must vanish from the mapping post-compact")
+    } finally q.stop()
+  }
+
   test("st16 vector takedown: popped vector leaves every ANN face, sticky across replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

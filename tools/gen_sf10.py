@@ -84,10 +84,44 @@ def embeddings():
         "label": labels})
 
 
+def embeddings2m():
+    """r13 third vector decade: 2M x dim-64, 10k Gaussian cluster
+    labels — the "2M vectors, 10k lists" ceiling BASELINE round-12
+    named for the flat coarse argmax. Same constant-per-key-density
+    philosophy (100x sf1's labels at ~200 vectors/list). Own seeded
+    stream (1044) for standalone regeneration."""
+    n = 2000000
+    dim = 64
+    n_labels = 10000
+    rng_e = np.random.default_rng(1044)
+    centers = rng_e.normal(0, 1, size=(n_labels, dim)).astype(np.float32)
+    labels = rng_e.integers(0, n_labels, size=n).astype(np.int32)
+    vecs = centers[labels] + rng_e.normal(0, 0.35, size=(n, dim)).astype(
+        np.float32)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in vecs],
+        "label": labels})
+
+
 if __name__ == "__main__":
     import sys
     os.makedirs(OUT, exist_ok=True)
     which = sys.argv[1:] or ["documents", "embeddings"]
+    if "embeddings2m" in which:
+        # separate dir so probes taking a `dir/embeddings.parquet`
+        # contract can point at it; 64 shards (~31k rows each)
+        out2 = os.path.join(os.path.dirname(__file__), "..",
+                            "testdata-vec2m")
+        d = os.path.join(out2, "embeddings.parquet")
+        os.makedirs(d, exist_ok=True)
+        df = embeddings2m()
+        shard = (len(df) + 63) // 64
+        for i in range(64):
+            part = df.iloc[i * shard:(i + 1) * shard]
+            part.to_parquet(
+                os.path.join(d, f"part-{i:05d}.parquet"), index=False)
+        print(f"wrote {len(df)} vectors to {d}/ (64 shards)")
     if "documents" in which:
         df = documents()
         df.to_parquet(os.path.join(OUT, "documents.parquet"), index=False)
