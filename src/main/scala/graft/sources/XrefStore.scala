@@ -164,8 +164,10 @@ object XrefStore {
     val target = mappingTable(table)
     if (delsSnap.nonEmpty && spark.catalog.tableExists(target)) {
       val mb = TableSwap.bucketsOf(spark, target).getOrElse(b)
-      val maxVer = spark.table(target).agg(max(col("ver")))
-        .collect()(0).getLong(0)
+      val maxRow = spark.table(target).agg(max(col("ver"))).collect()(0)
+      // an all-retracted store can leave the mapping empty — rebuild
+      // at ver 0 rather than NPE on the null max
+      val maxVer = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val rebuilt = Xref.resolverMapping(readLatest(spark, table))
         .withColumn("ver", lit(maxVer))
       val mtmp = TableSwap.stageName(spark, target)
