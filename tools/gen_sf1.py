@@ -183,8 +183,93 @@ def customer():
         "c_mktsegment": rng.choice(SEGMENTS, size=n)})
 
 
+def region():
+    return pd.DataFrame({
+        "r_regionkey": np.arange(5, dtype=np.int32),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]})
+
+
+def nation():
+    return pd.DataFrame({
+        "n_nationkey": np.arange(25, dtype=np.int32),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": (np.arange(25) % 5).astype(np.int32)})
+
+
+def supplier():
+    n = 1000 * SCALE
+    return pd.DataFrame({
+        "s_suppkey": np.arange(n, dtype=np.int64),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n)],
+        "s_nationkey": rng.integers(0, 25, size=n).astype(np.int32),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, size=n), 2)})
+
+
+def orders():
+    """150k x 10 orders mirroring sf0.1: custkey uniform over the 10x
+    customer keys, uniform thirds O/P/F, dates uniform over
+    [1995-01-01, 2001-08-01], totalprice 1000..500000."""
+    n = 150000 * SCALE
+    days = (pd.Timestamp("2001-08-01") - pd.Timestamp("1995-01-01")).days
+    return pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": rng.integers(0, 15000 * SCALE, size=n),
+        "o_orderstatus": rng.choice(["O", "P", "F"], size=n),
+        "o_totalprice": np.round(rng.uniform(1000, 500000, size=n), 2),
+        "o_orderdate": (pd.Timestamp("1995-01-01") +
+                        pd.to_timedelta(rng.integers(0, days + 1, size=n),
+                                        unit="D")),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            size=n)})
+
+
+def lineitem(orders_df):
+    """1-7 lines per order (TPC-H shape, ~4x orders = ~6M rows):
+    partkey/suppkey uniform over the 10x key spaces, shipdate =
+    orderdate + 1..95 days, uniform-thirds returnflag, O/F linestatus,
+    discount 0..0.10, tax 0..0.08 in cents."""
+    counts = rng.integers(1, 8, size=len(orders_df))
+    okeys = np.repeat(orders_df["o_orderkey"].to_numpy(), counts)
+    odates = np.repeat(orders_df["o_orderdate"].to_numpy(), counts)
+    n = len(okeys)
+    linenos = np.concatenate([np.arange(1, c + 1) for c in counts])
+    return pd.DataFrame({
+        "l_orderkey": okeys,
+        "l_partkey": rng.integers(0, 20000 * SCALE, size=n),
+        "l_suppkey": rng.integers(0, 1000 * SCALE, size=n),
+        "l_linenumber": linenos.astype(np.int32),
+        "l_quantity": rng.integers(1, 51, size=n).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, size=n), 2),
+        "l_discount": rng.integers(0, 11, size=n) / 100.0,
+        "l_tax": rng.integers(0, 9, size=n) / 100.0,
+        "l_returnflag": rng.choice(["N", "A", "R"], size=n),
+        "l_linestatus": rng.choice(["O", "F"], size=n),
+        "l_shipdate": odates + pd.to_timedelta(
+            rng.integers(1, 96, size=n), unit="D")})
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
+    # relational tables (r13 — the full-suite sf1 bench needs them):
+    # timestamps must land as parquet timestamp[us] (the sf0.1
+    # encoding Tables.normalizeNtz handles); pandas would write NANOS,
+    # which Spark reads as a raw LONG under nanosAsLong
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    odf = orders()
+    for name, df in [("region", region()), ("nation", nation()),
+                     ("supplier", supplier()), ("orders", odf),
+                     ("lineitem", lineitem(odf))]:
+        table = pa.Table.from_pandas(df, preserve_index=False)
+        for field in ("o_orderdate", "l_shipdate"):
+            idx = table.schema.get_field_index(field)
+            if idx >= 0:
+                table = table.set_column(
+                    idx, field, table.column(field).cast(pa.timestamp("us")))
+        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"),
+                       version="2.6")
+        print(f"wrote {OUT}/{name}.parquet ({len(df)} rows)")
     for name, fn in [("documents", documents), ("embeddings", embeddings),
                      ("part", part), ("customer", customer),
                      ("events", events),
