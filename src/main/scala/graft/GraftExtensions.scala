@@ -179,6 +179,44 @@ object GraftFunctionRegistry {
               "window_us: long literal)")
         }
       }),
+    (FunctionIdentifier("graft_sequence_match"),
+      new ExpressionInfo(
+        classOf[graft.functions.SequenceMatchAggregate].getName,
+        "graft_sequence_match"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(g: Long, org.apache.spark.sql.types.LongType)) =>
+            graft.functions.SequenceMatchAggregate(ts, step, n, g)
+              .toAggregateExpression()
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(g: Int, IntegerType)) =>
+            graft.functions.SequenceMatchAggregate(ts, step, n, g.toLong)
+              .toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_sequence_match(ts_us, step, n_steps: int literal, " +
+              "gap_us: long literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_sequence_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SequenceCountAggregate].getName,
+        "graft_sequence_count"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(g: Long, org.apache.spark.sql.types.LongType)) =>
+            graft.functions.SequenceCountAggregate(ts, step, n, g)
+              .toAggregateExpression()
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(g: Int, IntegerType)) =>
+            graft.functions.SequenceCountAggregate(ts, step, n, g.toLong)
+              .toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_sequence_count(ts_us, step, n_steps: int literal, " +
+              "gap_us: long literal)")
+        }
+      }),
     (FunctionIdentifier("graft_top_k_weighted"),
       new ExpressionInfo(
         classOf[TopKWeightedAggregate].getName, "graft_top_k_weighted"),

@@ -1688,6 +1688,164 @@ object Queries {
       |FROM v JOIN e ON v.user_id = e.user_id
       |  AND v.vs < e.ee AND e.es < v.ve""".stripMargin
 
+  /** q27 — ordered-sequence match with an ADJACENT-gap bound (the
+    * ClickHouse `sequenceMatch('(?1)(?t<g)(?2)(?t<g)(?3)')` surface,
+    * [[graft.functions.SequenceAggregate]]): per user, does
+    * view → click → purchase occur as a non-decreasing-timestamp
+    * chain in which EACH hop takes ≤ 30 minutes — the semantic q26's
+    * funnel cannot state (its window anchors at the chain's FIRST
+    * step; a steady 3-hour chain of 20-minute hops matches here and
+    * fails there). ONE aggregation, q26's state shape (the group's
+    * step-matching events; merge = concat, one sort at eval). Oracle:
+    * the EXISTS formulation with per-adjacent gap constraints — the
+    * one-pass latest-prefix-completion scan is spec-proven equal to
+    * brute-force exists on randomized streams.
+    */
+  def q27SequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .when($"event_type" === "purchase", 3)
+          .otherwise(0).as("step"))
+      .filter($"step" >= 1)
+      .groupBy($"user_id")
+      .agg(graft.functions.SequenceAggregate
+        .sequenceMatch($"ts_us", $"step", 3, 1800L * 1000000L)
+        .as("matched"))
+  }
+
+  val q27Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT DISTINCT v.user_id FROM v
+      |  JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+      |    AND c.t - v.t <= 1800000000
+      |  JOIN p ON p.user_id = c.user_id AND p.t >= c.t
+      |    AND p.t - c.t <= 1800000000)
+      |SELECT user_id,
+      |  user_id IN (SELECT user_id FROM m) AS matched
+      |FROM (SELECT DISTINCT user_id FROM e)""".stripMargin
+
+  /** q27b — the COUNT face (ClickHouse `sequenceCount`): the number
+    * of non-overlapping view → click → purchase chains per user under
+    * the same adjacency bound. Greedy earliest-completion-and-reset
+    * is the MAXIMUM number of disjoint chains (exchange argument —
+    * class doc of [[graft.functions.SequenceAggregate]]); spec-proven
+    * equal to a brute-force maximum over randomized streams. The
+    * oracle runs the IDENTICAL fold as a RECURSIVE CTE (one event per
+    * user per step, scalar state columns) — greedy-reset is a
+    * sequential per-user fold with no join formulation; see the
+    * q27bSql note for why it is NOT a `list_reduce` lambda.
+    */
+  def q27bSequenceCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .when($"event_type" === "purchase", 3)
+          .otherwise(0).as("step"))
+      .filter($"step" >= 1)
+      .groupBy($"user_id")
+      .agg(graft.functions.SequenceAggregate
+        .sequenceCount($"ts_us", $"step", 3, 1800L * 1000000L)
+        .as("n_chains"))
+  }
+
+  // The fold is a RECURSIVE CTE (one event per user per recursion
+  // step, state = (a, b, c) scalar columns), NOT a `list_reduce`
+  // lambda: DuckDB 1.0.0's list_reduce evaluates struct-state lambdas
+  // WRONGLY in multi-group context — the identical fold returned 0
+  // for a user when the query was filtered to 3 users and 1 when run
+  // over all 150 (threads=1 included; 10–42/150 groups silently wrong
+  // across formulations, verified against a sequential reference).
+  // The recursive form is engine-vectorization-proof.
+  val q27bSql: String =
+    """WITH RECURSIVE ebase AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'purchase' THEN 3 END AS s
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |ev AS (
+      |  SELECT user_id, t, s, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY t, s) AS rn
+      |  FROM ebase),
+      |st AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(-1 AS BIGINT) AS a,
+      |    CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT st.user_id, st.rn + 1,
+      |    CASE WHEN e.s = 3 AND st.b >= 0 AND e.t - st.b <= 1800000000
+      |      THEN CAST(-1 AS BIGINT)
+      |      WHEN e.s = 1 THEN greatest(st.a, e.t) ELSE st.a END,
+      |    CASE WHEN e.s = 3 AND st.b >= 0 AND e.t - st.b <= 1800000000
+      |      THEN CAST(-1 AS BIGINT)
+      |      WHEN e.s = 2 AND st.a >= 0 AND e.t - st.a <= 1800000000
+      |      THEN greatest(st.b, e.t) ELSE st.b END,
+      |    st.c + CASE WHEN e.s = 3 AND st.b >= 0
+      |      AND e.t - st.b <= 1800000000 THEN 1 ELSE 0 END
+      |  FROM st JOIN ev e ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+      |SELECT user_id, c AS n_chains FROM (
+      |  SELECT user_id, c, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY rn DESC) AS rr FROM st)
+      |WHERE rr = 1""".stripMargin
+
+  /** q28 — cohort RETENTION (the ClickHouse `retention()` surface):
+    * per first-PURCHASE-week cohort, how many users purchased again
+    * in week +1 and week +2 (anchoring on the conversion event, not
+    * first contact, is what spreads cohorts across weeks — and is the
+    * retention question a product team actually asks).
+    * The Spark-first point of this row: the surface needs NO
+    * custom aggregate — it compiles to conditional aggregation over
+    * two bounded hash aggregates (user grain, then cohort grain), both
+    * map-side combinable; per-user state is the distinct-week set,
+    * bounded by the calendar. Weeks are exact integer floor-division
+    * of epoch microseconds (`DIV` / `//` — never a double division,
+    * whose rounding could disagree at the boundary), so there is no
+    * timezone or truncation semantic to align between engines.
+    */
+  def q28Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = expr("unix_micros(ts) DIV 604800000000").as("wk")
+    t(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", wk)
+      .groupBy($"user_id")
+      .agg(min($"wk").as("cohort"), collect_set($"wk").as("ws"))
+      .select($"cohort",
+        array_contains($"ws", $"cohort" + 1).as("r1"),
+        array_contains($"ws", $"cohort" + 2).as("r2"))
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"r1", 1L).otherwise(0L)).as("n_week1"),
+        sum(when($"r2", 1L).otherwise(0L)).as("n_week2"))
+  }
+
+  val q28Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 604800000000 AS wk
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, min(wk) AS cohort, list(wk) AS ws
+      |  FROM e GROUP BY 1),
+      |f AS (
+      |  SELECT cohort, list_contains(ws, cohort + 1) AS r1,
+      |    list_contains(ws, cohort + 2) AS r2 FROM u)
+      |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_week1,
+      |  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_week2
+      |FROM f GROUP BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -1716,6 +1874,9 @@ object Queries {
     "q24_interval_join" -> (q24IntervalJoin _),
     "q24b_overlap_join" -> (q24bOverlapJoin _),
     "q26_window_funnel" -> (q26WindowFunnel _),
+    "q27_sequence_match" -> (q27SequenceMatch _),
+    "q27b_sequence_count" -> (q27bSequenceCount _),
+    "q28_retention" -> (q28Retention _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1769,6 +1930,9 @@ object Queries {
     "q24_interval_join" -> q24Sql,
     "q24b_overlap_join" -> q24bSql,
     "q26_window_funnel" -> q26Sql,
+    "q27_sequence_match" -> q27Sql,
+    "q27b_sequence_count" -> q27bSql,
+    "q28_retention" -> q28Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -816,6 +816,133 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == got)
   }
 
+  // ---- sequence match / count (q27, q27b) ----
+
+  test("sequenceMatch scan ≡ brute-force exists on randomized streams") {
+    import graft.functions.SequenceAggregate
+    // exists semantics, evaluated literally: a chain e1..en with
+    // steps 1..n, non-decreasing ts, EVERY adjacent hop ≤ gap
+    def brute(ev: Seq[(Long, Int)], n: Int, gap: Long): Boolean = {
+      def ext(lastTs: Long, step: Int): Boolean =
+        if (step > n) true
+        else ev.exists { case (t, s) =>
+          s == step && t >= lastTs && t - lastTs <= gap &&
+            ext(t, step + 1)
+        }
+      ev.exists { case (t, s) => s == 1 && ext(t, 2) }
+    }
+    val rnd = new scala.util.Random(27)
+    for (trial <- 1 to 200) {
+      val n = 1 + rnd.nextInt(3)
+      val gap = rnd.nextInt(15).toLong
+      val ev = Seq.fill(rnd.nextInt(14))(
+        (rnd.nextInt(30).toLong, 1 + rnd.nextInt(n)))
+      val got = SequenceAggregate.scan(ev, n, gap)._1
+      val want = brute(ev, n, gap)
+      assert(got == want,
+        s"trial $trial: scan $got != brute $want on n=$n gap=$gap ev=$ev")
+    }
+  }
+
+  test("sequenceCount greedy-reset ≡ brute-force max disjoint chains") {
+    import graft.functions.SequenceAggregate
+    // brute force over the SORTED stream: the maximum number of chains
+    // where each later chain's events all follow the earlier chain's
+    // completing event in (ts, step) order — the ClickHouse
+    // search-restarts-after-a-match rule, by exhaustive recursion
+    def brute(ev: Seq[(Long, Int)], n: Int, gap: Long): Long = {
+      val s = ev.sortBy(identity).toIndexedSeq
+      val memo = scala.collection.mutable.HashMap.empty[Int, Long]
+      def chainsFrom(from: Int, lastTs: Long, step: Int): Seq[Int] =
+        // end indices of chains whose remaining steps step..n fit in
+        // s(from..) continuing from lastTs (-1 = chain not started)
+        if (step > n) Seq(from - 1)
+        else (from until s.length).flatMap { i =>
+          val (t, st) = s(i)
+          val ok =
+            if (step == 1) st == 1
+            else st == step && t >= lastTs && t - lastTs <= gap
+          if (ok) chainsFrom(i + 1, t, step + 1) else Seq.empty
+        }
+      def best(from: Int): Long = memo.getOrElseUpdate(from, {
+        if (from >= s.length) 0L
+        else chainsFrom(from, -1L, 1)
+          .map(end => 1L + best(end + 1))
+          .foldLeft(0L)(math.max)
+      })
+      best(0)
+    }
+    val rnd = new scala.util.Random(33)
+    for (trial <- 1 to 150) {
+      val n = 1 + rnd.nextInt(3)
+      val gap = rnd.nextInt(12).toLong
+      val ev = Seq.fill(rnd.nextInt(12))(
+        (rnd.nextInt(24).toLong, 1 + rnd.nextInt(n)))
+      val got = SequenceAggregate.scan(ev, n, gap)._2
+      val want = brute(ev, n, gap)
+      assert(got == want,
+        s"trial $trial: greedy $got != brute $want on n=$n gap=$gap ev=$ev")
+    }
+  }
+
+  test("sequence aggregates: adjacency≠funnel, resets, ties, SQL faces") {
+    import graft.functions.SequenceAggregate
+    import graft.functions.WindowFunnelAggregate
+    // the semantic DISCRIMINATION between q27 and q26: a steady chain
+    // of small hops matches adjacency but exceeds a whole-chain
+    // window; a late burst fits the window but fails adjacency
+    val steady = Seq((0L, 1), (25L, 2), (50L, 3)) // hops 25,25; span 50
+    assert(SequenceAggregate.scan(steady, 3, 30L)._1,
+      "25-hop chain must match gap 30")
+    assert(WindowFunnelAggregate.depth(steady, 3, 40L) < 3L,
+      "span-50 chain must fail window 40")
+    val burst = Seq((0L, 1), (95L, 2), (100L, 3)) // hop1 = 95; span 100
+    assert(!SequenceAggregate.scan(burst, 3, 30L)._1,
+      "95-hop chain must fail gap 30")
+    assert(WindowFunnelAggregate.depth(burst, 3, 100L) == 3L,
+      "span-100 chain must match window 100")
+    // greedy reset: back-to-back chains count 2; a second purchase
+    // with no fresh prefix does not
+    assert(SequenceAggregate.scan(
+      Seq((0L, 1), (1L, 2), (2L, 3), (3L, 1), (4L, 2), (5L, 3)),
+      3, 10L)._2 == 2L)
+    assert(SequenceAggregate.scan(
+      Seq((0L, 1), (1L, 2), (2L, 3), (3L, 3)), 3, 10L)._2 == 1L)
+    // ties chain (≤ rule, lower step first at equal ts)
+    assert(SequenceAggregate.scan(
+      Seq((7L, 1), (7L, 2), (7L, 3)), 3, 0L)._2 == 1L)
+    // nSteps = 1: every step-1 event is a chain
+    assert(SequenceAggregate.scan(
+      Seq((1L, 1), (2L, 1), (9L, 1)), 1, 0L)._2 == 3L)
+    // DataFrame + SQL faces, partition invariance, corrupt wide step
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1L), (1L, 25L, 2L), (1L, 50L, 3L),
+      (2L, 0L, 1L), (2L, 95L, 2L), (2L, 100L, 3L),
+      (3L, 0L, (1L << 32) + 1L)) // corrupt step must be ignored
+      .toDF("user_id", "ts_us", "step")
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, (Boolean, Long)] =
+      d.groupBy(col("user_id"))
+        .agg(SequenceAggregate
+            .sequenceMatch(col("ts_us"), col("step"), 3, 30L).as("m"),
+          SequenceAggregate
+            .sequenceCount(col("ts_us"), col("step"), 3, 30L).as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val got = run(df)
+    assert(got == Map(1L -> ((true, 1L)), 2L -> ((false, 0L)),
+      3L -> ((false, 0L))), got.toString)
+    assert(run(df.repartition(7)) == got, "repartition moved the result")
+    GraftFunctionRegistry.registerAll(spark)
+    df.createOrReplaceTempView("seq_in")
+    val viaSql = spark.sql(
+      """SELECT user_id, graft_sequence_match(ts_us, step, 3, 30L) AS m,
+        |  graft_sequence_count(ts_us, step, 3, 30L) AS c
+        |FROM seq_in GROUP BY user_id""".stripMargin)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(viaSql == got)
+  }
+
   test("kmv SQL faces registered: graft_kmv_distinct / graft_kmv_sketch") {
     GraftFunctionRegistry.registerAll(spark)
     import spark.implicits._

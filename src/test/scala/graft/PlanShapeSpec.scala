@@ -303,6 +303,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // partials carry the group's funnel events (map-side combine);
     // a second exchange means the chain logic fell back to joins
     Shape("q26_window_funnel", maxShuffles = 1),
+    // r13: q27/q27b share q26's shape — ONE sequence aggregate over
+    // the projected event scan, merge-concat partials; q28 is two
+    // bounded hash aggregates (user grain, then cohort grain)
+    Shape("q27_sequence_match", maxShuffles = 1),
+    Shape("q27b_sequence_count", maxShuffles = 1),
+    Shape("q28_retention", maxShuffles = 2),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict
