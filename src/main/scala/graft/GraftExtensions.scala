@@ -179,6 +179,24 @@ object GraftFunctionRegistry {
               "window_us: long literal)")
         }
       }),
+    (FunctionIdentifier("graft_top_k_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKMergeAggregate].getName,
+        "graft_top_k_merge"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(sk, Literal(k: Int, IntegerType)) =>
+            graft.functions.TopKMergeAggregate(sk, k, 4096)
+              .toAggregateExpression()
+          case Seq(sk, Literal(k: Int, IntegerType),
+              Literal(cap: Int, IntegerType)) =>
+            graft.functions.TopKMergeAggregate(sk, k, cap)
+              .toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_top_k_merge(summary, k: int literal" +
+              "[, capacity: int literal])")
+        }
+      }),
     (FunctionIdentifier("graft_sequence_match"),
       new ExpressionInfo(
         classOf[graft.functions.SequenceMatchAggregate].getName,

@@ -233,6 +233,102 @@ case class TopKWeightedAggregate(
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_top_k_merge(summary, k, capacity)` — fold STORED Misra–Gries
+  * summaries (rows in [[TopKAggregate.schema]]'s `array<struct<value,
+  * n>>` shape) back into one summary and emit its top `k`: the
+  * read-side of a persisted heavy-hitters table ([[graft.sources
+  * .TopKStore]], the st20 serving face) and the SQL face that lets
+  * stored summaries compose in plain SQL the way the KMV sketch
+  * algebra does (`graft_kmv_union`).
+  *
+  * Merging summaries is the PODS 2012 mergeable-summaries rule
+  * ([[TopKAggregate.mergeSummaries]] — sum counters, subtract the
+  * (capacity+1)-th largest): the folded summary carries the SAME
+  * N/(capacity+1) error bound as a single-pass sketch over the
+  * concatenated streams, and is EXACT when the union's distinct-value
+  * count is ≤ capacity (every stored summary is then an exact subset
+  * and no merge overflows — the spec-gated regime). Stored summaries
+  * must be FULL-capacity (written with k = capacity): a top-k-
+  * truncated row discards counters the bound needs.
+  *
+  * Unlike the KMV fold, this fold is NOT idempotent — a summary
+  * merged twice double-counts (counters are not a set). Exactly-once
+  * under replay is the STORE's job (version accounting in TopKStore),
+  * not the algebra's; the aggregate itself assumes each stored row
+  * appears once.
+  */
+case class TopKMergeAggregate(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"graft_top_k_merge: k must be positive, got $k")
+  require(capacity >= k,
+    s"graft_top_k_merge: capacity ($capacity) must be >= k ($k)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(f1, f2)), _)
+          if f1.dataType == StringType && f2.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_top_k_merge requires array<struct<string, bigint>> " +
+          s"(a stored top-k summary), got ${other.sql}")
+    }
+
+  override def dataType: DataType = TopKAggregate.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k_merge"
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf // null summaries are skipped
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val incoming = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      // the UTF8String may view a reused row buffer — copy
+      incoming.update(row.getUTF8String(0).clone(), row.getLong(1))
+      i += 1
+    }
+    TopKAggregate.mergeSummaries(buf, incoming, capacity)
+  }
+
+  override def merge(
+      b: mutable.HashMap[UTF8String, Long],
+      o: mutable.HashMap[UTF8String, Long])
+      : mutable.HashMap[UTF8String, Long] =
+    TopKAggregate.mergeSummaries(b, o, capacity)
+
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+    TopKAggregate.evalTop(buf, k)
+
+  override def serialize(
+      buf: mutable.HashMap[UTF8String, Long]): Array[Byte] =
+    TopKAggregate.ser(buf)
+
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] =
+    TopKAggregate.de(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKMergeAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKMergeAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): TopKMergeAggregate = copy(child = newChild)
+}
+
 object TopKAggregate {
 
   val schema: DataType = ArrayType(StructType(Seq(
@@ -252,6 +348,12 @@ object TopKAggregate {
     GraftSqlBridge.column(
       TopKWeightedAggregate(GraftSqlBridge.expression(c),
         GraftSqlBridge.expression(w), k, capacity)
+        .toAggregateExpression())
+
+  /** Column form of the stored-summary fold (aggregate function). */
+  def topKMerge(c: Column, k: Int, capacity: Int = 4096): Column =
+    GraftSqlBridge.column(
+      TopKMergeAggregate(GraftSqlBridge.expression(c), k, capacity)
         .toAggregateExpression())
 
   /** Subtract the (capacity+1)-th largest count and drop ≤ 0 — the

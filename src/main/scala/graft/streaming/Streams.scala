@@ -555,6 +555,39 @@ object Streams {
         graft.sources.SketchStore.compact(spark, table, k)
     }
 
+  /** st20 — streaming HEAVY-HITTERS telemetry: the q23 Misra–Gries
+    * top-k summary maintained continuously over a document stream
+    * ([[graft.sources.TopKStore]]): each micro-batch appends one
+    * full-capacity summary row per source, and [[graft.sources
+    * .TopKStore.readTopK]] serves "which terms dominate each source,
+    * ever" at any moment without a corpus rescan — st18's sibling at
+    * the heavy-hitters grain (cardinality tells you a source DRIFTED;
+    * the head terms tell you INTO WHAT).
+    *
+    * The honest contrast with st18, and why this store is designed
+    * differently: a KMV sketch is a value SET, so st18's read fold
+    * absorbs replayed batches structurally; an MG summary is a
+    * COUNTER map — merged twice it double-counts. Exactly-once under
+    * at-least-once delivery therefore comes from VERSION ACCOUNTING
+    * in the store (one visible row per (source, batchId); rows
+    * replayed after their batch was compacted fall behind the folded
+    * row's version horizon) — the ReplacingMerge discipline doing for
+    * counters what set algebra did for hashes (spec-asserted: a
+    * replayed batch and a post-compact replay both move nothing).
+    * `compactEvery` bounds fold-at-read cost with the staged-swap
+    * OPTIMIZE every N batches (estimates invariant across it).
+    */
+  def topkTelemetry(
+      docs: DataFrame, table: String, capacity: Int = 4096,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(docs) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      graft.sources.TopKStore.applyBatch(spark, batch, table, capacity, batchId)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.sources.TopKStore.compact(spark, table, capacity)
+    }
+
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at
     * stream grain — two unbounded event streams joined on key +
     * event-time range through Spark's NATIVE stream-stream inner

@@ -816,6 +816,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == got)
   }
 
+  test("graft_top_k_merge: folded stored summaries == one-pass topK (exact regime)") {
+    GraftFunctionRegistry.registerAll(spark)
+    import spark.implicits._
+    // 23 distinct values ≤ capacity 64 → every per-shard summary is an
+    // exact subset and the merged fold is EXACT = the one-pass sketch
+    (0 until 300).map(i => (i % 4, s"t${i % 23}"))
+      .toDF("shard", "v").createOrReplaceTempView("tkm_in")
+    def render(r: org.apache.spark.sql.Row): Seq[(String, Long)] =
+      r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getString(0), x.getLong(1))).toSeq
+    val direct = render(spark.sql(
+      "SELECT graft_top_k(v, 5, 64) FROM tkm_in").collect()(0))
+    val folded = render(spark.sql(
+      """WITH s AS (
+        |  SELECT shard, graft_top_k(v, 64, 64) AS sk
+        |  FROM tkm_in GROUP BY shard)
+        |SELECT graft_top_k_merge(sk, 5, 64) FROM s""".stripMargin)
+      .collect()(0))
+    assert(folded == direct, s"folded $folded != direct $direct")
+    // null summaries are skipped like count(col)
+    val withNull = render(spark.sql(
+      """WITH s AS (
+        |  SELECT shard, graft_top_k(v, 64, 64) AS sk
+        |  FROM tkm_in GROUP BY shard
+        |  UNION ALL SELECT 99, NULL)
+        |SELECT graft_top_k_merge(sk, 5, 64) FROM s""".stripMargin)
+      .collect()(0))
+    assert(withNull == direct)
+  }
+
   // ---- sequence match / count (q27, q27b) ----
 
   test("sequenceMatch scan ≡ brute-force exists on randomized streams") {

@@ -341,6 +341,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(est() == before - "gone")
   }
 
+  // r13: the heavy-hitters store — version accounting where the KMV
+  // store used set algebra (an MG summary merged twice double-counts,
+  // so exactly-once must come from the store, not the fold)
+  test("topk store: version-accounted fold replay-proof at both grains, pop, compact") {
+    import spark.implicits._
+    import graft.sources.TopKStore
+    Seq("tk_store", "tk_store_dels").foreach(dropTable)
+    val cap = 64
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    val b0 = docs((1L, "a a a b b c", "s1"), (2L, "x x y", "s2"))
+    val b1 = docs((3L, "b b b c", "s1"))
+    TopKStore.applyBatch(spark, b0, "tk_store", cap, batchId = 0L)
+    TopKStore.applyBatch(spark, b1, "tk_store", cap, batchId = 1L)
+    def top(): Map[String, Seq[(String, Long)]] =
+      TopKStore.readTopK(spark, "tk_store", 3, cap).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getString(0), x.getLong(1))).toSeq).toMap
+    val t0 = top()
+    assert(t0("s1") == Seq(("b", 5L), ("a", 3L), ("c", 2L)), t0.toString)
+    assert(t0("s2") == Seq(("x", 2L), ("y", 1L)))
+    // a replayed batch (same batchId, different partitioning) is a
+    // no-op: the (source, ver) dedup keeps one row
+    TopKStore.applyBatch(spark, b1.repartition(5), "tk_store", cap,
+      batchId = 1L)
+    assert(top() == t0, "replayed batch double-counted")
+    // compact folds to one row per source; served top-k invariant
+    TopKStore.compact(spark, "tk_store", cap)
+    assert(top() == t0, "compact moved the estimates")
+    assert(spark.table("tk_store").groupBy("source").count()
+      .collect().forall(_.getLong(1) == 1L), "compact folds to 1 row/source")
+    // a raw batch replayed AFTER the compact that folded it sits
+    // behind the folded row's version horizon — still a no-op
+    TopKStore.applyBatch(spark, b1, "tk_store", cap, batchId = 1L)
+    assert(top() == t0, "post-compact replay double-counted")
+    // a FRESH batch past the horizon lands normally
+    TopKStore.applyBatch(spark, docs((4L, "z z z z", "s2")),
+      "tk_store", cap, batchId = 2L)
+    assert(top()("s2") == Seq(("z", 4L), ("x", 2L), ("y", 1L)))
+    // pop: immediate exclusion, sticky until compact, physical drop
+    TopKStore.pop(spark, "tk_store", Seq("s1").toDF("source"))
+    assert(!top().contains("s1"))
+    TopKStore.applyBatch(spark, docs((5L, "q q", "s1")),
+      "tk_store", cap, batchId = 3L)
+    assert(!top().contains("s1"), "takedown must be sticky until compact")
+    TopKStore.compact(spark, "tk_store", cap)
+    assert(spark.table("tk_store").select("source").distinct()
+      .collect().map(_.getString(0)).toSet == Set("s2"),
+      "compact must physically drop the popped source's rows")
+    assert(!spark.catalog.tableExists("tk_store_dels"),
+      "compact must retire the tombstones")
+    assert(top()("s2") == Seq(("z", 4L), ("x", 2L), ("y", 1L)))
+  }
+
   test("xref store popDataset: judgements excluded, mapping rebuilt at compact") {
     import spark.implicits._
     Seq("xref_pop", "xref_pop_reverse", "xref_pop_mapping",

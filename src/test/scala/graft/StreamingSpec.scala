@@ -1434,4 +1434,79 @@ class StreamingSpec extends AnyFunSuite {
     graft.sources.SketchStore.compact(spark, empty, k)
     assert(graft.sources.SketchStore.readEstimates(spark, empty, k).isEmpty)
   }
+
+  test("st20 streaming heavy hitters: served == exact recompute, replay-proof, compact-invariant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val table = "st20_topk"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_dels")
+    graft.Probes.dropManaged(spark, table)
+    graft.Probes.dropManaged(spark, s"${table}_dels")
+    val cap = 64 // far above the test vocabulary → exact regime
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def doc(id: Long, s: String, text: String): (Long, String, String) = {
+      val d = (id, text, s); seen += d; d
+    }
+    def servedNow(): Map[String, Seq[(String, Long)]] =
+      graft.sources.TopKStore.readTopK(spark, table, 3, cap).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getString(0), x.getLong(1))).toSeq).toMap
+    def exactNow(): Map[String, Seq[(String, Long)]] =
+      seen.toSeq
+        .flatMap { case (_, text, s) => // Dedup.words twin on the driver
+          text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(w => (s, w)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case ((s, w), n) => (s, w, n) }
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+          .sortBy { case (w, n) => (-n, w) }.take(3).toSeq).toMap
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.topkTelemetry(
+      in.toDF().toDF("doc_id", "text", "source"), table, cap,
+      compactEvery = 3)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st20_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        doc(1L, "a", "red red red blue blue green"),
+        doc(2L, "b", "cat dog dog"))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after batch 0")
+      in.addData(doc(3L, "a", "blue blue blue green yellow"))
+      q.processAllAvailable()
+      val afterB1 = servedNow()
+      assert(afterB1 == exactNow(), "after batch 1")
+      assert(afterB1("a") == Seq(("blue", 5L), ("red", 3L), ("green", 2L)))
+      // batch 2 trips compactEvery=3 → one folded row per source,
+      // served top-k invariant
+      in.addData(doc(4L, "c", "solo solo"))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after compacting batch 2")
+      assert(spark.table(table).groupBy("source").count()
+        .collect().forall(_.getLong(1) == 1L), "compact folds to 1 row/source")
+      // the honest st18 CONTRAST: counters are not a set, so a
+      // replayed batch would double-count if the STORE didn't gate it.
+      // Replay batch 1 out of band (a checkpoint-restart redelivery):
+      // its ver sits behind the folded row's horizon → no-op
+      graft.sources.TopKStore.applyBatch(spark,
+        Seq(seen(2)).toDF("doc_id", "text", "source"),
+        table, cap, batchId = 1L)
+      assert(servedNow() == exactNow(),
+        "post-compact replayed batch must be a no-op")
+      // a replayed FRESH batch (not yet folded) dedups per (source, ver)
+      in.addData(doc(5L, "b", "dog dog bird"))
+      q.processAllAvailable()
+      graft.sources.TopKStore.applyBatch(spark,
+        Seq(seen(4)).toDF("doc_id", "text", "source").repartition(4),
+        table, cap, batchId = 3L)
+      assert(servedNow() == exactNow(),
+        "pre-compact replayed batch must be a no-op")
+      // manual compact is idempotent
+      graft.sources.TopKStore.compact(spark, table, cap)
+      graft.sources.TopKStore.compact(spark, table, cap)
+      assert(servedNow() == exactNow(), "after double compact")
+    } finally q.stop()
+  }
 }
