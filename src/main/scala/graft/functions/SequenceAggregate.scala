@@ -55,16 +55,38 @@ object SequenceAggregate {
 
   private val Unset = Long.MinValue
 
+  /** Sentinel for "prefix not yet achieved" in a levels array — also
+    * the initial value of a RESUMABLE fold's state (see [[resume]]).
+    */
+  private[graft] val UnsetLevel: Long = Unset
+
   /** The shared scan — package-visible so the spec can drive it on raw
     * sequences next to its brute-force twins. Returns (matched, count).
     */
   private[graft] def scan(
       events: collection.Seq[(Long, Int)], nSteps: Int,
       gapUs: Long): (Boolean, Long) = {
-    val sorted = events.sortBy(identity) // (ts, step): ties step-ascending
     val levels = Array.fill(math.max(nSteps - 1, 1))(Unset)
-    var count = 0L
-    sorted.foreach { case (ts, step) =>
+    val count =
+      resume(levels, 0L, events.sortBy(identity), nSteps, gapUs)
+    (count > 0L, count)
+  }
+
+  /** The RESUMABLE form of the fold — the DP state (the levels array +
+    * the running count) is everything the scan carries between events,
+    * so a stream can fold its watermark-finalized prefix into
+    * `nSteps − 1` longs and discard the events (st21's exact state
+    * bound; [[graft.streaming.Streams.sequenceCountStream]]). Mutates
+    * `levels` in place, returns the new count. `sortedEvents` must be
+    * (ts, step)-sorted and must follow (in time) everything already
+    * folded — the caller's watermark contract.
+    */
+  private[graft] def resume(
+      levels: Array[Long], count0: Long,
+      sortedEvents: collection.Seq[(Long, Int)], nSteps: Int,
+      gapUs: Long): Long = {
+    var count = count0
+    sortedEvents.foreach { case (ts, step) =>
       if (step == 1) {
         if (nSteps == 1) {
           count += 1L // a one-step chain completes immediately
@@ -81,7 +103,7 @@ object SequenceAggregate {
         }
       }
     }
-    (count > 0L, count)
+    count
   }
 
   private[functions] def ser(buf: ArrayBuffer[(Long, Int)]): Array[Byte] = {

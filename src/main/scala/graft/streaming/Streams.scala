@@ -875,6 +875,92 @@ object Streams {
       }
   }
 
+  final case class SeqEvt(user_id: Long, ts: java.sql.Timestamp, step: Int)
+  final case class SeqCountState(
+      levels: Seq[Long], n_chains: Long, pending: Seq[(Long, Int)])
+  final case class SeqCountOut(
+      user_id: Long, n_chains: Long, n_chains_provisional: Long)
+
+  /** st21 — the STREAMING sequence counter: q27b's `sequenceCount`
+    * (non-overlapping chains under a per-adjacent-step gap bound)
+    * served continuously per user. The state story is the POINT of
+    * this operator, and it is strictly stronger than st19's: the
+    * funnel stream keeps its horizon's matching EVENTS because a new
+    * event can re-anchor a chain's start; the sequence fold's DP
+    * state is just `levels` (the latest timestamp completing each
+    * prefix — [[graft.functions.SequenceAggregate.resume]]) plus the
+    * running count, so everything the watermark has FINALIZED
+    * collapses into `nSteps − 1` longs and the events are discarded.
+    * Per-user state = those longs (kept forever — the honest price of
+    * an "ever" counter, the same class as any cumulative per-user
+    * aggregate) + a pending buffer of events still ABOVE the
+    * watermark (reorder-horizon-bounded by the engine's late-drop).
+    *
+    * Two counts are emitted per update, with different contracts:
+    * `n_chains` folds only watermark-FINALIZED events — deterministic,
+    * monotone, replay-stable, and ≡ the batch q27b aggregate over the
+    * finalized slice (spec-asserted); `n_chains_provisional` also
+    * folds the pending buffer on a COPY of the levels — it equals the
+    * batch answer over everything delivered when arrivals are in
+    * order (spec-asserted), but an out-of-order arrival inside the
+    * horizon may revise it (why it is labeled provisional; the
+    * finalized count never revises). A late event beyond the
+    * watermark drops before it can move either count (the st17/st19
+    * at-most-once contract).
+    *
+    * An event-time timeout `(nSteps − 1) × gap` past the last event
+    * flushes the pending buffer into the finalized state once the
+    * watermark passes it (no data needed), so counts do not lag idle
+    * users; the state itself is never removed.
+    */
+  def sequenceCountStream(
+      events: DataFrame,
+      nSteps: Int = 3,
+      gapMs: Long = 1800 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SeqCountOut] = {
+    import events.sparkSession.implicits._
+    import graft.functions.SequenceAggregate
+    val width = math.max(nSteps - 1, 1)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("step").cast("int").as("step"))
+      .as[SeqEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqCountState, SeqCountOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SeqEvt], state: GroupState[SeqCountState]) =>
+          val prev = state.getOption.getOrElse(SeqCountState(
+            Seq.fill(width)(SequenceAggregate.UnsetLevel), 0L, Nil))
+          val incoming = it
+            .filter(e => e.step >= 1 && e.step <= nSteps)
+            .map(e => (e.ts.getTime, e.step)).toSeq
+          if (incoming.isEmpty && !state.hasTimedOut &&
+              prev.pending.isEmpty) Iterator.empty
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val all = (prev.pending ++ incoming).sorted
+            val (fin, pend) = all.partition(_._1 < wm)
+            val levels = prev.levels.toArray
+            val n = SequenceAggregate.resume(
+              levels, prev.n_chains, fin, nSteps, gapMs)
+            val provLevels = levels.clone()
+            val prov = SequenceAggregate.resume(
+              provLevels, n, pend, nSteps, gapMs)
+            state.update(SeqCountState(levels.toSeq, n, pend))
+            if (incoming.nonEmpty) {
+              // flush tick: once the watermark passes every pending
+              // event (+ the widest chain span), fold them without
+              // waiting for new data
+              val lastMs = incoming.map(_._1).max
+              state.setTimeoutTimestamp(
+                math.max(lastMs, wm) + gapMs * width + 1L)
+            }
+            Iterator.single(SeqCountOut(uid, n, prov))
+          }
+      }
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

@@ -1435,6 +1435,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.SketchStore.readEstimates(spark, empty, k).isEmpty)
   }
 
+  test("st21 streaming sequence count: cross-batch chains, finalized vs provisional, late drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // kernel twin on the driver: the batch q27b fold over everything
+    // delivered (ms grain — the kernel is unit-agnostic)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    def batchCount(uid: Long, onlyBelow: Long = Long.MaxValue): Long =
+      graft.functions.SequenceAggregate.scan(
+        delivered.filter(e => e._1 == uid && e._2 < onlyBelow)
+          .map(e => (e._2, e._3)).toSeq, 3, 1000L)._2
+    val in = MemoryStream[(Long, java.sql.Timestamp, Int)]
+    val q = Streams.sequenceCountStream(
+        in.toDF().toDF("user_id", "ts", "step"),
+        nSteps = 3, gapMs = 1000L, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st21_out")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st21_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // finalized is monotone by construction and provisional only grows
+    // in this in-order scenario → max per user is the latest serve
+    def served(): Map[Long, (Long, Long)] =
+      spark.table("st21_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> ((rs.map(_._2._1).max, rs.map(_._2._2).max)) }
+    def send(rows: (Long, Long, Int)*): Unit = {
+      delivered ++= rows
+      in.addData(rows.map(r => (r._1, ts(r._2), r._3)))
+      q.processAllAvailable()
+    }
+    try {
+      // a chain SPLIT ACROSS batches: view in batch 0 …
+      send((1L, 1000L, 1), (2L, 1000L, 1))
+      assert(served()(1L)._2 == batchCount(1L),
+        "in-order provisional must equal the batch fold")
+      // … click + purchase arrive two batches later: completes
+      send((1L, 1500L, 2))
+      send((1L, 2200L, 3))
+      assert(served()(1L)._2 == 1L, s"cross-batch chain: ${served()(1L)}")
+      assert(served()(1L)._2 == batchCount(1L))
+      // back-to-back second chain for user 1 → count 2 (greedy
+      // reset); user 2 opens view+click that the watermark finalizes
+      send((1L, 10000L, 1), (1L, 10500L, 2), (1L, 11000L, 3),
+        (2L, 10000L, 1), (2L, 10600L, 2))
+      assert(served()(1L)._2 == 2L && served()(1L)._2 == batchCount(1L))
+      // finalized count: everything below the watermark folds into
+      // nSteps-1 longs — the fold sees the PREVIOUS batch's watermark
+      // (wm lags one batch), so advance it with a fresh view that
+      // completes nothing; finalized then equals the batch fold over
+      // the < 11000 slice
+      send((1L, 12000L, 1))
+      assert(served()(1L)._1 == batchCount(1L, onlyBelow = 11000L),
+        s"finalized face: ${served()(1L)._1}")
+      // LATE event beyond the watermark (wm = 11000): user 2's
+      // purchase@10900 WOULD complete the finalized view→click chain
+      // (gap 300 ≤ 1000) if accepted — it must drop (at-most-once)
+      in.addData(Seq((2L, ts(10900L), 3)))
+      q.processAllAvailable()
+      assert(served()(2L)._2 == 0L,
+        "late event beyond the watermark must not move the count")
+      // fresh in-horizon activity for user 2 still counts, and the
+      // cumulative count survives the idle gap (state never removed)
+      send((2L, 20000L, 1), (2L, 20400L, 2), (2L, 20900L, 3))
+      assert(served()(2L)._2 == 1L)
+      assert(served()(1L)._2 == 2L, "user 1 unchanged by user 2 traffic")
+      // the timeout FLUSH: user 1 has had no data since 12000, but
+      // once the watermark passes its flush tick the pending buffer
+      // folds without new data and the finalized face catches up to 2
+      send((2L, 30000L, 1))
+      assert(served()(1L) == ((2L, 2L)),
+        s"timeout flush must finalize the idle user: ${served()(1L)}")
+    } finally q.stop()
+  }
+
   test("st20 streaming heavy hitters: served == exact recompute, replay-proof, compact-invariant") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
