@@ -2235,6 +2235,48 @@ object PipelineQueries {
        |  CAST(budget AS BIGINT) AS budget
        |FROM c WHERE cum_tokens <= budget""".stripMargin
 
+  /** p7 — TEMPERATURE-flattened dataset mix ([[Sampling
+    * .temperatureMix]] — the T5/mT5 τ-sampling rule at τ = 1/2):
+    * per-source budgets derive from the corpus's own token totals
+    * (w ∝ √n, integer-exact end to end — see the operator doc for why
+    * τ = 1/2 is the one engine-exact temperature), then selection is
+    * the same deterministic hash-ordered prefix as every sampler.
+    * Unlike p4 the oracle derives the budgets TOO (totals → floored
+    * sqrt weights → integer DIV split), so the gate covers the
+    * self-calibration, not just the prefix sum.
+    */
+  def p7TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens")),
+      stratum = "source", id = "doc_id", tokens = col("n_tokens"),
+      totalBudget = 6000L, nBuckets = 64)
+
+  val p7Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${duckWords("text")}) AS BIGINT) AS n_tokens,
+       |    ${duckHash60("'0'", "CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM documents),
+       |tot AS (SELECT source, SUM(n_tokens) AS n FROM t GROUP BY 1),
+       |w AS (
+       |  SELECT source,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+       |  FROM tot),
+       |b AS (
+       |  SELECT source, w * 6000 // (SELECT SUM(w) FROM w) AS budget
+       |  FROM w WHERE (SELECT SUM(w) FROM w) > 0),
+       |c AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY t.source
+       |      ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t JOIN b ON t.source = b.source)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  CAST(budget AS BIGINT) AS budget
+       |FROM c WHERE cum_tokens <= budget""".stripMargin
+
   /** q25 — distinct 3-shingles per source through the MERGEABLE
     * K-Minimum-Values sketch ([[graft.functions.Kmv]] — the
     * ClickHouse `uniq()` surface): ONE aggregation whose shuffle
@@ -2591,6 +2633,7 @@ object PipelineQueries {
     "p2_shuffle_shard" -> (p2ShuffleShard _),
     "p3_corpus_report" -> (p3CorpusReport _),
     "p4_dataset_mix" -> (p4DatasetMix _),
+    "p7_temperature_mix" -> (p7TemperatureMix _),
     "q23_topk_sketch" -> (q23TopkSketch _),
     "q23b_topk_weighted" -> (q23bTopkWeighted _),
     "q25_distinct_kmv" -> (q25DistinctKmv _),
@@ -2652,6 +2695,7 @@ object PipelineQueries {
     "p2_shuffle_shard" -> p2Sql,
     "p3_corpus_report" -> p3Sql,
     "p4_dataset_mix" -> p4Sql,
+    "p7_temperature_mix" -> p7Sql,
     "p6_curriculum" -> p6Sql,
     "q23_topk_sketch" -> q23Sql,
     "q23b_topk_weighted" -> q23bSql,

@@ -146,6 +146,60 @@ object Sampling {
       .withColumnRenamed("__budget", "budget")
   }
 
+  /** TEMPERATURE-flattened dataset mix (r13 — the T5/mT5 τ-sampling
+    * rule, Raffel et al. 2020 §3.4.3): per-stratum budgets derive from
+    * the corpus's OWN token distribution, w_d ∝ n_d^τ at τ = 1/2, so
+    * head domains flatten and tail domains up-weight without anyone
+    * writing a mix table ([[datasetMix]] is the explicit-weights face;
+    * this is the self-calibrating one).
+    *
+    * τ is FIXED at 1/2 because that is the one temperature with an
+    * engine-exact implementation: IEEE-754 requires sqrt correctly
+    * rounded (both engines produce the SAME double for the same n),
+    * weights floor to integers, and the weight sum + budget split run
+    * in pure integer arithmetic (`w · B DIV Σw`) — order-independent,
+    * so no double-summation drift can flip a budget by one token. A
+    * general pow(n, τ) is NOT correctly rounded and may differ between
+    * libms — the same class of cross-engine boundary bug the repo's
+    * cents-sum discipline exists for (class doc of
+    * [[graft.Queries]]); a deployment wanting other τ values supplies
+    * explicit weights through [[datasetMix]].
+    *
+    * Scale shape: token totals FOLD FROM the prefix sum's own bounded
+    * (stratum, bucket) rollup — materialized once, so deriving the
+    * weights adds zero corpus-grain work to d10's plan — Σw rides a
+    * broadcast 1-row aggregate, and selection is the d10 bucketed
+    * prefix sum unchanged (budget-frontier drop before the window
+    * shuffle, at each stratum's derived frontier).
+    * Zero-token strata get zero budget; an all-empty corpus yields an
+    * empty result (the Σw > 0 guard), never a division error.
+    */
+  def temperatureMix(
+      df: DataFrame, stratum: String, id: String, tokens: Column,
+      totalBudget: Long, nBuckets: Int = 64, seed: Int = 0): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    // token totals come from the prefix sum's OWN bounded rollup (the
+    // deriveBudgets hook), never a second corpus-grain aggregation —
+    // the first cut aggregated the corpus twice more inside the
+    // budget subtree and the plan pin caught it at 6 shuffles
+    val derive: DataFrame => DataFrame = { pref =>
+      val totals = pref
+        .groupBy(col(stratum))
+        .agg(sum(col("__bt")).as("__n"))
+        .withColumn("__w",
+          floor(sqrt(col("__n").cast("double"))).cast("long"))
+      totals
+        .crossJoin(broadcast(totals.agg(sum(col("__w")).as("__wsum"))))
+        .filter(col("__wsum") > 0)
+        .select(col(stratum),
+          expr(s"__w * ${totalBudget}L DIV __wsum").as("__budget"))
+    }
+    bucketedCumSum(df, stratum, id, tokens, nBuckets, seed,
+      offsetCap = None, deriveBudgets = Some(derive))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .withColumnRenamed("__budget", "budget")
+  }
+
   /** The shared bucketed-prefix-sum core of [[tokenBudgetBucketed]]
     * and [[sequencePack]]: appends `cum_tokens` (the inclusive running
     * total of `tokens` within `stratum`, ordered by (60-bit md5 of
@@ -158,8 +212,11 @@ object Sampling {
   private def bucketedCumSum(
       df: DataFrame, stratum: String, id: String, tokens: Column,
       nBuckets: Int, seed: Int, offsetCap: Option[Long],
-      budgets: Option[DataFrame] = None): DataFrame = {
+      budgets: Option[DataFrame] = None,
+      deriveBudgets: Option[DataFrame => DataFrame] = None): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(budgets.isEmpty || deriveBudgets.isEmpty,
+      "budgets and deriveBudgets are mutually exclusive")
     import org.apache.spark.sql.expressions.Window
     // md5Hash60 lands in [0, 2^60); integral DIV keeps bucket order
     // exactly aligned with hash order (the q20b lesson: double
@@ -169,17 +226,25 @@ object Sampling {
       .withColumn("__u", Dedup.md5Hash60(lit(seed), col(id).cast("string")))
       .withColumn("__n_tokens", tokens.cast("long"))
       .withColumn("__bucket", expr(s"__u DIV ${width}L"))
-    val prefixes = base
+    val prefixes0 = base
       .groupBy(col(stratum), col("__bucket"))
       .agg(sum(col("__n_tokens")).as("__bt"))
       .withColumn("__off", coalesce(
         sum(col("__bt")).over(Window.partitionBy(col(stratum))
           .orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // when budgets derive FROM the rollup itself (temperatureMix), the
+    // BOUNDED rollup (≤ strata × nBuckets rows) materializes once so
+    // the corpus-grain aggregation is never re-instantiated per
+    // consumer — the d12 multi-consumer discipline at rollup grain
+    val prefixes =
+      if (deriveBudgets.isDefined) prefixes0.localCheckpoint()
+      else prefixes0
+    val allBudgets = budgets.orElse(deriveBudgets.map(_(prefixes)))
     // per-stratum budgets ([[datasetMix]]): the domain-grain table
     // joins the BOUNDED prefix rollup, so the frontier drop below
     // happens at each stratum's own budget — same place, same cost
-    val offsets = (offsetCap, budgets) match {
+    val offsets = (offsetCap, allBudgets) match {
       case (Some(cap), _) =>
         prefixes.filter(col("__off") < cap)
           .select(col(stratum), col("__bucket"), col("__off"))
@@ -200,7 +265,7 @@ object Sampling {
         sum(col("__n_tokens")).over(w) + col("__off"))
       // the using-join moved its keys first; restore the caller's
       // column order so every caller returns the identical schema
-      .select(budgets.fold(outCols)(_ => outCols :+ col("__budget")): _*)
+      .select(allBudgets.fold(outCols)(_ => outCols :+ col("__budget")): _*)
   }
 
   /** Concat-and-split sequence packing — the step that turns a

@@ -994,6 +994,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(mix.exceptAll(scaled).isEmpty && scaled.exceptAll(mix).isEmpty)
   }
 
+  test("p7 temperature mix: sqrt-derived budgets, stratum-wise equal to tokenBudget, flattening") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    val mix = graft.operators.Sampling.temperatureMix(
+      base, "source", "doc_id", col("n_tokens"),
+      totalBudget = 1200, nBuckets = 8)
+    val rows = mix.collect()
+    // the derived budgets ARE the integer-exact w·B DIV Σw split of
+    // the floored sqrt weights — recompute them independently
+    val totals = base.groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = totals.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val wSum = w.values.sum
+    val expected = w.map { case (k, v) => k -> v * 1200L / wSum }
+    for ((src, b) <- expected if b > 0) {
+      assert(rows.filter(_.getString(1) == src).forall(_.getLong(4) == b),
+        s"$src budget must be $b")
+      // each stratum's selection IS tokenBudget at the derived budget
+      val viaMix = rows.filter(_.getString(1) == src)
+        .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      val viaBudget = graft.operators.Sampling.tokenBudget(
+        base.filter(col("source") === src), "source", "doc_id",
+        col("n_tokens"), budget = b)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(viaMix == viaBudget, s"$src must match tokenBudget($b)")
+    }
+    // the FLATTENING property (why temperature sampling exists): on a
+    // skewed corpus the head's budget share sits strictly between its
+    // token share (τ=1) and the uniform share (τ=0)
+    val skew = (1L to 90L).map(i => (i, "head", 100L)) ++
+      (91L to 100L).map(i => (i, "tail", 10L))
+    val sm = graft.operators.Sampling.temperatureMix(
+      skew.toDF("doc_id", "source", "n_tokens"),
+      "source", "doc_id", col("n_tokens"), totalBudget = 1000,
+      nBuckets = 4)
+    val budgets = sm.select(col("source"), col("budget")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headShare = budgets("head").toDouble / (budgets("head") + budgets("tail"))
+    val tokenShare = 9000.0 / 9100.0 // ≈ 0.989
+    assert(headShare < tokenShare && headShare > 0.5,
+      s"temperature must flatten the head: $headShare vs $tokenShare")
+  }
+
   test("t11 dup passages: cross-doc repeats found, within-doc repeats don't count") {
     import spark.implicits._
     // 3-grams, minDocs 2: "x y z" lives in docs 1, 2 AND twice in 1
