@@ -179,6 +179,18 @@ object GraftFunctionRegistry {
               "window_us: long literal)")
         }
       }),
+    (FunctionIdentifier("graft_uniq_upto"),
+      new ExpressionInfo(
+        classOf[graft.functions.UniqUpToAggregate].getName,
+        "graft_uniq_upto"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, Literal(n: Int, IntegerType)) =>
+            graft.functions.UniqUpToAggregate(v, n).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_uniq_upto(value, n: int literal)")
+        }
+      }),
     (FunctionIdentifier("graft_top_k_merge"),
       new ExpressionInfo(
         classOf[graft.functions.TopKMergeAggregate].getName,

@@ -1846,6 +1846,30 @@ object Queries {
       |  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_week2
       |FROM f GROUP BY 1""".stripMargin
 
+  /** q29 — capped distinct count (the ClickHouse `uniqUpTo(N)`
+    * surface, [[graft.functions.UniqUpToAggregate]]): per supplier,
+    * the exact distinct order count up to 600, and 601 meaning "more"
+    * — the threshold-screen form of q8 whose aggregation state is a
+    * value set CAPPED at N+1 entries instead of the full distinct
+    * expansion. The 600 cap intersects this corpus's per-supplier
+    * range (534–654 at sf0.01), so the single oracle gates BOTH
+    * regimes — exact below the cap, pinned N+1 above it; DuckDB twin
+    * is LEAST(COUNT(DISTINCT …), N+1).
+    */
+  def q29UniqUpto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(graft.functions.UniqUpToAggregate
+        .uniqUpTo($"l_orderkey", 600).as("n_orders_upto"))
+  }
+
+  val q29Sql: String =
+    """SELECT l_suppkey,
+      |  CAST(LEAST(COUNT(DISTINCT l_orderkey), 601) AS BIGINT)
+      |    AS n_orders_upto
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -1877,6 +1901,7 @@ object Queries {
     "q27_sequence_match" -> (q27SequenceMatch _),
     "q27b_sequence_count" -> (q27bSequenceCount _),
     "q28_retention" -> (q28Retention _),
+    "q29_uniq_upto" -> (q29UniqUpto _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -1933,6 +1958,7 @@ object Queries {
     "q27_sequence_match" -> q27Sql,
     "q27b_sequence_count" -> q27bSql,
     "q28_retention" -> q28Sql,
+    "q29_uniq_upto" -> q29Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

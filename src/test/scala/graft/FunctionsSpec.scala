@@ -846,6 +846,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull == direct)
   }
 
+  test("uniqUpTo: exact below cap, pinned N+1 above, merge-stable, both input types") {
+    import graft.functions.UniqUpToAggregate.uniqUpTo
+    import spark.implicits._
+    // group 1: 5 distinct (< cap 8) → exact; group 2: 20 distinct → 9
+    val df = ((1 to 40).map(i => (1L, (i % 5).toLong)) ++
+      (1 to 60).map(i => (2L, (i % 20).toLong)))
+      .toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.groupBy(col("g")).agg(uniqUpTo(col("v"), 8).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(df)
+    assert(got == Map(1L -> 5L, 2L -> 9L), got.toString)
+    // any parallelism: partials with disjoint value subsets still cap
+    // to exactly min(true_distinct, n+1)
+    assert(run(df.repartition(13)) == got, "repartition moved the count")
+    // string face + null skip + SQL face
+    val sdf = Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, null),
+      (2L, "x"), (2L, "y"), (2L, "z"))
+      .toDF("g", "s")
+    val sgot = sdf.groupBy(col("g")).agg(uniqUpTo(col("s"), 2).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sgot == Map(1L -> 2L, 2L -> 3L), sgot.toString)
+    GraftFunctionRegistry.registerAll(spark)
+    sdf.createOrReplaceTempView("uut_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_uniq_upto(s, 2) AS n FROM uut_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == sgot)
+  }
+
   // ---- sequence match / count (q27, q27b) ----
 
   test("sequenceMatch scan ≡ brute-force exists on randomized streams") {

@@ -314,6 +314,10 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("q27_sequence_match", maxShuffles = 1),
     Shape("q27b_sequence_count", maxShuffles = 1),
     Shape("q28_retention", maxShuffles = 2),
+    // r13: q29 is ONE aggregation whose partials carry ≤ N+1 values
+    // per (task, supplier) — a second exchange or a distinct
+    // expansion means the cap stopped doing its job
+    Shape("q29_uniq_upto", maxShuffles = 1),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict
