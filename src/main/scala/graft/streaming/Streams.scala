@@ -505,7 +505,9 @@ object Streams {
       requests: DataFrame,
       sketchTable: Option[String] = None,
       xrefTable: Option[String] = None,
+      topkTable: Option[String] = None,
       k: Int = 16384,
+      topkCapacity: Int = 4096,
       compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ingestInto(requests) { (batch, batchId) =>
@@ -514,6 +516,12 @@ object Streams {
         graft.sources.SketchStore.pop(spark, t, batch))
       xrefTable.foreach(t => graft.sources.XrefStore.popDataset(
         spark, t, batch.select(col("source").as("dataset"))))
+      // the r13 heavy-hitters telemetry retires with its source too —
+      // an MG summary is derived from the source's raw terms, so
+      // "forget the source" includes its head terms (the SketchStore
+      // rationale at summary grain)
+      topkTable.foreach(t =>
+        graft.sources.TopKStore.pop(spark, t, batch))
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         sketchTable
           .filter(t => spark.catalog.tableExists(s"${t}_dels"))
@@ -523,6 +531,10 @@ object Streams {
         xrefTable
           .filter(t => spark.catalog.tableExists(s"${t}_dsdels"))
           .foreach(t => graft.sources.XrefStore.compact(spark, t))
+        topkTable
+          .filter(t => spark.catalog.tableExists(s"${t}_dels"))
+          .foreach(t =>
+            graft.sources.TopKStore.compact(spark, t, topkCapacity))
       }
     }
 

@@ -1007,13 +1007,24 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     for (t <- Seq("st16b_sk", "st16b_sk_dels", "st16b_xref",
-        "st16b_xref_reverse", "st16b_xref_mapping", "st16b_xref_dsdels"))
+        "st16b_xref_reverse", "st16b_xref_mapping", "st16b_xref_dsdels",
+        "st16b_tk", "st16b_tk_dels"))
       Probes.dropManaged(spark, t)
     val k = 64
     graft.sources.SketchStore.applyBatch(spark, Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "keep"),
       (2L, "eta theta iota kappa lambda mu", "gone"))
       .toDF("doc_id", "text", "source"), "st16b_sk", k, batchId = 0L)
+    graft.sources.TopKStore.applyBatch(spark, Seq(
+      (1L, "alpha alpha beta", "keep"),
+      (2L, "eta eta theta", "gone"))
+      .toDF("doc_id", "text", "source"), "st16b_tk", 64, batchId = 0L)
+    def topkSources(): Set[String] = {
+      Seq("st16b_tk_dels").filter(spark.catalog.tableExists)
+        .foreach(spark.catalog.refreshTable)
+      graft.sources.TopKStore.readTopK(spark, "st16b_tk", 3, 64)
+        .collect().map(_.getString(0)).toSet
+    }
     val mkd = (lds: String, l: String, rds: String, r: String,
         j: String, ts: Long) =>
       (lds, l, "Person", "de", s"cap-$l", rds, r, "Person", "fr",
@@ -1039,11 +1050,13 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(estSources() == Set("keep", "gone"))
     assert(mappingIds() == Set("a", "b", "c"))
+    assert(topkSources() == Set("keep", "gone"))
     val in = MemoryStream[String]
     val q = Streams.takedownSources(
       in.toDF().toDF("source"),
       sketchTable = Some("st16b_sk"), xrefTable = Some("st16b_xref"),
-      k = k, compactEvery = 2)
+      topkTable = Some("st16b_tk"),
+      k = k, topkCapacity = 64, compactEvery = 2)
       .option("checkpointLocation",
         "/tmp/graft_warehouse/st16b_ckpt_" + System.nanoTime())
       .trigger(Trigger.ProcessingTime(0)).start()
@@ -1054,6 +1067,8 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(estSources() == Set("keep"),
         "popped source must vanish from readEstimates pre-compact")
+      assert(topkSources() == Set("keep"),
+        "popped source must vanish from readTopK pre-compact")
       refresh()
       assert(graft.sources.XrefStore.readLatest(spark, "st16b_xref")
         .collect().map(_.getAs[String]("left_id")).toSet == Set("b"))
@@ -1069,10 +1084,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("st16b_xref").count() == 1,
         "compact must drop the dataset-touching judgement rows")
       refresh()
+      spark.catalog.refreshTable("st16b_tk")
+      assert(spark.table("st16b_tk")
+        .select(org.apache.spark.sql.functions.col("source")).distinct()
+        .collect().map(_.getString(0)).toSet == Set("keep"),
+        "compact must drop the popped source's summary rows")
       assert(!spark.catalog.tableExists("st16b_sk_dels") &&
-        !spark.catalog.tableExists("st16b_xref_dsdels"),
-        "compact must retire both tombstone tables")
+        !spark.catalog.tableExists("st16b_xref_dsdels") &&
+        !spark.catalog.tableExists("st16b_tk_dels"),
+        "compact must retire all three tombstone tables")
       assert(estSources() == Set("keep"))
+      assert(topkSources() == Set("keep"))
       assert(mappingIds() == Set("b", "c"),
         "popped dataset's entity must vanish from the mapping post-compact")
     } finally q.stop()
