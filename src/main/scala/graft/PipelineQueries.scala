@@ -2235,6 +2235,74 @@ object PipelineQueries {
        |  CAST(budget AS BIGINT) AS budget
        |FROM c WHERE cum_tokens <= budget""".stripMargin
 
+  /** m10 — FLAC-style LOSSLESS AUDIO decode (r13, [[Codecs.gflEncode]]
+    * / [[Codecs.gflDecode]]): the predictive-audio + entropy-coding
+    * class at the plug-point, hand-rolled BOTH directions including
+    * the entropy coder itself (PNG's deflate rode `java.util.zip`) —
+    * FLAC's SUBFRAME_FIXED family: the five fixed linear predictors of
+    * orders 0–4 with Rice/Golomb-coded residuals (zigzag → unary
+    * quotient + k low bits, MSB-first), order and k chosen by the
+    * standard FLAC encoder heuristics. Each document's bytes become
+    * int16 PCM (the m2b synthesis rule), compress through the real
+    * encoder, and decode back inside the partition. Lossless ⇒ the
+    * oracle gates decoded VALUES (the m6 gate): count, energy, peak,
+    * and the ORDER-SENSITIVE rising-step count (m4's rule — a decoder
+    * reconstructing the right sample multiset through the wrong
+    * predictor recurrence fails the hash). Zero shuffles, plan-pinned.
+    */
+  def m10FlacDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    val frames = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"m10 requires an ASCII corpus; doc $id has non-ASCII text")
+        val b = text.getBytes("US-ASCII")
+        val n = b.length / 2
+        val pcm = new Array[Short](n)
+        val bb = ByteBuffer.wrap(b, 0, n * 2).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { pcm(i) = bb.getShort(i * 2); i += 1 }
+        Multimodal.Frame(id, 0L, Codecs.gflEncode(pcm))
+      }
+    Multimodal.decodeFrames(frames)(Codecs.gflDecode)
+      .map { f =>
+        val k = f.feature.map(_.toLong)
+        var rising = 0L
+        var i = 1
+        while (i < k.length) { if (k(i) > k(i - 1)) rising += 1; i += 1 }
+        (f.doc_id, k.length.toLong, k.map(v => v * v).sum, k.max, rising)
+      }
+      .toDF("doc_id", "n_samples", "energy", "peak_abs", "n_rising")
+  }
+
+  /** m10's DuckDB twin: sample statistics re-derived from character
+    * codes (the m2b pairing) — lossless, so the VALUES gate end to
+    * end; the lag window makes the gate order-sensitive. */
+  val m10Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text, unnest(range(0, length(text) // 2)) AS i
+      |  FROM documents WHERE length(text) >= 2),
+      |v AS (
+      |  SELECT doc_id, i,
+      |    ascii(substring(text, CAST(i * 2 + 1 AS INT), 1))
+      |    + 256 * ascii(substring(text, CAST(i * 2 + 2 AS INT), 1)) AS kv
+      |  FROM s),
+      |w AS (
+      |  SELECT doc_id, kv,
+      |    CASE WHEN kv > lag(kv) OVER (PARTITION BY doc_id ORDER BY i)
+      |      THEN 1 ELSE 0 END AS r
+      |  FROM v)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(kv * kv) AS BIGINT) AS energy,
+      |  CAST(max(kv) AS BIGINT) AS peak_abs,
+      |  CAST(sum(r) AS BIGINT) AS n_rising
+      |FROM w GROUP BY doc_id""".stripMargin
+
   /** p7 — TEMPERATURE-flattened dataset mix ([[Sampling
     * .temperatureMix]] — the T5/mT5 τ-sampling rule at τ = 1/2):
     * per-source budgets derive from the corpus's own token totals
@@ -2645,6 +2713,7 @@ object PipelineQueries {
     "d15b_overlap_lsh" -> (d15bOverlapLsh _),
     "m8_image_dhash" -> (m8ImageDhash _),
     "m9_gif_decode" -> (m9GifDecode _),
+    "m10_flac_decode" -> (m10FlacDecode _),
     "s8_ann_mmr" -> (s8AnnMmr _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
@@ -2707,6 +2776,7 @@ object PipelineQueries {
     "d15_source_overlap" -> d15Sql,
     "m8_image_dhash" -> m8Sql,
     "m9_gif_decode" -> m9Sql,
+    "m10_flac_decode" -> m10Sql,
     "s8_ann_mmr" -> s8Sql,
     "t13_gopher_filter" -> t13Sql
   )

@@ -785,4 +785,168 @@ object Codecs {
       fixed
     }
   }
+
+  // ---------------------------------------------------------------
+  // GFL1 — FLAC-style lossless audio: fixed predictors + Rice coding
+  // ---------------------------------------------------------------
+  // The PREDICTIVE-AUDIO + ENTROPY-CODING class, hand-rolled both
+  // directions (PNG's deflate rode java.util.zip; here the entropy
+  // coder itself is in-repo): FLAC's SUBFRAME_FIXED family — the five
+  // fixed linear predictors of orders 0–4 (the binomial-coefficient
+  // difference filters of the FLAC format spec) — with the residuals
+  // Rice/Golomb-coded (zigzag → unary quotient + k low bits). The
+  // encoder picks the order minimizing Σ|residual| and the Rice
+  // parameter minimizing the exact bit count — both standard FLAC
+  // encoder heuristics. Container (not FLAC framing): "GFL1", sample
+  // count (int32 LE), order (byte), rice k (byte), `order` warmup
+  // samples verbatim (int16 LE), then the MSB-first Rice bitstream.
+
+  /** prediction coefficients: x̂[n] = Σ coef(j) · x[n−1−j] */
+  private val FixedCoefs: Array[Array[Long]] = Array(
+    Array.empty[Long],
+    Array(1L),
+    Array(2L, -1L),
+    Array(3L, -3L, 1L),
+    Array(4L, -6L, 4L, -1L))
+
+  private def fixedResiduals(x: Array[Short], order: Int): Array[Long] = {
+    val coefs = FixedCoefs(order)
+    val out = new Array[Long](x.length - order)
+    var i = order
+    while (i < x.length) {
+      var pred = 0L
+      var j = 0
+      while (j < order) { pred += coefs(j) * x(i - 1 - j); j += 1 }
+      out(i - order) = x(i).toLong - pred
+      i += 1
+    }
+    out
+  }
+
+  private def zigzag(r: Long): Long = if (r >= 0) 2 * r else -2 * r - 1
+  private def unzigzag(u: Long): Long =
+    if ((u & 1L) == 0L) u >>> 1 else -((u >>> 1) + 1)
+
+  private final class BitWriter {
+    private val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0
+    private var nBits = 0
+    def putBit(b: Int): Unit = {
+      acc = (acc << 1) | (b & 1)
+      nBits += 1
+      if (nBits == 8) { bytes += acc.toByte; acc = 0; nBits = 0 }
+    }
+    def putBits(v: Long, width: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) { putBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def result(): Array[Byte] = {
+      val out = bytes.clone()
+      if (nBits > 0) out += (acc << (8 - nBits)).toByte // zero-padded tail
+      out.toArray
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte], offset: Int) {
+    private var pos = offset * 8L
+    private val end = bytes.length * 8L
+    def getBit(): Int = {
+      require(pos < end, "GFL1 truncated: bitstream ended mid-read")
+      val b = (bytes((pos >>> 3).toInt) >> (7 - (pos & 7L).toInt)) & 1
+      pos += 1
+      b
+    }
+    def getBits(width: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < width) { v = (v << 1) | getBit(); i += 1 }
+      v
+    }
+    def bitsLeft: Long = end - pos
+  }
+
+  /** Encode 16-bit PCM losslessly: best fixed predictor + Rice. */
+  def gflEncode(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val maxOrder = math.min(4, n)
+    var bestOrder = 0
+    var bestSum = Long.MaxValue
+    var bestRes: Array[Long] = null
+    var o = 0
+    while (o <= maxOrder) {
+      val res = fixedResiduals(samples, o)
+      var s = 0L
+      res.foreach(r => s += math.abs(r))
+      if (s < bestSum) { bestSum = s; bestOrder = o; bestRes = res }
+      o += 1
+    }
+    val us = bestRes.map(zigzag)
+    var bestK = 0
+    var bestBits = Long.MaxValue
+    var k = 0
+    while (k <= 20) {
+      var bits = 0L
+      us.foreach(u => bits += (u >>> k) + 1 + k)
+      if (bits < bestBits) { bestBits = bits; bestK = k }
+      k += 1
+    }
+    val head = ByteBuffer.allocate(10 + 2 * bestOrder)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    head.put('G'.toByte).put('F'.toByte).put('L'.toByte).put('1'.toByte)
+    head.putInt(n)
+    head.put(bestOrder.toByte)
+    head.put(bestK.toByte)
+    var w = 0
+    while (w < bestOrder) { head.putShort(samples(w)); w += 1 }
+    val bw = new BitWriter
+    us.foreach { u =>
+      var q = u >>> bestK
+      while (q > 0) { bw.putBit(0); q -= 1 } // unary quotient: q zeros…
+      bw.putBit(1)                           // …then the 1 terminator
+      bw.putBits(u, bestK)
+    }
+    head.array() ++ bw.result()
+  }
+
+  /** Decode a GFL1 payload back to the exact PCM samples (as floats —
+    * int16 values are float-exact). Loud failure on wrong magic, a
+    * corrupt order/k, or truncation anywhere in the bitstream.
+    */
+  def gflDecode(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 10, s"GFL1 too short: ${bytes.length} bytes")
+    require(bytes(0) == 'G' && bytes(1) == 'F' && bytes(2) == 'L' &&
+      bytes(3) == '1', "not a GFL1 payload")
+    val head = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = head.getInt(4)
+    val order = bytes(8).toInt
+    val k = bytes(9).toInt
+    require(n >= 0 && n <= (1 << 26), s"bad sample count $n")
+    require(order >= 0 && order <= 4 && order <= n, s"bad order $order")
+    require(k >= 0 && k <= 30, s"bad rice parameter $k")
+    require(bytes.length >= 10 + 2 * order, "GFL1 truncated: warmup")
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < order) { x(i) = head.getShort(10 + 2 * i).toLong; i += 1 }
+    val br = new BitReader(bytes, 10 + 2 * order)
+    val coefs = FixedCoefs(order)
+    i = order
+    while (i < n) {
+      var q = 0L
+      while (br.getBit() == 0) {
+        q += 1
+        require(q <= (1L << 32), "GFL1 corrupt: runaway unary quotient")
+      }
+      val u = (q << k) | br.getBits(k)
+      var pred = 0L
+      var j = 0
+      while (j < order) { pred += coefs(j) * x(i - 1 - j); j += 1 }
+      x(i) = pred + unzigzag(u)
+      require(x(i) >= Short.MinValue && x(i) <= Short.MaxValue,
+        s"GFL1 corrupt: sample $i out of int16 range (${x(i)})")
+      i += 1
+    }
+    require(br.bitsLeft < 8,
+      s"GFL1 corrupt: ${br.bitsLeft} bits of trailing data")
+    x.map(_.toFloat)
+  }
 }

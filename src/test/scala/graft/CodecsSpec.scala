@@ -473,4 +473,58 @@ class CodecsSpec extends AnyFunSuite {
     }
     assert(tiny.getMessage != null)
   }
+
+  // ---- GFL1: FLAC-style fixed predictors + Rice (m10) ----
+
+  test("GFL1: exact round-trip on randomized PCM, every predictor order exercised") {
+    val rnd = new scala.util.Random(10)
+    val orders = scala.collection.mutable.Set.empty[Int]
+    // signal families steering the order heuristic to each predictor:
+    // white noise → 0, near-constant → 1, ramp → 2, quadratic → 3,
+    // cubic → 4 — plus fully random lengths/values
+    def roundTrip(s: Array[Short]): Unit = {
+      val enc = Codecs.gflEncode(s)
+      orders += enc(8).toInt
+      val dec = Codecs.gflDecode(enc)
+      assert(dec.length == s.length)
+      assert(dec.map(_.toInt.toShort).sameElements(s),
+        s"lossless round-trip failed at n=${s.length}, order=${enc(8)}")
+    }
+    roundTrip((0 until 400).map(_ => (rnd.nextInt(65536) - 32768).toShort).toArray)
+    roundTrip(Array.fill(300)(1234.toShort))
+    roundTrip((0 until 300).map(i => (i * 7 - 1000).toShort).toArray)
+    roundTrip((0 until 200).map(i => (i * i / 40).toShort).toArray)
+    roundTrip((0 until 150).map(i => (i * i * i / 3000).toShort).toArray)
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(40)
+      roundTrip(Array.fill(n)((rnd.nextInt(65536) - 32768).toShort))
+    }
+    assert(orders == Set(0, 1, 2, 3, 4),
+      s"signal families must exercise all five predictors: $orders")
+    // edges: empty and single-sample streams
+    assert(Codecs.gflDecode(Codecs.gflEncode(Array.empty[Short])).isEmpty)
+    assert(Codecs.gflDecode(Codecs.gflEncode(Array(42.toShort)))
+      .sameElements(Array(42f)))
+  }
+
+  test("GFL1: compression wins on smooth signals; corruption refuses loudly") {
+    // a smooth ramp must compress well below the 2-bytes/sample raw
+    // form — the reason a predictive codec exists
+    val ramp = (0 until 2000).map(i => (i % 8000).toShort).toArray
+    val enc = Codecs.gflEncode(ramp)
+    assert(enc.length < ramp.length, // < 1 byte/sample vs 2 raw
+      s"ramp must compress: ${enc.length} bytes for ${2 * ramp.length} raw")
+    // refusals: magic, truncation (header / warmup / mid-bitstream),
+    // corrupt order/k, out-of-range reconstruction, trailing garbage
+    intercept[IllegalArgumentException](Codecs.gflDecode("GIF89a____".getBytes))
+    intercept[IllegalArgumentException](Codecs.gflDecode(enc.take(6)))
+    intercept[IllegalArgumentException](Codecs.gflDecode(enc.take(11)))
+    intercept[IllegalArgumentException](Codecs.gflDecode(enc.dropRight(8)))
+    val badOrder = enc.clone(); badOrder(8) = 9
+    intercept[IllegalArgumentException](Codecs.gflDecode(badOrder))
+    val badK = enc.clone(); badK(9) = 77
+    intercept[IllegalArgumentException](Codecs.gflDecode(badK))
+    intercept[IllegalArgumentException](
+      Codecs.gflDecode(enc ++ Array.fill(4)(0x5a.toByte)))
+  }
 }

@@ -295,6 +295,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // r12: m9 = pushed length-filter scan → in-partition LZW
     // encode/decode/stats — a zero-shuffle codec pipeline
     Shape("m9_gif_decode", maxShuffles = 0, minPushedScans = 1),
+    // r13: m10 = synth → Rice/LPC encode → decode → stats, all inside
+    // the scan partition (the m2b contract)
+    Shape("m10_flac_decode", maxShuffles = 0, minPushedScans = 1),
     // r12: d15 = ONE corpus scan into per-source sketches (the q25
     // exchange) + a broadcast sources² sketch grid; the pair algebra
     // runs on ≤k-long arrays — no value-grain pair join anywhere
