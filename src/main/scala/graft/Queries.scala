@@ -1124,6 +1124,64 @@ object Queries {
        |FROM blocks l JOIN sizes USING (value) JOIN blocks r USING (value)
        |WHERE l.entity_id < r.entity_id""".stripMargin
 
+  /** f24 — edit-distance REFINEMENT of the blocking pairs (r13): the
+    * name-similarity scoring step nomenklatura runs between blocking
+    * and judgement — each f8 candidate pair scored by Levenshtein
+    * distance between the entities' names, with a normalized
+    * similarity for ranking. Spark-first: NO custom code — the
+    * BOUNDED built-in `levenshtein(l, r, threshold)` (banded DP,
+    * O(threshold·n) per pair instead of O(n·m), returning −1 past the
+    * band) gates the pair before the similarity division, so a pair
+    * of long unrelated names costs the band, not the full matrix. The
+    * name attach is two equi-joins of the bounded pair stream against
+    * an entity-grain (min name) table; similarity = round(1 −
+    * lev/maxLen, 4), a single correctly-rounded division of identical
+    * integers in both engines (the cents discipline). DuckDB's
+    * `levenshtein` is the oracle — both engines implement the classic
+    * unit-cost distance, so values gate exactly.
+    */
+  def f24NameEditdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = statements(s, dir)
+      .filter($"prop_type" === "name")
+      .groupBy($"entity_id").agg(min($"value").as("name"))
+    f8XrefBlock(s, dir)
+      .join(names.select($"entity_id".as("left_id"), $"name".as("ln")),
+        Seq("left_id"))
+      .join(names.select($"entity_id".as("right_id"), $"name".as("rn")),
+        Seq("right_id"))
+      .withColumn("lev_dist", levenshtein($"ln", $"rn", 16))
+      .filter($"lev_dist" >= 0) // −1 = past the band: pruned pre-division
+      .withColumn("name_sim", round(
+        lit(1.0) - $"lev_dist".cast("double") /
+          greatest(length($"ln"), length($"rn"), lit(1)), 4))
+      .select($"left_id", $"right_id",
+        $"lev_dist".cast("long").as("lev_dist"), $"name_sim")
+  }
+
+  val f24Sql: String =
+    s"""$stmtsCte, $fpxCte,
+       |blocks AS (SELECT DISTINCT value, entity_id FROM fpx),
+       |sizes AS (
+       |  SELECT value FROM blocks GROUP BY value
+       |  HAVING COUNT(DISTINCT entity_id) BETWEEN 2 AND 1000
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT l.entity_id AS left_id, r.entity_id AS right_id
+       |  FROM blocks l JOIN sizes USING (value) JOIN blocks r USING (value)
+       |  WHERE l.entity_id < r.entity_id),
+       |names AS (
+       |  SELECT entity_id, min(value) AS name FROM statements
+       |  WHERE prop_type = 'name' GROUP BY 1)
+       |SELECT p.left_id, p.right_id,
+       |  CAST(levenshtein(ln.name, rn.name) AS BIGINT) AS lev_dist,
+       |  round(1.0 - CAST(levenshtein(ln.name, rn.name) AS DOUBLE)
+       |    / greatest(length(ln.name), length(rn.name), 1), 4) AS name_sim
+       |FROM pairs p
+       |JOIN names ln ON ln.entity_id = p.left_id
+       |JOIN names rn ON rn.entity_id = p.right_id
+       |WHERE levenshtein(ln.name, rn.name) <= 16""".stripMargin
+
   /** f11 — entity_id → canonical_id resolution by identical name
     * fingerprint.
     */
@@ -1925,7 +1983,8 @@ object Queries {
     "f20b_resolver_incremental" -> (f20bResolverIncremental _),
     "f21_final_asof" -> (f21FinalAsof _),
     "f22_khop_traversal" -> (f22KhopTraversal _),
-    "f23_shortest_path" -> (f23ShortestPath _)
+    "f23_shortest_path" -> (f23ShortestPath _),
+    "f24_name_editdist" -> (f24NameEditdist _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1979,6 +2038,7 @@ object Queries {
     "f20b_resolver_incremental" -> f20bSql,
     "f21_final_asof" -> f21Sql,
     "f22_khop_traversal" -> f22Sql,
-    "f23_shortest_path" -> f23Sql
+    "f23_shortest_path" -> f23Sql,
+    "f24_name_editdist" -> f24Sql
   )
 }

@@ -30,6 +30,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("f24 name editdist: banded gate, sim bounds, driver-reference distances") {
+    val rows = SparkEntry.queries("f24_name_editdist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the banded levenshtein gate and the normalized-similarity bounds
+    assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 16L))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(rows.exists(_.getLong(2) == 0L), "blocked twins share names")
+    assert(rows.filter(_.getLong(2) == 0L).forall(_.getDouble(3) == 1.0))
+    // distances agree with a driver-side classic-DP reference on the
+    // joined names (sampled)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    import org.apache.spark.sql.functions.{col, min => smin}
+    val names = Queries.statements(spark, sf)
+      .filter(col("prop_type") === "name")
+      .groupBy(col("entity_id")).agg(smin(col("value")).as("name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val want = lev(names(r.getString(1)), names(r.getString(0)))
+      assert(r.getLong(2) == want.toLong,
+        s"${r.getString(1)} vs ${r.getString(0)}: ${r.getLong(2)} != $want")
+    }
+  }
+
   test("q1_agg returns the 6 (returnflag, linestatus) groups") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     val rows = df.collect()
