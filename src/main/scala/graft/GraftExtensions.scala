@@ -162,6 +162,52 @@ object GraftFunctionRegistry {
             "graft_kmv_intersect(a, b, k: int literal)")
         }
       }),
+    // r13 — the stored-QUANTILE algebra in plain SQL (the KLL sibling
+    // of the graft_kmv_* family): sketch a BIGINT column, fold stored
+    // sketch rows, rank-select quantiles and ranks from stored
+    // sketches without rescanning the corpus.
+    (FunctionIdentifier("graft_quantile_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllSketchAggregate].getName,
+        "graft_quantile_sketch"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, Literal(k: Int, IntegerType)) =>
+            graft.functions.KllSketchAggregate(v, k).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_quantile_sketch(value: bigint, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_quantile_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllMergeAggregate].getName,
+        "graft_quantile_merge"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(sk, Literal(k: Int, IntegerType)) =>
+            graft.functions.KllMergeAggregate(sk, k).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_quantile_merge(sketch: array<bigint>, k: int literal)")
+        }
+      }),
+    (FunctionIdentifier("graft_quantile_value"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllValueExpression].getName,
+        "graft_quantile_value"),
+      { children: Seq[Expression] =>
+        require(children.size == 2,
+          "graft_quantile_value(sketch, p: double)")
+        graft.functions.KllValueExpression(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_quantile_rank"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllRankExpression].getName,
+        "graft_quantile_rank"),
+      { children: Seq[Expression] =>
+        require(children.size == 2,
+          "graft_quantile_rank(sketch, v: bigint)")
+        graft.functions.KllRankExpression(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_window_funnel"),
       new ExpressionInfo(
         classOf[WindowFunnelAggregate].getName, "graft_window_funnel"),

@@ -2375,6 +2375,42 @@ object PipelineQueries {
        |  AS distinct_shingles
        |FROM sh GROUP BY source""".stripMargin
 
+  /** q30 — per-(returnflag, ship year) price quantiles through the
+    * MERGEABLE KLL sketch ([[graft.functions.Kll]] — the ClickHouse
+    * `quantileTDigest`/`quantilesKLL` surface): ONE aggregation whose
+    * shuffle carries a ~k-item summary per (task, group) with
+    * map-side combine, then three rank-selects at SUMMARY grain —
+    * where the exact path (q16's `percentile`) shuffles and sorts the
+    * full value grain. On this corpus the largest group holds ~2.9k
+    * rows at sf0.01 and ~29k at sf0.1, under k = 32768, so no
+    * compaction ever fires, the summary is the complete multiset and
+    * every quantile is EXACT = DuckDB `quantile_disc` (the q25/q23
+    * discipline); the saturated regime (n ≫ k, the sf1+ shape) is
+    * spec-gated against the KLL rank-error bound, fold-shape
+    * stressed. Values enter as `floor(price)` BIGINT — floor, not
+    * cast, because DuckDB CAST(double AS BIGINT) rounds while Spark's
+    * floors (the engine-exactness rule every oracle here follows).
+    */
+  def q30QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kll
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(Kll.quantileSketch(
+        floor(col("l_extendedprice")).cast("long"), 32768).as("sk"))
+      .select(col("l_returnflag"), col("yr"),
+        Kll.quantileValue(col("sk"), 0.5).as("p50"),
+        Kll.quantileValue(col("sk"), 0.9).as("p90"),
+        Kll.quantileValue(col("sk"), 0.99).as("p99"))
+  }
+
+  val q30Sql: String =
+    """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |  quantile_disc(CAST(floor(l_extendedprice) AS BIGINT), 0.5) AS p50,
+      |  quantile_disc(CAST(floor(l_extendedprice) AS BIGINT), 0.9) AS p90,
+      |  quantile_disc(CAST(floor(l_extendedprice) AS BIGINT), 0.99) AS p99
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   /** d15 — the SOURCE-OVERLAP matrix from stored sketches: estimated
     * shared-shingle count and Jaccard for every source pair, computed
     * ENTIRELY from the per-source KMV sketches (q25's aggregate —
@@ -2705,6 +2741,7 @@ object PipelineQueries {
     "q23_topk_sketch" -> (q23TopkSketch _),
     "q23b_topk_weighted" -> (q23bTopkWeighted _),
     "q25_distinct_kmv" -> (q25DistinctKmv _),
+    "q30_quantile_sketch" -> (q30QuantileSketch _),
     "d12_semdedup" -> (d12SemDedup _),
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "d14_dup_spans" -> (d14DupSpans _),
@@ -2769,6 +2806,7 @@ object PipelineQueries {
     "q23_topk_sketch" -> q23Sql,
     "q23b_topk_weighted" -> q23bSql,
     "q25_distinct_kmv" -> q25Sql,
+    "q30_quantile_sketch" -> q30Sql,
     "d12_semdedup" -> d12Sql,
     "d13_semdedup_incremental" -> d13Sql,
     "d14_dup_spans" -> d14Sql,

@@ -600,6 +600,39 @@ object Streams {
         graft.sources.TopKStore.compact(spark, table, capacity)
     }
 
+  /** st22 — streaming QUANTILE telemetry: the q30 KLL sketch
+    * maintained continuously over a document stream
+    * ([[graft.sources.QuantileStore]]): each micro-batch appends one
+    * summary row per source over the batch's per-document token
+    * counts, and [[graft.sources.QuantileStore.readQuantiles]] serves
+    * "the live p50/p95/p99 document length per source, ever" at any
+    * moment without a corpus rescan — the third face of the sketch
+    * telemetry trio (st18 cardinality: a source DRIFTED; st20 head
+    * terms: into WHAT; st22 length distribution: did its SHAPE
+    * change — truncation, spam padding and boilerplate floods all
+    * move the tails first).
+    *
+    * Replay discipline: a KLL summary is a weighted multiset — merged
+    * twice it double-weights, MG's hazard not KMV's immunity — so
+    * exactly-once comes from the store's VERSION ACCOUNTING (one
+    * visible row per (source, batchId); post-compact replays fall
+    * behind the folded row's version horizon), spec-asserted the same
+    * three ways as st20: replayed batch moves nothing, compact is
+    * serve-invariant, post-compact replay moves nothing.
+    * `compactEvery` bounds fold-at-read cost with the staged-swap
+    * OPTIMIZE every N batches.
+    */
+  def quantileTelemetry(
+      docs: DataFrame, table: String, k: Int = 4096,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(docs) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      graft.sources.QuantileStore.applyBatch(spark, batch, table, k, batchId)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.sources.QuantileStore.compact(spark, table, k)
+    }
+
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at
     * stream grain — two unbounded event streams joined on key +
     * event-time range through Spark's NATIVE stream-stream inner

@@ -1015,4 +1015,173 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT graft_kmv_sketch(v, 512) FROM kmv_in").collect()(0).getSeq[Long](0)
     assert(sk.length == 97 && sk == sk.sorted)
   }
+
+  // ---- KLL quantile sketch (q30, QuantileStore, st22) ----
+
+  test("kll exact regime: quantiles == quantile_disc rank rule, merge-shape invariant") {
+    import graft.functions.Kll
+    import spark.implicits._
+    val rnd = new scala.util.Random(30)
+    // three groups of different sizes, all < k = 512 → never compacts
+    val rows = (1 to 400).map(i => (1L, rnd.nextInt(100000).toLong)) ++
+      (1 to 57).map(i => (2L, rnd.nextLong() % 1000L)) ++
+      Seq((3L, 42L)) // single-row group
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def exact(vs: Seq[Long], p: Double): Long = {
+      val sorted = vs.sorted
+      sorted(math.max(1, math.ceil(p * vs.size).toLong).toInt - 1)
+    }
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> ps.map(p => exact(vs.map(_._2), p))
+    }
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      d.groupBy(col("g")).agg(Kll.quantileSketch(col("v"), 512).as("sk"))
+        .select(col("g") +: ps.zipWithIndex.map { case (p, i) =>
+          Kll.quantileValue(col("sk"), p).as(s"q$i") }: _*)
+        .collect()
+        .map(r => r.getLong(0) -> ps.indices.map(i => r.getLong(i + 1)))
+        .toMap
+    val got = run(df)
+    assert(got == want, s"$got != $want")
+    // unsaturated = the complete multiset: no partitioning/merge shape
+    // can move any quantile
+    assert(run(df.repartition(13)) == want)
+    assert(run(df.repartition(1)) == want)
+  }
+
+  test("kll merge face: fold of stored sketches == one sketch, exact regime bit-identical") {
+    import graft.functions.Kll
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vs = Seq.fill(300)(rnd.nextInt(10000).toLong)
+    val df = vs.zipWithIndex.map { case (v, i) => (i % 7, v) }.toDF("shard", "v")
+    // per-shard stored sketches → merge fold
+    val folded = df.groupBy(col("shard"))
+      .agg(Kll.quantileSketch(col("v"), 512).as("sk"))
+      .agg(Kll.quantileMerge(col("sk"), 512).as("sk"))
+      .select(col("sk")).collect()(0).getSeq[Long](0)
+    val direct = df.agg(Kll.quantileSketch(col("v"), 512).as("sk"))
+      .select(col("sk")).collect()(0).getSeq[Long](0)
+    // both unsaturated → both are the complete sorted multiset
+    assert(folded == direct)
+    assert(folded(0) == 300L, "n header")
+    // null sketch rows are skipped, like count(col)
+    val withNull = df.groupBy(col("shard"))
+      .agg(Kll.quantileSketch(col("v"), 512).as("sk"))
+      .union(Seq(99).toDF("shard").select(col("shard"),
+        org.apache.spark.sql.functions.lit(null)
+          .cast("array<bigint>").as("sk")))
+      .agg(Kll.quantileMerge(col("sk"), 512).as("sk"))
+      .select(col("sk")).collect()(0).getSeq[Long](0)
+    assert(withNull == direct)
+  }
+
+  test("kll saturated regime: rank error within bound, fold-shape stressed") {
+    import graft.functions.Kll
+    import spark.implicits._
+    val n = 50000
+    val k = 256
+    val rnd = new scala.util.Random(32)
+    // adversarial-ish mix: heavy ties + uniform + a spike
+    val vs = Array.fill(n)(rnd.nextInt(4) match {
+      case 0 => rnd.nextInt(50).toLong
+      case 1 => 1000000L
+      case _ => rnd.nextInt(1000000).toLong
+    })
+    val sorted = vs.sorted
+    val df = vs.toSeq.toDF("v")
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    // KLL rank error for k=256 at n/k ≈ 195: well under 2% of n in
+    // practice; gate at 3% (the bound is probabilistic, the coin is
+    // derandomized, the data is seeded — deterministic in CI)
+    val eps = 0.03
+    def rankErr(q: Long, p: Double): Long = {
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      val lo = sorted.count(_ < q) + 1L // rank span covered by ties of q
+      val hi = sorted.count(_ <= q).toLong
+      if (target < lo) lo - target else if (target > hi) target - hi else 0L
+    }
+    def check(d: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val row = d.agg(Kll.quantileSketch(col("v"), k).as("sk"))
+        .select(ps.zipWithIndex.map { case (p, i) =>
+          Kll.quantileValue(col("sk"), p).as(s"q$i") }: _*)
+        .collect()(0)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val err = rankErr(row.getLong(i), p)
+        assert(err <= (eps * n).toLong,
+          s"$label p=$p: rank error $err > ${(eps * n).toLong}")
+      }
+    }
+    check(df, "one partition")
+    check(df.repartition(37), "37-way fold")
+    // stored-sketch fold across shards keeps the bound (mergeability)
+    val viaStore = df.withColumn("shard",
+      org.apache.spark.sql.functions.pmod(col("v"), lit(11)))
+      .groupBy(col("shard"))
+      .agg(Kll.quantileSketch(col("v"), k).as("sk"))
+    val row = viaStore.agg(Kll.quantileMerge(col("sk"), k).as("sk"))
+      .select(ps.zipWithIndex.map { case (p, i) =>
+        Kll.quantileValue(col("sk"), p).as(s"q$i") }: _*)
+      .collect()(0)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val err = rankErr(row.getLong(i), p)
+      assert(err <= (eps * n).toLong, s"stored fold p=$p: rank error $err")
+    }
+    // space: the flat summary stays O(k·levels), nowhere near n
+    val flat = df.agg(Kll.quantileSketch(col("v"), k).as("sk"))
+      .select(org.apache.spark.sql.functions.size(col("sk")))
+      .collect()(0).getInt(0)
+    assert(flat < 4 * k, s"summary grew past O(k): $flat")
+  }
+
+  test("kll rank face, null skip, empty sketch, SQL registration") {
+    import graft.functions.Kll
+    import spark.implicits._
+    val df = Seq[java.lang.Long](10L, 20L, 30L, null, 40L).toDF("v")
+      .select(col("v").cast("long").as("v"))
+    val sk = df.agg(Kll.quantileSketch(col("v"), 64).as("sk"))
+    // nulls skipped: n = 4
+    assert(sk.select(col("sk")(0)).collect()(0).getLong(0) == 4L)
+    // exact ranks: weight of items <= v
+    val ranks = sk.select(
+      Kll.quantileRank(col("sk"), lit(5L)).as("r0"),
+      Kll.quantileRank(col("sk"), lit(10L)).as("r1"),
+      Kll.quantileRank(col("sk"), lit(25L)).as("r2"),
+      Kll.quantileRank(col("sk"), lit(99L)).as("r3")).collect()(0)
+    assert((ranks.getLong(0), ranks.getLong(1), ranks.getLong(2),
+      ranks.getLong(3)) == ((0L, 1L, 2L, 4L)))
+    // empty group → empty sketch → null quantile
+    val empty = df.filter(col("v") > 1000L)
+      .agg(Kll.quantileSketch(col("v"), 64).as("sk"))
+      .select(Kll.quantileValue(col("sk"), 0.5).as("q"))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+    // SQL faces are value-identical to the column faces
+    GraftFunctionRegistry.registerAll(spark)
+    ((1 to 100).map(i => (i % 5, i.toLong))).toDF("g", "v")
+      .createOrReplaceTempView("kll_in")
+    val viaSql = spark.sql(
+      """WITH s AS (
+        |  SELECT g, graft_quantile_sketch(v, 512) AS sk
+        |  FROM kll_in GROUP BY g),
+        |m AS (SELECT graft_quantile_value(
+        |  graft_quantile_merge(sk, 512), 0.5D) AS g50 FROM s)
+        |SELECT g, graft_quantile_value(sk, 0.5D) AS p50,
+        |  graft_quantile_rank(sk, 50L) AS r, m.g50
+        |FROM s CROSS JOIN m ORDER BY g""".stripMargin)
+    val viaCol = ((1 to 100).map(i => (i % 5, i.toLong))).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(Kll.quantileSketch(col("v"), 512).as("sk"))
+      .select(col("g"), Kll.quantileValue(col("sk"), 0.5).as("p50"),
+        Kll.quantileRank(col("sk"), lit(50L)).as("r"))
+      .orderBy(col("g"))
+    val sqlRows = viaSql.collect()
+    val colRows = viaCol.collect()
+    assert(sqlRows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq == colRows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq)
+    // the windowed global merge sees all 100 values: p50 = 50
+    assert(sqlRows.forall(_.getLong(3) == 50L))
+  }
 }

@@ -325,6 +325,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // per (task, supplier) — a second exchange or a distinct
     // expansion means the cap stopped doing its job
     Shape("q29_uniq_upto", maxShuffles = 1),
+    // r13: q30 is ONE aggregation whose partials carry a ~k-item KLL
+    // summary per (task, group) with map-side combine; the three
+    // rank-selects run at summary grain AFTER the exchange — a second
+    // exchange means a quantile leaked back to the value grain
+    Shape("q30_quantile_sketch", maxShuffles = 1),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict

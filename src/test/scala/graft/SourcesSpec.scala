@@ -396,6 +396,60 @@ class SourcesSpec extends AnyFunSuite {
     assert(top()("s2") == Seq(("z", 4L), ("x", 2L), ("y", 1L)))
   }
 
+  // r13: the quantile store — the TopKStore version-accounting
+  // discipline at KLL grain (a weighted multiset merged twice
+  // double-weights, MG's hazard not KMV's immunity)
+  test("quantile store: version-accounted fold replay-proof, pop, compact; exact regime") {
+    import spark.implicits._
+    import graft.sources.QuantileStore
+    Seq("ql_store", "ql_store_dels").foreach(dropTable)
+    val k = 64 // every source's doc count stays << k: quantiles EXACT
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    val b0 = docs((1L, "a a a b b c", "s1"), (2L, "x x y", "s2"))
+    val b1 = docs((3L, "b b b c", "s1"))
+    QuantileStore.applyBatch(spark, b0, "ql_store", k, batchId = 0L)
+    QuantileStore.applyBatch(spark, b1, "ql_store", k, batchId = 1L)
+    def q(): Map[String, (Long, Long)] =
+      QuantileStore.readQuantiles(spark, "ql_store", k, Seq(0.5, 1.0))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // s1 token counts {6, 4}: p50 = ceil(.5·2)=1st = 4, p100 = 6
+    val t0 = q()
+    assert(t0 == Map("s1" -> ((4L, 6L)), "s2" -> ((3L, 3L))), t0.toString)
+    // a replayed batch (same batchId, different partitioning) is a
+    // no-op: the (source, ver) dedup keeps one row
+    QuantileStore.applyBatch(spark, b1.repartition(5), "ql_store", k,
+      batchId = 1L)
+    assert(q() == t0, "replayed batch double-weighted")
+    // compact folds to one row per source; served quantiles invariant
+    QuantileStore.compact(spark, "ql_store", k)
+    assert(q() == t0, "compact moved the quantiles")
+    assert(spark.table("ql_store").groupBy("source").count()
+      .collect().forall(_.getLong(1) == 1L), "compact folds to 1 row/source")
+    // a raw batch replayed AFTER the compact that folded it sits
+    // behind the folded row's version horizon — still a no-op
+    QuantileStore.applyBatch(spark, b1, "ql_store", k, batchId = 1L)
+    assert(q() == t0, "post-compact replay double-weighted")
+    // a FRESH batch past the horizon lands normally
+    QuantileStore.applyBatch(spark, docs((4L, "z z z z z", "s2")),
+      "ql_store", k, batchId = 2L)
+    assert(q()("s2") == ((3L, 5L)), q().toString)
+    // pop: immediate exclusion, sticky until compact, physical drop
+    QuantileStore.pop(spark, "ql_store", Seq("s1").toDF("source"))
+    assert(!q().contains("s1"))
+    QuantileStore.applyBatch(spark, docs((5L, "q q", "s1")),
+      "ql_store", k, batchId = 3L)
+    assert(!q().contains("s1"), "takedown must be sticky until compact")
+    QuantileStore.compact(spark, "ql_store", k)
+    assert(spark.table("ql_store").select("source").distinct()
+      .collect().map(_.getString(0)).toSet == Set("s2"),
+      "compact must physically drop the popped source's rows")
+    assert(!spark.catalog.tableExists("ql_store_dels"),
+      "compact must retire the tombstones")
+    assert(q()("s2") == ((3L, 5L)))
+  }
+
   test("xref store popDataset: judgements excluded, mapping rebuilt at compact") {
     import spark.implicits._
     Seq("xref_pop", "xref_pop_reverse", "xref_pop_mapping",

@@ -1607,4 +1607,81 @@ class StreamingSpec extends AnyFunSuite {
       assert(servedNow() == exactNow(), "after double compact")
     } finally q.stop()
   }
+
+  test("st22 streaming quantile telemetry: served == exact recompute, replay-proof, compact-invariant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val table = "st22_kll"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_dels")
+    graft.Probes.dropManaged(spark, table)
+    graft.Probes.dropManaged(spark, s"${table}_dels")
+    val k = 64 // far above the test doc counts → exact regime
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def doc(id: Long, s: String, text: String): (Long, String, String) = {
+      val d = (id, text, s); seen += d; d
+    }
+    def servedNow(): Map[String, (Long, Long)] =
+      graft.sources.QuantileStore
+        .readQuantiles(spark, table, k, Seq(0.5, 1.0)).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def exactNow(): Map[String, (Long, Long)] =
+      seen.toSeq
+        .map { case (_, text, s) => // Dedup.words twin on the driver
+          (s, text.toLowerCase.split("\\s+").count(_.nonEmpty).toLong) }
+        .groupBy(_._1).view.mapValues { rows =>
+          val vs = rows.map(_._2).sorted
+          def sel(p: Double): Long =
+            vs(math.max(1, math.ceil(p * vs.size).toInt) - 1)
+          (sel(0.5), sel(1.0))
+        }.toMap
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.quantileTelemetry(
+      in.toDF().toDF("doc_id", "text", "source"), table, k,
+      compactEvery = 3)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st22_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        doc(1L, "a", "red red red blue blue green"),
+        doc(2L, "b", "cat dog dog"))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after batch 0")
+      in.addData(doc(3L, "a", "blue blue blue green yellow"),
+        doc(4L, "a", "one"))
+      q.processAllAvailable()
+      val afterB1 = servedNow()
+      assert(afterB1 == exactNow(), "after batch 1")
+      // a's doc lengths {6, 5, 1}: p50 = 2nd smallest = 5, p100 = 6
+      assert(afterB1("a") == ((5L, 6L)), afterB1.toString)
+      // batch 2 trips compactEvery=3 → one folded row per source,
+      // served quantiles invariant
+      in.addData(doc(5L, "c", "solo solo"))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after compacting batch 2")
+      assert(spark.table(table).groupBy("source").count()
+        .collect().forall(_.getLong(1) == 1L), "compact folds to 1 row/source")
+      // a KLL summary is a weighted multiset — a replayed batch would
+      // double-weight if the STORE didn't gate it. Replay batch 1 out
+      // of band: its ver sits behind the folded horizon → no-op
+      graft.sources.QuantileStore.applyBatch(spark,
+        Seq(seen(2), seen(3)).toDF("doc_id", "text", "source"),
+        table, k, batchId = 1L)
+      assert(servedNow() == exactNow(),
+        "post-compact replayed batch must be a no-op")
+      // a replayed FRESH batch (not yet folded) dedups per (source, ver)
+      in.addData(doc(6L, "b", "dog dog bird"))
+      q.processAllAvailable()
+      graft.sources.QuantileStore.applyBatch(spark,
+        Seq(seen(5)).toDF("doc_id", "text", "source").repartition(4),
+        table, k, batchId = 3L)
+      assert(servedNow() == exactNow(),
+        "pre-compact replayed batch must be a no-op")
+      // manual compact is idempotent
+      graft.sources.QuantileStore.compact(spark, table, k)
+      graft.sources.QuantileStore.compact(spark, table, k)
+      assert(servedNow() == exactNow(), "after double compact")
+    } finally q.stop()
+  }
 }
