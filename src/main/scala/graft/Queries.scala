@@ -1928,6 +1928,59 @@ object Queries {
       |    AS n_orders_upto
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** q31 — gap-filled time series (the ClickHouse `ORDER BY … WITH
+    * FILL` / `WITH FILL STEP` surface): q14's hourly event counts per
+    * type, with every MISSING hour in each type's [min, max] span
+    * emitted as an explicit zero row — the resample every monitoring
+    * dashboard and training-data cadence audit needs (a silent gap
+    * and a zero are different facts; only the filled series can tell
+    * a stalled crawler from an idle one).
+    *
+    * Spark-first shape: the event table collapses at the FIRST
+    * aggregation (ONE event-grain scan); each surviving hourly row
+    * then fills the gap up to its successor itself — `lead(bucket)`
+    * in a per-type window + a bounded `sequence(bucket, next-3600,
+    * 3600)` explode emitting the zero rows — so there is no calendar
+    * JOIN and no second scan at all (the t8/t10/t14
+    * window-in-exchange discipline: both stages past the aggregate
+    * run at span grain, types × span-hours, independent of event
+    * count).
+    */
+  def q31TimeFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"bucket")
+    t(s, dir, "events")
+      .groupBy(
+        $"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("nxt", lead($"bucket", 1).over(w))
+      .select($"event_type", $"bucket", $"n",
+        explode(sequence(
+          $"bucket",
+          coalesce($"nxt" - 3600L, $"bucket"),
+          lit(3600L))).as("fill"))
+      .select($"event_type", $"fill".as("bucket"),
+        when($"fill" === $"bucket", $"n").otherwise(0L).as("n"))
+  }
+
+  val q31Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM hourly GROUP BY 1),
+      |cal AS (
+      |  SELECT event_type, unnest(generate_series(b0, b1, 3600))
+      |    AS bucket FROM spans)
+      |SELECT c.event_type, c.bucket, COALESCE(h.n, 0) AS n
+      |FROM cal c LEFT JOIN hourly h USING (event_type, bucket)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -1960,6 +2013,7 @@ object Queries {
     "q27b_sequence_count" -> (q27bSequenceCount _),
     "q28_retention" -> (q28Retention _),
     "q29_uniq_upto" -> (q29UniqUpto _),
+    "q31_time_fill" -> (q31TimeFill _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -2018,6 +2072,7 @@ object Queries {
     "q27b_sequence_count" -> q27bSql,
     "q28_retention" -> q28Sql,
     "q29_uniq_upto" -> q29Sql,
+    "q31_time_fill" -> q31Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -330,6 +330,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // rank-selects run at summary grain AFTER the exchange — a second
     // exchange means a quantile leaked back to the value grain
     Shape("q30_quantile_sketch", maxShuffles = 1),
+    // r13: q31 = ONE event-grain scan collapsing at the hourly
+    // aggregate, then lead()+bounded-explode gap fill inside a
+    // span-grain window exchange — a third exchange (or any join)
+    // means the calendar went back to a second corpus scan
+    Shape("q31_time_fill", maxShuffles = 2),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict

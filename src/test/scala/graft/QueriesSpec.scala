@@ -355,6 +355,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(inc.sameElements(full))
   }
 
+  test("q31 time fill: contiguous buckets, totals preserved, genuine zero rows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q31_time_fill")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val buckets = rs.map(_._2).sorted
+      // the filled series is CONTIGUOUS at step 3600 over [min, max]
+      assert(buckets.length == ((buckets.last - buckets.head) / 3600 + 1),
+        s"$t: series has holes")
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => b - a == 3600 })
+      assert(buckets.distinct.length == buckets.length, s"$t: dup buckets")
+    }
+    // fill rows are genuine zeros, not dropped or double-counted:
+    // per-type totals equal the unfilled q14 totals
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(got == want, s"$got != $want")
+    // and the sparse sf0.001 grid actually HAS gaps to fill
+    assert(rows.count(_._3 == 0L) > 0, "no zero rows — fill untested")
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
