@@ -1182,6 +1182,50 @@ object Queries {
        |JOIN names rn ON rn.entity_id = p.right_id
        |WHERE levenshtein(ln.name, rn.name) <= 16""".stripMargin
 
+  /** f25 — entity centrality over the order graph: PageRank in
+    * INTEGER-EXACT fixed point ([[graft.operators.PageRank]]) on the
+    * same directed entity-edge set f22/f23 traverse — "which
+    * customers/nations anchor this catalog" for every node at once,
+    * where the traversal faces answer pointwise from seeds. Ten
+    * damped rounds at scale 10^6; every contribution is an integer
+    * floor division whose sum is order-free, so the DuckDB oracle
+    * (the same ten rounds as chained GROUP BY CTEs, `//` = the same
+    * floor) hash-gates the full rank vector — float PageRank could
+    * never be gated, its low bits differ per shuffle-arrival order.
+    */
+  def f25Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = orderGraphStatements(s, dir)
+      .filter($"prop_type" === "entity")
+      .select($"entity_id".as("src"), $"value".as("dst"))
+    graft.operators.PageRank.ranks(edges, iters = 10)
+      .select($"id".as("entity_id"), $"r")
+  }
+
+  // lazy: interpolates orderGraphCte, which initializes further down
+  // the object (the registry maps at the bottom force it in time)
+  lazy val f25Sql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, CAST(150000 + COALESCE(s.c, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((85 * p.r) // (100 * e.d)) AS c
+         |    FROM edges e JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$orderGraphCte,
+       |rawe AS (
+       |  SELECT DISTINCT entity_id AS src, value AS dst FROM gs
+       |  WHERE prop_type = 'entity'),
+       |deg AS (SELECT src, COUNT(*) AS d FROM rawe GROUP BY 1),
+       |edges AS (
+       |  SELECT rawe.src, rawe.dst, deg.d FROM rawe JOIN deg USING (src)),
+       |nodes AS (SELECT src AS node FROM rawe UNION SELECT dst FROM rawe),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node AS entity_id, r FROM pr10""".stripMargin
+  }
+
   /** f11 — entity_id → canonical_id resolution by identical name
     * fingerprint.
     */
@@ -2038,7 +2082,8 @@ object Queries {
     "f21_final_asof" -> (f21FinalAsof _),
     "f22_khop_traversal" -> (f22KhopTraversal _),
     "f23_shortest_path" -> (f23ShortestPath _),
-    "f24_name_editdist" -> (f24NameEditdist _)
+    "f24_name_editdist" -> (f24NameEditdist _),
+    "f25_pagerank" -> (f25Pagerank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2094,6 +2139,7 @@ object Queries {
     "f21_final_asof" -> f21Sql,
     "f22_khop_traversal" -> f22Sql,
     "f23_shortest_path" -> f23Sql,
-    "f24_name_editdist" -> f24Sql
+    "f24_name_editdist" -> f24Sql,
+    "f25_pagerank" -> f25Sql
   )
 }

@@ -379,6 +379,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.count(_._3 == 0L) > 0, "no zero rows — fill untested")
   }
 
+  test("f25 pagerank: matches driver reference, partition-invariant, bounds hold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand graph against a literal driver-side re-implementation of
+    // the fixed-point recurrence (same floors, same teleport)
+    val hand = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+    def reference(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+          (85L * r(u)) / (100L * deg(u)) }.sum).toMap
+        r = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+      }
+      r
+    }
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      graft.operators.PageRank.ranks(df, iters = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(hand.toDF("src", "dst"))
+    assert(got == reference(hand, 10), s"$got != ${reference(hand, 10)}")
+    // duplicate edges collapse (the edge set is a SET); partitioning
+    // cannot move a single micro-unit (integer sums are order-free)
+    assert(run((hand ++ hand).toDF("src", "dst").repartition(7)) == got)
+    // the full f25 face: every rank ≥ teleport, in-degree-less nodes
+    // sit exactly AT teleport, total mass ≤ n·scale (floors only leak)
+    val rows = SparkEntry.queries("f25_pagerank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 150000L))
+    assert(rows.exists(_._2 == 150000L), "no pure-teleport node found")
+    assert(rows.map(_._2).sum <= rows.length.toLong * 1000000L)
+    assert(rows.exists(_._2 > 1000000L), "no accumulation hub found")
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
