@@ -208,6 +208,19 @@ object GraftFunctionRegistry {
           "graft_quantile_rank(sketch, v: bigint)")
         graft.functions.KllRankExpression(children.head, children(1))
       }),
+    (FunctionIdentifier("graft_decayed_sum"),
+      new ExpressionInfo(
+        classOf[graft.functions.DecayedSumExpression].getName,
+        "graft_decayed_sum"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(v, Literal(shift: Int, IntegerType)) =>
+            graft.functions.DecayedSumExpression(v, shift)
+          case _ => throw new IllegalArgumentException(
+            "graft_decayed_sum(value: bigint, shift: int literal) " +
+              "OVER (PARTITION BY … ORDER BY …)")
+        }
+      }),
     (FunctionIdentifier("graft_window_funnel"),
       new ExpressionInfo(
         classOf[WindowFunnelAggregate].getName, "graft_window_funnel"),

@@ -2025,6 +2025,60 @@ object Queries {
       |SELECT c.event_type, c.bucket, COALESCE(h.n, 0) AS n
       |FROM cal c LEFT JOIN hourly h USING (event_type, bucket)""".stripMargin
 
+  /** q32 — exponentially DECAYED activity score (the ClickHouse
+    * `exponentialTimeDecayedSum` surface): over q31's gap-FILLED
+    * hourly series, the integer-exact running fold
+    * `s ← (s >> 1) + n·1024` per type — half-life one hour, zero
+    * hours decay the score instead of silently freezing it (which is
+    * WHY this rides the filled series: on the raw sparse series a
+    * week-long outage and a busy minute-ago hour can score the same).
+    * The fold is [[graft.functions.DecayedSumExpression]], the repo's
+    * first DECLARATIVE [[org.apache.spark.sql.catalyst.expressions
+    * .AggregateWindowFunction]] — the state transition is a Catalyst
+    * expression evaluated inside the window exchange with O(1) state,
+    * codegen'd like `rank()`. The per-step floor makes the result a
+    * deterministic function of the row sequence, so the DuckDB oracle
+    * (the IDENTICAL fold as a recursive CTE, one bucket per type per
+    * step — the q27b discipline) hash-gates every row.
+    */
+  def q32DecayedCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q31TimeFill(s, dir)
+      .withColumn("ema", graft.functions.DecayedSumExpression
+        .decayedSumOver($"n" * 1024L, 1,
+          partitionBy = Seq($"event_type"), orderBy = Seq($"bucket")))
+      .select($"event_type", $"bucket", $"ema")
+  }
+
+  val q32Sql: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type,
+      |    CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM hourly GROUP BY 1),
+      |cal AS (
+      |  SELECT event_type, unnest(generate_series(b0, b1, 3600))
+      |    AS bucket FROM spans),
+      |filled AS (
+      |  SELECT c.event_type, c.bucket, COALESCE(h.n, 0) AS n,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY c.event_type ORDER BY c.bucket) AS rn
+      |  FROM cal c LEFT JOIN hourly h USING (event_type, bucket)),
+      |st AS (
+      |  SELECT event_type, CAST(0 AS BIGINT) AS rn,
+      |    CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS s
+      |  FROM (SELECT DISTINCT event_type FROM filled)
+      |  UNION ALL
+      |  SELECT st.event_type, st.rn + 1, f.bucket,
+      |    st.s // 2 + f.n * 1024
+      |  FROM st JOIN filled f
+      |    ON f.event_type = st.event_type AND f.rn = st.rn + 1)
+      |SELECT event_type, bucket, s AS ema FROM st WHERE rn >= 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -2058,6 +2112,7 @@ object Queries {
     "q28_retention" -> (q28Retention _),
     "q29_uniq_upto" -> (q29UniqUpto _),
     "q31_time_fill" -> (q31TimeFill _),
+    "q32_decayed_counts" -> (q32DecayedCounts _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -2118,6 +2173,7 @@ object Queries {
     "q28_retention" -> q28Sql,
     "q29_uniq_upto" -> q29Sql,
     "q31_time_fill" -> q31Sql,
+    "q32_decayed_counts" -> q32Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

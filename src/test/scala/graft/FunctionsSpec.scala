@@ -1016,6 +1016,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.length == 97 && sk == sk.sorted)
   }
 
+  // ---- decayed running sum (q32) ----
+
+  test("decayedSum: matches driver fold, null decays without adding, SQL face") {
+    import graft.functions.DecayedSumExpression.decayedSumOver
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    val rows = (1 to 3).flatMap(g =>
+      (1 to 200).map(i => (g.toLong, i.toLong, rnd.nextInt(50).toLong * 1024L)))
+    def reference(xs: Seq[Long], shift: Int): Seq[Long] =
+      xs.scanLeft(0L)((s, x) => (s >> shift) + x).tail
+    val want = rows.groupBy(_._1).view.mapValues(rs =>
+      reference(rs.sortBy(_._2).map(_._3), 2)).toMap
+    val got = rows.toDF("g", "i", "x")
+      .repartition(7) // the window sorts; input partitioning is moot
+      .withColumn("ema",
+        decayedSumOver(col("x"), 2, Seq(col("g")), Seq(col("i"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got == want)
+    // null input: the state still decays one step, contributes 0
+    val n = Seq((1L, java.lang.Long.valueOf(1024L)),
+      (2L, null.asInstanceOf[java.lang.Long]), (3L, java.lang.Long.valueOf(0L)))
+      .toDF("i", "x")
+      .withColumn("ema",
+        decayedSumOver(col("x"), 1, Seq(lit(1)), Seq(col("i"))))
+      .orderBy(col("i")).collect().map(_.getLong(2)).toSeq
+    assert(n == Seq(1024L, 512L, 256L), n.toString)
+    // SQL face with a real OVER clause == the column face
+    GraftFunctionRegistry.registerAll(spark)
+    rows.toDF("g", "i", "x").createOrReplaceTempView("ds_in")
+    val viaSql = spark.sql(
+      """SELECT g, i, graft_decayed_sum(x, 2)
+        |  OVER (PARTITION BY g ORDER BY i) AS ema
+        |FROM ds_in""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(viaSql == want)
+  }
+
   // ---- KLL quantile sketch (q30, QuantileStore, st22) ----
 
   test("kll exact regime: quantiles == quantile_disc rank rule, merge-shape invariant") {

@@ -335,6 +335,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // span-grain window exchange — a third exchange (or any join)
     // means the calendar went back to a second corpus scan
     Shape("q31_time_fill", maxShuffles = 2),
+    // r13: q32 = q31's plan + the decayed-sum window, which shares
+    // q31's event_type partitioning — a Sort inside the exchange,
+    // never a third shuffle
+    Shape("q32_decayed_counts", maxShuffles = 2),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict
