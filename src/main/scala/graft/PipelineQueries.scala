@@ -508,6 +508,71 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** s9 — FILTERED ANN: s3's IVF search restricted to a metadata
+    * predicate (neighbors must come from sources src0–src4, resolved
+    * through the doc_id = vec_id join) with the index built over the
+    * FULL corpus — the production filtered-search regime: the
+    * inverted lists are trained/stored once, the filter varies per
+    * request. The filter is a PRE-filter (left-semi on the corpus
+    * side BEFORE list scoring), so within the probed lists the
+    * result is exact over the allowed set — there is no post-filter
+    * top-k recall cliff (filtering AFTER top-k can return < k rows,
+    * or none, when the filter is selective; the semi-join form
+    * degrades recall only through the probe choice, same as s3).
+    * Assignment is per-vector and filter-independent, so
+    * filter-then-assign ≡ assign-then-filter — what lets the STORED
+    * lists serve any filter ([[graft.sources.VecStore.ivfTopK]]'s
+    * `among` face, spec'd equal to this operator). Scale shape: the
+    * semi-join is id-grain, AQE-sized; everything else is s3's plan.
+    */
+  def s9AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val allowed = docs(s, dir)
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("doc_id").as("vec_id"))
+    val cents = Similarity.centroids(e, col("label"))
+    Similarity.ivfTopK(e.join(allowed, Seq("vec_id"), "left_semi"),
+      e.filter(col("vec_id") < 10), cents, k = 5, nProbe = 3)
+  }
+
+  /** s9's DuckDB twin: s3's oracle with the `assigned` side semi-
+    * joined to the allowed doc ids — queries and centroids stay
+    * full-corpus.
+    */
+  val s9Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |allowed AS (
+       |  SELECT doc_id AS vec_id FROM documents
+       |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+       |cents AS (
+       |  SELECT label, p.pos AS pos, AVG(v[p.pos]) AS m
+       |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+       |  GROUP BY 1, 2),
+       |clist AS (
+       |  SELECT label AS list_id, list(m ORDER BY pos) AS c
+       |  FROM cents GROUP BY label),
+       |assigned AS (
+       |  SELECT neighbor_id, cv, list_id FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.v AS cv, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
+       |    FROM e JOIN allowed USING (vec_id), clist cl) WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, list_id FROM (
+       |    SELECT e.vec_id AS query_id, e.v AS qv, cl.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.v", "cl.c")}, 4) DESC, cl.list_id) AS r
+       |    FROM e, clist cl WHERE e.vec_id < 10) WHERE r <= 3),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cos
+       |  FROM probes JOIN assigned USING (list_id)
+       |  WHERE neighbor_id <> query_id),
+       |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   /** s7 — tree-IVF ANN: the two-level coarse quantizer
     * ([[Similarity.treeQuantizer]] — seeds = 3 lowest-list_id leaf
     * centroids, one Lloyd step, leaves re-assigned to the refined
@@ -2752,6 +2817,7 @@ object PipelineQueries {
     "m9_gif_decode" -> (m9GifDecode _),
     "m10_flac_decode" -> (m10FlacDecode _),
     "s8_ann_mmr" -> (s8AnnMmr _),
+    "s9_ann_filtered" -> (s9AnnFiltered _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -2816,6 +2882,7 @@ object PipelineQueries {
     "m9_gif_decode" -> m9Sql,
     "m10_flac_decode" -> m10Sql,
     "s8_ann_mmr" -> s8Sql,
+    "s9_ann_filtered" -> s9Sql,
     "t13_gopher_filter" -> t13Sql
   )
 }

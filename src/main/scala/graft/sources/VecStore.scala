@@ -298,13 +298,23 @@ object VecStore {
     * `nProbeTop` is ignored on flat stores, where probe ranking is
     * global).
     */
+  /** `among`: optional FILTERED-search predicate — a (vec_id) frame;
+    * when set, only stored vectors in it are scored (left-semi AFTER
+    * the probed-list pushdown, so the scan stays list-pruned and the
+    * result is exact over the allowed set within the probed lists —
+    * the s9 pre-filter contract, possible on STORED lists because
+    * assignment is per-vector and filter-independent). The id set is
+    * request-grain and AQE-sized; a selective filter never triggers
+    * the post-filter "top-k came back short" recall cliff.
+    */
   def ivfTopK(
       spark: SparkSession,
       table: String,
       queries: DataFrame,
       k: Int,
       nProbe: Int = 2,
-      nProbeTop: Int = 2): DataFrame = {
+      nProbeTop: Int = 2,
+      among: Option[DataFrame] = None): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     val base = queries
       .select(col("vec_id").as("query_id"), col("embedding"),
@@ -327,9 +337,14 @@ object VecStore {
       .localCheckpoint()
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.get(0)).toIndexedSeq
-    val stored = minusDels(spark, table,
+    val visible = minusDels(spark, table,
       read(spark, table).filter(col("list_id").isInCollection(probedIds)))
       .dropDuplicates("vec_id")
+    val stored = among match {
+      case Some(ids) =>
+        visible.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case None => visible
+    }
     val scored = stored.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", Dedup.cosineWithNorms(

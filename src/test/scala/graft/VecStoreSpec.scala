@@ -165,6 +165,38 @@ class VecStoreSpec extends AnyFunSuite {
       s"search scans must partition-prune on list_id:\n${scans.mkString("\n")}")
   }
 
+  // r13: the s9 filtered-search contract on STORED lists — assignment
+  // is per-vector and filter-independent, so serving `among` a given
+  // id set equals re-running the operator over the pre-filtered corpus
+  test("store-served filtered IVF (among) equals the operator on the filtered corpus") {
+    dropStore("vec_filtered")
+    VecStore.init(spark, "vec_filtered", stored, col("label"), buckets = 4)
+    val queries = batch.select(col("vec_id"), col("embedding")).limit(10)
+      .localCheckpoint()
+    import spark.implicits._
+    val allowed = stored.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id")).localCheckpoint()
+    val viaStore = VecStore.ivfTopK(spark, "vec_filtered", queries,
+      k = 5, nProbe = 3, among = Some(allowed))
+      .collect().map(_.toString).sorted.toSeq
+    val viaOp = Similarity.ivfTopK(
+      stored.join(allowed, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")),
+      queries, VecStore.centroids(spark, "vec_filtered"), k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore.nonEmpty && viaStore == viaOp)
+    // every served neighbor honors the filter
+    val served = VecStore.ivfTopK(spark, "vec_filtered", queries,
+      k = 5, nProbe = 3, among = Some(allowed))
+      .select(col("neighbor_id")).distinct()
+      .join(allowed.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti").count()
+    assert(served == 0L, "a neighbor escaped the among filter")
+    // an empty filter answers empty, never errors
+    assert(VecStore.ivfTopK(spark, "vec_filtered", queries, 5, 3,
+      among = Some(allowed.filter(col("vec_id") < -1))).count() == 0L)
+  }
+
   // the persisted-tree twin pieces, derived from the STORE's centroid
   // table exactly as the store derived them at init (treeQuantizer is
   // choice-deterministic: every argmax rounds to 4dp with id
