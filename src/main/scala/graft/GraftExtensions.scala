@@ -208,6 +208,51 @@ object GraftFunctionRegistry {
           "graft_quantile_rank(sketch, v: bigint)")
         graft.functions.KllRankExpression(children.head, children(1))
       }),
+    // r13 — the EXACT-bitmap set algebra in plain SQL (the q33
+    // family; the exact sibling of graft_kmv_*): build, fold, count,
+    // intersect and subtract compressed id bitmaps.
+    (FunctionIdentifier("graft_bitmap"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapAggregate].getName, "graft_bitmap"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_bitmap(value: bigint)")
+        graft.functions.BitmapAggregate(children.head)
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bitmap_or"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapOrAggregate].getName,
+        "graft_bitmap_or"),
+      { children: Seq[Expression] =>
+        require(children.size == 1,
+          "graft_bitmap_or(bitmap: array<bigint>)")
+        graft.functions.BitmapOrAggregate(children.head)
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bitmap_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapCountExpression].getName,
+        "graft_bitmap_count"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_bitmap_count(bitmap)")
+        graft.functions.BitmapCountExpression(children.head)
+      }),
+    (FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapAndCountExpression].getName,
+        "graft_bitmap_and_count"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_bitmap_and_count(a, b)")
+        graft.functions.BitmapAndCountExpression(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_bitmap_andnot"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapAndNotExpression].getName,
+        "graft_bitmap_andnot"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "graft_bitmap_andnot(a, b)")
+        graft.functions.BitmapAndNotExpression(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_decayed_sum"),
       new ExpressionInfo(
         classOf[graft.functions.DecayedSumExpression].getName,

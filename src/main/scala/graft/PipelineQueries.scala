@@ -2476,6 +2476,59 @@ object PipelineQueries {
       |  quantile_disc(CAST(floor(l_extendedprice) AS BIGINT), 0.99) AS p99
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  /** q33 — EXACT audience overlap through compressed bitmaps
+    * ([[graft.functions.Bitmap]] — the ClickHouse `groupBitmap` /
+    * `bitmapAndCardinality` surface, Roaring containers): per
+    * event-type user bitmaps built in ONE aggregation (the summary on
+    * the wire is O(|audience|) bits with map-side combine), then the
+    * types² pair grid runs on SUMMARY rows — shared/union/Jaccard
+    * answered EXACTLY by chunkwise popcounts, never a user-grain pair
+    * join. The exact sibling of d15's KMV estimates: below ~10^8 ids
+    * per group the set itself is affordable and every answer
+    * hash-gates in EVERY regime (set union is order-free — no exact-
+    * window pin needed, unlike q25/q23/q30). Zero-overlap pairs are
+    * emitted (the grid is types², the oracle left-joins the shared
+    * counts), and the Jaccard is one double division of identical
+    * BIGINTs on both engines, 6dp-rounded (the d15 rule).
+    */
+  def q33BitmapOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bitmap
+    val bms = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(Bitmap.bitmap(col("user_id")).as("bm"))
+    val a = bms.select(col("event_type").as("type_a"), col("bm").as("bma"))
+    val b = bms.select(col("event_type").as("type_b"), col("bm").as("bmb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("shared_users",
+        Bitmap.bitmapAndCount(col("bma"), col("bmb")))
+      .withColumn("union_users",
+        Bitmap.bitmapCount(col("bma")) + Bitmap.bitmapCount(col("bmb"))
+          - col("shared_users"))
+      .select(col("type_a"), col("type_b"), col("shared_users"),
+        col("union_users"),
+        round(col("shared_users").cast("double") /
+          col("union_users").cast("double"), 6).as("jaccard"))
+  }
+
+  val q33Sql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM u GROUP BY 1),
+      |shared AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS s
+      |  FROM u a JOIN u b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+      |  COALESCE(sh.s, 0) AS shared_users,
+      |  ca.n + cb.n - COALESCE(sh.s, 0) AS union_users,
+      |  round(CAST(COALESCE(sh.s, 0) AS DOUBLE)
+      |    / (ca.n + cb.n - COALESCE(sh.s, 0)), 6) AS jaccard
+      |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      |LEFT JOIN shared sh
+      |  ON sh.type_a = ca.event_type AND sh.type_b = cb.event_type""".stripMargin
+
   /** d15 — the SOURCE-OVERLAP matrix from stored sketches: estimated
     * shared-shingle count and Jaccard for every source pair, computed
     * ENTIRELY from the per-source KMV sketches (q25's aggregate —
@@ -2807,6 +2860,7 @@ object PipelineQueries {
     "q23b_topk_weighted" -> (q23bTopkWeighted _),
     "q25_distinct_kmv" -> (q25DistinctKmv _),
     "q30_quantile_sketch" -> (q30QuantileSketch _),
+    "q33_bitmap_overlap" -> (q33BitmapOverlap _),
     "d12_semdedup" -> (d12SemDedup _),
     "d13_semdedup_incremental" -> (d13SemdedupIncremental _),
     "d14_dup_spans" -> (d14DupSpans _),
@@ -2873,6 +2927,7 @@ object PipelineQueries {
     "q23b_topk_weighted" -> q23bSql,
     "q25_distinct_kmv" -> q25Sql,
     "q30_quantile_sketch" -> q30Sql,
+    "q33_bitmap_overlap" -> q33Sql,
     "d12_semdedup" -> d12Sql,
     "d13_semdedup_incremental" -> d13Sql,
     "d14_dup_spans" -> d14Sql,

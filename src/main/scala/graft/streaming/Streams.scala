@@ -633,6 +633,34 @@ object Streams {
         graft.sources.QuantileStore.compact(spark, table, k)
     }
 
+  /** st22's sibling at the EXACT grain — st23 streaming AUDIENCE
+    * telemetry: the q33 bitmap maintained continuously over an event
+    * stream ([[graft.sources.BitmapStore]]): each micro-batch appends
+    * one user-bitmap row per event type, and [[graft.sources
+    * .BitmapStore.readAudience]] serves "exactly which users has this
+    * event type reached, ever" at any moment. Completes the telemetry
+    * quartet: st18 cardinality estimate, st20 head terms, st22 length
+    * distribution — and st23 the EXACT id set where the others sketch.
+    *
+    * Replay discipline: set union absorbs replayed batch rows
+    * STRUCTURALLY (the st18 immunity — duplicates set the same bits);
+    * the store still keeps a version horizon because it supports
+    * user-grain DELETION ([[graft.sources.BitmapStore.popUsers]] —
+    * the exact forget no sketch can do): without the horizon, a batch
+    * replayed after its compact (tombstones retired) would resurrect
+    * a scrubbed user's bits. `compactEvery` bounds fold-at-read cost
+    * with the staged-swap OPTIMIZE every N batches.
+    */
+  def audienceTelemetry(
+      events: DataFrame, table: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(events) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      graft.sources.BitmapStore.applyBatch(spark, batch, table, batchId)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.sources.BitmapStore.compact(spark, table)
+    }
+
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at
     * stream grain — two unbounded event streams joined on key +
     * event-time range through Spark's NATIVE stream-stream inner

@@ -1016,6 +1016,79 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.length == 97 && sk == sk.sorted)
   }
 
+  // ---- exact bitmaps (q33, BitmapStore, st23) ----
+
+  test("bitmap: set-exact across container kinds, merge-shape invariant, algebra vs sets") {
+    import graft.functions.Bitmap
+    import spark.implicits._
+    val rnd = new scala.util.Random(34)
+    // group 1 dense in one chunk (> 4096 → bitset container), group 2
+    // sparse across far chunks (array containers), group 3 straddles
+    val rows =
+      (1 to 9000).map(_ => (1L, rnd.nextInt(60000).toLong)) ++
+      (1 to 300).map(_ => (2L, rnd.nextInt(50).toLong * 1000003L)) ++
+      (1 to 2000).map(_ => (3L, rnd.nextInt(200000).toLong))
+    val sets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val df = rows.toDF("g", "v")
+    def flat(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      d.groupBy(col("g")).agg(Bitmap.bitmap(col("v")).as("bm"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bms = flat(df)
+    // deterministic function of the value SET: any partitioning, any
+    // merge shape, duplicates included — same bits
+    assert(flat(df.repartition(17)) == bms)
+    assert(flat(df.union(df)) == bms)
+    // counts decode back to the exact set sizes
+    val counted = bms.map { case (g, fl) =>
+      g -> spark.range(1).select(
+        Bitmap.bitmapCount(typedLit(fl)).as("c")).collect()(0).getLong(0)
+    }
+    assert(counted == sets.view.mapValues(_.size.toLong).toMap)
+    // pairwise intersection/difference against literal set algebra
+    for (a <- 1L to 3L; b <- 1L to 3L if a < b) {
+      val row = spark.range(1).select(
+        Bitmap.bitmapAndCount(typedLit(bms(a)), typedLit(bms(b))).as("i"),
+        Bitmap.bitmapCount(Bitmap.bitmapAndNot(
+          typedLit(bms(a)), typedLit(bms(b)))).as("d")).collect()(0)
+      assert(row.getLong(0) == (sets(a) & sets(b)).size.toLong,
+        s"and($a,$b)")
+      assert(row.getLong(1) == (sets(a) -- sets(b)).size.toLong,
+        s"andnot($a,$b)")
+    }
+    // or-fold of stored bitmaps == bitmap over the concatenation
+    val folded = df.groupBy(col("g"))
+      .agg(Bitmap.bitmap(col("v")).as("bm"))
+      .agg(Bitmap.bitmapOr(col("bm")).as("bm"))
+      .select(col("bm")).collect()(0).getSeq[Long](0)
+    val direct = df.agg(Bitmap.bitmap(col("v")).as("bm"))
+      .select(col("bm")).collect()(0).getSeq[Long](0)
+    assert(folded == direct)
+    // null values skipped; negatives rejected loudly
+    val withNull = Seq[java.lang.Long](1L, null, 2L).toDF("v")
+      .select(col("v").cast("long").as("v"))
+      .agg(Bitmap.bitmapCount(Bitmap.bitmap(col("v"))).as("c"))
+      .collect()(0).getLong(0)
+    assert(withNull == 2L)
+    val neg = intercept[Exception] {
+      Seq(-1L).toDF("v").agg(Bitmap.bitmap(col("v"))).collect()
+    }
+    assert(neg.getMessage != null)
+    // SQL faces
+    GraftFunctionRegistry.registerAll(spark)
+    df.createOrReplaceTempView("bm_in")
+    val viaSql = spark.sql(
+      """WITH s AS (SELECT g, graft_bitmap(v) AS bm FROM bm_in GROUP BY g)
+        |SELECT a.g, b.g, graft_bitmap_and_count(a.bm, b.bm) AS i,
+        |  graft_bitmap_count(graft_bitmap_andnot(a.bm, b.bm)) AS d
+        |FROM s a JOIN s b ON a.g < b.g ORDER BY a.g, b.g""".stripMargin)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    for (((a, b), (i, d)) <- viaSql) {
+      assert(i == (sets(a) & sets(b)).size.toLong)
+      assert(d == (sets(a) -- sets(b)).size.toLong)
+    }
+  }
+
   // ---- decayed running sum (q32) ----
 
   test("decayedSum: matches driver fold, null decays without adding, SQL face") {

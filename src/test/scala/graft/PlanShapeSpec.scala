@@ -339,6 +339,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // q31's event_type partitioning — a Sort inside the exchange,
     // never a third shuffle
     Shape("q32_decayed_counts", maxShuffles = 2),
+    // r13: q33 = the d15 grid shape at bitmap grain — per-type
+    // summary aggregation + a broadcast types² summary grid; the
+    // pair algebra runs on summary rows, never a user-grain pair join
+    Shape("q33_bitmap_overlap", maxShuffles = 2, minBroadcasts = 1),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict

@@ -450,6 +450,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(q()("s2") == ((3L, 5L)))
   }
 
+  // r13: the exact-bitmap store — union algebra absorbs replays, the
+  // version horizon protects the USER-grain delete (the forget no
+  // sketch store can do exactly)
+  test("bitmap store: exact audiences, replay-immune, user takedown scrubs physically") {
+    import spark.implicits._
+    import graft.sources.BitmapStore
+    Seq("bm_store", "bm_store_dels").foreach(dropTable)
+    def ev(rows: (String, Long)*) = rows.toDF("event_type", "user_id")
+    BitmapStore.applyBatch(spark, ev(("view", 1L), ("view", 2L),
+      ("click", 2L)), "bm_store", batchId = 0L)
+    BitmapStore.applyBatch(spark, ev(("view", 3L), ("click", 2L)),
+      "bm_store", batchId = 1L)
+    def aud(): Map[String, Long] =
+      BitmapStore.readAudience(spark, "bm_store").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aud() == Map("view" -> 3L, "click" -> 1L))
+    // replayed batch rows: set union absorbs them with NO version
+    // dedup (the SketchStore immunity)
+    BitmapStore.applyBatch(spark, ev(("view", 3L), ("click", 2L)),
+      "bm_store", batchId = 1L)
+    assert(aud() == Map("view" -> 3L, "click" -> 1L), "replay moved bits")
+    // user-grain takedown: immediate masking at every face
+    BitmapStore.popUsers(spark, "bm_store", Seq(2L).toDF("user_id"))
+    assert(aud() == Map("view" -> 2L, "click" -> 0L))
+    // compact scrubs PHYSICALLY and retires the tombstones
+    BitmapStore.compact(spark, "bm_store")
+    assert(!spark.catalog.tableExists("bm_store_dels"))
+    assert(aud() == Map("view" -> 2L, "click" -> 0L))
+    // decode check the honest way: rebuild user 2's singleton bitmap
+    // via the aggregate and intersect with every stored row
+    val single = Seq(2L).toDF("user_id")
+      .agg(graft.functions.Bitmap.bitmap(col("user_id")).as("bm"))
+      .collect()(0).getSeq[Long](0)
+    val leak = spark.table("bm_store")
+      .select(graft.functions.Bitmap.bitmapAndCount(col("bm"),
+        typedLit(single)).as("x"))
+      .collect().map(_.getLong(0)).sum
+    assert(leak == 0L, "popped user's bits survived the compact")
+    // post-compact replay of the folded batch: behind the version
+    // horizon — scrubbed stays scrubbed even with tombstones retired
+    BitmapStore.applyBatch(spark, ev(("view", 3L), ("click", 2L)),
+      "bm_store", batchId = 1L)
+    assert(aud() == Map("view" -> 2L, "click" -> 0L),
+      "post-compact replay resurrected a scrubbed user")
+    // a FRESH batch past the horizon lands normally (user 2 may
+    // legitimately return)
+    BitmapStore.applyBatch(spark, ev(("click", 9L)), "bm_store",
+      batchId = 2L)
+    assert(aud() == Map("view" -> 2L, "click" -> 1L))
+    // compact is idempotent
+    BitmapStore.compact(spark, "bm_store")
+    BitmapStore.compact(spark, "bm_store")
+    assert(aud() == Map("view" -> 2L, "click" -> 1L))
+  }
+
   test("xref store popDataset: judgements excluded, mapping rebuilt at compact") {
     import spark.implicits._
     Seq("xref_pop", "xref_pop_reverse", "xref_pop_mapping",

@@ -1608,6 +1608,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st23 streaming audience telemetry: served == exact recompute, replay-immune, pop scrubs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val table = "st23_bm"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_dels")
+    graft.Probes.dropManaged(spark, table)
+    graft.Probes.dropManaged(spark, s"${table}_dels")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def e(t: String, u: Long): (String, Long) = { seen += ((t, u)); (t, u) }
+    val popped = scala.collection.mutable.Set.empty[Long]
+    def servedNow(): Map[String, Long] =
+      graft.sources.BitmapStore.readAudience(spark, table).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def exactNow(): Map[String, Long] =
+      // a type whose whole audience was popped serves 0, not absence —
+      // the type row exists, its audience is the empty set
+      seen.map(_._1).distinct.map { t =>
+        t -> seen.toSeq.filter(r => r._1 == t && !popped(r._2))
+          .map(_._2).distinct.size.toLong
+      }.toMap
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.audienceTelemetry(
+      in.toDF().toDF("event_type", "user_id"), table, compactEvery = 3)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st23_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(e("view", 1L), e("view", 2L), e("click", 2L))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after batch 0")
+      in.addData(e("view", 3L), e("click", 2L))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after batch 1")
+      // replayed batch out of band: union absorbs it structurally —
+      // no version dedup needed pre-compact
+      graft.sources.BitmapStore.applyBatch(spark,
+        Seq(("view", 3L), ("click", 2L)).toDF("event_type", "user_id"),
+        table, batchId = 1L)
+      assert(servedNow() == exactNow(), "replayed batch moved bits")
+      // user-grain pop masks immediately
+      graft.sources.BitmapStore.popUsers(spark, table,
+        Seq(2L).toDF("user_id"))
+      popped += 2L
+      assert(servedNow() == exactNow(), "pop not reflected")
+      // batch 2 trips compactEvery=3: physical scrub + fold
+      in.addData(e("buy", 7L))
+      q.processAllAvailable()
+      assert(servedNow() == exactNow(), "after compacting batch 2")
+      assert(!spark.catalog.tableExists(s"${table}_dels"),
+        "compact must retire the tombstones")
+      // post-compact replay of the folded batch: version horizon keeps
+      // the scrubbed user out even with tombstones retired
+      graft.sources.BitmapStore.applyBatch(spark,
+        Seq(("view", 3L), ("click", 2L)).toDF("event_type", "user_id"),
+        table, batchId = 1L)
+      assert(servedNow() == exactNow(),
+        "post-compact replay resurrected a scrubbed user")
+    } finally q.stop()
+  }
+
   test("st22 streaming quantile telemetry: served == exact recompute, replay-proof, compact-invariant") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
