@@ -573,6 +573,28 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** s10 — range (radius) search ([[Similarity.rangeSearch]], τ=0.35):
+    * everything within a fixed cosine radius of each query — the
+    * audit-shaped retrieval top-k cannot state (its output size is
+    * data-determined). Exact brute scan with the broadcast query side;
+    * boundary membership decided on round(cos, 4), values emitted at
+    * round 6 — both engine-deterministic, so the oracle hash-gates.
+    */
+  def s10RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.rangeSearch(e, e.filter(col("vec_id") < 10), minCos = 0.35)
+  }
+
+  val s10Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+       |SELECT q.query_id, e.vec_id AS neighbor_id,
+       |  round(${duckCos("qv", "v")}, 6) AS cos
+       |FROM e, q
+       |WHERE e.vec_id <> q.query_id
+       |  AND round(${duckCos("qv", "v")}, 4) >= 0.35""".stripMargin
+
   /** s7 — tree-IVF ANN: the two-level coarse quantizer
     * ([[Similarity.treeQuantizer]] — seeds = 3 lowest-list_id leaf
     * centroids, one Lloyd step, leaves re-assigned to the refined
@@ -2872,6 +2894,7 @@ object PipelineQueries {
     "m10_flac_decode" -> (m10FlacDecode _),
     "s8_ann_mmr" -> (s8AnnMmr _),
     "s9_ann_filtered" -> (s9AnnFiltered _),
+    "s10_range_search" -> (s10RangeSearch _),
     "t13_gopher_filter" -> (t13GopherFilter _)
   )
 
@@ -2938,6 +2961,7 @@ object PipelineQueries {
     "m10_flac_decode" -> m10Sql,
     "s8_ann_mmr" -> s8Sql,
     "s9_ann_filtered" -> s9Sql,
+    "s10_range_search" -> s10Sql,
     "t13_gopher_filter" -> t13Sql
   )
 }

@@ -1226,6 +1226,55 @@ object Queries {
        |SELECT node AS entity_id, r FROM pr10""".stripMargin
   }
 
+  /** f26 — triangle census over the lineitem CO-OCCURRENCE graph
+    * ([[graft.operators.Triangles]]): each lineitem row co-locates an
+    * order, a part, and a supplier; the pairwise co-occurrence edges
+    * make a closed order–part–supplier triple a triangle, and a node's
+    * triangle support measures how enmeshed it is in repeated
+    * procurement cliques — the cohesion feature f25's global rank and
+    * f22's pointwise reach cannot state. (The f22/f25 statement graph
+    * itself is star-shaped and triangle-free by construction — stated
+    * at the operator.) Degree-oriented exact counting: O(m^{3/2})
+    * wedge bound, every triangle counted once, integer-exact, so the
+    * DuckDB oracle (the canonical a<b<c triple join) hash-gates every
+    * node's count.
+    */
+  def f26Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select(
+      concat(lit("order-"), $"l_orderkey").as("o"),
+      concat(lit("part-"), $"l_partkey").as("p"),
+      concat(lit("supplier-"), $"l_suppkey").as("sp"))
+    val edges = li.select($"o".as("src"), $"p".as("dst"))
+      .unionAll(li.select($"p".as("src"), $"sp".as("dst")))
+      .unionAll(li.select($"o".as("src"), $"sp".as("dst")))
+    graft.operators.Triangles.perNode(edges)
+      .select($"node".as("entity_id"), $"n_triangles")
+  }
+
+  val f26Sql: String =
+    """WITH tr AS (
+      |  SELECT 'order-' || l_orderkey AS o, 'part-' || l_partkey AS p,
+      |    'supplier-' || l_suppkey AS sp
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT least(o, p) AS a, greatest(o, p) AS b FROM tr
+      |  UNION
+      |  SELECT DISTINCT least(p, sp), greatest(p, sp) FROM tr
+      |  UNION
+      |  SELECT DISTINCT least(o, sp), greatest(o, sp) FROM tr),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |corners AS (
+      |  SELECT x AS entity_id FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM corners GROUP BY 1""".stripMargin
+
   /** f11 — entity_id → canonical_id resolution by identical name
     * fingerprint.
     */
@@ -2079,6 +2128,100 @@ object Queries {
       |    ON f.event_type = st.event_type AND f.rn = st.rn + 1)
       |SELECT event_type, bucket, s AS ema FROM st WHERE rn >= 1""".stripMargin
 
+  /** q34 — maximum CONCURRENT open intervals per user (the ClickHouse
+    * `maxIntersections` / `maxIntersectionsPosition` surface): each
+    * "view" opens a 2-hour half-open window [ts, ts+2h); per user, the
+    * peak number of simultaneously-open windows and the FIRST instant
+    * it is reached. The classic sweep-line as a declarative plan: one
+    * projected scan fans each interval into (+1 at start, −1 at end)
+    * deltas, a running-sum window inside the user-grain exchange turns
+    * deltas into live concurrency (ties order ends BEFORE starts —
+    * half-open semantics, an interval ending at t does not overlap one
+    * starting at t), and the final per-user aggregate is a single
+    * `max(struct(conc, −ts))` — max concurrency, then EARLIEST instant,
+    * in one order-free integer-exact max. The aggregate reuses the
+    * window's hash partitioning, so the whole query is ONE exchange.
+    * Never materializes interval×interval pairs — q24b's overlap join
+    * answers "which pairs", this answers "how deep" at sweep cost.
+    */
+  def q34MaxConcurrent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "events").filter($"event_type" === "view")
+      .select($"user_id", unix_micros($"ts").as("s_us"),
+        (unix_micros($"ts") + 7200L * 1000000L).as("e_us"))
+    val sweep = v.select($"user_id", $"s_us".as("ts_us"), lit(1L).as("delta"))
+      .unionAll(v.select($"user_id", $"e_us", lit(-1L).as("delta")))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep.withColumn("conc", sum($"delta").over(w))
+      .groupBy($"user_id")
+      .agg(max(struct($"conc", (-$"ts_us").as("neg_ts"))).as("m"))
+      .select($"user_id", $"m.conc".as("max_concurrent"),
+        (-$"m.neg_ts").as("at_us"))
+  }
+
+  val q34Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + 7200000000 AS e_us
+      |  FROM events WHERE event_type = 'view'),
+      |sweep AS (
+      |  SELECT user_id, s_us AS ts_us, 1 AS delta FROM v
+      |  UNION ALL
+      |  SELECT user_id, e_us, -1 FROM v),
+      |c AS (
+      |  SELECT user_id, ts_us, SUM(delta) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us, delta
+      |    ROWS UNBOUNDED PRECEDING) AS conc
+      |  FROM sweep),
+      |m AS (SELECT user_id, MAX(conc) AS mc FROM c GROUP BY 1)
+      |SELECT c.user_id, CAST(m.mc AS BIGINT) AS max_concurrent,
+      |  CAST(MIN(c.ts_us) AS BIGINT) AS at_us
+      |FROM c JOIN m ON c.user_id = m.user_id AND c.conc = m.mc
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q35 — Shannon entropy of each user's event-type mix (the
+    * ClickHouse `entropy()` aggregate): how exploratory vs
+    * single-minded a user's behavior is — the standard feature for
+    * bot/anomaly screens. Float entropy can never hash-gate under
+    * parallel summation (double addition is not associative), so the
+    * fold runs on an integer LOG LATTICE: L(x) = round(log2(x)·10⁹) as
+    * BIGINT ("nanobits"), Σ cᵢ·L(cᵢ) and T·L(T) are order-free integer
+    * sums, and the only float op is the FINAL division of two
+    * identical-on-both-engines integers — bitwise deterministic, so
+    * the oracle hash-gates the exact doubles with NO output rounding.
+    * Two bounded hash aggregates: (user, type) grain, then user grain,
+    * both with map-side combine.
+    */
+  def q35Entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
+    t(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * nanobits($"c")).as("s_nb"))
+      .select($"user_id", $"n_events", $"n_types",
+        (($"n_events" * nanobits($"n_events") - $"s_nb").cast("double") /
+          ($"n_events" * 1e9)).as("entropy"))
+  }
+
+  val q35Sql: String =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+      |    SUM(c * CAST(round(log2(c) * 1e9) AS BIGINT)) AS s_nb
+      |  FROM tc GROUP BY 1)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_events * CAST(round(log2(n_events) * 1e9) AS BIGINT)
+      |    - s_nb AS DOUBLE) / (n_events * 1e9) AS entropy
+      |FROM u""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_comparators" -> (q2FilterComparators _),
@@ -2113,6 +2256,8 @@ object Queries {
     "q29_uniq_upto" -> (q29UniqUpto _),
     "q31_time_fill" -> (q31TimeFill _),
     "q32_decayed_counts" -> (q32DecayedCounts _),
+    "q34_max_concurrent" -> (q34MaxConcurrent _),
+    "q35_entropy" -> (q35Entropy _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -2138,7 +2283,8 @@ object Queries {
     "f22_khop_traversal" -> (f22KhopTraversal _),
     "f23_shortest_path" -> (f23ShortestPath _),
     "f24_name_editdist" -> (f24NameEditdist _),
-    "f25_pagerank" -> (f25Pagerank _)
+    "f25_pagerank" -> (f25Pagerank _),
+    "f26_triangles" -> (f26Triangles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2174,6 +2320,8 @@ object Queries {
     "q29_uniq_upto" -> q29Sql,
     "q31_time_fill" -> q31Sql,
     "q32_decayed_counts" -> q32Sql,
+    "q34_max_concurrent" -> q34Sql,
+    "q35_entropy" -> q35Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,
@@ -2196,6 +2344,7 @@ object Queries {
     "f22_khop_traversal" -> f22Sql,
     "f23_shortest_path" -> f23Sql,
     "f24_name_editdist" -> f24Sql,
-    "f25_pagerank" -> f25Sql
+    "f25_pagerank" -> f25Sql,
+    "f26_triangles" -> f26Sql
   )
 }

@@ -116,6 +116,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Range (radius) search — s1's fixed-radius sibling: EVERY corpus
+    * vector within cosine ≥ minCos of each query, not a ranked top-k.
+    * The output size is data-determined (a dense query may match
+    * thousands, an outlier none), which is exactly what top-k cannot
+    * express and what near-dup auditing ("everything this close to a
+    * known-bad embedding") needs. Same single-scan shape as
+    * [[bruteTopK]]: broadcast the bounded query side, score inside the
+    * scan partition, and filter — NO window, NO exchange at all, since
+    * radius needs no cross-partition rank. The boundary decision runs
+    * on round(cos, 4) (the d5 discipline) so threshold membership is
+    * engine-deterministic.
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      minCos: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"),
+      sqrt(Dedup.dot(col("embedding"), col("embedding"))).as("cn"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        Dedup.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(round(col("cos"), 4) >= minCos)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** s2 — LSH-bucketed ANN: corpus and queries are both signed against
     * the same hyperplanes; each query scores only candidates sharing
     * its bucket. Recall is tunable via numPlanes (fewer planes → bigger

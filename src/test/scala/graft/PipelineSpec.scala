@@ -311,6 +311,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(twoPhase == single)
   }
 
+  test("s10 range search == driver-side exact radius recompute") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r(x: Double, p: Int): Double =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (qid, qv) <- vecs.toSeq if qid < 10
+      (nid, nv) <- vecs.toSeq if nid != qid
+      c = cos(qv, nv) if r(c, 4) >= 0.35
+    } yield (qid, nid, r(c, 6))).toSet
+    val got = PipelineQueries.s10RangeSearch(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got.nonEmpty, "radius query returned nothing at sf0.001")
+    assert(got == want, s"range membership differs: ${got.diff(want)} / ${want.diff(got)}")
+  }
+
   test("s2 window-lag dedup == distinct + single-window reference plan") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, Similarity}

@@ -343,6 +343,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // summary aggregation + a broadcast types² summary grid; the
     // pair algebra runs on summary rows, never a user-grain pair join
     Shape("q33_bitmap_overlap", maxShuffles = 2, minBroadcasts = 1),
+    // r13: q34 = the sweep-line — union fan-out is scan-local, the
+    // running-sum window and the per-user max SHARE one user-grain
+    // exchange; a second exchange means the aggregate stopped reusing
+    // the window's partitioning (or the sweep leaked into a join)
+    Shape("q34_max_concurrent", maxShuffles = 1, minPushedScans = 1),
+    // r13: q35 = two bounded hash aggregates ((user,type) grain, then
+    // user grain) with map-side combine; the nanobit log lattice is
+    // scan-local arithmetic — any third exchange means the entropy
+    // formula fell back to a join or window
+    Shape("q35_entropy", maxShuffles = 2),
+    // r13: f26's RETURNED plan is the post-checkpoint census — wedge
+    // self-join + closing edge lookup (both size-based joins over the
+    // materialized oriented/edge blocks) + ONE final corner aggregate;
+    // the edge canonicalization/degree/orientation exchanges ran at
+    // build into localCheckpoint blocks (the f20b discipline)
+    Shape("f26_triangles", maxShuffles = 2),
+    // r13: s10 = s1's broadcast-query scoring scan MINUS the top-k
+    // windows — radius needs no rank, so the whole query is a pushed
+    // scan projection + filter: ZERO exchanges, ever
+    Shape("s10_range_search", maxShuffles = 0, minBroadcasts = 1,
+      minPushedScans = 1),
     // r12: m8 = pushed length-filter scan → in-partition encode/
     // decode/hash (image bytes never leave the scan) → ONE window
     // exchange on the 8-byte hash for the dup verdict

@@ -415,6 +415,100 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 1000000L), "no accumulation hub found")
   }
 
+  test("q34 max concurrent: equals the driver-side sweep, half-open ties") {
+    import org.apache.spark.sql.functions._
+    // literal re-implementation of the sweep over the same raw views
+    val views = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = views.groupBy(_._1).map { case (u, vs) =>
+      val deltas = vs.flatMap { case (_, s) =>
+        Seq((s, 1L), (s + 7200L * 1000000L, -1L)) }
+        .sortBy { case (t, d) => (t, d) } // ends (−1) before starts (+1)
+      var conc = 0L; var best = 0L; var at = 0L
+      for ((t, d) <- deltas) {
+        conc += d
+        if (conc > best) { best = conc; at = t }
+      }
+      u -> ((best, at))
+    }
+    val got = SparkEntry.queries("q34_max_concurrent")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want, "sweep mismatch")
+    // half-open semantics on a constructed back-to-back pair: an
+    // interval ending exactly when another starts must NOT overlap it
+    import spark.implicits._
+    val handViews = Seq((1L, 0L), (1L, 7200L * 1000000L)) // touch, no overlap
+    val sweep = handViews.flatMap { case (u, s) =>
+      Seq((u, s, 1L), (u, s + 7200L * 1000000L, -1L)) }
+      .sortBy { case (_, t, d) => (t, d) }
+    var c = 0L; var m = 0L
+    sweep.foreach { case (_, _, d) => c += d; m = math.max(m, c) }
+    assert(m == 1L, "half-open tie rule broken in the reference sweep")
+  }
+
+  test("q35 entropy: exact lattice recompute, zero for single-type users") {
+    import org.apache.spark.sql.functions._
+    def nb(x: Long): Long = math.round(math.log(x.toDouble) / math.log(2.0) * 1e9)
+    val counts = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = counts.groupBy(_._1).map { case (u, cs) =>
+      val t = cs.map(_._2).sum
+      val s = cs.map { case (_, c) => c * nb(c) }.sum
+      u -> ((t * nb(t) - s).toDouble / (t * 1e9))
+    }
+    val got = SparkEntry.queries("q35_entropy")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the lattice makes both sides the SAME integer arithmetic — exact
+    assert(got == want, "entropy lattice mismatch")
+    assert(got.values.forall(h => h >= -1e-9 && h <= math.log(64) / math.log(2)),
+      "entropy out of [0, log2(types)] range")
+  }
+
+  test("f26 triangles: hand graphs + brute-force census on sf0.001") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    def run(es: Seq[(String, String)]): Map[String, Long] =
+      Triangles.perNode(es.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node on 3 of them
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b } yield (a, b)
+    assert(run(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a square has NO triangles; duplicate + reversed edges collapse
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "a"), ("a", "b"))
+    assert(run(square).isEmpty)
+    // triangle with a pendant: the pendant is on no triangle
+    val pend = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    assert(run(pend) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // full f26 face vs a driver-side brute-force census
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_suppkey"))
+      .collect().map(r => (s"order-${r.getLong(0)}", s"part-${r.getLong(1)}",
+        s"supplier-${r.getLong(2)}"))
+    val edges = li.flatMap { case (o, p, sp) =>
+      Seq((o, p), (p, sp), (o, sp)) }
+      .map { case (x, y) => if (x < y) (x, y) else (y, x) }.distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap.withDefaultValue(Set.empty[String])
+    val eset = edges.toSet
+    val brute = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(b) if eset.contains((a, c))) {
+      // a < b < c by construction of adj/eset ordering
+      brute(a) += 1; brute(b) += 1; brute(c) += 1
+    }
+    val got = SparkEntry.queries("f26_triangles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap, "census differs from brute force")
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
