@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BigramStatsExpression, DotProductExpression,
+import graft.functions.{BigramStatsExpression, DeflateStatsExpression,
+  DotProductExpression,
   DoubleMetaphoneExpression, Kmv, KmvDistinctAggregate,
   KmvSketchAggregate, MetaphoneExpression,
   MinHashBandsExpression, MinHashSignatureExpression,
@@ -372,6 +373,13 @@ object GraftFunctionRegistry {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_word_stats takes one argument")
         WordStatsExpression(children.head)
+      }),
+    (FunctionIdentifier("graft_deflate_stats"),
+      new ExpressionInfo(
+        classOf[DeflateStatsExpression].getName, "graft_deflate_stats"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_deflate_stats takes one argument")
+        DeflateStatsExpression(children.head)
       }),
     (FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(

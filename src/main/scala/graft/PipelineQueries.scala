@@ -966,6 +966,15 @@ object PipelineQueries {
   def t13GopherFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherFilter(docs(s, dir))
 
+  /** t16 — DEFLATE compression-ratio gate
+    * ([[TextAnalysis.compressionGate]]). Rows-only at the driver (no
+    * SQL engine exposes deflate); the kernel is spec-gated bit-for-bit
+    * against a fresh-Deflater JDK recompute and the verdict band
+    * against constructed repetitive/natural/incompressible texts.
+    */
+  def t16CompressRatio(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionGate(docs(s, dir))
+
   /** DuckDB: the shared t13/p3 metric CTE block (toks → g → m) — the
     * ONE definition of the gate's base metrics, so the two oracles
     * cannot drift on the same rule arithmetic. `extraToks` is a
@@ -2895,7 +2904,8 @@ object PipelineQueries {
     "s8_ann_mmr" -> (s8AnnMmr _),
     "s9_ann_filtered" -> (s9AnnFiltered _),
     "s10_range_search" -> (s10RangeSearch _),
-    "t13_gopher_filter" -> (t13GopherFilter _)
+    "t13_gopher_filter" -> (t13GopherFilter _),
+    "t16_compress_ratio" -> (t16CompressRatio _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -190,6 +190,43 @@ object TextAnalysis {
           .reduce(_ + _).as("n_failed")): _*)
   }
 
+  /** t16 — the compression-ratio quality gate (the CCNet-era corpus
+    * filter): per document, raw UTF-8 bytes, DEFLATE bytes, their
+    * ratio, and a two-sided keep verdict — a ratio far BELOW the
+    * natural-prose band means boilerplate/repetition (LZ77 eats the
+    * repeats: crawler traps, tag soup, keyword stuffing), a ratio at
+    * ~1.0 means incompressible bytes (minified/binary/garbled — no
+    * language structure to code). Catches the UNSTRUCTURED duplication
+    * t7's line detector and t11's passage miner cannot see (sub-line
+    * repeats, interleaved boilerplate), with ZERO tokenization.
+    *
+    * One codegen'd pass ([[graft.functions.DeflateStatsExpression]] —
+    * per-thread native zlib state, integer byte counts out); the
+    * ratio/verdict arithmetic is declarative on the two counts. The
+    * gate compares scaled INTEGERS (deflate·10⁴ vs raw·threshold·10⁴)
+    * so keep/drop never depends on float rounding; the reported ratio
+    * is round(4) for the human. Scan-local: no exchange, ever.
+    */
+  def compressionGate(
+      documents: DataFrame,
+      minRatio: Double = 0.30,
+      maxRatio: Double = 0.98): DataFrame = {
+    val st = graft.functions.DeflateStatsExpression.deflateStats(col("text"))
+    documents
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st").getField("raw_bytes").as("raw_bytes"),
+        col("st").getField("deflate_bytes").as("deflate_bytes"))
+      .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+        round(col("deflate_bytes").cast("double") / col("raw_bytes"), 4)
+          .as("ratio"),
+        (col("deflate_bytes") * 10000L >=
+            col("raw_bytes") * math.round(minRatio * 10000).toInt &&
+          col("deflate_bytes") * 10000L <=
+            col("raw_bytes") * math.round(maxRatio * 10000).toInt)
+          .as("keep"))
+  }
+
   /** t3 — token counting: whitespace tokens + a BPE-ish regex token
     * count (letter runs, single digits, single punctuation marks — the
     * shape of a byte-pair pre-tokenizer).

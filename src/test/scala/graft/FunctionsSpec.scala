@@ -1296,4 +1296,74 @@ class FunctionsSpec extends AnyFunSuite {
     // the windowed global merge sees all 100 values: p50 = 50
     assert(sqlRows.forall(_.getLong(3) == 50L))
   }
+
+  test("deflate stats: bit-exact vs fresh-Deflater recompute, gate band") {
+    import spark.implicits._
+    import graft.functions.DeflateStatsExpression
+    import graft.operators.TextAnalysis
+    // fresh-Deflater reference (NOT the kernel's thread-local reuse
+    // path — reset-reuse must be byte-identical to a cold instance)
+    def ref(text: String): (Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      var n = 0L; val buf = new Array[Byte](8192)
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (bytes.length.toLong, n)
+    }
+    val rnd = new scala.util.Random(11)
+    val synth = (0L until 200L).map { i =>
+      val kind = i % 4
+      val text = kind match {
+        case 0 => "spam boilerplate row " * (1 + rnd.nextInt(50))
+        case 1 => (1 to 20 + rnd.nextInt(400))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        case 2 => "ä中é " * (1 + rnd.nextInt(80)) + rnd.nextInt(100)
+        case _ => (1 to 1 + rnd.nextInt(10))
+          .map(_ => ('!' + rnd.nextInt(94)).toChar).mkString
+      }
+      (i, text)
+    }
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val all = (synth ++ corpus.map { case (id, t) => (id + 100000L, t) })
+      .toDF("doc_id", "text")
+    val got = all.select(col("doc_id"),
+      DeflateStatsExpression.deflateStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.raw_bytes"), col("st.deflate_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    (synth ++ corpus.map { case (id, t) => (id + 100000L, t) }).foreach {
+      case (id, text) => assert(got(id) == ref(text), s"doc $id drifted")
+    }
+    // the gate: repetition sinks the ratio, prose sits in the band,
+    // and a tiny doc pays the DEFLATE block overhead past the top
+    val gate = TextAnalysis.compressionGate(Seq(
+      (1L, "spam boilerplate row " * 400),
+      (2L, "The quarterly filing shows a modest increase in cross-border " +
+        "holdings, with two subsidiaries reporting revised ownership " +
+        "structures and one dormant entity struck from the register."),
+      (3L, "xq7")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(gate(1L)._1 < 0.30 && !gate(1L)._2, s"repetitive kept: ${gate(1L)}")
+    assert(gate(2L)._2, s"prose dropped: ${gate(2L)}")
+    assert(gate(3L)._1 > 0.98 && !gate(3L)._2, s"tiny doc kept: ${gate(3L)}")
+    // keep verdict == exact rational band membership on every corpus doc
+    val full = TextAnalysis.compressionGate(all)
+      .collect().foreach { r =>
+      val (raw, defl, keep) = (r.getLong(1), r.getLong(2), r.getBoolean(4))
+      val lo = BigInt(defl) * 10000 >= BigInt(raw) * 3000
+      val hi = BigInt(defl) * 10000 <= BigInt(raw) * 9800
+      assert(keep == (lo && hi), s"gate drift at raw=$raw defl=$defl")
+    }
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_deflate_stats(repeat('ab', 100)).deflate_bytes," +
+        " graft_deflate_stats(repeat('ab', 100)).raw_bytes").collect()(0)
+    assert(viaSql.getLong(1) == 200L)
+    assert(viaSql.getLong(0) == ref("ab" * 100)._2)
+  }
 }

@@ -75,6 +75,10 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("d7_sample_stratified", maxShuffles = 0),
     Shape("t6_pii_scrub", maxShuffles = 0),
     Shape("t7_repetition", maxShuffles = 0),
+    // r13: t16 = one codegen'd deflate pass in the scan projection;
+    // the ratio/verdict arithmetic rides the same projection — any
+    // exchange means the gate leaked into a join or window
+    Shape("t16_compress_ratio", maxShuffles = 0),
     // doc stream shuffles ONCE (to (source,term) grain); term totals
     // attach via the term-window (r8 — never a vocabulary broadcast);
     // only the bounded source counts + 1-row total broadcast
