@@ -1034,4 +1034,62 @@ class SourcesSpec extends AnyFunSuite {
     assert(afterCompact == beforeCompact)
     assert(spark.table("prop_xref_mapping").count() == beforeCompact.size)
   }
+
+  test("z-order layout: exact Morton interleave, box pruning beats linear sort") {
+    import spark.implicits._
+    import graft.sources.ZOrderLayout
+    // exact interleave on a hand grid: bits=2, identity bounds [0,3]
+    val hand = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), ZOrderLayout.zValue(
+        Seq(col("x"), col("y")), Seq(0L, 0L), Seq(3L, 3L), bits = 2).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // morton2(x,y) with x at bit 0: (x0,y0,x1,y1)
+    def morton(x: Long, y: Long): Long =
+      (x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)
+    for (((x, y), z) <- hand)
+      assert(z == morton(x, y), s"($x,$y): $z != ${morton(x, y)}")
+    // layout quality: 100k uniform 2-D rows into 16 files under three
+    // layouts; row-group stats straight from the footers
+    val rnd = new scala.util.Random(3)
+    val data = (1 to 100000).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    data.repartition(16).write.mode("overwrite")
+      .parquet(s"$base/unsorted")
+    data.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    ZOrderLayout.write(data, s"$base/zorder", Seq("x", "y"), numFiles = 16)
+    // values survive the reorder
+    val got = spark.read.parquet(s"$base/zorder")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = data.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want), "z-order lost or mutated rows")
+    val yOnly = Map("y" -> ((0L, 4095L)))
+    val box = Map("x" -> ((0L, 4095L)), "y" -> ((0L, 4095L)))
+    def frac(p: (Int, Int)): Double = p._1.toDouble / p._2
+    // a y-range predicate: the linear-by-x layout prunes NOTHING
+    // (every file spans all y), the z layout reads only the files
+    // whose y-bits intersect — structurally 4/16 for a 1/16 range
+    val linY = ZOrderLayout.matchingRowGroups(s"$base/linear", yOnly)
+    val zY = ZOrderLayout.matchingRowGroups(s"$base/zorder", yOnly)
+    val unY = ZOrderLayout.matchingRowGroups(s"$base/unsorted", yOnly)
+    assert(frac(linY) > 0.9, s"linear should span all y: $linY")
+    assert(frac(unY) > 0.9, s"unsorted should span all y: $unY")
+    assert(frac(zY) <= 0.45, s"z-order failed to prune on y: $zY")
+    // the 2-D corner box: z reads a corner tile, unsorted reads all
+    val zBox = ZOrderLayout.matchingRowGroups(s"$base/zorder", box)
+    val unBox = ZOrderLayout.matchingRowGroups(s"$base/unsorted", box)
+    assert(frac(unBox) > 0.9, s"unsorted should span the box: $unBox")
+    assert(zBox._1 <= 2, s"z-order box should be ~1 tile: $zBox")
+    // honest trade, pinned so nobody "fixes" it: linear beats z on its
+    // OWN leading column (1 file vs ~4) — z is the multi-predicate
+    // layout, not a strict upgrade
+    val xOnly = Map("x" -> ((0L, 4095L)))
+    val linX = ZOrderLayout.matchingRowGroups(s"$base/linear", xOnly)
+    val zX = ZOrderLayout.matchingRowGroups(s"$base/zorder", xOnly)
+    assert(linX._1 <= 2 && zX._1 >= linX._1, s"trade inverted: $linX $zX")
+  }
 }
