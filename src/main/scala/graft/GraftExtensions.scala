@@ -374,6 +374,17 @@ object GraftFunctionRegistry {
         require(children.size == 1, "graft_word_stats takes one argument")
         WordStatsExpression(children.head)
       }),
+    (FunctionIdentifier("graft_lttb"),
+      new ExpressionInfo(
+        classOf[graft.functions.LttbAggregate].getName, "graft_lttb"),
+      { children: Seq[Expression] =>
+        children match {
+          case Seq(t, v, Literal(n: Int, IntegerType)) =>
+            graft.functions.LttbAggregate(t, v, n).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "graft_lttb(t, v, n_out: int literal)")
+        }
+      }),
     (FunctionIdentifier("graft_deflate_stats"),
       new ExpressionInfo(
         classOf[DeflateStatsExpression].getName, "graft_deflate_stats"),

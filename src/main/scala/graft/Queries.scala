@@ -2128,6 +2128,93 @@ object Queries {
       |    ON f.event_type = st.event_type AND f.rn = st.rn + 1)
       |SELECT event_type, bucket, s AS ema FROM st WHERE rn >= 1""".stripMargin
 
+  /** q36 — Largest-Triangle-Three-Buckets downsampling (the ClickHouse
+    * `largestTriangleThreeBuckets` surface, Steinarsson 2013,
+    * [[graft.functions.LttbAggregate]]): each event type's hourly
+    * series reduced to its 20 most shape-preserving points — first and
+    * last kept, every middle bucket contributing the point forming the
+    * largest triangle with the PREVIOUS selection and the NEXT
+    * bucket's centroid (peaks/troughs survive where avg resampling
+    * flattens them). Two aggregations: the q14 hourly rollup (corpus →
+    * time-span-bounded buckets), then ONE lttb aggregate whose state
+    * is the series itself — never the corpus. Every bucket boundary is
+    * an integer floor and every triangle argmax compares
+    * next-bucket-size-scaled integer areas (constant scale within a
+    * bucket ⇒ order-preserving), so the greedy is exact — the DuckDB
+    * oracle (the SAME selection unrolled as 18 chained argmax CTEs —
+    * the s8 discipline) hash-gates every selected point.
+    */
+  def q36LttbDownsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .groupBy($"event_type", $"hour").agg(count(lit(1)).as("v"))
+      .groupBy($"event_type")
+      .agg(graft.functions.LttbAggregate
+        .lttb($"hour", $"v", 20).as("sel"))
+      .select($"event_type", posexplode($"sel"))
+      .select($"event_type", ($"pos" + 1).cast("long").as("sel_rank"),
+        $"col.t".as("t_hour"), $"col.v".as("n"))
+  }
+
+  val q36Sql: String = {
+    val mid = 18 // nOut − 2 middle buckets
+    val score = (p: String, b: String, x: String) =>
+      s"abs(($p.t * $x.m - $x.tcsum) * ($b.v - $p.v) - " +
+        s"($p.t - $b.t) * ($x.vcsum - $p.v * $x.m))"
+    val steps = (1 to mid).map { k =>
+      s"""sel$k AS (
+         |  SELECT * FROM (
+         |    SELECT b.event_type, b.t, b.v, ROW_NUMBER() OVER (
+         |      PARTITION BY b.event_type
+         |      ORDER BY ${score("p", "b", "x")} DESC, b.t) AS r
+         |    FROM buck b
+         |    JOIN sel${k - 1} p USING (event_type)
+         |    JOIN nxt x ON x.event_type = b.event_type AND x.k = ${k - 1}
+         |    WHERE b.k = ${k - 1}) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to mid).map { k =>
+      s"SELECT event_type, ${k + 1} AS sel_rank, t, v FROM sel$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS t,
+       |    COUNT(*) AS v
+       |  FROM events GROUP BY 1, 2),
+       |ord AS (
+       |  SELECT event_type, t, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t) - 1
+       |      AS idx,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM hourly),
+       |buck AS (
+       |  SELECT event_type, t, v, ((idx - 1) * $mid) // (n - 2) AS k
+       |  FROM ord WHERE idx BETWEEN 1 AND n - 2 AND n > 20),
+       |cent AS (
+       |  SELECT event_type, k, SUM(t) AS tcsum, SUM(v) AS vcsum,
+       |    COUNT(*) AS m
+       |  FROM buck GROUP BY 1, 2),
+       |lastp AS (SELECT event_type, t, v FROM ord
+       |  WHERE idx = n - 1 AND n > 20),
+       |nxt AS (
+       |  SELECT event_type, k - 1 AS k, tcsum, vcsum, m FROM cent
+       |  WHERE k >= 1
+       |  UNION ALL
+       |  SELECT event_type, ${mid - 1}, t, v, 1 FROM lastp),
+       |sel0 AS (SELECT event_type, t, v FROM ord
+       |  WHERE idx = 0 AND n > 20),
+       |$steps
+       |SELECT event_type, CAST(sel_rank AS BIGINT) AS sel_rank,
+       |  CAST(t AS BIGINT) AS t_hour, CAST(v AS BIGINT) AS n
+       |FROM (
+       |  SELECT event_type, ROW_NUMBER() OVER (
+       |    PARTITION BY event_type ORDER BY t) AS sel_rank, t, v
+       |  FROM ord WHERE n <= 20
+       |  UNION ALL SELECT event_type, 1, t, v FROM sel0
+       |  UNION ALL $unions
+       |  UNION ALL SELECT event_type, 20, t, v FROM lastp)""".stripMargin
+  }
+
   /** q34 — maximum CONCURRENT open intervals per user (the ClickHouse
     * `maxIntersections` / `maxIntersectionsPosition` surface): each
     * "view" opens a 2-hour half-open window [ts, ts+2h); per user, the
@@ -2258,6 +2345,7 @@ object Queries {
     "q32_decayed_counts" -> (q32DecayedCounts _),
     "q34_max_concurrent" -> (q34MaxConcurrent _),
     "q35_entropy" -> (q35Entropy _),
+    "q36_lttb_downsample" -> (q36LttbDownsample _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -2322,6 +2410,7 @@ object Queries {
     "q32_decayed_counts" -> q32Sql,
     "q34_max_concurrent" -> q34Sql,
     "q35_entropy" -> q35Sql,
+    "q36_lttb_downsample" -> q36Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -1366,4 +1366,72 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.getLong(1) == 200L)
     assert(viaSql.getLong(0) == ref("ab" * 100)._2)
   }
+
+  test("lttb: invariants + per-step argmax vs independent recompute") {
+    import spark.implicits._
+    import graft.functions.LttbAggregate
+    val rnd = new scala.util.Random(23)
+    // passthrough: short series come back complete, sorted
+    val short = Seq((5L, 2L), (1L, 9L), (3L, 4L))
+    assert(LttbAggregate.select(short, 20) == short.sorted)
+    // randomized series: structural invariants + every greedy step
+    // re-verified against independently recomputed buckets/centroids
+    for (_ <- 1 to 200) {
+      val n = 3 + rnd.nextInt(200)
+      val nOut = 3 + rnd.nextInt(18)
+      val pts = (0 until n).map(i =>
+        (i.toLong * (1 + rnd.nextInt(3)) + rnd.nextInt(2),
+          rnd.nextInt(1000).toLong))
+        .distinct.sorted
+      val sel = LttbAggregate.select(pts, nOut)
+      assert(sel.size == math.min(pts.size, nOut))
+      assert(sel.head == pts.head && sel.last == pts.last)
+      assert(sel == sel.sorted, "selection not in t order")
+      assert(sel.forall(pts.contains), "selected a non-member")
+      if (pts.size > nOut) {
+        // independent bucket partition: middle 1-based index i → k
+        val mid = nOut - 2
+        val nMid = pts.size - 2
+        val buckets = (1 to nMid).groupBy(i => ((i - 1) * mid) / nMid)
+        for (k <- 0 until mid) {
+          val cand = buckets(k).map(i => pts(i))
+          val prev = sel(k) // selection k+1 follows selection k
+          val (tcs, vcs, m) =
+            if (k == mid - 1) (pts.last._1, pts.last._2, 1L)
+            else {
+              val nx = buckets(k + 1).map(i => pts(i))
+              (nx.map(_._1).sum, nx.map(_._2).sum, nx.size.toLong)
+            }
+          def score(b: (Long, Long)): Long = math.abs(
+            (prev._1 * m - tcs) * (b._2 - prev._2) -
+              (prev._1 - b._1) * (vcs - prev._2 * m))
+          val want = cand.maxBy(b => (score(b), -b._1))
+          assert(sel(k + 1) == want,
+            s"bucket $k: ${sel(k + 1)} != $want (n=$n, nOut=$nOut)")
+        }
+      }
+    }
+    // a lone spike on a flat series always survives
+    val flat = (0 until 100).map(i => (i.toLong, 10L)).toVector
+    val spiked = flat.updated(57, (57L, 5000L))
+    assert(LttbAggregate.select(spiked, 10).contains((57L, 5000L)))
+    // partition invariance: the aggregate's merge-concat state makes
+    // the result independent of input split
+    val df = spiked.toDF("t", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.agg(LttbAggregate.lttb(col("t"), col("v"), 10).as("sel"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+    assert(agg(df) == agg(df.repartition(13)))
+    assert(agg(df) == LttbAggregate.select(spiked, 10))
+    // SQL face
+    val viaSql = spark.sql(
+      "SELECT graft_lttb(t, v, 5) FROM VALUES (1L, 1L), (2L, 9L), " +
+        "(3L, 1L), (4L, 4L), (5L, 2L), (6L, 8L), (7L, 3L) AS x(t, v)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql == LttbAggregate.select(
+      Seq((1L, 1L), (2L, 9L), (3L, 1L), (4L, 4L), (5L, 2L), (6L, 8L),
+        (7L, 3L)), 5))
+  }
 }

@@ -357,6 +357,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // scan-local arithmetic — any third exchange means the entropy
     // formula fell back to a join or window
     Shape("q35_entropy", maxShuffles = 2),
+    // r13: q36 = the q14 hourly rollup + ONE lttb aggregate whose
+    // state is the series itself (time-span-bounded, never corpus);
+    // a third exchange means the selection leaked into joins/windows
+    Shape("q36_lttb_downsample", maxShuffles = 2),
     // r13: f26's RETURNED plan is the post-checkpoint census — wedge
     // self-join + closing edge lookup (both size-based joins over the
     // materialized oriented/edge blocks) + ONE final corner aggregate;
