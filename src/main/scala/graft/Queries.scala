@@ -1275,6 +1275,65 @@ object Queries {
       |SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM corners GROUP BY 1""".stripMargin
 
+  /** f27 — pointwise mutual information over order-basket
+    * co-occurrence: which part PAIRS appear together in orders more
+    * often than their individual frequencies predict — the
+    * "suspiciously correlated entities" question at the heart of
+    * investigative co-occurrence analysis (f26 asks "how enmeshed",
+    * this asks "how SURPRISING is the link"). PMI(a,b) =
+    * log₂(c_ab·N / (c_a·c_b)) runs on q35's integer LOG LATTICE —
+    * pmi_nb = L(c_ab) + L(N) − L(c_a) − L(c_b) in BIGINT nanobits, so
+    * the score is order-free exact and the oracle hash-gates with NO
+    * rounding. The pair expansion is per-order and TPC-H baskets are
+    * ≤7 items, so the self-join fans out ≤21 pairs per order —
+    * structurally bounded, never corpus²; c_ab ≥ 2 denoises. The
+    * count tables join back at pair grain (both sides node-grain —
+    * nothing broadcast except the 1-row basket total).
+    */
+  def f27CooccurrencePmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
+    // items feeds THREE branches (pair self-join twice, item counts)
+    // — materialized once via localCheckpoint (the f26/f20b discipline)
+    val items = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint()
+    val n = items.select($"o").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val ca = items.groupBy($"p").agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("pa"), $"b.p".as("pb"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_co"))
+      .filter($"n_co" >= 2)
+    pairs
+      .join(ca.select($"p".as("pa"), $"c".as("c_a")), "pa")
+      .join(ca.select($"p".as("pb"), $"c".as("c_b")), "pb")
+      .crossJoin(broadcast(n))
+      .select($"pa", $"pb", $"n_co",
+        (nanobits($"n_co") + nanobits($"n_baskets") -
+          nanobits($"c_a") - nanobits($"c_b")).as("pmi_nb"))
+  }
+
+  val f27Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM items),
+      |ca AS (SELECT p, COUNT(*) AS c FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_co
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pairs.pa, pairs.pb, CAST(n_co AS BIGINT) AS n_co,
+      |  CAST(round(log2(n_co) * 1e9) AS BIGINT)
+      |    + CAST(round(log2(n.n_baskets) * 1e9) AS BIGINT)
+      |    - CAST(round(log2(la.c) * 1e9) AS BIGINT)
+      |    - CAST(round(log2(lb.c) * 1e9) AS BIGINT) AS pmi_nb
+      |FROM pairs
+      |JOIN ca la ON la.p = pairs.pa
+      |JOIN ca lb ON lb.p = pairs.pb
+      |CROSS JOIN n""".stripMargin
+
   /** f11 — entity_id → canonical_id resolution by identical name
     * fingerprint.
     */
@@ -2372,7 +2431,8 @@ object Queries {
     "f23_shortest_path" -> (f23ShortestPath _),
     "f24_name_editdist" -> (f24NameEditdist _),
     "f25_pagerank" -> (f25Pagerank _),
-    "f26_triangles" -> (f26Triangles _)
+    "f26_triangles" -> (f26Triangles _),
+    "f27_cooccur_pmi" -> (f27CooccurrencePmi _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2434,6 +2494,7 @@ object Queries {
     "f23_shortest_path" -> f23Sql,
     "f24_name_editdist" -> f24Sql,
     "f25_pagerank" -> f25Sql,
-    "f26_triangles" -> f26Sql
+    "f26_triangles" -> f26Sql,
+    "f27_cooccur_pmi" -> f27Sql
   )
 }

@@ -367,6 +367,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // the edge canonicalization/degree/orientation exchanges ran at
     // build into localCheckpoint blocks (the f20b discipline)
     Shape("f26_triangles", maxShuffles = 2),
+    // r13: f27's RETURNED plan runs over the checkpointed item set —
+    // the per-basket self-join (one order-keyed exchange both sides
+    // reuse), the pair aggregate, the two node-grain count attaches,
+    // and the 1-row basket-total broadcast; past 5 means a count
+    // table re-derived items from scratch
+    Shape("f27_cooccur_pmi", maxShuffles = 5),
     // r13: s10 = s1's broadcast-query scoring scan MINUS the top-k
     // windows — radius needs no rank, so the whole query is a pushed
     // scan projection + filter: ZERO exchanges, ever

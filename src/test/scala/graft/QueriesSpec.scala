@@ -509,6 +509,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == brute.toMap, "census differs from brute force")
   }
 
+  test("f27 pmi: exact lattice recompute on sf0.001, sign sanity") {
+    import org.apache.spark.sql.functions._
+    def nb(x: Long): Long = math.round(math.log(x.toDouble) / math.log(2.0) * 1e9)
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = items.map(_._1).distinct.length.toLong
+    val ca = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+      .map { case ((a, b), co) =>
+        (a, b) -> ((co, nb(co) + nb(n) - nb(ca(a)) - nb(ca(b))))
+      }.toMap
+    val got = SparkEntry.queries("f27_cooccur_pmi")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == want, "pmi lattice mismatch")
+    // sign sanity vs the exact rational c_ab·N vs c_a·c_b comparison:
+    // each lattice term rounds within 0.5 nanobits, so a 4-term pmi
+    // can sit at most 2 nanobits from the true log — the sign must
+    // agree beyond that slack on every row
+    got.foreach { case ((a, b), (co, pmi)) =>
+      val exact = BigInt(co) * BigInt(n) - BigInt(ca(a)) * BigInt(ca(b))
+      if (exact > 0) assert(pmi > -4L, s"($a,$b): positive pair, pmi $pmi")
+      if (exact < 0) assert(pmi < 4L, s"($a,$b): negative pair, pmi $pmi")
+    }
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
