@@ -1294,7 +1294,8 @@ object Queries {
     import s.implicits._
     def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
     // items feeds THREE branches (pair self-join twice, item counts)
-    // — materialized once via localCheckpoint (the f26/f20b discipline)
+    // — materialized once via localCheckpoint (the f26/f20b
+    // discipline; lazy deliberately — see Triangles.perNode)
     val items = t(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
       .localCheckpoint()

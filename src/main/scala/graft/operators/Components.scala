@@ -40,14 +40,14 @@ object Components {
     * serialize component runs or accept recomputation of the victim's
     * cache.
     */
-  private[operators] def checkpointDiff[A](sc: SparkContext)(body: => A)
+  private[graft] def checkpointDiff[A](sc: SparkContext)(body: => A)
       : (A, Set[Int]) = {
     val before = sc.getPersistentRDDs.keySet.toSet
     val r = body
     (r, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
-  private[operators] def release(sc: SparkContext, blocks: Set[Int]): Unit =
+  private[graft] def release(sc: SparkContext, blocks: Set[Int]): Unit =
     blocks.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 

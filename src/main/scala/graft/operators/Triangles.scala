@@ -48,7 +48,11 @@ object Triangles {
     // e and oriented are each consumed by TWO downstream branches
     // (orientation + closing lookup; both wedge sides) — materialized
     // once via localCheckpoint (the f20b discipline) so the lineage
-    // branches read blocks instead of re-running the distinct/joins
+    // branches read blocks instead of re-running the distinct/joins.
+    // Deliberately NOT the PageRank eager-release form: measured
+    // in-suite, eager materialization + release moved no time off f26
+    // (the in-suite spread is suite-level shuffle/IO state, the
+    // documented d15 phenomenon) and slowed its bench successors
     val e = edges
       .select(least(col(src), col(dst)).as("a"),
         greatest(col(src), col(dst)).as("b"))

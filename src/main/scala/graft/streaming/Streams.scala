@@ -1034,6 +1034,96 @@ object Streams {
       }
   }
 
+  final case class ConcEvt(user_id: Long, ts: java.sql.Timestamp)
+  final case class ConcState(
+      conc: Long, peak: Long, peak_at: Long,
+      open_ends: Seq[Long], pending: Seq[Long])
+  final case class ConcOut(
+      user_id: Long, max_concurrent: Long, at_ms: Long, conc_now: Long,
+      max_concurrent_provisional: Long)
+
+  /** st24 — STREAMING max-concurrent telemetry: q34's sweep-line peak
+    * ("how many windows has this user ever had open at once, and
+    * when") served continuously. Each view event opens a half-open
+    * window [ts, ts+W); the sweep deltas are DERIVED — the event's +1
+    * at ts and its −1 at ts+W, which lies in the future when the
+    * event arrives — so the state is exactly the sweep's open
+    * obligations: `open_ends` (the −1s the watermark has not passed;
+    * window-population-bounded, the st19 class), the frontier
+    * `(conc, peak, peak_at)` (three longs — everything the watermark
+    * HAS passed collapses, the st21 class), and the reorder buffer of
+    * pending starts. Ties order ends before starts (half-open: a
+    * window ending at t does not overlap one starting at t — the q34
+    * rule, spec-pinned).
+    *
+    * Contracts (the st21 dual-serve discipline): `max_concurrent` /
+    * `at_ms` fold only watermark-FINALIZED deltas — deterministic,
+    * monotone, replay-stable, ≡ the batch q34 sweep over the
+    * finalized slice (spec-asserted); `max_concurrent_provisional`
+    * also folds the pending starts and open ends on a COPY — equals
+    * the batch answer over everything delivered when arrivals are in
+    * order, but may revise within the horizon. A late event beyond
+    * the watermark drops before it can move either face. An
+    * event-time timeout at the last open end flushes the sweep once
+    * the watermark passes it, so an idle user's finalized peak
+    * catches up without new data (state itself is never removed —
+    * the honest price of an "ever" peak).
+    */
+  def maxConcurrentStream(
+      views: DataFrame,
+      windowMs: Long = 7200 * 1000L,
+      watermark: String = "10 minutes"): Dataset[ConcOut] = {
+    import views.sparkSession.implicits._
+    views
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[ConcEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConcState, ConcOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[ConcEvt], state: GroupState[ConcState]) =>
+          val prev = state.getOption.getOrElse(
+            ConcState(0L, 0L, 0L, Nil, Nil))
+          val incoming = it.map(_.ts.getTime).toSeq
+          if (incoming.isEmpty && !state.hasTimedOut &&
+              prev.pending.isEmpty && prev.open_ends.isEmpty)
+            Iterator.empty
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val starts = (prev.pending ++ incoming).sorted
+            val (finStarts, carry) = starts.partition(_ < wm)
+            // ends exist only once their start finalized (a pending
+            // start's end is > start ≥ wm by construction)
+            val allEnds = prev.open_ends ++ finStarts.map(_ + windowMs)
+            val (finEnds, openEnds) = allEnds.partition(_ < wm)
+            // sweep: −1 sorts before +1 at equal t — half-open [s, e)
+            def sweep(
+                from: (Long, Long, Long),
+                deltas: Seq[(Long, Long)]): (Long, Long, Long) = {
+              var (conc, peak, at) = from
+              deltas.sorted.foreach { case (t, d) =>
+                conc += d
+                if (conc > peak) { peak = conc; at = t }
+              }
+              (conc, peak, at)
+            }
+            val fin = sweep((prev.conc, prev.peak, prev.peak_at),
+              finStarts.map((_, 1L)) ++ finEnds.map((_, -1L)))
+            val prov = sweep(fin,
+              carry.map((_, 1L)) ++ carry.map(s => (s + windowMs, -1L)) ++
+                openEnds.map((_, -1L)))
+            state.update(ConcState(fin._1, fin._2, fin._3,
+              openEnds, carry))
+            val lastObligation =
+              (openEnds ++ carry.map(_ + windowMs)).foldLeft(0L)(math.max)
+            if (lastObligation > 0L)
+              state.setTimeoutTimestamp(math.max(lastObligation, wm) + 1L)
+            Iterator.single(
+              ConcOut(uid, fin._2, fin._3, fin._1, prov._2))
+          }
+      }
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(

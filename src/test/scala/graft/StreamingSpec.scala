@@ -1533,6 +1533,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st24 streaming max-concurrent: finalized == batch sweep, half-open ties, late drop, flush") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val W = 10000L // window ms
+    // batch q34 twin on the driver over everything delivered
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def batchPeak(uid: Long, onlyBelow: Long = Long.MaxValue): (Long, Long) = {
+      val deltas = delivered.filter(_._1 == uid).map(_._2)
+        .flatMap(s => Seq((s, 1L), (s + W, -1L)))
+        .filter(_._1 < onlyBelow)
+        .sorted
+      var conc = 0L; var peak = 0L; var at = 0L
+      deltas.foreach { case (t, d) =>
+        conc += d; if (conc > peak) { peak = conc; at = t }
+      }
+      (peak, at)
+    }
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streams.maxConcurrentStream(
+        in.toDF().toDF("user_id", "ts"), windowMs = W,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st24_out")
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st24_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def served(): Map[Long, (Long, Long, Long)] =
+      spark.table("st24_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(4))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+    def send(rows: (Long, Long)*): Unit = {
+      delivered ++= rows
+      in.addData(rows.map(r => (r._1, ts(r._2))))
+      q.processAllAvailable()
+    }
+    try {
+      // two overlapping windows → provisional peak 2 immediately
+      send((1L, 1000L), (1L, 3000L))
+      assert(served()(1L)._3 == 2L, s"provisional: ${served()(1L)}")
+      assert(served()(1L)._3 == batchPeak(1L)._1)
+      // a third overlapping window (wm lags one batch: wm = 3000, so
+      // 4000 is in-horizon; finalized has started moving on 1000)
+      send((1L, 4000L))
+      assert(served()(1L)._3 == 3L && served()(1L)._3 == batchPeak(1L)._1,
+        s"provisional after 3rd window: ${served()(1L)}")
+      // HALF-OPEN tie: user 2's second window starts exactly at the
+      // first's end — never concurrent
+      send((2L, 5000L), (2L, 15000L))
+      assert(served()(2L)._3 == 1L, s"half-open tie: ${served()(2L)}")
+      // advance the watermark far past every obligation: finalized
+      // face must equal the batch sweep over the full slice
+      send((3L, 100000L))
+      send((3L, 200000L)) // wm → 100000, flushes user 1's and 2's ends
+      val (p1, at1) = batchPeak(1L, onlyBelow = 100000L)
+      assert(served()(1L)._1 == p1 && served()(1L)._2 == at1,
+        s"finalized: ${served()(1L)} != ($p1, $at1)")
+      assert(served()(2L)._1 == 1L)
+      // LATE event beyond the watermark: would lift user 2's tie pair
+      // to concurrency 2 if accepted — must drop (at-most-once)
+      in.addData(Seq((2L, ts(10500L))))
+      q.processAllAvailable()
+      assert(served()(2L)._1 == 1L && served()(2L)._3 == 1L,
+        "late event must not move either face")
+      // fresh activity still counts and peaks accumulate correctly
+      send((2L, 300000L), (2L, 301000L), (2L, 302000L))
+      send((3L, 400000L)) // advance wm past user 2's new cluster
+      send((3L, 500000L))
+      assert(served()(2L)._1 == 3L,
+        s"new cluster must finalize to 3: ${served()(2L)}")
+    } finally q.stop()
+  }
+
   test("st20 streaming heavy hitters: served == exact recompute, replay-proof, compact-invariant") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
