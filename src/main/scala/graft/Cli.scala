@@ -311,9 +311,23 @@ object Cli {
         }
         q.entities().collect().foreach(r => println(r.mkString("\t")))
 
+      // zorder <in.parquet> <out.parquet> <col1,col2[,…]> [numFiles]:
+      // rewrite a parquet table z-ordered on the named columns (the
+      // engine.py ORDER-BY/skip-index analogue for multi-column range
+      // predicates — sources/ZOrderLayout)
+      case "zorder" :: inPath :: outPath :: cols :: rest
+          if rest.length <= 1 =>
+        val zCols = cols.split(",").toSeq.filter(_.nonEmpty)
+        require(zCols.nonEmpty, "zorder needs at least one column")
+        val files = rest.headOption.map(_.toInt).getOrElse(64)
+        graft.sources.ZOrderLayout.write(
+          spark.read.parquet(inPath), outPath, zCols, files)
+        println(s"z-ordered $inPath -> $outPath on ${zCols.mkString(",")} " +
+          s"($files files)")
+
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query, " +
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query|zorder, " +
             s"got: $other")
     }
 }

@@ -331,4 +331,32 @@ class CliSpec extends AnyFunSuite {
     assert(trav("c1", 1) == Map("c1" -> 0, "p1" -> 1))
     assert(!trav("c1", 5).contains("p3"))
   }
+
+  test("cli zorder: rewrites a parquet table with multi-column pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cli_zorder").toString
+    val rnd = new scala.util.Random(5)
+    (1 to 20000).map(_ =>
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("x", "y").repartition(8)
+      .write.mode("overwrite").parquet(s"$base/in")
+    Cli.run(spark, List("zorder", s"$base/in", s"$base/out", "x,y", "16"))
+    // rows survive
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = spark.read.parquet(s"$base/in")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want))
+    // and the layout actually prunes: a corner box touches a strict
+    // minority of row groups where the unsorted input touches all
+    val box = Map("x" -> ((0L, 255L)), "y" -> ((0L, 255L)))
+    val (hitIn, totIn) =
+      graft.sources.ZOrderLayout.matchingRowGroups(s"$base/in", box)
+    val (hitOut, totOut) =
+      graft.sources.ZOrderLayout.matchingRowGroups(s"$base/out", box)
+    assert(hitIn == totIn, s"unsorted input should span the box: $hitIn/$totIn")
+    assert(hitOut * 4 <= totOut, s"z-order failed to prune: $hitOut/$totOut")
+  }
 }
