@@ -966,6 +966,39 @@ object PipelineQueries {
   def t13GopherFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherFilter(docs(s, dir))
 
+  /** t17 — BM25 ranked retrieval ([[TextAnalysis.bm25]]) for the
+    * 3-term query window/merge/stream. Integer-exact end to end (idf
+    * on the nanobit lattice, ONE floor division per term, order-free
+    * integer sum) — the oracle hash-gates every document's score.
+    */
+  def t17Bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(docs(s, dir), Seq("window", "merge", "stream"))
+
+  val t17Sql: String = {
+    def nb(x: String) = s"CAST(round(log2($x) * 1e9) AS BIGINT)"
+    s"""WITH ws AS (
+       |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents),
+       |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS len FROM ws),
+       |tot AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(len) AS n_words FROM d),
+       |tf AS (
+       |  SELECT doc_id, len, w AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, len, unnest(ws) AS w FROM d)
+       |  WHERE w IN ('window', 'merge', 'stream')
+       |  GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    (${nb("2 * n_docs - 2 * df + 1")} - ${nb("2 * df + 1")})
+       |      * 22 * tf * (n_words // n_docs)
+       |      // (10 * tf * (n_words // n_docs) + 3 * (n_words // n_docs)
+       |         + 9 * len) AS term_nb
+       |  FROM tf JOIN dfx USING (term) CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(SUM(term_nb) AS BIGINT) AS score_nb
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
   /** t16 — DEFLATE compression-ratio gate
     * ([[TextAnalysis.compressionGate]]). Rows-only at the driver (no
     * SQL engine exposes deflate); the kernel is spec-gated bit-for-bit
@@ -2905,7 +2938,8 @@ object PipelineQueries {
     "s9_ann_filtered" -> (s9AnnFiltered _),
     "s10_range_search" -> (s10RangeSearch _),
     "t13_gopher_filter" -> (t13GopherFilter _),
-    "t16_compress_ratio" -> (t16CompressRatio _)
+    "t16_compress_ratio" -> (t16CompressRatio _),
+    "t17_bm25" -> (t17Bm25 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2972,6 +3006,7 @@ object PipelineQueries {
     "s8_ann_mmr" -> s8Sql,
     "s9_ann_filtered" -> s9Sql,
     "s10_range_search" -> s10Sql,
-    "t13_gopher_filter" -> t13Sql
+    "t13_gopher_filter" -> t13Sql,
+    "t17_bm25" -> t17Sql
   )
 }

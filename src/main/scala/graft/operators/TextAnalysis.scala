@@ -227,6 +227,57 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /** t17 — BM25 ranked retrieval (Robertson–Spärck Jones; k1 = 1.2,
+    * b = 0.75): score every document against a term query — the
+    * retrieval face next to t8's corpus-wide distinctive terms (t8
+    * asks "which terms characterize this source", this asks "which
+    * DOCUMENTS answer this query"). Float BM25 can never hash-gate
+    * (per-term float sums, engine log), so the whole formula runs
+    * integer-exact:
+    *   - idf on the q35 nanobit lattice: the Robertson idf's
+    *     half-integer ratio (N − df + ½)/(df + ½) is (2N−2df+1)/
+    *     (2df+1), so idf_nb = L(2N−2df+1) − L(2df+1) with
+    *     L(x) = round(log2(x)·10⁹) — exact integers;
+    *   - the tf saturation with k1 = 6/5, b = 3/4 and the corpus
+    *     average length as an integer (avgl = W div N, documented
+    *     floor) multiplies through to ONE integer floor division:
+    *     term_nb = (idf_nb·22·tf·avgl) div (10·tf·avgl + 3·avgl
+    *     + 9·len) — both engines floor identically;
+    *   - the document score is the SUM of term_nb — order-free.
+    * Magnitude bound: idf_nb ≤ 64·10⁹ for any corpus that fits in a
+    * signed long, tf and avgl are document-scale — the product stays
+    * under 2⁶³ at ANY corpus size (the lattice term is corpus-log,
+    * not corpus-linear). Plan: one tokenize scan → (doc, term) tf
+    * aggregate; df and the two corpus totals are term-grain /
+    * 1-row — both broadcast; final doc-grain sum.
+    */
+  def bm25(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
+    val withWords = documents
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("len"))
+    val totals = withWords.agg(
+      count(lit(1)).as("n_docs"), sum(col("len")).as("n_words"))
+    val tf = withWords
+      .select(col("doc_id"), col("len"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgl", expr("n_words DIV n_docs"))
+      .withColumn("idf_nb",
+        nanobits(lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) -
+          nanobits(lit(2) * col("df") + lit(1)))
+      .withColumn("term_nb", expr(
+        "(idf_nb * 22 * tf * avgl) DIV (10 * tf * avgl + 3 * avgl + 9 * len)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("term_nb")).as("score_nb"))
+  }
+
   /** t3 — token counting: whitespace tokens + a BPE-ish regex token
     * count (letter runs, single digits, single punctuation marks — the
     * shape of a byte-pair pre-tokenizer).

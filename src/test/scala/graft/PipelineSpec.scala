@@ -333,6 +333,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"range membership differs: ${got.diff(want)} / ${want.diff(got)}")
   }
 
+  test("t17 bm25: exact lattice recompute on sf0.001, idf ordering") {
+    val terms = Seq("window", "merge", "stream")
+    def nb(x: Long): Long =
+      math.round(math.log(x.toDouble) / math.log(2.0) * 1e9)
+    val docsW = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val nDocs = docsW.length.toLong
+    val nWords = docsW.map(_._2.length.toLong).sum
+    val avgl = nWords / nDocs
+    val dfm = terms.map(t =>
+      t -> docsW.count(_._2.contains(t)).toLong).toMap
+    val want = docsW.flatMap { case (id, ws) =>
+      val hits = terms.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = nb(2 * nDocs - 2 * dfm(t) + 1) - nb(2 * dfm(t) + 1)
+          val len = ws.length.toLong
+          Some(idf * 22 * tf * avgl /
+            (10 * tf * avgl + 3 * avgl + 9 * len))
+        }
+      }
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.length.toLong, hits.sum)))
+    }.toMap
+    val got = PipelineQueries.t17Bm25(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.nonEmpty && got == want, "bm25 lattice mismatch")
+    // idf sanity: a strictly rarer term carries a strictly higher idf
+    val idfs = terms.map(t =>
+      dfm(t) -> (nb(2 * nDocs - 2 * dfm(t) + 1) - nb(2 * dfm(t) + 1)))
+    idfs.combinations(2).foreach { case Seq((dfa, ia), (dfb, ib)) =>
+      if (dfa < dfb) assert(ia > ib) else if (dfa > dfb) assert(ia < ib)
+    }
+  }
+
   test("s2 window-lag dedup == distinct + single-window reference plan") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, Similarity}

@@ -75,6 +75,13 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("d7_sample_stratified", maxShuffles = 0),
     Shape("t6_pii_scrub", maxShuffles = 0),
     Shape("t7_repetition", maxShuffles = 0),
+    // r13: t17 = one tokenize scan → (doc,term) tf aggregate; df and
+    // the corpus totals are term-grain/1-row BROADCASTS (never a
+    // shuffle join — df is query-term-bounded); final doc-grain sum.
+    // The 5 static exchanges are the tf aggregate + the two bounded
+    // aggregates' own builds + the final sum; past 5 means a
+    // broadcast degraded to a shuffle join
+    Shape("t17_bm25", maxShuffles = 5, minBroadcasts = 2),
     // r13: t16 = one codegen'd deflate pass in the scan projection;
     // the ratio/verdict arithmetic rides the same projection — any
     // exchange means the gate leaked into a join or window
