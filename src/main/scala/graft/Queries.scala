@@ -2188,6 +2188,46 @@ object Queries {
       |    ON f.event_type = st.event_type AND f.rn = st.rn + 1)
       |SELECT event_type, bucket, s AS ema FROM st WHERE rn >= 1""".stripMargin
 
+  /** q37 — equal-width histogram (the ClickHouse `histogram` surface
+    * in its deterministic fixed-grid form): per event type, the value
+    * distribution over 20 equal-width bins spanning the GLOBAL
+    * [min, max]. Two aggregations: the 1-row min/max (broadcast as
+    * literals through a crossJoin — the corpus is scanned once per
+    * grid derivation, the q14 totals discipline), then one
+    * (type, bin) hash aggregate with map-side combine. Bin assignment
+    * is floor((v − min)·20/(max − min)) clamped to 19 — the same IEEE
+    * double expression on both engines (no sums, no rounding races:
+    * min/max are exact, the product/division of identical doubles is
+    * bitwise deterministic) — so the oracle hash-gates every bin
+    * count. ClickHouse's adaptive-centroid `histogram` is
+    * merge-order-sensitive by design and could never be gated; the
+    * fixed grid is the deterministic sibling (and what its docs
+    * recommend for reproducible plots).
+    */
+  def q37Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"event_type", $"value")
+    val mm = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+    ev.crossJoin(broadcast(mm))
+      .select($"event_type",
+        when($"hi" === $"lo", lit(0L)) // degenerate grid: one bin
+          .otherwise(least(lit(19L),
+            floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo"))
+              .cast("long"))).as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q37Sql: String =
+    """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+      |SELECT event_type,
+      |  CASE WHEN hi = lo THEN 0 ELSE
+      |    least(19, CAST(floor((value - lo) * 20.0 / (hi - lo)) AS BIGINT))
+      |  END AS bin,
+      |  COUNT(*) AS n
+      |FROM events CROSS JOIN mm
+      |GROUP BY 1, 2""".stripMargin
+
   /** q36 — Largest-Triangle-Three-Buckets downsampling (the ClickHouse
     * `largestTriangleThreeBuckets` surface, Steinarsson 2013,
     * [[graft.functions.LttbAggregate]]): each event type's hourly
@@ -2406,6 +2446,7 @@ object Queries {
     "q34_max_concurrent" -> (q34MaxConcurrent _),
     "q35_entropy" -> (q35Entropy _),
     "q36_lttb_downsample" -> (q36LttbDownsample _),
+    "q37_histogram" -> (q37Histogram _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -2472,6 +2513,7 @@ object Queries {
     "q34_max_concurrent" -> q34Sql,
     "q35_entropy" -> q35Sql,
     "q36_lttb_downsample" -> q36Sql,
+    "q37_histogram" -> q37Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

@@ -364,6 +364,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // scan-local arithmetic — any third exchange means the entropy
     // formula fell back to a join or window
     Shape("q35_entropy", maxShuffles = 2),
+    // r13: q37 = the 1-row min/max broadcast + ONE (type,bin) hash
+    // aggregate with map-side combine; bin math is scan-local
+    Shape("q37_histogram", maxShuffles = 2, minBroadcasts = 1),
     // r13: q36 = the q14 hourly rollup + ONE lttb aggregate whose
     // state is the series itself (time-span-bounded, never corpus);
     // a third exchange means the selection leaked into joins/windows

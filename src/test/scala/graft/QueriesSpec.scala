@@ -509,6 +509,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == brute.toMap, "census differs from brute force")
   }
 
+  test("q37 histogram: totals preserved, bins in range, exact recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q37_histogram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= 19L), "bin out of range")
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(got == want, "histogram drops or double-counts rows")
+    // exact driver recompute of the same IEEE grid
+    val vals = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val lo = vals.map(_._2).min; val hi = vals.map(_._2).max
+    val ref = vals.groupBy { case (t, v) =>
+      (t, math.min(19L, math.floor((v - lo) * 20.0 / (hi - lo)).toLong))
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == ref)
+  }
+
   test("f27 pmi: exact lattice recompute on sf0.001, sign sanity") {
     import org.apache.spark.sql.functions._
     def nb(x: Long): Long = math.round(math.log(x.toDouble) / math.log(2.0) * 1e9)
