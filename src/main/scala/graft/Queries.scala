@@ -1241,15 +1241,27 @@ object Queries {
     */
   def f26Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // node ids ride the census as TAGGED LONGS (key·4 + type tag) and
+    // decode to entity strings only at output: the census is pure
+    // joins/aggregates on the ids, and an 8-byte long halves-to-thirds
+    // every shuffle row vs "supplier-12345" strings. Triangle counts
+    // are orientation-invariant (any total order on nodes yields the
+    // same census), so the long order standing in for the string
+    // order changes nothing — the oracle gates that.
     val li = t(s, dir, "lineitem").select(
-      concat(lit("order-"), $"l_orderkey").as("o"),
-      concat(lit("part-"), $"l_partkey").as("p"),
-      concat(lit("supplier-"), $"l_suppkey").as("sp"))
+      ($"l_orderkey" * 4).as("o"),
+      ($"l_partkey" * 4 + 1).as("p"),
+      ($"l_suppkey" * 4 + 2).as("sp"))
     val edges = li.select($"o".as("src"), $"p".as("dst"))
       .unionAll(li.select($"p".as("src"), $"sp".as("dst")))
       .unionAll(li.select($"o".as("src"), $"sp".as("dst")))
     graft.operators.Triangles.perNode(edges)
-      .select($"node".as("entity_id"), $"n_triangles")
+      .select(
+        concat(
+          element_at(lit(Array("order-", "part-", "supplier-", "?")),
+            (pmod($"node", lit(4)) + 1).cast("int")),
+          expr("node DIV 4")).as("entity_id"),
+        $"n_triangles")
   }
 
   val f26Sql: String =
