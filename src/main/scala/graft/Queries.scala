@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *     HUGEINT, Spark to BIGINT).
   *   - No raw timestamps in outputs (formatting differs); buckets are
   *     epoch seconds.
+  *   - Transcendental scores run on the integer LOG LATTICE (q35, f27,
+  *     t17): L(x) = round(log2(x)·10⁹) as BIGINT "nanobits". Every
+  *     per-term log rounds ONCE to the lattice, sums of c·L(c) terms
+  *     are order-free integer arithmetic, and the only float op left
+  *     is a final division of two identical-on-both-engines integers —
+  *     bitwise deterministic, so entropy/PMI/BM25 hash-gate with NO
+  *     output rounding. (Float entropy or BM25 could never gate:
+  *     parallel double summation is not associative.)
   */
 object Queries {
 
