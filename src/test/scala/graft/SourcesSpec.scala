@@ -1049,6 +1049,20 @@ class SourcesSpec extends AnyFunSuite {
       (x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)
     for (((x, y), z) <- hand)
       assert(z == morton(x, y), s"($x,$y): $z != ${morton(x, y)}")
+    // three columns interleave at stride 3: (x0,y0,w0,x1,y1,w1)
+    val hand3 = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (2L, 0L, 0L), (3L, 3L, 3L), (1L, 2L, 3L))
+      .toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"), ZOrderLayout.zValue(
+        Seq(col("x"), col("y"), col("w")), Seq(0L, 0L, 0L),
+        Seq(3L, 3L, 3L), bits = 2).as("z"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    def morton3(x: Long, y: Long, w: Long): Long =
+      (x & 1) | ((y & 1) << 1) | ((w & 1) << 2) |
+        (((x >> 1) & 1) << 3) | (((y >> 1) & 1) << 4) | (((w >> 1) & 1) << 5)
+    for (((x, y, w), z) <- hand3)
+      assert(z == morton3(x, y, w), s"($x,$y,$w): $z != ${morton3(x, y, w)}")
     // layout quality: 100k uniform 2-D rows into 16 files under three
     // layouts; row-group stats straight from the footers
     val rnd = new scala.util.Random(3)
