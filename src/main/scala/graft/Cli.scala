@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Statements
 import graft.operators.{EntityQuery, Fpx, Xref}
-import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
+import graft.sources.{BitmapStore, FpxStore, FtmJson, QuantileStore,
+  StatementStore, TopKStore, XrefStore}
 
 /** Command-line surface mirroring the reference CLI (cli.py: init /
   * optimize, plus the store write/query paths its ftmq integration
@@ -49,6 +50,14 @@ import graft.sources.{FpxStore, FtmJson, StatementStore, XrefStore}
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
+  *   telemetry <base> <verb> …          the summary-store operational
+  *                                      face: ingest-docs/-events fold
+  *                                      batches into <base>_topk /
+  *                                      _quantiles / _audience;
+  *                                      topk/quantiles/audience serve
+  *                                      from summaries (never a corpus
+  *                                      rescan); pop-source/pop-users
+  *                                      take down; optimize compacts
   *   --version                          print the library version and
   *                                      exit (cli.py:14-20)
   */
@@ -325,9 +334,78 @@ object Cli {
         println(s"z-ordered $inPath -> $outPath on ${zCols.mkString(",")} " +
           s"($files files)")
 
+      // telemetry <base> <verb> … — the operational face of the three
+      // summary stores (the st16b takedown story completed):
+      // continuous term/length/audience telemetry served from stored
+      // summaries, never a corpus rescan. Tables: <base>_topk
+      // (Misra–Gries, capacity 64), <base>_quantiles (KLL, k = 200),
+      // <base>_audience (bitmap). ClickHouse-parity anchor: the
+      // topK/quantile/groupBitmap aggregates served from a
+      // materialized summary table instead of re-scanned raw events.
+      case "telemetry" :: base :: rest =>
+        val topkTable = s"${base}_topk"
+        val qTable = s"${base}_quantiles"
+        val aTable = s"${base}_audience"
+        val Capacity = 64 // MG counters per source (exact ≤ 64 regime)
+        val KllK = 200    // KLL size (exact-below-k regime)
+        rest match {
+          case "ingest-docs" :: path :: batchId :: Nil =>
+            val docs = spark.read.parquet(path)
+            TopKStore.applyBatch(spark, docs, topkTable, Capacity,
+              batchId.toLong)
+            QuantileStore.applyBatch(spark, docs, qTable, KllK,
+              batchId.toLong)
+            println(s"telemetry: folded doc batch $batchId into " +
+              s"$topkTable, $qTable")
+          case "ingest-events" :: path :: batchId :: Nil =>
+            BitmapStore.applyBatch(spark, spark.read.parquet(path), aTable,
+              batchId.toLong)
+            println(s"telemetry: folded event batch $batchId into $aTable")
+          case "topk" :: kArg if kArg.length <= 1 =>
+            val k = kArg.headOption.map(_.toInt).getOrElse(10)
+            TopKStore.readTopK(spark, topkTable, k, Capacity)
+              .orderBy("source")
+              .select(col("source"), to_json(col("top")).as("top"))
+              .collect().foreach(r => println(r.mkString("\t")))
+          case "quantiles" :: Nil =>
+            QuantileStore.readQuantiles(spark, qTable, KllK)
+              .orderBy("source")
+              .collect().foreach(r => println(r.mkString("\t")))
+          case "audience" :: Nil =>
+            BitmapStore.readAudience(spark, aTable)
+              .orderBy("event_type")
+              .collect().foreach(r => println(r.mkString("\t")))
+          case "pop-source" :: source :: Nil =>
+            import spark.implicits._
+            val one = Seq(source).toDF("source")
+            if (spark.catalog.tableExists(topkTable))
+              TopKStore.pop(spark, topkTable, one)
+            if (spark.catalog.tableExists(qTable))
+              QuantileStore.pop(spark, qTable, one)
+            println(s"telemetry: popped source $source")
+          case "pop-users" :: ids :: Nil =>
+            import spark.implicits._
+            BitmapStore.popUsers(spark, aTable,
+              ids.split(",").map(_.trim.toLong).toSeq.toDF("user_id"))
+            println(s"telemetry: popped users $ids")
+          case "optimize" :: Nil =>
+            if (spark.catalog.tableExists(topkTable))
+              TopKStore.compact(spark, topkTable, Capacity)
+            if (spark.catalog.tableExists(qTable))
+              QuantileStore.compact(spark, qTable, KllK)
+            if (spark.catalog.tableExists(aTable))
+              BitmapStore.compact(spark, aTable)
+            println(s"telemetry: optimized $base")
+          case other =>
+            sys.error("usage: telemetry <base> ingest-docs <parquet> <ver>" +
+              " | ingest-events <parquet> <ver> | topk [k] | quantiles" +
+              s" | audience | pop-source <s> | pop-users <id,…> | optimize" +
+              s", got: $other")
+        }
+
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query|zorder, " +
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query|zorder|telemetry, " +
             s"got: $other")
     }
 }

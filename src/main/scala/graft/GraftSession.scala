@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark's default INT96 timestamps carry NO usable row-group
+      // min/max statistics — every time-range scan over a store would
+      // read every row group. Standard INT64 micros restore the
+      // skip-index power (the ZOrderLayout pruning story) and are the
+      // modern interchange type; INT96 is deprecated upstream.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", aqe.toString)
       // The default 100-entry codegen cache thrashes on a suite of 65+
       // queries (several whole-stage/expression classes each): every

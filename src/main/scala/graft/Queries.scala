@@ -32,6 +32,23 @@ import org.apache.spark.sql.functions._
   *     bitwise deterministic, so entropy/PMI/BM25 hash-gate with NO
   *     output rounding. (Float entropy or BM25 could never gate:
   *     parallel double summation is not associative.)
+  *     Two stated assumptions, mirroring the 2^53-cents bound:
+  *     (1) MAGNITUDE — lattice terms are ~64·10⁹ at most (L(x) ≤
+  *     63·10⁹ for any BIGINT x), so a product c·L(c) stays exact in
+  *     BIGINT only while c < ~1.4·10⁸ and a per-group sum Σ c·L(c)
+  *     while Σc < ~1.4·10⁸; past that Spark wraps silently where
+  *     DuckDB widens to HUGEINT. Each lattice query states its own
+  *     bound (q35: per-user events; t17: tf·avgl) — widen the factors
+  *     through DECIMAL in both engines if a deployment can exceed it.
+  *     (2) ROUNDING AGREEMENT — Spark computes log2 as ln(x)/ln(2)
+  *     and DuckDB as native log2(x); the engines agree on L(x)
+  *     because log2(x)·10⁹ never lands within a few ulps (~10⁻⁵ at
+  *     these magnitudes) of a .5 rounding boundary for the integer
+  *     inputs the queries feed it. That is a data-independent
+  *     property of integer arguments ONLY in the sense that a
+  *     boundary hit is astronomically unlikely (~10⁻⁵ odds per
+  *     distinct input value, none observed across every SF gated);
+  *     a paranoid verifier may allow ±1 nanobit on lattice columns.
   */
 object Queries {
 
@@ -1234,6 +1251,65 @@ object Queries {
        |SELECT node AS entity_id, r FROM pr10""".stripMargin
   }
 
+  /** f25b — PERSONALIZED PageRank ([[graft.operators.PageRank
+    * .personalizedRanks]]): teleport restricted to a DATA-derived seed
+    * set — the customers of nation-7 — so rank measures relevance to
+    * THIS case instead of global prominence (the f22/f23 seed
+    * discipline applied to f25's fixed point). Same integer-exact
+    * machinery: r₀ = scale on seeds only, per-node teleport
+    * tele·[seed], ten damped rounds, and unreachable nodes stay at
+    * EXACTLY 0 (integer floors leak no phantom mass — the rank vector
+    * doubles as a reachability certificate). The DuckDB twin runs the
+    * identical ten rounds as chained CTEs with the identical seed CTE,
+    * so the full rank vector hash-gates.
+    */
+  def f25bPersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gs = orderGraphStatements(s, dir)
+    val edges = gs.filter($"prop_type" === "entity")
+      .select($"entity_id".as("src"), $"value".as("dst"))
+    val seeds = gs
+      .filter($"schema" === "Customer" && $"prop" === "nation" &&
+        $"value" === "nation-7")
+      .select($"entity_id".as("id"))
+    graft.operators.PageRank.personalizedRanks(edges, seeds, iters = 10)
+      .select($"id".as("entity_id"), $"r")
+  }
+
+  // lazy: interpolates orderGraphCte (the f25Sql note)
+  lazy val f25bSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, CAST(n.tele + COALESCE(s.c, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((85 * p.r) // (100 * e.d)) AS c
+         |    FROM edges e JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$orderGraphCte,
+       |rawe AS (
+       |  SELECT DISTINCT entity_id AS src, value AS dst FROM gs
+       |  WHERE prop_type = 'entity'),
+       |deg AS (SELECT src, COUNT(*) AS d FROM rawe GROUP BY 1),
+       |edges AS (
+       |  SELECT rawe.src, rawe.dst, deg.d FROM rawe JOIN deg USING (src)),
+       |nodes0 AS (SELECT src AS node FROM rawe UNION SELECT dst FROM rawe),
+       |seeds AS (
+       |  SELECT DISTINCT entity_id AS id FROM gs
+       |  WHERE "schema" = 'Customer' AND prop = 'nation'
+       |    AND value = 'nation-7'),
+       |nodes AS (
+       |  SELECT node,
+       |    CASE WHEN s.id IS NOT NULL THEN CAST(150000 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS tele
+       |  FROM nodes0 LEFT JOIN seeds s ON s.id = nodes0.node),
+       |pr0 AS (
+       |  SELECT node, CAST(CASE WHEN tele > 0 THEN 1000000 ELSE 0 END
+       |    AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node AS entity_id, r FROM pr10""".stripMargin
+  }
+
   /** f26 — triangle census over the lineitem CO-OCCURRENCE graph
     * ([[graft.operators.Triangles]]): each lineitem row co-locates an
     * order, a part, and a supplier; the pairwise co-occurrence edges
@@ -1310,15 +1386,32 @@ object Queries {
     * count tables join back at pair grain (both sides node-grain —
     * nothing broadcast except the 1-row basket total).
     */
-  def f27CooccurrencePmi(s: SparkSession, dir: String): DataFrame = {
+  // f27's PREVIOUS items-checkpoint blocks — released when the query
+  // is built again (single-generation contract, the Triangles.perNode
+  // discipline): a bench loop that constructs f27 per pass holds one
+  // items generation, not the session's history. Consume each f27
+  // frame before building the next one.
+  private var f27ItemsBlocks: Set[Int] = Set.empty
+
+  def f27CooccurrencePmi(s: SparkSession, dir: String): DataFrame =
+      synchronized {
     import s.implicits._
+    import graft.operators.Components.{checkpointDiff, release}
     def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
+    release(s.sparkContext, f27ItemsBlocks)
     // items feeds THREE branches (pair self-join twice, item counts)
     // — materialized once via localCheckpoint (the f26/f20b
-    // discipline; lazy deliberately — see Triangles.perNode)
-    val items = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      .localCheckpoint()
+    // discipline; EAGER — the Dataset default — and SERIALIZED, so
+    // the resident footprint is the compact form and the returned
+    // frame's three branches read blocks instead of re-running the
+    // distinct)
+    val (items, iBlocks) = checkpointDiff(s.sparkContext) {
+      t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    f27ItemsBlocks = iBlocks
     val n = items.select($"o").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val ca = items.groupBy($"p").agg(count(lit(1)).as("c"))
@@ -1354,6 +1447,87 @@ object Queries {
       |JOIN ca la ON la.p = pairs.pa
       |JOIN ca lb ON lb.p = pairs.pb
       |CROSS JOIN n""".stripMargin
+
+  /** f28 — community detection over the lineitem co-occurrence graph:
+    * the CLUSTER-grain face next to f26's per-node cohesion ("which
+    * procurement communities exist", where f26 asks "how enmeshed is
+    * this node"). Two proven pieces composed: (1) K-TRUSS-LITE edge
+    * filtering — keep only edges on ≥ 2 triangles
+    * ([[graft.operators.Triangles.perEdge]]'s support, the k = 4
+    * truss threshold), which strips the bridges and hub spokes that
+    * make naive components one giant blob; (2) DETERMINISTIC
+    * synchronous min-label propagation ([[graft.operators.LabelProp]])
+    * for 10 fixed rounds over the surviving edges. Both stages are
+    * integer-/string-exact and the oracle runs the identical triangle
+    * enumeration + threshold + 10 chained min-label rounds, so every
+    * node's community label hash-gates. The census runs on f26's
+    * tagged longs; edges DECODE to entity strings BEFORE propagation
+    * because labels are MIN node ids and the long order is not the
+    * string order the oracle folds with.
+    */
+  def f28Communities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select(
+      ($"l_orderkey" * 4).as("o"),
+      ($"l_partkey" * 4 + 1).as("p"),
+      ($"l_suppkey" * 4 + 2).as("sp"))
+    val edges = li.select($"o".as("src"), $"p".as("dst"))
+      .unionAll(li.select($"p".as("src"), $"sp".as("dst")))
+      .unionAll(li.select($"o".as("src"), $"sp".as("dst")))
+    def decode(c: Column): Column = concat(
+      element_at(lit(Array("order-", "part-", "supplier-", "?")),
+        (pmod(c, lit(4)) + 1).cast("int")),
+      shiftright(c, 2))
+    val kept = graft.operators.Triangles.perEdge(edges)
+      .filter($"support" >= 2)
+      .select(decode($"a").as("src"), decode($"b").as("dst"))
+    graft.operators.LabelProp.minLabelRounds(kept, rounds = 10)
+      .select($"node".as("entity_id"), $"label".as("community"))
+  }
+
+  // MATERIALIZED is load-bearing: each lab_i reads lab_{i-1} TWICE, so
+  // DuckDB's default CTE inlining would expand 2^10 copies of the whole
+  // chain (measured: exhausts the file-handle limit on the lineitem
+  // scans alone); f25 needed no hint because its rounds are linear
+  val f28Sql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT node, MIN(label) AS label FROM (
+         |    SELECT node, label FROM lab${i - 1}
+         |    UNION ALL
+         |    SELECT und.u AS node, l.label
+         |    FROM und JOIN lab${i - 1} l ON l.node = und.v) t
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT 'order-' || l_orderkey AS o, 'part-' || l_partkey AS p,
+       |    'supplier-' || l_suppkey AS sp
+       |  FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(o, p) AS a, greatest(o, p) AS b FROM tr
+       |  UNION
+       |  SELECT DISTINCT least(p, sp), greatest(p, sp) FROM tr
+       |  UNION
+       |  SELECT DISTINCT least(o, sp), greatest(o, sp) FROM tr),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |supp AS (
+       |  SELECT a, b, COUNT(*) AS support FROM (
+       |    SELECT x AS a, y AS b FROM tri
+       |    UNION ALL SELECT x, z FROM tri
+       |    UNION ALL SELECT y, z FROM tri) c
+       |  GROUP BY 1, 2),
+       |kept AS (SELECT a, b FROM supp WHERE support >= 2),
+       |und AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM kept
+       |  UNION ALL SELECT b, a FROM kept),
+       |lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und),
+       |$rounds
+       |SELECT node AS entity_id, label AS community FROM lab10""".stripMargin
+  }
 
   /** f11 — entity_id → canonical_id resolution by identical name
     * fingerprint.
@@ -2400,6 +2574,13 @@ object Queries {
     * the oracle hash-gates the exact doubles with NO output rounding.
     * Two bounded hash aggregates: (user, type) grain, then user grain,
     * both with map-side combine.
+    *
+    * Exactness bound (the lattice MAGNITUDE rule at the object doc):
+    * Σ c·L(c) ≤ n_events·L(max c) ≤ n_events·64·10⁹, so the BIGINT
+    * fold is exact while a user's total event count stays below
+    * ~1.4·10⁸ (2⁶³ / 64·10⁹); past that Spark wraps where DuckDB
+    * widens — route c and the products through DECIMAL(38,0) in both
+    * engines if a single user can exceed 140 M events.
     */
   def q35Entropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2493,8 +2674,10 @@ object Queries {
     "f23_shortest_path" -> (f23ShortestPath _),
     "f24_name_editdist" -> (f24NameEditdist _),
     "f25_pagerank" -> (f25Pagerank _),
+    "f25b_pagerank_personalized" -> (f25bPersonalizedPagerank _),
     "f26_triangles" -> (f26Triangles _),
-    "f27_cooccur_pmi" -> (f27CooccurrencePmi _)
+    "f27_cooccur_pmi" -> (f27CooccurrencePmi _),
+    "f28_communities" -> (f28Communities _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2557,7 +2740,9 @@ object Queries {
     "f23_shortest_path" -> f23Sql,
     "f24_name_editdist" -> f24Sql,
     "f25_pagerank" -> f25Sql,
+    "f25b_pagerank_personalized" -> f25bSql,
     "f26_triangles" -> f26Sql,
-    "f27_cooccur_pmi" -> f27Sql
+    "f27_cooccur_pmi" -> f27Sql,
+    "f28_communities" -> f28Sql
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic synchronous min-label propagation — the
+  * community/cluster labeling primitive behind f28.
+  *
+  * Classic label propagation (Raghavan et al. 2007) breaks ties
+  * randomly and is therefore ungateable; this is the DETERMINISTIC
+  * variant (the Pegasus "HCC" form, Kang et al. 2009): every node
+  * starts labeled with its own id and each synchronous round replaces
+  * a node's label with the MINIMUM label in its closed neighborhood
+  * (itself + neighbors). Labels only decrease, every round is a pure
+  * join + min-aggregate, and after R rounds the labeling is a
+  * deterministic function of the edge set alone — so a DuckDB twin
+  * running the same R rounds as chained GROUP BY CTEs hash-gates every
+  * node's label. At convergence (R ≥ component diameter) the label IS
+  * the component minimum — connected components by another route; the
+  * f28 face asserts convergence on the gated datasets by comparing
+  * round R to round R+1 in its spec.
+  *
+  * Scale shape: each round is ONE equi-join of the (symmetrized) edge
+  * set against the node-grain label table plus ONE min-aggregate with
+  * map-side combine — the f25 PageRank round shape exactly, and the
+  * same 100 TB argument: nothing broadcast, both sides scale with the
+  * data, rounds are lineage-broken with eager localCheckpoints and
+  * superseded label snapshots released (the Components.checkpointDiff
+  * discipline), so R rounds cost R bounded jobs, not one R-deep plan.
+  * Min-label needs O(diameter) rounds where Components' alternating
+  * star needs O(log n) — use [[Components.connected]] when the graph
+  * can contain long chains; use THIS when the round count must be
+  * fixed and engine-portable (the oracle cannot express alternating
+  * stars, but R chained min-rounds are plain SQL).
+  */
+object LabelProp {
+
+  /** Run `rounds` synchronous min-label rounds over the undirected
+    * graph given by `edges` (columns `src`, `dst`; symmetrized and
+    * deduplicated internally, self-loops harmless). Returns
+    * (node, label) for every node appearing in an edge.
+    */
+  def minLabelRounds(
+      edges: DataFrame, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"labelprop: rounds must be >= 1, got $rounds")
+    val sc = edges.sparkSession.sparkContext
+    import Components.{checkpointDiff, release}
+    val (und, uBlocks) = checkpointDiff(sc) {
+      val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+      fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    var (lab, lBlocks) = checkpointDiff(sc) {
+      und.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+    }
+    var i = 0
+    while (i < rounds) {
+      val (next, nBlocks) = checkpointDiff(sc) {
+        lab
+          .unionAll(und.join(lab.withColumnRenamed("node", "v"), Seq("v"))
+            .select(col("u").as("node"), col("label")))
+          .groupBy("node").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+      }
+      release(sc, lBlocks)
+      lab = next
+      lBlocks = nBlocks
+      i += 1
+    }
+    release(sc, uBlocks)
+    lab
+  }
+}

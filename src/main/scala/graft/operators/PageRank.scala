@@ -48,7 +48,32 @@ object PageRank {
     */
   def ranks(
       edges: DataFrame, iters: Int = 10, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    core(edges, None, iters, scale, dampNum, dampDen)
+
+  /** PERSONALIZED PageRank (the "relevance to THIS case" face):
+    * teleport mass returns only to the `seeds` set instead of every
+    * node, so rank measures proximity-weighted reachability FROM the
+    * seeds — the global anchor question becomes "which entities does
+    * this investigation's walk keep arriving at". Same integer fixed
+    * point, same oracle discipline; the only changes are r₀(v) =
+    * scale·[v ∈ S] and a per-node teleport term tele·[v ∈ S]. Nodes
+    * the seeds cannot reach stay at EXACTLY 0 (integer floors leak no
+    * phantom mass), so the rank vector doubles as a reachability
+    * certificate. `seeds` is a 1-column (`id`) frame, deduplicated
+    * and intersected with the graph's nodes internally; node-grain,
+    * joined not broadcast-collected — a seed set may be large (every
+    * customer of a nation) without driver involvement.
+    */
+  def personalizedRanks(
+      edges: DataFrame, seeds: DataFrame, iters: Int = 10,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame =
+    core(edges, Some(seeds), iters, scale, dampNum, dampDen)
+
+  private def core(
+      edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+      scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
     val sc = edges.sparkSession.sparkContext
     import Components.{checkpointDiff, release}
@@ -62,13 +87,30 @@ object PageRank {
           ded.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
         .localCheckpoint()
     }
+    // nodes carry their per-node teleport: the uniform walk teleports
+    // everywhere; the personalized walk only to seeds (left-semi-style
+    // membership via a left join — seeds stay distributed)
     val (nodes, nBlocks) = checkpointDiff(sc) {
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      val ids = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
         .distinct()
-        .localCheckpoint()
+      seeds match {
+        case None => ids.withColumn("tele", lit(tele)).localCheckpoint()
+        case Some(sd) =>
+          ids.join(
+              sd.select(col("id")).distinct().withColumn("__s", lit(1)),
+              Seq("id"), "left")
+            .select(col("id"),
+              when(col("__s").isNotNull, lit(tele)).otherwise(lit(0L))
+                .as("tele"))
+            .localCheckpoint()
+      }
     }
     var (ranks, rBlocks) = checkpointDiff(sc) {
-      nodes.withColumn("r", lit(scale)).localCheckpoint()
+      val r0 =
+        if (seeds.isEmpty) lit(scale)
+        else when(col("tele") > 0, lit(scale)).otherwise(lit(0L))
+      nodes.select(col("id"), r0.as("r")).localCheckpoint()
     }
     var i = 0
     while (i < iters) {
@@ -80,7 +122,7 @@ object PageRank {
           .groupBy(col("id")).agg(sum(col("c")).as("c"))
         nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            (lit(tele) + coalesce(col("c"), lit(0L))).as("r"))
+            (col("tele") + coalesce(col("c"), lit(0L))).as("r"))
           .localCheckpoint()
       }
       release(sc, rBlocks)

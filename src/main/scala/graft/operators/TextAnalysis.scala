@@ -240,14 +240,27 @@ object TextAnalysis {
     *     L(x) = round(log2(x)·10⁹) — exact integers;
     *   - the tf saturation with k1 = 6/5, b = 3/4 and the corpus
     *     average length as an integer (avgl = W div N, documented
-    *     floor) multiplies through to ONE integer floor division:
+    *     floor) multiplies through to ONE integer division:
     *     term_nb = (idf_nb·22·tf·avgl) div (10·tf·avgl + 3·avgl
-    *     + 9·len) — both engines floor identically;
+    *     + 9·len) — Spark DIV and DuckDB // both TRUNCATE TOWARD
+    *     ZERO (identical on both engines; they differ from floor
+    *     only on a negative numerator, which both truncate the same
+    *     way);
     *   - the document score is the SUM of term_nb — order-free.
-    * Magnitude bound: idf_nb ≤ 64·10⁹ for any corpus that fits in a
-    * signed long, tf and avgl are document-scale — the product stays
-    * under 2⁶³ at ANY corpus size (the lattice term is corpus-log,
-    * not corpus-linear). Plan: one tokenize scan → (doc, term) tf
+    * Negative idf: a term present in MORE than half the documents has
+    * idf_nb < 0 and contributes a negative term_nb (Lucene clamps
+    * this at 0; the classic Robertson formula, kept here, does not —
+    * both engines compute the same signed value, so the gate holds;
+    * clamp with greatest(idf_nb, 0) in both if Lucene parity is
+    * wanted). Magnitude bound (the lattice MAGNITUDE rule at the
+    * Queries doc): idf_nb ≤ 64·10⁹ for any corpus that fits in a
+    * signed long — corpus-LOG, not corpus-linear — so the numerator
+    * idf_nb·22·tf·avgl stays under 2⁶³ while tf·avgl < ~6.5·10⁶
+    * (e.g. tf ≤ 6 500 at avgl = 1 000). That is a DOCUMENT-scale
+    * bound, independent of corpus size; a pathological single
+    * document (tf in the millions) would wrap in Spark where DuckDB
+    * widens — cap tf or widen through DECIMAL if ingesting unbounded
+    * single-document term counts. Plan: one tokenize scan → (doc, term) tf
     * aggregate; df and the two corpus totals are term-grain /
     * 1-row — both broadcast; final doc-grain sum.
     */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact triangle census over an undirected entity graph.
   *
@@ -37,40 +38,95 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  // the PREVIOUS perNode call's (small, node-grain) result blocks —
+  // released when a new census starts, so a bench/suite loop that
+  // calls f26 many times holds ONE generation of result state, not
+  // the session's whole history. Single-generation contract: consume
+  // (collect/write) each census before requesting the next one, or
+  // persist the frame yourself.
+  private var lastResultBlocks: Set[Int] = Set.empty
+
   /** Per-node triangle counts. `edges` carries one row per (possibly
     * duplicated, possibly reversed) undirected edge in columns
     * (`src`, `dst`); self-loops are dropped, duplicates collapsed.
     * Returns (node, n_triangles) for every node on ≥ 1 triangle.
+    *
+    * Block-manager discipline (the r13 sf1 in-suite finding — the
+    * census's checkpointed edge frames were the biggest resident
+    * state in the whole suite, 219s in-suite vs 24s isolated once the
+    * block manager started spilling them): the census now runs EAGER
+    * (the PageRank/Components form). The two edge-grain intermediates
+    * are checkpointed SERIALIZED (MEMORY_AND_DISK_SER — the frames
+    * are consumed exactly twice each, so the per-read deserialization
+    * is paid twice against a 3-5× smaller resident footprint), the
+    * node-grain result is eagerly checkpointed, and the edge frames
+    * are RELEASED before returning — the caller's frame owns only
+    * node-grain blocks, and nothing edge-grain outlives the call.
     */
   def perNode(edges: DataFrame, src: String = "src",
-      dst: String = "dst"): DataFrame = {
+      dst: String = "dst"): DataFrame =
+    census(edges, src, dst) { tri =>
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    }
+
+  /** Per-EDGE triangle support: how many triangles contain each
+    * undirected edge — the k-truss building block (an edge of
+    * support ≥ k−2 survives in the k-truss). Returns canonical
+    * (a, b, support) rows with a < b, only for edges on ≥ 1 triangle.
+    * Same census, different corner aggregation: each triangle
+    * (x, y, z) credits its three edges once.
+    */
+  def perEdge(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame =
+    census(edges, src, dst) { tri =>
+      // (y, z) is canonical already (y < z by construction); the two
+      // spoke edges (x, y), (x, z) canonicalize per pair — the spoke
+      // x is the DEGREE-ORDER minimum of its triangle, not the id
+      // minimum
+      tri.select(explode(array(
+          array(col("x"), col("y")),
+          array(col("x"), col("z")),
+          array(col("y"), col("z")))).as("e"))
+        .select(
+          least(element_at(col("e"), 1), element_at(col("e"), 2)).as("a"),
+          greatest(element_at(col("e"), 1), element_at(col("e"), 2)).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+
+  private def census(edges: DataFrame, src: String, dst: String)(
+      finish: DataFrame => DataFrame): DataFrame = synchronized {
+    val sc = edges.sparkSession.sparkContext
+    import Components.{checkpointDiff, release}
+    release(sc, lastResultBlocks)
+    val ser = StorageLevel.MEMORY_AND_DISK_SER
     // canonical undirected edge set: a < b, no loops, no dups.
     // e and oriented are each consumed by TWO downstream branches
     // (orientation + closing lookup; both wedge sides) — materialized
-    // once via localCheckpoint (the f20b discipline) so the lineage
-    // branches read blocks instead of re-running the distinct/joins.
-    // Deliberately NOT the PageRank eager-release form: measured
-    // in-suite, eager materialization + release moved no time off f26
-    // (the in-suite spread is suite-level shuffle/IO state, the
-    // documented d15 phenomenon) and slowed its bench successors
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    // once so the lineage branches read blocks instead of re-running
+    // the distinct/joins.
+    val (e, eBlocks) = checkpointDiff(sc) {
+      edges
+        .select(least(col(src), col(dst)).as("a"),
+          greatest(col(src), col(dst)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true, ser)
+    }
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     // orient a→b when (d(a), a) < (d(b), b); a < b already, so the
     // tie case keeps the canonical direction
-    val oriented = e
-      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
-      .select(
-        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
-        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint()
+    val (oriented, oBlocks) = checkpointDiff(sc) {
+      e
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+          when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+        .localCheckpoint(true, ser)
+    }
     // wedges: unordered out-neighbor pairs at each spoke u
     val wedges = oriented.as("w1")
       .join(oriented.as("w2"),
@@ -81,8 +137,13 @@ object Triangles {
     val tri = wedges.join(e,
       wedges("y") === e("a") && wedges("z") === e("b"))
       .select(col("x"), col("y"), col("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val (out, outBlocks) = checkpointDiff(sc) {
+      finish(tri).localCheckpoint()
+    }
+    release(sc, eBlocks)
+    release(sc, oBlocks)
+    lastResultBlocks = outBlocks
+    out
   }
 
   /** Exact total triangle count (the scalar face). */

@@ -50,6 +50,11 @@ object DocStore {
       .mode(mode)
       .bucketBy(buckets, "doc_id")
       .sortBy("doc_id")
+      // split-block bloom filter on the id (StatementStore.bloomOpts
+      // rationale): point lookups skip value-free row groups from the
+      // footer even where min/max cannot serve them
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
       .format("parquet")
       .saveAsTable(target)
 

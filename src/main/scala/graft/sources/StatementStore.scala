@@ -40,30 +40,107 @@ object StatementStore {
     * false when the batch doesn't have one) — the
     * `ReplacingMergeTree(ver, is_deleted)` pattern that makes
     * [[pop]]-style deletes append-only.
+    *
+    * `zorder` (CREATION-time only, like ClickHouse's ORDER BY — a
+    * MergeTree's key cannot change in place either; engine.py:130):
+    * when the table is first created with `Some((cols, bits))`, every
+    * file the store ever writes is internally Z-ORDERED on those
+    * columns ([[ZOrderLayout]] — a stored `__z` sort key the readers
+    * never see), so range scans on ANY laid-out column prune row
+    * groups from footer stats where the canonical canonical_id sort
+    * prunes none. On an EXISTING table the parameter is ignored and
+    * the creation layout (recorded in table properties) governs —
+    * appends and compacts can never diverge from it.
     */
-  def append(statements: DataFrame, table: String, buckets: Int = 64): Unit = {
+  def append(statements: DataFrame, table: String, buckets: Int = 64,
+      zorder: Option[(Seq[String], Int)] = None,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     val withDel =
       if (statements.columns.contains("deleted"))
         statements.withColumn("deleted", col("deleted").cast("boolean"))
       else statements.withColumn("deleted", lit(false))
-    write(withDel, table, buckets, SaveMode.Append)
+    val spark = statements.sparkSession
+    val existing = spark.catalog.tableExists(table)
+    val layout = if (existing) zLayoutOf(spark, table) else zorder
+    write(withDel, table, buckets, SaveMode.Append, layout, writerOptions)
+    if (!existing) layout.foreach { case (zc, bits) =>
+      setZProps(spark, table, zc, bits)
+    }
   }
+
+  /** Z-layout metadata of a store (None = canonical canonical_id
+    * sort), from the live table's properties — the creation-time
+    * ORDER BY declaration every later write must honor.
+    */
+  def zLayoutOf(spark: SparkSession, table: String)
+      : Option[(Seq[String], Int)] = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties
+    props.get("graft.zorder.cols").map { cols =>
+      (cols.split(",").toSeq, props.getOrElse("graft.zorder.bits", "16").toInt)
+    }
+  }
+
+  private def setZProps(
+      spark: SparkSession, table: String, zc: Seq[String], bits: Int): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.zorder.cols'='${zc.mkString(",")}'," +
+      s"'graft.zorder.bits'='$bits')")
 
   /** The one physical layout: dataset partitions, canonical_id buckets,
     * sorted files. Every write path (append, compact stage) goes
     * through here so the layout can never diverge.
+    *
+    * Z-ordered stores sort each bucket file by the stored `__z`
+    * Morton key instead of canonical_id. The z bounds are WRITE-LOCAL
+    * (one min/max pass over the rows being written): `__z` is only a
+    * sort key within the files of one write — it is never compared
+    * across files and never read by queries — so local bounds give
+    * each write an optimal layout with no global state; row-group
+    * pruning reads the ORIGINAL columns' min/max, which z-clustering
+    * tightens regardless of the bucket scaling. The catalog schema
+    * and sort spec carry `__z` from creation, so the SET LOCATION
+    * swap keeps catalog metadata TRUE of the files forever (a
+    * files-sorted-by-z table whose catalog claimed canonical_id order
+    * would let the planner skip a sort it must not — the reason the
+    * layout is fixed at creation).
     */
   private def write(
-      df: DataFrame, table: String, buckets: Int, mode: SaveMode): Unit =
+      df: DataFrame, table: String, buckets: Int, mode: SaveMode,
+      zorder: Option[(Seq[String], Int)] = None,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     // BucketedLayout: one file per (dataset, bucket) per write,
     // independent of the source's split count (the r12 finding)
-    BucketedLayout(df, buckets, Seq("canonical_id"), Seq("dataset")).write
+    val (rows, sortCols) = zorder match {
+      case None => (df, Seq("canonical_id"))
+      case Some((zc, bits)) =>
+        val (mins, maxs) = ZOrderLayout.bounds(df, zc)
+        (df.withColumn("__z",
+          ZOrderLayout.zValue(zc.map(col), mins, maxs, bits)),
+          Seq("__z"))
+    }
+    BucketedLayout(rows, buckets, Seq("canonical_id"), Seq("dataset")).write
       .mode(mode)
       .partitionBy("dataset")
       .bucketBy(buckets, "canonical_id")
-      .sortBy("canonical_id")
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .options(bloomOpts ++ writerOptions)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Split-block bloom filters on the id column (the ClickHouse
+    * `bloom_filter` skip-index class; [[BloomSkip]] measures them):
+    * min/max stats cannot prune a POINT lookup on a high-cardinality
+    * id when the file is not sorted by it — a z-ordered store's files
+    * never are, and even the canonical sort leaves the non-leading id
+    * (entity_id) unservable. Adaptive sizing keeps the footer cost
+    * proportional to each row group's actual distinct count.
+    */
+  private val bloomOpts = Map(
+    "parquet.bloom.filter.enabled#canonical_id" -> "true",
+    "parquet.bloom.filter.adaptive.enabled" -> "true")
 
   /** Raw read — may contain superseded duplicate keys and tombstones. */
   def read(spark: SparkSession, table: String): DataFrame =
@@ -78,7 +155,9 @@ object StatementStore {
     * statement table.
     */
   def readFinal(spark: SparkSession, table: String): DataFrame = {
-    val df = read(spark, table)
+    // __z is the physical z-order sort key of laid-out stores — pure
+    // placement, never part of the logical statement row
+    val df = read(spark, table).drop("__z")
     if (!df.columns.contains("deleted"))
       ReplacingMerge.latestByKey(df,
         keys = keyCols.map(col), version = Seq(col("last_seen")))
@@ -140,14 +219,24 @@ object StatementStore {
     * the catalog (the crash-window policy, fallbacks included, lives
     * there). At 100 TB: one write per OPTIMIZE, not two.
     */
-  def compact(spark: SparkSession, table: String, buckets: Int = 64): Unit = {
+  def compact(spark: SparkSession, table: String, buckets: Int = 64,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     val tmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
+    // the creation layout governs the rewrite: a z-ordered store is
+    // re-laid-out with COMPACT-global bounds (the whole corpus in one
+    // write = the optimal z placement — OPTIMIZE improving on the
+    // appends' write-local bounds, exactly a MergeTree merge)
+    val layout = zLayoutOf(spark, table)
     // deleted=false restored so the stage table keeps the physical
     // schema and later appends line up against the catalog.
     write(readFinal(spark, table).withColumn("deleted", lit(false)),
-      tmp, buckets, SaveMode.Overwrite)
+      tmp, buckets, SaveMode.Overwrite, layout, writerOptions)
+    // properties ride the stage too, so the DROP+RENAME fallback
+    // cannot strip the layout declaration
+    layout.foreach { case (zc, bits) => setZProps(spark, tmp, zc, bits) }
     TableSwap.swapIn(spark, tmp, table, partitioned = true)(df =>
-      write(df, table, buckets, SaveMode.Append))
+      write(df.drop("__z"), table, buckets, SaveMode.Append, layout,
+        writerOptions))
   }
 }

@@ -120,29 +120,38 @@ object ZOrderLayout {
   def rowGroupStats(
       dir: String, cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
     val conf = new Configuration()
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    // Hadoop FileSystem listing, not java.io.File: write() accepts any
+    // Hadoop path (hdfs://, s3a://, file:), so the footer reader must
+    // resolve the same way or silently return (0, 0) on non-local URIs
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
     files.toSeq.flatMap { f =>
-      val in = HadoopInputFile.fromPath(new Path(f.getPath), conf)
+      val in = HadoopInputFile.fromPath(f.getPath, conf)
       val reader = ParquetFileReader.open(in)
       try {
         reader.getFooter.getBlocks.asScala.toSeq.map { block =>
           block.getColumns.asScala
             .filter(c => cols.contains(c.getPath.toDotString))
-            .map { c =>
+            .flatMap { c =>
+              // a stats-less or all-null row-group chunk has no
+              // min/max — OMIT the column (matchingRowGroups treats a
+              // missing entry as "cannot prune", the conservative
+              // read a real scan would make) instead of NPEing on it
               val st = c.getStatistics
-              val lo = st.genericGetMin match {
-                case l: java.lang.Long => l.longValue()
-                case i: java.lang.Integer => i.longValue()
-                case other => other.toString.toLong
+              def toLong(v: Any): Option[Long] = v match {
+                case null => None
+                case l: java.lang.Long => Some(l.longValue())
+                case i: java.lang.Integer => Some(i.longValue())
+                case other => Some(other.toString.toLong)
               }
-              val hi = st.genericGetMax match {
-                case l: java.lang.Long => l.longValue()
-                case i: java.lang.Integer => i.longValue()
-                case other => other.toString.toLong
-              }
-              c.getPath.toDotString -> ((lo, hi))
+              if (st == null || st.isEmpty) None
+              else for {
+                lo <- toLong(st.genericGetMin)
+                hi <- toLong(st.genericGetMax)
+              } yield c.getPath.toDotString -> ((lo, hi))
             }.toMap
         }
       } finally reader.close()

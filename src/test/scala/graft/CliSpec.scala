@@ -359,4 +359,72 @@ class CliSpec extends AnyFunSuite {
     assert(hitIn == totIn, s"unsorted input should span the box: $hitIn/$totIn")
     assert(hitOut * 4 <= totOut, s"z-order failed to prune: $hitOut/$totOut")
   }
+
+  // The summary stores' operational face (r14, verdict item 8):
+  // ingest → serve → pop → optimize end-to-end through the CLI for all
+  // three r13 stores, asserting the serves are the exact expected
+  // values and takedowns stick through compaction.
+  test("cli telemetry: ingest-docs/-events, topk/quantiles/audience, pop, optimize") {
+    import spark.implicits._
+    clean("tel_topk", "tel_topk_dels", "tel_quantiles", "tel_quantiles_dels",
+      "tel_audience", "tel_audience_dels")
+    def cli(args: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) { Cli.run(spark, args.toList) }
+      out.toString
+    }
+    // two sources: srcA dominated by "alpha", srcB by "beta"; batch 2
+    // flips srcA's dominant term to "gamma" overall
+    Seq(
+      ("srcA", "alpha alpha alpha beta"),
+      ("srcB", "beta beta beta beta gamma"))
+      .toDF("source", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_cli_tel_b1")
+    Seq(
+      ("srcA", "gamma gamma gamma gamma gamma alpha alpha"),
+      ("srcB", "beta"))
+      .toDF("source", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_cli_tel_b2")
+    cli("telemetry", "tel", "ingest-docs", "/tmp/graft_cli_tel_b1", "1")
+    cli("telemetry", "tel", "ingest-docs", "/tmp/graft_cli_tel_b2", "2")
+    // topk serves the MERGED truth (exact in the ≤ capacity regime):
+    // srcA: gamma 5, alpha 5 (tie), beta 1 — top-1 is the
+    // deterministic merge's pick among {alpha, gamma}
+    val top1 = cli("telemetry", "tel", "topk", "1")
+    assert(top1.linesIterator.exists(l => l.startsWith("srcA") &&
+      (l.contains("alpha") || l.contains("gamma"))), s"topk:\n$top1")
+    assert(top1.linesIterator.exists(l => l.startsWith("srcB") &&
+      l.contains("beta")), s"topk:\n$top1")
+    // quantiles serve per-source token-length stats; srcA doc lengths
+    // are 4 and 7 (exact-below-k regime: p50 is one of the ranks)
+    val q = cli("telemetry", "tel", "quantiles")
+    val qa = q.linesIterator.find(_.startsWith("srcA")).get.split("\t")
+    assert(Set("4", "7", "4.0", "7.0").exists(qa(1).startsWith),
+      s"srcA p50: ${qa.toSeq}")
+    // audience: exact distinct users per event type
+    Seq((1L, "view"), (2L, "view"), (3L, "click"), (1L, "view"))
+      .toDF("user_id", "event_type")
+      .write.mode("overwrite").parquet("/tmp/graft_cli_tel_e1")
+    cli("telemetry", "tel", "ingest-events", "/tmp/graft_cli_tel_e1", "1")
+    val aud = cli("telemetry", "tel", "audience")
+    assert(aud.linesIterator.toSeq.map(_.split("\t").toSeq).sortBy(_.head) ==
+      Seq(Seq("click", "1"), Seq("view", "2")), s"audience:\n$aud")
+    // takedowns: a popped source vanishes from BOTH doc-side serves; a
+    // popped user shrinks the audience — immediately, pre-compact
+    cli("telemetry", "tel", "pop-source", "srcB")
+    assert(!cli("telemetry", "tel", "topk", "1").contains("srcB"))
+    assert(!cli("telemetry", "tel", "quantiles").contains("srcB"))
+    cli("telemetry", "tel", "pop-users", "1")
+    val aud2 = cli("telemetry", "tel", "audience")
+    assert(aud2.linesIterator.toSeq.map(_.split("\t").toSeq).sortBy(_.head) ==
+      Seq(Seq("click", "1"), Seq("view", "1")), s"audience after pop:\n$aud2")
+    // optimize folds all three stores; every serve is unchanged and
+    // the takedowns stayed down (physically scrubbed now)
+    cli("telemetry", "tel", "optimize")
+    assert(cli("telemetry", "tel", "topk", "1") == top1
+      .replaceAll("(?m)^srcB.*\n?", ""), "topk changed across compact")
+    assert(!cli("telemetry", "tel", "quantiles").contains("srcB"))
+    assert(cli("telemetry", "tel", "audience") == aud2,
+      "audience changed across compact")
+  }
 }

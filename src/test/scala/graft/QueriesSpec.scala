@@ -11,6 +11,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
@@ -559,6 +560,92 @@ class QueriesSpec extends AnyFunSuite {
       if (exact > 0) assert(pmi > -4L, s"($a,$b): positive pair, pmi $pmi")
       if (exact < 0) assert(pmi < 4L, s"($a,$b): negative pair, pmi $pmi")
     }
+  }
+
+  test("f25b personalized pagerank: driver reference, zero-certificate, " +
+      "seed restriction") {
+    import spark.implicits._
+    // hand graph with an unreachable island (d, e): the walk from seed
+    // a must leave them at EXACTLY 0
+    val hand = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))
+    def reference(edges: Seq[(String, String)], seeds: Set[String],
+        iters: Int): Map[String, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+          (85L * r(u)) / (100L * deg(u)) }.sum).toMap
+        r = nodes.map(n =>
+          n -> ((if (seeds(n)) 150000L else 0L) + in.getOrElse(n, 0L))).toMap
+      }
+      r
+    }
+    val got = graft.operators.PageRank.personalizedRanks(
+        hand.toDF("src", "dst"), Seq("a").toDF("id"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = reference(hand, Set("a"), 10)
+    assert(got == want, s"$got != $want")
+    assert(got("d") == 0L && got("e") == 0L, "island leaked phantom mass")
+    // the full f25b face: nonzero mass exists, total mass bounded by
+    // (#seeds)·scale (floors only leak, teleport only feeds seeds),
+    // and strictly fewer nodes carry mass than in the global f25 rank
+    val rows = SparkEntry.queries("f25b_pagerank_personalized")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.exists(_._2 > 0L), "no seed mass")
+    assert(rows.exists(_._2 == 0L), "personalization reached every node")
+    val f25n = SparkEntry.queries("f25_pagerank")(spark, sf).count()
+    assert(rows.length.toLong == f25n, "rank vector must cover all nodes")
+  }
+
+  test("f28 communities: per-edge support, truss filter, converged labels") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{LabelProp, Triangles}
+    // K4: every edge sits on exactly 2 triangles
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b } yield (a, b)
+    val k4sup = Triangles.perEdge(k4.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(k4sup == k4.map(_ -> 2L).toMap, s"K4 supports: $k4sup")
+    // two triangles joined by a bridge: the bridge edge has support 0
+    // (absent from perEdge), so min-label propagation over the
+    // support-filtered edges yields two communities
+    val twoTri = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val sup = Triangles.perEdge(twoTri.toDF("src", "dst"))
+    assert(!sup.collect().exists(r =>
+      r.getString(0) == "c" && r.getString(1) == "x"), "bridge on a triangle?")
+    val labels = LabelProp.minLabelRounds(
+        sup.select(col("a").as("src"), col("b").as("dst")), rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"), s"labels: $labels")
+    // the full f28 face: every member's community is a member id, a
+    // root exists, and the 10 fixed rounds CONVERGED on the gated
+    // dataset — the labels equal the true component minima from the
+    // convergence-checked Components.minLabel on the same truss edges
+    val f28 = SparkEntry.queries("f28_communities")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(f28.nonEmpty)
+    val members = f28.map(_._1).toSet
+    assert(f28.forall { case (_, c) => members.contains(c) },
+      "community label is not a member id")
+    assert(f28.exists { case (n, c) => n == c }, "no community root")
+    val liS = Tables.load(spark, sf, "lineitem").select(
+      concat(lit("order-"), col("l_orderkey")).as("o"),
+      concat(lit("part-"), col("l_partkey")).as("p"),
+      concat(lit("supplier-"), col("l_suppkey")).as("sp"))
+    val edgesS = liS.select(col("o").as("src"), col("p").as("dst"))
+      .unionAll(liS.select(col("p").as("src"), col("sp").as("dst")))
+      .unionAll(liS.select(col("o").as("src"), col("sp").as("dst")))
+    val keptS = Triangles.perEdge(edgesS).filter(col("support") >= 2)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comp = graft.operators.Components.minLabel(keptS)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(f28.toMap == comp,
+      "10 LP rounds did not reach the component fixed point")
   }
 
   test("every registry query executes deterministically on sf0.001") {
