@@ -50,6 +50,11 @@ import graft.sources.{BitmapStore, FpxStore, FtmJson, QuantileStore,
   *   stats <table>                      per dataset/schema counts
   *   query <table> [k=v ...]            dataset=, schema=, limit=,
   *                                      where=prop:op:value (repeat)
+  *   graph <table> <verb> …             the GraphStore operational
+  *                                      face: ingest edge batches,
+  *                                      refresh served analytics,
+  *                                      rank/community point lookups,
+  *                                      pop, staleness
   *   telemetry <base> <verb> …          the summary-store operational
   *                                      face: ingest-docs/-events fold
   *                                      batches into <base>_topk /
@@ -334,6 +339,46 @@ object Cli {
         println(s"z-ordered $inPath -> $outPath on ${zCols.mkString(",")} " +
           s"($files files)")
 
+      // graph <table> <verb> … — the GraphStore's operational face:
+      // ingest edge batches, refresh the served analytics at the
+      // operator's cadence, answer rank/community point questions
+      // from the stored tables, take entities down. The staleness
+      // verb makes the as-of contract inspectable from the shell.
+      case "graph" :: table :: rest =>
+        import graft.sources.GraphStore
+        rest match {
+          case "ingest" :: path :: ver :: Nil =>
+            GraphStore.append(spark.read.parquet(path), table, ver.toLong)
+            println(s"graph: appended batch $ver into $table")
+          case "refresh" :: ms if ms.length <= 1 =>
+            GraphStore.refresh(spark, table,
+              minSupport = ms.headOption.map(_.toLong).getOrElse(2L))
+            println(s"graph: refreshed $table analytics")
+          case "rank" :: idArg if idArg.length <= 1 =>
+            val r = GraphStore.ranks(spark, table)
+            val sel = idArg.headOption
+              .map(id => r.filter(col("id") === id)).getOrElse(
+                r.orderBy(col("r").desc).limit(20))
+            sel.collect().foreach(x => println(x.mkString("\t")))
+          case "community" :: idArg if idArg.length <= 1 =>
+            val c = GraphStore.communities(spark, table)
+            val sel = idArg.headOption
+              .map(id => c.filter(col("node") === id)).getOrElse(c)
+            sel.orderBy("community", "node")
+              .collect().foreach(x => println(x.mkString("\t")))
+          case "pop" :: id :: Nil =>
+            import spark.implicits._
+            GraphStore.pop(spark, table, Seq(id).toDF("id"))
+            println(s"graph: popped $id")
+          case "staleness" :: Nil =>
+            val (asOf, cur) = GraphStore.staleness(spark, table)
+            println(s"$asOf\t$cur\t${if (asOf == cur) "fresh" else "stale"}")
+          case other =>
+            sys.error("usage: graph <table> ingest <parquet> <ver> | " +
+              s"refresh [minSupport] | rank [id] | community [id] | " +
+              s"pop <id> | staleness, got: $other")
+        }
+
       // telemetry <base> <verb> … — the operational face of the three
       // summary stores (the st16b takedown story completed):
       // continuous term/length/audience telemetry served from stored
@@ -405,7 +450,7 @@ object Cli {
 
       case other =>
         sys.error(
-          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query|zorder|telemetry, " +
+          s"usage: init|ingest|optimize|pop|xref|judge|resolve|migrate|treeify|untreeify|stats|traverse|query|zorder|telemetry|graph, " +
             s"got: $other")
     }
 }

@@ -1529,6 +1529,71 @@ object Queries {
        |SELECT node AS entity_id, label AS community FROM lab10""".stripMargin
   }
 
+  /** f29 — k-core membership over the lineitem co-occurrence graph
+    * ([[graft.operators.KCore]]): the third cohesion face (f26: how
+    * many closed triples; f28: which community; THIS: does the entity
+    * survive in the subgraph where everyone keeps ≥ 3 live
+    * neighbors — the density screen that drops one-shot orders and
+    * peripheral parts before the expensive per-node metrics run).
+    * Ten synchronous peel rounds, integer-exact (membership + in-core
+    * degree), so the DuckDB twin running the identical rounds as
+    * chained MATERIALIZED CTEs hash-gates every row; the spec asserts
+    * the rounds CONVERGED (≡ an unbounded driver-side peel at
+    * sf0.001). Node ids ride as f26's tagged longs — the output here
+    * is a DEGREE, not an id-ordered label, so the long order is
+    * semantically invisible (unlike f28, which must propagate string
+    * labels).
+    */
+  def f29Kcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select(
+      ($"l_orderkey" * 4).as("o"),
+      ($"l_partkey" * 4 + 1).as("p"),
+      ($"l_suppkey" * 4 + 2).as("sp"))
+    val edges = li.select($"o".as("src"), $"p".as("dst"))
+      .unionAll(li.select($"p".as("src"), $"sp".as("dst")))
+      .unionAll(li.select($"o".as("src"), $"sp".as("dst")))
+    graft.operators.KCore.membership(edges, k = 3L, rounds = 10)
+      .select(
+        concat(
+          element_at(lit(Array("order-", "part-", "supplier-", "?")),
+            (pmod($"node", lit(4)) + 1).cast("int")),
+          shiftright($"node", 2)).as("entity_id"),
+        $"d".as("core_degree"))
+  }
+
+  // MATERIALIZED is load-bearing, the f28 rule: e_{i-1} feeds both
+  // keep_i (twice via the union) and e_i — default inlining would
+  // expand the round chain exponentially
+  val f29Sql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT a AS node FROM e${i - 1}
+         |    UNION ALL SELECT b FROM e${i - 1}) t
+         |  GROUP BY 1 HAVING COUNT(*) >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN keep$i ka ON ka.node = e.a
+         |  JOIN keep$i kb ON kb.node = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT 'order-' || l_orderkey AS o, 'part-' || l_partkey AS p,
+       |    'supplier-' || l_suppkey AS sp
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(o, p) AS a, greatest(o, p) AS b FROM tr
+       |  UNION
+       |  SELECT DISTINCT least(p, sp), greatest(p, sp) FROM tr
+       |  UNION
+       |  SELECT DISTINCT least(o, sp), greatest(o, sp) FROM tr),
+       |$rounds
+       |SELECT node AS entity_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM (
+       |  SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10) t
+       |GROUP BY 1""".stripMargin
+  }
+
   /** f11 — entity_id → canonical_id resolution by identical name
     * fingerprint.
     */
@@ -2677,7 +2742,8 @@ object Queries {
     "f25b_pagerank_personalized" -> (f25bPersonalizedPagerank _),
     "f26_triangles" -> (f26Triangles _),
     "f27_cooccur_pmi" -> (f27CooccurrencePmi _),
-    "f28_communities" -> (f28Communities _)
+    "f28_communities" -> (f28Communities _),
+    "f29_kcore" -> (f29Kcore _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2743,6 +2809,7 @@ object Queries {
     "f25b_pagerank_personalized" -> f25bSql,
     "f26_triangles" -> f26Sql,
     "f27_cooccur_pmi" -> f27Sql,
-    "f28_communities" -> f28Sql
+    "f28_communities" -> f28Sql,
+    "f29_kcore" -> f29Sql
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** k-CORE membership by synchronous peeling — the third face of the
+  * graph-cohesion trio (f26 triangles: per-node closure; f28 truss:
+  * per-edge triangle support; THIS: the maximal subgraph where every
+  * member keeps ≥ k live neighbors — Seidman 1983's degeneracy
+  * core, the standard "dense enough to matter" screen investigators
+  * run before the expensive per-node metrics).
+  *
+  * Each synchronous round recomputes degrees over the SURVIVING edge
+  * set and drops every node below k; peeling cascades (removing a
+  * hub's pendant can sink the hub next round) until a fixed point. A
+  * FIXED round count keeps it engine-portable — the DuckDB twin runs
+  * the identical rounds as chained CTEs, so membership and in-core
+  * degrees hash-gate; the f29 spec asserts the rounds CONVERGED on
+  * the gated data (round R ≡ an unbounded driver-side peel).
+  *
+  * Scale shape: per round ONE node-grain degree aggregate (map-side
+  * combined) and TWO semi-joins of the edge set against the node-
+  * grain survivor table — the f25/f28 round shape; nothing broadcast,
+  * rounds lineage-broken with eager localCheckpoints and superseded
+  * snapshots released (the Components discipline).
+  */
+object KCore {
+
+  /** Nodes of the k-core after `rounds` synchronous peels, with their
+    * in-core degree. `edges`: undirected rows (`src`, `dst`),
+    * deduplicated/canonicalized internally, self-loops dropped.
+    */
+  def membership(
+      edges: DataFrame, k: Long, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"kcore: rounds must be >= 1, got $rounds")
+    val sc = edges.sparkSession.sparkContext
+    import Components.{checkpointDiff, release}
+    val ser = StorageLevel.MEMORY_AND_DISK_SER
+    var (e, eBlocks) = checkpointDiff(sc) {
+      edges
+        .select(least(col(src), col(dst)).as("a"),
+          greatest(col(src), col(dst)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true, ser)
+    }
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("a").as("node"))
+        .unionAll(ed.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+    var i = 0
+    while (i < rounds) {
+      val (next, nBlocks) = checkpointDiff(sc) {
+        val keep = degrees(e).filter(col("d") >= k).select(col("node"))
+        e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true, ser)
+      }
+      release(sc, eBlocks)
+      e = next
+      eBlocks = nBlocks
+      i += 1
+    }
+    val (out, _) = checkpointDiff(sc) {
+      degrees(e).select(col("node"), col("d")).localCheckpoint()
+    }
+    release(sc, eBlocks)
+    out
+  }
+}

@@ -1,0 +1,233 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LabelProp, PageRank, Triangles}
+
+/** The stored entity graph WITH its served analytics — the summary-
+  * store fence ([[SketchStore]]/[[TopKStore]] discipline) applied to
+  * whole-graph algorithms: PageRank and community labels are the
+  * "summaries" here, maintained at a refresh cadence and SERVED from
+  * node-grain tables, so "what is this entity's rank / community"
+  * costs a bucketed point lookup instead of ten edge-grain rounds.
+  * Recomputing f25 per question is absurd at 100 TB; every production
+  * graph system serves from a materialized rank table — this is that
+  * table, with the staleness made VISIBLE instead of implicit.
+  *
+  * Tables:
+  *   - `<table>`       — the edge set (src, dst, ver), bucketed by
+  *                       src; append-only batches, duplicates
+  *                       collapsed at read (an edge set is a SET, so
+  *                       replayed batches are absorbed STRUCTURALLY —
+  *                       the KMV-class immunity, no version dedup).
+  *   - `<table>_dels`  — node-grain tombstones ([[pop]]): an entity
+  *                       takedown excludes every incident edge from
+  *                       the next read, refresh rebuilds the
+  *                       analytics without it, and [[refresh]] (which
+  *                       rewrites the edge table FINAL) retires them.
+  *   - `<table>_ranks` — (id, r, as_of) — the f25 integer-exact rank
+  *                       vector at the last refresh.
+  *   - `<table>_communities` — (node, community, as_of) — the f28
+  *                       truss-filtered min-label communities.
+  *
+  * AS-OF semantics, stated: serves answer from the LAST refresh —
+  * appends and pops between refreshes change [[edges]] immediately
+  * but ranks/communities only at the next [[refresh]] (exactly a
+  * ClickHouse materialized view refreshed on schedule). Every serve
+  * row carries `as_of` (the max edge `ver` the refresh covered) and
+  * [[staleness]] reports how many edge batches it lags, so a caller
+  * can never mistake a stale summary for a live one.
+  *
+  * 100 TB shape: append is batch-bounded (one bucketed write); serves
+  * are node-grain scans or bucket-pruned point lookups that never
+  * touch the edge set; refresh is the one corpus-grain face and runs
+  * OFF the serving path (stage + swap, reads stay live throughout —
+  * the DocStore.compactStage discipline).
+  */
+object GraphStore {
+
+  private def writeEdges(
+      df: DataFrame, table: String, buckets: Int, mode: SaveMode): Unit =
+    BucketedLayout(df, buckets, Seq("src")).write
+      .mode(mode)
+      .bucketBy(buckets, "src")
+      .sortBy("src")
+      .format("parquet")
+      .saveAsTable(table)
+
+  private def writeNodeTable(
+      df: DataFrame, table: String, buckets: Int, keyCol: String,
+      mode: SaveMode): Unit =
+    BucketedLayout(df, buckets, Seq(keyCol)).write
+      .mode(mode)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Append an edge batch (columns `src`, `dst`; anything extra is
+    * dropped). `ver` stamps the batch for staleness accounting —
+    * monotone per caller (a stream's batch id, an ingest counter).
+    */
+  def append(
+      edges: DataFrame, table: String, ver: Long,
+      buckets: Int = 16): Unit = {
+    val rows = edges.select(col("src").cast("string"),
+      col("dst").cast("string")).withColumn("ver", lit(ver))
+    val spark = edges.sparkSession
+    if (!spark.catalog.tableExists(table))
+      writeEdges(rows, table, buckets, SaveMode.ErrorIfExists)
+    else writeEdges(rows, table, buckets, SaveMode.Append)
+  }
+
+  /** Entity takedown: tombstone a node — every incident edge vanishes
+    * from [[edges]] (and so from the next refresh) immediately; the
+    * rank/community tables keep serving their as-of snapshot until
+    * [[refresh]], which also drops the rows physically and retires
+    * the tombstones (the StatementStore pop contract at node grain).
+    */
+  def pop(spark: SparkSession, table: String, nodes: DataFrame): Unit =
+    nodes.select(col("id").cast("string")).distinct()
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_dels")
+
+  private def dels(spark: SparkSession, table: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${table}_dels")) None
+    else {
+      spark.catalog.refreshTable(s"${table}_dels")
+      Some(spark.table(s"${table}_dels").select(col("id")).distinct())
+    }
+
+  /** The live DISTINCT edge set, tombstoned nodes excluded. */
+  def edges(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val base = spark.table(table).select(col("src"), col("dst")).distinct()
+    dels(spark, table) match {
+      case None => base
+      case Some(d) =>
+        base
+          .join(broadcast(d).withColumnRenamed("id", "src"),
+            Seq("src"), "left_anti")
+          .join(broadcast(d).withColumnRenamed("id", "dst"),
+            Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+    }
+  }
+
+  private def maxVer(spark: SparkSession, table: String): Long = {
+    spark.catalog.refreshTable(table) // cloned-session staleness: SketchStore doc
+    val r = spark.table(table).agg(max(col("ver"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Recompute the served analytics from the LIVE edge set — the one
+    * corpus-grain face, run at the compact cadence, off the serving
+    * path: ranks (f25's integer fixed point), communities (f28's
+    * truss + min-label propagation), each staged and swapped so reads
+    * never block; then the edge table itself is rewritten FINAL
+    * (duplicates and tombstoned nodes dropped physically) and the
+    * tombstones retire if no new pop landed mid-refresh.
+    */
+  def refresh(
+      spark: SparkSession, table: String, iters: Int = 10,
+      minSupport: Long = 2L, lpRounds: Int = 10,
+      buckets: Int = 16): Unit = {
+    val delsSnap =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    val asOf = maxVer(spark, table)
+    // the live edge set feeds three consumers (ranks, census, FINAL
+    // rewrite) — materialized once, released when the refresh is done
+    // (the Components discipline; refresh is off the serving path, so
+    // nothing outlives this call)
+    import graft.operators.Components.{checkpointDiff, release}
+    val (e, eBlocks) = checkpointDiff(spark.sparkContext) {
+      edges(spark, table).localCheckpoint()
+    }
+    val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+
+    val ranks = PageRank.ranks(e, iters)
+      .withColumn("as_of", lit(asOf))
+    stageSwap(spark, s"${table}_ranks", b, "id")(ranks)
+
+    val kept = Triangles.perEdge(e)
+      .filter(col("support") >= minSupport)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comm = LabelProp.minLabelRounds(kept, lpRounds)
+      .select(col("node"), col("label").as("community"))
+      .withColumn("as_of", lit(asOf))
+    stageSwap(spark, s"${table}_communities", b, "node")(comm)
+
+    // FINAL rewrite of the edge set: dedup + tombstone scrub durable
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropAllStages(spark, table)
+    writeEdges(e.withColumn("ver", lit(asOf)), tmp, b, SaveMode.Overwrite)
+    TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
+      writeEdges(df, table, b, SaveMode.Append))
+    val delsNow =
+      if (spark.catalog.tableExists(s"${table}_dels"))
+        spark.table(s"${table}_dels").inputFiles.toSet
+      else Set.empty[String]
+    if (delsNow == delsSnap && delsNow.nonEmpty)
+      graft.Probes.dropManaged(spark, s"${table}_dels")
+    release(spark.sparkContext, eBlocks)
+  }
+
+  private def stageSwap(
+      spark: SparkSession, table: String, buckets: Int, keyCol: String)(
+      rows: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      writeNodeTable(rows, table, buckets, keyCol, SaveMode.ErrorIfExists)
+    } else {
+      // rewrite at the CREATION bucketing (the st16b rule): a count
+      // mismatch would write file bucket ids the table spec disowns
+      val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+      val tmp = TableSwap.stageName(spark, table)
+      TableSwap.dropAllStages(spark, table)
+      writeNodeTable(rows, tmp, b, keyCol, SaveMode.Overwrite)
+      TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
+        writeNodeTable(df, table, b, keyCol, SaveMode.Append))
+    }
+  }
+
+  /** Served rank vector (id, r, as_of) — node-grain, never touches
+    * the edge set. Tombstoned nodes are masked immediately even
+    * though the snapshot predates the pop (a takedown must not keep
+    * serving the popped entity's analytics).
+    */
+  def ranks(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_ranks")
+    val base = spark.table(s"${table}_ranks")
+    dels(spark, table) match {
+      case None => base
+      case Some(d) => base.join(broadcast(d), Seq("id"), "left_anti")
+    }
+  }
+
+  /** Served communities (node, community, as_of); tombstone-masked
+    * like [[ranks]].
+    */
+  def communities(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_communities")
+    val base = spark.table(s"${table}_communities")
+    dels(spark, table) match {
+      case None => base
+      case Some(d) =>
+        base.join(broadcast(d).withColumnRenamed("id", "node"),
+          Seq("node"), "left_anti")
+    }
+  }
+
+  /** How many edge batches the served analytics lag: (as_of of the
+    * rank snapshot, current max edge ver). Equal ⇒ fresh.
+    */
+  def staleness(spark: SparkSession, table: String): (Long, Long) = {
+    val asOf = {
+      val r = ranks(spark, table).agg(max(col("as_of"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    (asOf, maxVer(spark, table))
+  }
+}

@@ -661,6 +661,33 @@ object Streams {
         graft.sources.BitmapStore.compact(spark, table)
     }
 
+  /** st25 — streaming GRAPH ingest with served analytics: an edge
+    * stream (columns `src`, `dst`) folds into a [[graft.sources
+    * .GraphStore]] per micro-batch, and every `refreshEvery` batches
+    * the store recomputes its rank/community tables off the critical
+    * path of the append — "which entities anchor the graph we have
+    * ingested SO FAR" served at point-lookup cost at any moment, with
+    * the staleness VISIBLE (`GraphStore.staleness`). The replay story
+    * is structural (an edge set is a SET — the st18 algebra): a
+    * replayed micro-batch appends rows the distinct-at-read absorbs,
+    * so the refreshed analytics are bit-identical with NO version
+    * dedup; the version stamp exists only for staleness accounting.
+    * Node takedowns ([[graft.sources.GraphStore.pop]]) mask every
+    * serve immediately mid-stream and scrub physically at the next
+    * refresh tick — the st16 takedown contract at graph grain.
+    */
+  def graphTelemetry(
+      edges: DataFrame, table: String, refreshEvery: Int = 0,
+      iters: Int = 10, minSupport: Long = 2L, lpRounds: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestInto(edges) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      graft.sources.GraphStore.append(batch, table, batchId)
+      if (refreshEvery > 0 && batchId % refreshEvery == refreshEvery - 1)
+        graft.sources.GraphStore.refresh(spark, table, iters, minSupport,
+          lpRounds)
+    }
+
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at
     * stream grain — two unbounded event streams joined on key +
     * event-time range through Spark's NATIVE stream-stream inner

@@ -427,4 +427,36 @@ class CliSpec extends AnyFunSuite {
     assert(cli("telemetry", "tel", "audience") == aud2,
       "audience changed across compact")
   }
+  test("cli graph: ingest, refresh, rank/community lookups, pop, staleness") {
+    import spark.implicits._
+    clean("cli_graph", "cli_graph_dels", "cli_graph_ranks",
+      "cli_graph_communities")
+    def cli(args: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) { Cli.run(spark, args.toList) }
+      out.toString
+    }
+    Seq(("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"),
+      ("x", "z"), ("c", "x")).toDF("src", "dst")
+      .write.mode("overwrite").parquet("/tmp/graft_cli_graph_b1")
+    cli("graph", "cli_graph", "ingest", "/tmp/graft_cli_graph_b1", "1")
+    assert(cli("graph", "cli_graph", "refresh", "1").contains("refreshed"))
+    // point lookups from the STORED tables
+    val ra = cli("graph", "cli_graph", "rank", "a").trim.split("\t")
+    assert(ra(0) == "a" && ra(1).toLong >= 150000L, ra.toSeq.toString)
+    assert(cli("graph", "cli_graph", "community", "z").trim
+      .split("\t").take(2).toSeq == Seq("z", "x"))
+    assert(cli("graph", "cli_graph", "staleness").contains("fresh"))
+    // a second batch makes the serve stale — visibly
+    Seq(("z", "w")).toDF("src", "dst")
+      .write.mode("overwrite").parquet("/tmp/graft_cli_graph_b2")
+    cli("graph", "cli_graph", "ingest", "/tmp/graft_cli_graph_b2", "2")
+    assert(cli("graph", "cli_graph", "staleness").contains("stale"))
+    // takedown masks immediately; refresh scrubs and catches up
+    cli("graph", "cli_graph", "pop", "a")
+    assert(!cli("graph", "cli_graph", "rank").contains("a\t"))
+    cli("graph", "cli_graph", "refresh", "1")
+    assert(cli("graph", "cli_graph", "staleness").contains("fresh"))
+    assert(cli("graph", "cli_graph", "rank", "w").trim.nonEmpty)
+  }
 }

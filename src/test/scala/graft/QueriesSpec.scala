@@ -648,6 +648,54 @@ class QueriesSpec extends AnyFunSuite {
       "10 LP rounds did not reach the component fixed point")
   }
 
+  test("f29 k-core: hand graphs, cascade peel, converged at the registry rounds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.KCore
+    def run(es: Seq[(String, String)], k: Long,
+        rounds: Int = 10): Map[String, Long] =
+      KCore.membership(es.toDF("src", "dst"), k, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // triangle + pendant: the 2-core is the triangle (pendant peeled)
+    val pend = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    assert(run(pend, 2) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // the CASCADE: a path hanging off a 4-clique peels node by node —
+    // one round per hop — and the clique survives at k = 3
+    val clique = for { x <- Seq("a", "b", "c", "d")
+      y <- Seq("a", "b", "c", "d") if x < y } yield (x, y)
+    val chain = Seq(("d", "p1"), ("p1", "p2"), ("p2", "p3"))
+    val k4core = Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L)
+    assert(run(clique ++ chain, 2) == k4core,
+      s"k=2 cascade: ${run(clique ++ chain, 2)}")
+    assert(run(clique ++ chain, 3) == k4core)
+    // K4 is its own 3-core; at k = 4 everything peels
+    assert(run(clique, 4).isEmpty)
+    // the registry face CONVERGED at 10 rounds: equals an UNBOUNDED
+    // driver-side peel of the same graph at sf0.001
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (s"order-${r.getLong(0)}",
+        s"part-${r.getLong(1)}", s"supplier-${r.getLong(2)}"))
+    var edges = li.flatMap { case (o, p, sp) =>
+      Seq((o, p), (p, sp), (o, sp)) }
+      .map { case (x, y) => if (x < y) (x, y) else (y, x) }
+      .distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = edges.filter { case (a, b) => deg(a) >= 3 && deg(b) >= 3 }
+      changed = next != edges
+      edges = next
+    }
+    val want = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("f29_kcore")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "10 peel rounds did not reach the fixed point")
+    assert(got.nonEmpty && got.values.forall(_ >= 3L))
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

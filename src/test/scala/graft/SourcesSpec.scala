@@ -1207,4 +1207,72 @@ class SourcesSpec extends AnyFunSuite {
     assert(present._1 < present._2,
       "the id's own row groups must survive the probe")
   }
+
+  // GraphStore (r14): the summary-store fence applied to whole-graph
+  // analytics — ranks/communities maintained at a refresh cadence and
+  // SERVED from node-grain tables with the staleness VISIBLE. Gates:
+  // served ≡ recompute at every refresh; appends change serves only at
+  // refresh (as-of semantics, staleness reports the lag); a replayed
+  // edge batch is absorbed structurally (the edge set is a SET); a
+  // node takedown masks every serve immediately and refresh scrubs it
+  // physically + retires the tombstones.
+  test("graph store: served ≡ recompute, as-of staleness, replay immunity, takedown") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    import graft.sources.GraphStore
+    Seq("gstore", "gstore_dels", "gstore_ranks", "gstore_communities")
+      .foreach(dropTable)
+    def rankMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("id"), col("r")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b1 = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")).toDF("src", "dst")
+    GraphStore.append(b1, "gstore", ver = 1, buckets = 2)
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    val served1 = rankMap(GraphStore.ranks(spark, "gstore"))
+    assert(served1 == rankMap(PageRank.ranks(
+      GraphStore.edges(spark, "gstore"))), "served rank != recompute")
+    val comm1 = GraphStore.communities(spark, "gstore")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the bridge c-x sits on no triangle: two truss communities
+    assert(comm1 == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"), s"communities: $comm1")
+    assert(GraphStore.staleness(spark, "gstore") == ((1L, 1L)))
+    // appends change the EDGES immediately but serves only at refresh
+    val b2 = Seq(("z", "w"), ("y", "w")).toDF("src", "dst")
+    GraphStore.append(b2, "gstore", ver = 2, buckets = 2)
+    assert(rankMap(GraphStore.ranks(spark, "gstore")) == served1,
+      "serve moved before refresh")
+    assert(GraphStore.staleness(spark, "gstore") == ((1L, 2L)))
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    val served2 = rankMap(GraphStore.ranks(spark, "gstore"))
+    assert(served2 == rankMap(PageRank.ranks(
+      GraphStore.edges(spark, "gstore"))), "post-refresh serve != recompute")
+    assert(served2.contains("w") && served2 != served1)
+    assert(GraphStore.staleness(spark, "gstore") == ((2L, 2L)))
+    // replayed batch: the edge set absorbs it structurally — the
+    // refreshed ranks are bit-identical
+    GraphStore.append(b2, "gstore", ver = 3, buckets = 2)
+    assert(GraphStore.edges(spark, "gstore").count() == 9)
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    assert(rankMap(GraphStore.ranks(spark, "gstore")) == served2,
+      "replayed batch moved the rank vector")
+    // takedown: the popped node vanishes from EVERY face immediately
+    // (edges, ranks, communities — even though the snapshots predate
+    // the pop), refresh scrubs physically and retires the tombstones
+    GraphStore.pop(spark, "gstore", Seq("x").toDF("id"))
+    assert(!GraphStore.edges(spark, "gstore").collect()
+      .exists(r => r.getString(0) == "x" || r.getString(1) == "x"))
+    assert(!GraphStore.ranks(spark, "gstore").collect()
+      .exists(_.getString(0) == "x"))
+    assert(!GraphStore.communities(spark, "gstore").collect()
+      .exists(_.getString(0) == "x"))
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    assert(!spark.catalog.tableExists("gstore_dels"),
+      "tombstones must retire at refresh")
+    val served3 = rankMap(GraphStore.ranks(spark, "gstore"))
+    assert(!served3.contains("x"))
+    assert(served3 == rankMap(PageRank.ranks(
+      GraphStore.edges(spark, "gstore"))), "post-pop serve != recompute")
+  }
 }

@@ -1818,4 +1818,70 @@ class StreamingSpec extends AnyFunSuite {
       assert(servedNow() == exactNow(), "after double compact")
     } finally q.stop()
   }
+  // st25: the GraphStore maintained from an edge STREAM — refresh
+  // ticks fire on the batch cadence, serves answer from the last tick
+  // with visible staleness, a takedown masks mid-stream. The batch
+  // contracts (served == recompute, structural replay immunity,
+  // physical scrub) are gated in SourcesSpec "graph store"; this spec
+  // gates the STREAM grain.
+  test("st25 streaming graph telemetry: refresh ticks, staleness between ticks, pop masks mid-stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.sources.GraphStore
+    val table = "st25_graph"
+    Seq(table, s"${table}_dels", s"${table}_ranks",
+      s"${table}_communities").foreach(graft.Probes.dropManaged(spark, _))
+    def served(): Map[String, Long] =
+      GraphStore.ranks(spark, table).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def recompute(): Map[String, Long] =
+      graft.operators.PageRank.ranks(GraphStore.edges(spark, table))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[(String, String)]
+    val q = Streams.graphTelemetry(in.toDF().toDF("src", "dst"), table,
+      refreshEvery = 2, minSupport = 1L)
+      .option("checkpointLocation",
+        "/tmp/graft_warehouse/st25_ckpt_" + System.nanoTime())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 0: appends only (refresh fires on odd batch ids)
+      in.addData(("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"))
+      q.processAllAvailable()
+      assert(!spark.catalog.tableExists(s"${table}_ranks"),
+        "no refresh should have fired yet")
+      // batch 1: refresh tick — served analytics appear and match the
+      // batch recompute on everything ingested so far
+      in.addData(("x", "y"), ("y", "z"), ("x", "z"))
+      q.processAllAvailable()
+      val s1 = served()
+      assert(s1 == recompute(), "tick serve != recompute")
+      val comm = GraphStore.communities(spark, table).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(comm == Map("a" -> "a", "b" -> "a", "c" -> "a",
+        "x" -> "x", "y" -> "x", "z" -> "x"), s"communities: $comm")
+      // batch 2: appends land in the edge set immediately but the
+      // serves hold their as-of snapshot; staleness reports the lag
+      in.addData(("z", "w"))
+      q.processAllAvailable()
+      assert(served() == s1, "serve moved between ticks")
+      val (asOf, cur) = GraphStore.staleness(spark, table)
+      assert(asOf < cur, s"staleness must show the lag: $asOf / $cur")
+      // a takedown masks every serve IMMEDIATELY, mid-stream, without
+      // waiting for the tick
+      GraphStore.pop(spark, table, Seq("a").toDF("id"))
+      assert(!served().contains("a"), "popped node still served")
+      // batch 3: the next tick refreshes — scrubbed analytics, caught
+      // up staleness, tombstones retired
+      in.addData(("w", "v"))
+      q.processAllAvailable()
+      val s3 = served()
+      assert(s3 == recompute(), "post-tick serve != recompute")
+      assert(!s3.contains("a") && s3.contains("w") && s3.contains("v"))
+      assert(!spark.catalog.tableExists(s"${table}_dels"),
+        "tick must retire the tombstones")
+      val (asOf3, cur3) = GraphStore.staleness(spark, table)
+      assert(asOf3 == cur3, "tick must catch the staleness up")
+    } finally q.stop()
+  }
 }
