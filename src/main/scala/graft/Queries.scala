@@ -2574,6 +2574,51 @@ object Queries {
        |  UNION ALL SELECT event_type, 20, t, v FROM lastp)""".stripMargin
   }
 
+  /** q38 — sequence NEXT NODE (the ClickHouse `sequenceNextNode`
+    * surface, head-first/forward direction): per user, order the
+    * event timeline by (ts, event_id), find the FIRST consecutive
+    * 'view' → 'click' chain, and return the event type that follows
+    * it — "after completing this funnel prefix, where do users go
+    * NEXT", the question q26's windowFunnel (did the chain happen)
+    * and q27's sequenceMatch (does the pattern occur) cannot answer.
+    * A chain at the tail yields next_node = 'none' (COALESCE'd
+    * identically in both engines — the gate never compares bare
+    * NULLs). Plan: ONE user-grain exchange drives both window passes
+    * (lead ×2 + row_number share the same (user, ts, event_id)
+    * ordering, and the first-match row_number reuses the same
+    * partitioning), then a filter on k = 1 — no joins, no driver.
+    */
+  def q38SequenceNextNode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val o = t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("n1", lead($"event_type", 1).over(w))
+      .withColumn("n2", lead($"event_type", 2).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter($"event_type" === "view" && $"n1" === "click")
+    val first = Window.partitionBy($"user_id").orderBy($"rn")
+    o.withColumn("k", row_number().over(first))
+      .filter($"k" === 1)
+      .select($"user_id", coalesce($"n2", lit("none")).as("next_node"))
+  }
+
+  val q38Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS n1,
+      |    lead(event_type, 2) OVER w AS n2,
+      |    row_number() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (
+      |  SELECT user_id, n2,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS k
+      |  FROM o WHERE event_type = 'view' AND n1 = 'click')
+      |SELECT user_id, COALESCE(n2, 'none') AS next_node
+      |FROM m WHERE k = 1""".stripMargin
+
   /** q34 — maximum CONCURRENT open intervals per user (the ClickHouse
     * `maxIntersections` / `maxIntersectionsPosition` surface): each
     * "view" opens a 2-hour half-open window [ts, ts+2h); per user, the
@@ -2713,6 +2758,7 @@ object Queries {
     "q35_entropy" -> (q35Entropy _),
     "q36_lttb_downsample" -> (q36LttbDownsample _),
     "q37_histogram" -> (q37Histogram _),
+    "q38_sequence_next_node" -> (q38SequenceNextNode _),
     "f1_statements_unpivot" -> (f1StatementsUnpivot _),
     "f2_entity_assembly" -> (f2EntityAssembly _),
     "f3_replacing_merge" -> (f3ReplacingMerge _),
@@ -2783,6 +2829,7 @@ object Queries {
     "q35_entropy" -> q35Sql,
     "q36_lttb_downsample" -> q36Sql,
     "q37_histogram" -> q37Sql,
+    "q38_sequence_next_node" -> q38Sql,
     "f1_statements_unpivot" -> f1Sql,
     "f2_entity_assembly" -> f2Sql,
     "f3_replacing_merge" -> f3Sql,

