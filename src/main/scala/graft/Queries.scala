@@ -1861,6 +1861,72 @@ object Queries {
        |FROM walk GROUP BY id"""
       .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** f30 — AS-OF traversal: f22's k-hop reach over the graph AS IT
+    * EXISTED at a cutoff — "what could NATION_7 reach by mid-1997",
+    * the time-sliced investigation question composing f21's
+    * time-travel semantics with f22's BFS. Order statements carry
+    * their order date as the statement lifetime (`last_seen` =
+    * o_orderdate — the FTM temporal statement model doing the work);
+    * the edge slice keeps timeless base edges (customer/supplier →
+    * nation) and only the orders placed on-or-before the cutoff, so
+    * hop-2 reach (the seed nation's customers' ORDERS) shrinks to the
+    * period's activity. Same BFS, same recursive-CTE oracle as f22 —
+    * the cutoff is one pushed predicate on the orders branch in both
+    * engines.
+    */
+  def f30TraversalAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1997-06-30").cast("timestamp")
+    val ord = Statements.unpivot(
+      t(s, dir, "orders"),
+      concat(lit("order-"), $"o_orderkey"),
+      schema = "Order", dataset = "tpch_graph",
+      Seq(PropSpec("customer", "entity",
+        concat(lit("customer-"), $"o_custkey"))),
+      lastSeen = $"o_orderdate")
+    val gs = graphStatements(s, dir).unionAll(ord)
+    // base edges are timeless; Order statements live at their date
+    val edges = gs
+      .filter($"prop_type" === "entity" &&
+        ($"schema" =!= "Order" || $"last_seen" <= cutoff))
+      .select($"entity_id".as("src"), $"value".as("dst"))
+    val seeds = gs
+      .filter($"schema" === "Nation" && $"prop" === "name" &&
+        $"value" === "NATION_7")
+      .select($"entity_id".as("id"))
+    Traverse.khop(edges, seeds, maxHops = 2)
+      .select($"id".as("entity_id"), $"hops".cast("long").as("hops"))
+  }
+
+  lazy val f30Sql: String = {
+    val orderPart =
+      s"""SELECT 'order-' || o_orderkey AS entity_id,
+         |  'order-' || o_orderkey AS canonical_id, 'Order' AS "schema",
+         |  'tpch_graph' AS dataset, 'customer' AS prop,
+         |  'entity' AS prop_type,
+         |  CAST('customer-' || o_custkey AS VARCHAR) AS value
+         |FROM orders
+         |WHERE o_orderdate <= TIMESTAMP '1997-06-30'""".stripMargin
+    s"""WITH gs AS (
+       |${(graphCteParts :+ orderPart).mkString("\nUNION ALL\n")}
+       |),
+       |edges AS (
+       |  SELECT entity_id AS src, value AS dst FROM gs
+       |  WHERE prop_type = 'entity'),
+       |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |seeds AS (
+       |  SELECT DISTINCT entity_id AS id FROM gs
+       |  WHERE "schema" = 'Nation' AND prop = 'name' AND value = 'NATION_7'),
+       |walk(id, hops) AS (
+       |  SELECT id, 0 FROM seeds
+       |  UNION
+       |  SELECT u.dst, w.hops + 1
+       |  FROM und u JOIN walk w ON u.src = w.id WHERE w.hops < 2)
+       |SELECT id AS entity_id, CAST(MIN(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY id"""
+      .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
+
   /** f23 — shortest-path membership ([[operators.Traverse
     * .shortestPathMembers]]): "how are nation-3's customers connected
     * to the suppliers of its sibling nations" — every vertex on any
@@ -2789,7 +2855,8 @@ object Queries {
     "f26_triangles" -> (f26Triangles _),
     "f27_cooccur_pmi" -> (f27CooccurrencePmi _),
     "f28_communities" -> (f28Communities _),
-    "f29_kcore" -> (f29Kcore _)
+    "f29_kcore" -> (f29Kcore _),
+    "f30_traversal_asof" -> (f30TraversalAsof _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2857,6 +2924,7 @@ object Queries {
     "f26_triangles" -> f26Sql,
     "f27_cooccur_pmi" -> f27Sql,
     "f28_communities" -> f28Sql,
-    "f29_kcore" -> f29Sql
+    "f29_kcore" -> f29Sql,
+    "f30_traversal_asof" -> f30Sql
   )
 }

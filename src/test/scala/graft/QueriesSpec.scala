@@ -718,6 +718,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.values.exists(_ == "none") || true) // tail case may not occur at this sf
   }
 
+  test("f30 as-of traversal: a strict time-slice of f22's reach") {
+    import org.apache.spark.sql.functions._
+    def reach(q: String): Map[String, Long] =
+      SparkEntry.queries(q)(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val now = reach("f22_khop_traversal")
+    val asOf = reach("f30_traversal_asof")
+    assert(asOf.nonEmpty && asOf.size < now.size,
+      s"the cutoff must bite: ${asOf.size} vs ${now.size}")
+    assert(asOf.keySet.subsetOf(now.keySet),
+      "time-sliced reach must be a subset of the live reach")
+    // removing edges can only lengthen or sever paths, never shorten
+    assert(asOf.forall { case (e, h) => h >= now(e) })
+    // every order in the sliced reach predates the cutoff
+    val late = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate") > lit("1997-06-30").cast("timestamp"))
+      .collect().map(r => s"order-${r.getLong(0)}").toSet
+    assert(asOf.keySet.intersect(late).isEmpty,
+      "a post-cutoff order leaked into the as-of reach")
+  }
+
   test("every registry query executes deterministically on sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
