@@ -279,9 +279,15 @@ object GraftFunctionRegistry {
               Literal(w: Int, IntegerType)) =>
             WindowFunnelAggregate(ts, step, n, w.toLong)
               .toAggregateExpression()
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(w: Long, org.apache.spark.sql.types.LongType),
+              Literal(strict: Boolean,
+                org.apache.spark.sql.types.BooleanType)) =>
+            WindowFunnelAggregate(ts, step, n, w, strict)
+              .toAggregateExpression()
           case _ => throw new IllegalArgumentException(
             "graft_window_funnel(ts_us, step, n_steps: int literal, " +
-              "window_us: long literal)")
+              "window_us: long literal[, strict_increase: bool literal])")
         }
       }),
     (FunctionIdentifier("graft_uniq_upto"),

@@ -2150,6 +2150,55 @@ object Queries {
       |       ELSE 0 END AS BIGINT) AS funnel_depth
       |FROM (SELECT DISTINCT user_id FROM e)""".stripMargin
 
+  /** q26b — the funnel under `strict_increase` (the ClickHouse mode):
+    * chain timestamps must STRICTLY grow, so a click logged at the
+    * same instant as its view no longer advances the funnel — the
+    * dedup guard for feeds with coarse timestamps. Same aggregate,
+    * one mode flag; the oracle's exists-joins turn `>=` into `>`
+    * (window bounds stay inclusive — only the CHAIN order is strict).
+    */
+  def q26bFunnelStrict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .when($"event_type" === "purchase", 3)
+          .otherwise(0).as("step"))
+      .filter($"step" >= 1)
+      .groupBy($"user_id")
+      .agg(graft.functions.WindowFunnelAggregate
+        .windowFunnel($"ts_us", $"step", 3, 3600L * 1000000L,
+          strictIncrease = true)
+        .as("funnel_depth"))
+  }
+
+  val q26bSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+      |d3 AS (
+      |  SELECT DISTINCT v.user_id FROM v
+      |  JOIN c ON c.user_id = v.user_id AND c.t > v.t
+      |    AND c.t <= v.t + 3600000000
+      |  JOIN p ON p.user_id = v.user_id AND p.t > c.t
+      |    AND p.t <= v.t + 3600000000),
+      |d2 AS (
+      |  SELECT DISTINCT v.user_id FROM v
+      |  JOIN c ON c.user_id = v.user_id AND c.t > v.t
+      |    AND c.t <= v.t + 3600000000),
+      |d1 AS (SELECT DISTINCT user_id FROM v)
+      |SELECT user_id, CAST(
+      |  CASE WHEN user_id IN (SELECT user_id FROM d3) THEN 3
+      |       WHEN user_id IN (SELECT user_id FROM d2) THEN 2
+      |       WHEN user_id IN (SELECT user_id FROM d1) THEN 1
+      |       ELSE 0 END AS BIGINT) AS funnel_depth
+      |FROM (SELECT DISTINCT user_id FROM e)""".stripMargin
+
+
   def q24IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
@@ -2814,6 +2863,7 @@ object Queries {
     "q24_interval_join" -> (q24IntervalJoin _),
     "q24b_overlap_join" -> (q24bOverlapJoin _),
     "q26_window_funnel" -> (q26WindowFunnel _),
+    "q26b_funnel_strict" -> (q26bFunnelStrict _),
     "q27_sequence_match" -> (q27SequenceMatch _),
     "q27b_sequence_count" -> (q27bSequenceCount _),
     "q28_retention" -> (q28Retention _),
@@ -2886,6 +2936,7 @@ object Queries {
     "q24_interval_join" -> q24Sql,
     "q24b_overlap_join" -> q24bSql,
     "q26_window_funnel" -> q26Sql,
+    "q26b_funnel_strict" -> q26bSql,
     "q27_sequence_match" -> q27Sql,
     "q27b_sequence_count" -> q27bSql,
     "q28_retention" -> q28Sql,

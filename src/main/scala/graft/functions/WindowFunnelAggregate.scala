@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * Semantics, stated exactly (the spec's brute-force twin evaluates
   * this directly): depth ≥ k iff there exist events e₁..e_k with
   * step(eᵢ) = i, ts(e₁) ≤ ts(e₂) ≤ … ≤ ts(e_k), and
-  * ts(e_k) ≤ ts(e₁) + window.
+  * ts(e_k) ≤ ts(e₁) + window. With `strictIncrease` (the ClickHouse
+  * `strict_increase` mode) the chain comparisons become STRICT
+  * (ts(e₁) < ts(e₂) < …): simultaneous events can no longer chain —
+  * the dedup guard for feeds whose steps share one coarse timestamp.
   *
   * Evaluation is the classic single-pass greedy over the group's
   * step-matching events sorted by (ts, step): `levels(i)` holds the
@@ -47,6 +50,7 @@ case class WindowFunnelAggregate(
     right: Expression,
     nSteps: Int,
     windowUs: Long,
+    strictIncrease: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Long, Int)]]
@@ -100,7 +104,7 @@ case class WindowFunnelAggregate(
   }
 
   override def eval(buf: ArrayBuffer[(Long, Int)]): Any =
-    WindowFunnelAggregate.depth(buf, nSteps, windowUs)
+    WindowFunnelAggregate.depth(buf, nSteps, windowUs, strictIncrease)
 
   override def serialize(buf: ArrayBuffer[(Long, Int)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 12 * buf.size)
@@ -136,17 +140,51 @@ object WindowFunnelAggregate {
     */
   private[graft] def depth(
       events: collection.Seq[(Long, Int)], nSteps: Int,
-      windowUs: Long): Long = {
+      windowUs: Long, strictIncrease: Boolean = false): Long = {
     val sorted = events.sortBy(identity) // (ts, step): ties step-ascending
     val levels = Array.fill(nSteps)(Unset)
-    sorted.foreach { case (ts, step) =>
-      if (step == 1) {
-        if (levels(0) == Unset || ts > levels(0)) levels(0) = ts
-      } else if (levels(step - 2) != Unset &&
-          ts - levels(step - 2) <= windowUs) {
-        val start = levels(step - 2)
-        if (levels(step - 1) == Unset || start > levels(step - 1))
-          levels(step - 1) = start
+    if (!strictIncrease) {
+      sorted.foreach { case (ts, step) =>
+        if (step == 1) {
+          if (levels(0) == Unset || ts > levels(0)) levels(0) = ts
+        } else if (levels(step - 2) != Unset &&
+            ts - levels(step - 2) <= windowUs) {
+          val start = levels(step - 2)
+          if (levels(step - 1) == Unset || start > levels(step - 1))
+            levels(step - 1) = start
+        }
+      }
+    } else {
+      // STRICT INCREASE (ClickHouse 'strict_increase'): chain
+      // timestamps must strictly grow, so an event may extend only a
+      // level reached at an EARLIER timestamp. Events sharing one
+      // timestamp read a SNAPSHOT of the pre-group state and their
+      // updates merge afterwards — a same-ts chain can never form,
+      // and max-start dominance still holds exactly (any entry the
+      // snapshot exposes was reached strictly earlier, and for later
+      // groups every entry qualifies, so the max is the right one).
+      var i = 0
+      val n = sorted.length
+      val snap = Array.fill(nSteps)(Unset)
+      while (i < n) {
+        val ts = sorted(i)._1
+        var j = i
+        while (j < n && sorted(j)._1 == ts) j += 1
+        System.arraycopy(levels, 0, snap, 0, nSteps)
+        var k = i
+        while (k < j) {
+          val step = sorted(k)._2
+          if (step == 1) {
+            if (levels(0) == Unset || ts > levels(0)) levels(0) = ts
+          } else if (snap(step - 2) != Unset &&
+              ts - snap(step - 2) <= windowUs) {
+            val start = snap(step - 2)
+            if (levels(step - 1) == Unset || start > levels(step - 1))
+              levels(step - 1) = start
+          }
+          k += 1
+        }
+        i = j
       }
     }
     var d = 0
@@ -159,9 +197,10 @@ object WindowFunnelAggregate {
     * conditions).
     */
   def windowFunnel(
-      ts: Column, step: Column, nSteps: Int, windowUs: Long): Column =
+      ts: Column, step: Column, nSteps: Int, windowUs: Long,
+      strictIncrease: Boolean = false): Column =
     GraftSqlBridge.column(
       WindowFunnelAggregate(GraftSqlBridge.expression(ts),
-        GraftSqlBridge.expression(step), nSteps, windowUs)
+        GraftSqlBridge.expression(step), nSteps, windowUs, strictIncrease)
         .toAggregateExpression())
 }

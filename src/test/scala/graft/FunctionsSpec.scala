@@ -792,6 +792,39 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowFunnel strict_increase ≡ brute-force strict exists on randomized streams") {
+    import graft.functions.WindowFunnelAggregate
+    // the strict twin: chain timestamps must strictly grow (the small
+    // ts domain below makes same-ts collisions COMMON, which is
+    // exactly the regime the mode changes)
+    def brute(ev: Seq[(Long, Int)], n: Int, win: Long): Long = {
+      def chainOf(k: Int): Boolean = {
+        def ext(startTs: Long, lastTs: Long, step: Int): Boolean =
+          if (step > k) true
+          else ev.exists { case (t, s) =>
+            s == step && t > lastTs && t - startTs <= win &&
+              ext(startTs, t, step + 1)
+          }
+        ev.exists { case (t, s) => s == 1 && ext(t, t, 2) }
+      }
+      (1 to n).reverse.find(chainOf).getOrElse(0).toLong
+    }
+    val rnd = new scala.util.Random(22)
+    for (trial <- 1 to 200) {
+      val n = 3
+      val win = 1 + rnd.nextInt(20)
+      val ev = Seq.fill(rnd.nextInt(14))(
+        (rnd.nextInt(12).toLong, 1 + rnd.nextInt(n)))
+      val got = WindowFunnelAggregate.depth(ev, n, win.toLong,
+        strictIncrease = true)
+      val want = brute(ev, n, win.toLong)
+      assert(got == want,
+        s"trial $trial: strict $got != brute $want on win=$win ev=$ev")
+      // and strictness can only lose depth vs the default mode
+      assert(got <= WindowFunnelAggregate.depth(ev, n, win.toLong))
+    }
+  }
+
   test("windowFunnel: partition-invariant, tie chains, window edge, SQL face") {
     import graft.functions.WindowFunnelAggregate.windowFunnel
     import spark.implicits._
