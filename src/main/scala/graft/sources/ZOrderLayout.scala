@@ -172,4 +172,89 @@ object ZOrderLayout {
     }
     (hit, stats.size)
   }
+
+  /** PAGE-grain selectivity of a conjunctive box — the grain Spark's
+    * vectorized reader actually filters at (parquet COLUMN INDEXES:
+    * per-page min/max + per-page first-row offsets). Returns
+    * (rowsSelected, rowsTotal): for each row group, each queried
+    * column's qualifying pages convert to ROW RANGES via the offset
+    * index, the ranges INTERSECT across columns (page boundaries
+    * differ per column — row ranges are the common currency, exactly
+    * parquet-mr's ColumnIndexFilter), and the surviving row count
+    * accumulates. Row-group pruning answers "how many groups open";
+    * this answers "how many ROWS decode" — the finer, truer cost.
+    * INT64/INT32 columns only (the layout columns); columns without a
+    * column index select everything (conservative, like the reader).
+    */
+  def matchingRows(
+      dir: String, box: Map[String, (Long, Long)]): (Long, Long) = {
+    val conf = new Configuration()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    var selected = 0L; var total = 0L
+    def long(bb: java.nio.ByteBuffer): Long = {
+      val b = bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (b.remaining() >= 8) b.getLong
+      else if (b.remaining() >= 4) b.getInt.toLong
+      else Long.MinValue
+    }
+    // intersect two sorted, disjoint range lists
+    def intersect(a: Seq[(Long, Long)], b: Seq[(Long, Long)])
+        : Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val lo = math.max(a(i)._1, b(j)._1)
+        val hi = math.min(a(i)._2, b(j)._2)
+        if (lo <= hi) out += ((lo, hi))
+        if (a(i)._2 < b(j)._2) i += 1 else j += 1
+      }
+      out.toSeq
+    }
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        f.getPath, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          val rows = block.getRowCount
+          total += rows
+          val perCol = box.toSeq.map { case (c, (qlo, qhi)) =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .flatMap { chunk =>
+                val ci = reader.readColumnIndex(chunk)
+                val oi = reader.readOffsetIndex(chunk)
+                if (ci == null || oi == null) None
+                else {
+                  val n = oi.getPageCount
+                  val mins = ci.getMinValues
+                  val maxs = ci.getMaxValues
+                  val nullPages = ci.getNullPages
+                  Some((0 until n).flatMap { p =>
+                    val first = oi.getFirstRowIndex(p)
+                    val last =
+                      if (p + 1 < n) oi.getFirstRowIndex(p + 1) - 1
+                      else rows - 1
+                    val allNull = nullPages.get(p)
+                    val ok = !allNull && {
+                      val lo = long(mins.get(p)); val hi = long(maxs.get(p))
+                      hi >= qlo && lo <= qhi
+                    }
+                    if (ok) Some((first, last)) else None
+                  })
+                }
+              }
+              // no column index → cannot prune: the whole group
+              .getOrElse(Seq((0L, rows - 1)))
+          }
+          val surviving = perCol.reduce(intersect)
+          selected += surviving.map { case (lo, hi) => hi - lo + 1 }.sum
+        }
+      } finally reader.close()
+    }
+    (selected, total)
+  }
 }

@@ -1177,6 +1177,18 @@ class SourcesSpec extends AnyFunSuite {
       s"plain=${pHit._1}/${pHit._2} row groups")
     assert(pHit._1 * 1L >= 4L * zHit._1.max(1),
       s"z pruning under 4x: z=$zHit plain=$pHit")
+    // (2b) PAGE grain — the grain Spark's vectorized reader filters
+    // at (column indexes → row ranges, intersected across the two
+    // dims): the z store decodes a small fraction of the ROWS the
+    // canonical store must
+    val zRows = ZOrderLayout.matchingRows(dirOf("zstore"), box)
+    val pRows = ZOrderLayout.matchingRows(dirOf("zstore_plain"), box)
+    info(s"page-grain rows selected: z=${zRows._1}/${zRows._2} " +
+      s"plain=${pRows._1}/${pRows._2}")
+    assert(zRows._2 == pRows._2, "row totals must agree")
+    assert(zRows._1 > 0, "the box must select something")
+    assert(zRows._1 * 4 <= pRows._1,
+      s"z page-grain under 4x: z=$zRows plain=$pRows")
     // (3) the layout survives compact (corpus-global re-layout) and
     // FINAL is still identical
     StatementStore.compact(spark, "zstore", buckets = 2,
