@@ -53,8 +53,8 @@ import graft.sources.{BitmapStore, FpxStore, FtmJson, QuantileStore,
   *   graph <table> <verb> …             the GraphStore operational
   *                                      face: ingest edge batches,
   *                                      refresh served analytics,
-  *                                      rank/community point lookups,
-  *                                      pop, staleness
+  *                                      rank/community/cohesion point
+  *                                      lookups, pop, staleness
   *   telemetry <base> <verb> …          the summary-store operational
   *                                      face: ingest-docs/-events fold
   *                                      batches into <base>_topk /
@@ -366,6 +366,12 @@ object Cli {
               .map(id => c.filter(col("node") === id)).getOrElse(c)
             sel.orderBy("community", "node")
               .collect().foreach(x => println(x.mkString("\t")))
+          case "cohesion" :: idArg if idArg.length <= 1 =>
+            val c = GraphStore.cohesion(spark, table)
+            val sel = idArg.headOption
+              .map(id => c.filter(col("node") === id)).getOrElse(
+                c.orderBy(col("n_triangles").desc).limit(20))
+            sel.collect().foreach(x => println(x.mkString("\t")))
           case "pop" :: id :: Nil =>
             import spark.implicits._
             GraphStore.pop(spark, table, Seq(id).toDF("id"))
@@ -376,7 +382,7 @@ object Cli {
           case other =>
             sys.error("usage: graph <table> ingest <parquet> <ver> | " +
               s"refresh [minSupport] | rank [id] | community [id] | " +
-              s"pop <id> | staleness, got: $other")
+              s"cohesion [id] | pop <id> | staleness, got: $other")
         }
 
       // telemetry <base> <verb> … — the operational face of the three

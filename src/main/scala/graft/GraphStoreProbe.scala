@@ -21,8 +21,8 @@ object GraphStoreProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     args.foreach { dir =>
       val t = "gstore_probe"
-      Seq(t, s"${t}_dels", s"${t}_ranks", s"${t}_communities")
-        .foreach(n => Probes.dropManaged(spark, n))
+      Seq(t, s"${t}_dels", s"${t}_ranks", s"${t}_communities",
+        s"${t}_cohesion").foreach(n => Probes.dropManaged(spark, n))
       // the f26/f28 CO-OCCURRENCE graph (the statement graph is
       // star-shaped and triangle-free — its community table would be
       // structurally empty)

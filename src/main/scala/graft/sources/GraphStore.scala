@@ -30,6 +30,10 @@ import graft.operators.{LabelProp, PageRank, Triangles}
   *                       vector at the last refresh.
   *   - `<table>_communities` — (node, community, as_of) — the f28
   *                       truss-filtered min-label communities.
+  *   - `<table>_cohesion` — (node, n_triangles, as_of) — f26's
+  *                       per-node triangle support, derived from the
+  *                       SAME per-edge census the truss filter pays
+  *                       (Σ incident support = 2 · triangles).
   *
   * AS-OF semantics, stated: serves answer from the LAST refresh —
   * appends and pops between refreshes change [[edges]] immediately
@@ -152,7 +156,25 @@ object GraphStore {
       .withColumn("as_of", lit(asOf))
     stageSwap(spark, s"${table}_ranks", b, "id")(ranks)
 
-    val kept = Triangles.perEdge(e)
+    // ONE census pays for two summaries: the per-edge support feeds
+    // the truss filter below, and the per-NODE triangle count (f26's
+    // cohesion metric) derives from it by aggregation — a node inside
+    // a triangle meets exactly TWO of its edges, so
+    // Σ support(incident edges) = 2 · triangles(node). No second
+    // wedge join.
+    // perEdge returns an eagerly-checkpointed edge-grain frame (its
+    // own single-generation blocks) — both consumers below read those
+    // blocks directly
+    val support = Triangles.perEdge(e)
+    val cohesion = support
+      .select(explode(array(
+        struct(col("a").as("node"), col("support")),
+        struct(col("b").as("node"), col("support")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg((sum(col("x.support")) / 2).cast("long").as("n_triangles"))
+      .withColumn("as_of", lit(asOf))
+    stageSwap(spark, s"${table}_cohesion", b, "node")(cohesion)
+    val kept = support
       .filter(col("support") >= minSupport)
       .select(col("a").as("src"), col("b").as("dst"))
     val comm = LabelProp.minLabelRounds(kept, lpRounds)
@@ -212,6 +234,23 @@ object GraphStore {
   def communities(spark: SparkSession, table: String): DataFrame = {
     spark.catalog.refreshTable(s"${table}_communities")
     val base = spark.table(s"${table}_communities")
+    dels(spark, table) match {
+      case None => base
+      case Some(d) =>
+        base.join(broadcast(d).withColumnRenamed("id", "node"),
+          Seq("node"), "left_anti")
+    }
+  }
+
+  /** Served per-node triangle counts (node, n_triangles, as_of) —
+    * f26's cohesion metric, derived inside [[refresh]] from the SAME
+    * census the truss filter pays (Σ incident-edge support =
+    * 2 · triangles — no second wedge join); tombstone-masked like
+    * [[ranks]].
+    */
+  def cohesion(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_cohesion")
+    val base = spark.table(s"${table}_cohesion")
     dels(spark, table) match {
       case None => base
       case Some(d) =>

@@ -430,7 +430,7 @@ class CliSpec extends AnyFunSuite {
   test("cli graph: ingest, refresh, rank/community lookups, pop, staleness") {
     import spark.implicits._
     clean("cli_graph", "cli_graph_dels", "cli_graph_ranks",
-      "cli_graph_communities")
+      "cli_graph_communities", "cli_graph_cohesion")
     def cli(args: String*): String = {
       val out = new java.io.ByteArrayOutputStream()
       Console.withOut(out) { Cli.run(spark, args.toList) }

@@ -1232,8 +1232,8 @@ class SourcesSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.PageRank
     import graft.sources.GraphStore
-    Seq("gstore", "gstore_dels", "gstore_ranks", "gstore_communities")
-      .foreach(dropTable)
+    Seq("gstore", "gstore_dels", "gstore_ranks", "gstore_communities",
+      "gstore_cohesion").foreach(dropTable)
     def rankMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.select(col("id"), col("r")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1249,6 +1249,15 @@ class SourcesSpec extends AnyFunSuite {
     // the bridge c-x sits on no triangle: two truss communities
     assert(comm1 == Map("a" -> "a", "b" -> "a", "c" -> "a",
       "x" -> "x", "y" -> "x", "z" -> "x"), s"communities: $comm1")
+    // cohesion is served from the same census: ≡ a perNode recompute
+    def cohMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("node"), col("n_triangles")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cohMap(GraphStore.cohesion(spark, "gstore")) ==
+      cohMap(graft.operators.Triangles
+        .perNode(GraphStore.edges(spark, "gstore"))
+        .select(col("node"), col("n_triangles"))),
+      "served cohesion != census recompute")
     assert(GraphStore.staleness(spark, "gstore") == ((1L, 1L)))
     // appends change the EDGES immediately but serves only at refresh
     val b2 = Seq(("z", "w"), ("y", "w")).toDF("src", "dst")
@@ -1278,6 +1287,8 @@ class SourcesSpec extends AnyFunSuite {
     assert(!GraphStore.ranks(spark, "gstore").collect()
       .exists(_.getString(0) == "x"))
     assert(!GraphStore.communities(spark, "gstore").collect()
+      .exists(_.getString(0) == "x"))
+    assert(!GraphStore.cohesion(spark, "gstore").collect()
       .exists(_.getString(0) == "x"))
     GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
     assert(!spark.catalog.tableExists("gstore_dels"),

@@ -1830,7 +1830,8 @@ class StreamingSpec extends AnyFunSuite {
     import graft.sources.GraphStore
     val table = "st25_graph"
     Seq(table, s"${table}_dels", s"${table}_ranks",
-      s"${table}_communities").foreach(graft.Probes.dropManaged(spark, _))
+      s"${table}_communities", s"${table}_cohesion")
+      .foreach(graft.Probes.dropManaged(spark, _))
     def served(): Map[String, Long] =
       GraphStore.ranks(spark, table).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
