@@ -636,4 +636,88 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getLong(12) == rules.count(!_).toLong)
     }
   }
+  // r14 graph operators on randomized small graphs: each against an
+  // independent driver-side model (not the operator's own machinery)
+  test("r14 graph trio == driver models on random graphs") {
+    import spark.implicits._
+    import graft.operators.{KCore, LabelProp, PageRank, Triangles}
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 25) {
+      val n = 4 + rnd.nextInt(9) // 4..12 nodes
+      val m = 3 + rnd.nextInt(23)
+      val edges = Seq.fill(m)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      val canon = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter { case (a, b) => a != b }.distinct
+      if (canon.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val adj = (canon ++ canon.map(_.swap)).groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+          .withDefaultValue(Set.empty[String])
+
+        // per-edge triangle support: |N(a) ∩ N(b)| per canonical edge
+        val wantSup = canon.map { case (a, b) =>
+          (a, b) -> (adj(a) intersect adj(b)).size.toLong
+        }.filter(_._2 > 0).toMap
+        val gotSup = Triangles.perEdge(df).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(gotSup == wantSup, s"trial $trial perEdge: $gotSup != $wantSup")
+
+        // k-core (k = 2): iterate the driver peel to its fixed point
+        var es = canon.toSet
+        var changed = true
+        while (changed) {
+          val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val nx = es.filter { case (a, b) => deg(a) >= 2 && deg(b) >= 2 }
+          changed = nx != es; es = nx
+        }
+        val wantCore = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val gotCore = KCore.membership(df, k = 2L, rounds = 20).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(gotCore == wantCore, s"trial $trial kcore: $gotCore != $wantCore")
+
+        // min-label propagation at rounds ≥ diameter: component minima
+        // via a driver union-find
+        val parent = scala.collection.mutable.Map[String, String]()
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        canon.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.Ordering.String.max(ra, rb)) =
+            math.Ordering.String.min(ra, rb)
+        }
+        val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val wantLab = nodes.map(v => v -> find(v)).toMap
+        // loop-free canonical edges, like f28's truss feed (LabelProp
+        // keeps a self-loop-only node labeled itself — documented)
+        val gotLab = LabelProp
+          .minLabelRounds(canon.toDF("src", "dst"), rounds = 15).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(gotLab == wantLab, s"trial $trial labels: $gotLab != $wantLab")
+
+        // personalized pagerank vs the literal driver recurrence on a
+        // random seed set (directed raw edges, dedup like the operator)
+        val dirEdges = edges.filter { case (a, b) => a != b }.distinct
+        if (dirEdges.nonEmpty) {
+          val seedSet = nodes.take(1 + rnd.nextInt(3)).toSet
+          val deg = dirEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+          val vs = dirEdges.flatMap { case (a, b) => Seq(a, b) }.distinct
+          var r = vs.map(v => v -> (if (seedSet(v)) 1000000L else 0L)).toMap
+          for (_ <- 1 to 5) {
+            val in = dirEdges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+              (85L * r(u)) / (100L * deg(u)) }.sum).toMap
+            r = vs.map(v => v -> ((if (seedSet(v)) 150000L else 0L) +
+              in.getOrElse(v, 0L))).toMap
+          }
+          val got = PageRank.personalizedRanks(dirEdges.toDF("src", "dst"),
+              seedSet.toSeq.toDF("id"), iters = 5)
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+          assert(got == r, s"trial $trial ppr: $got != $r")
+        }
+      }
+    }
+  }
 }
