@@ -173,8 +173,25 @@ object Bench {
       System.err.println(
         s"BENCH INCOMPLETE: ${failed.size} queries threw: " +
           failed.mkString(", "))
+    // r15: 142 full-name ms-precision entries overflowed the budget
+    // (r14 line: 3601B → map dropped, leaving the driver's own record
+    // totals-only). The harness map now compacts each key to its
+    // unique leading token ("q16b_percentile_approx" → "q16b" — every
+    // registry key's prefix before the first '_' is unique, asserted
+    // here with a full-name fallback) and each value to whole
+    // MILLISECONDS ("qunit":"ms" marks it) — ~1.5 KB at 142 queries,
+    // inside the budget with headroom. Full-precision full-name maps
+    // stay in BENCH_LAST.json / BENCH_HISTORY.jsonl.
+    val shortOf: Map[String, String] = {
+      val m = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+      if (m.values.toSeq.distinct.size == names.size) m
+      else names.map(n => n -> n).toMap
+    }
+    def msInt(v: Double): String = math.round(v * 1000).toString
+    val shortMed = med.map { case (n, v) => shortOf(n) -> v }
     val harness = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      failedJson + s""""queries":${jsonMap(med, ms)},"sf":"$sfDir"}"""
+      failedJson +
+      s""""qunit":"ms","queries":${jsonMap(shortMed, msInt)},"sf":"$sfDir"}"""
     val guarded =
       if (harness.length <= 1800) harness
       else {

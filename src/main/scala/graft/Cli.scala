@@ -350,9 +350,10 @@ object Cli {
           case "ingest" :: path :: ver :: Nil =>
             GraphStore.append(spark.read.parquet(path), table, ver.toLong)
             println(s"graph: appended batch $ver into $table")
-          case "refresh" :: ms if ms.length <= 1 =>
+          case "refresh" :: ms if ms.length <= 2 =>
             GraphStore.refresh(spark, table,
-              minSupport = ms.headOption.map(_.toLong).getOrElse(2L))
+              minSupport = ms.headOption.map(_.toLong).getOrElse(2L),
+              kcoreK = ms.lift(1).map(_.toLong).getOrElse(3L))
             println(s"graph: refreshed $table analytics")
           case "rank" :: idArg if idArg.length <= 1 =>
             val r = GraphStore.ranks(spark, table)
@@ -372,6 +373,12 @@ object Cli {
               .map(id => c.filter(col("node") === id)).getOrElse(
                 c.orderBy(col("n_triangles").desc).limit(20))
             sel.collect().foreach(x => println(x.mkString("\t")))
+          case "kcore" :: idArg if idArg.length <= 1 =>
+            val c = GraphStore.kcore(spark, table)
+            val sel = idArg.headOption
+              .map(id => c.filter(col("node") === id)).getOrElse(
+                c.orderBy(col("core_degree").desc).limit(20))
+            sel.collect().foreach(x => println(x.mkString("\t")))
           case "pop" :: id :: Nil =>
             import spark.implicits._
             GraphStore.pop(spark, table, Seq(id).toDF("id"))
@@ -382,7 +389,7 @@ object Cli {
           case other =>
             sys.error("usage: graph <table> ingest <parquet> <ver> | " +
               s"refresh [minSupport] | rank [id] | community [id] | " +
-              s"cohesion [id] | pop <id> | staleness, got: $other")
+              s"cohesion [id] | kcore [id] | pop <id> | staleness, got: $other")
         }
 
       // telemetry <base> <verb> … — the operational face of the three

@@ -285,6 +285,12 @@ object GraftFunctionRegistry {
                 org.apache.spark.sql.types.BooleanType)) =>
             WindowFunnelAggregate(ts, step, n, w, strict)
               .toAggregateExpression()
+          case Seq(ts, step, Literal(n: Int, IntegerType),
+              Literal(w: Int, IntegerType),
+              Literal(strict: Boolean,
+                org.apache.spark.sql.types.BooleanType)) =>
+            WindowFunnelAggregate(ts, step, n, w.toLong, strict)
+              .toAggregateExpression()
           case _ => throw new IllegalArgumentException(
             "graft_window_funnel(ts_us, step, n_steps: int literal, " +
               "window_us: long literal[, strict_increase: bool literal])")

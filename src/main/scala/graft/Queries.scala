@@ -916,8 +916,15 @@ object Queries {
     * (engine.py:162-180; statements.py:44-48 loops all algorithms).
     * `.distinct()` models the ReplacingMergeTree FINAL state (key =
     * algorithm,value,prop,schema,dataset,entity_id). Rows-only at the
-    * driver (DuckDB cannot compute the phonetic codes); exact values
-    * spec-tested.
+    * driver, PERMANENTLY DOCUMENTED (r15): the metaphone1/metaphone2
+    * rows are Double Metaphone codes — a hundreds-of-context-rules
+    * algorithm with no tractable pure-SQL form, and the reference's
+    * `metaphone` package cannot run in this environment (not
+    * installed, no egress) to produce a checked-in fixture. The
+    * soundex rows DO have a pure-SQL oracle (f9 gates the identical
+    * code path hash-exact); the metaphone rows are gated by the
+    * published-vector + native≡scala differential specs in
+    * FunctionsSpec.
     */
   def f17FpxPhonetic(s: SparkSession, dir: String): DataFrame =
     Fpx.fromStatements(statements(s, dir), schemas = Seq("Customer", "Part"))
@@ -1611,8 +1618,15 @@ object Queries {
        |FROM named n""".stripMargin
 
   /** f9 — soundex codes of name-fingerprint tokens (phonetic.py:48-50).
-    * Rows-only at the driver (DuckDB lacks soundex); exact values are
-    * spec-tested in PhoneticsSpec.
+    * Oracle-gated since r15: DuckDB has no soundex builtin, so the
+    * oracle SQL carries a pure-SQL implementation of Spark's EXACT
+    * SoundEx semantics ([[duckSoundex]] — a `list_reduce` fold
+    * replicating UTF8String.soundex: American Soundex, H/W
+    * transparent, vowels/non-letters reset the adjacent-code
+    * suppression, non-letter FIRST character returns the input
+    * unchanged, rpad to 4). Exact values additionally spec-tested in
+    * FunctionsSpec; the fold itself differential-tested against the
+    * JVM soundex on randomized alnum tokens in the f9 oracle gate.
     */
   def f9Soundex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1622,10 +1636,59 @@ object Queries {
         explode(Phonetics.soundexTokens($"fp")).as("soundex"))
   }
 
+  /** DuckDB expression: Spark's SoundEx (UTF8String.soundex) of token
+    * expression `c`. State rides the fold as 'collected-codes|last':
+    * the mapping string is A→0 B→1 C→2 D→3 E→0 F→1 G→2 H→7 I→0 J→2
+    * K→2 L→4 M→5 N→5 O→0 P→1 Q→2 R→6 S→2 T→3 U→0 V→1 W→7 X→2 Y→0
+    * Z→2 ('7' = transparent H/W, '0' = separator that resets `last`).
+    */
+  private def duckSoundex(c: String): String = {
+    val m = "01230127022455012623017202"
+    def code(x: String) = s"substr('$m', ascii($x)-64, 1)"
+    s"""CASE
+       |  WHEN $c IS NULL THEN NULL
+       |  WHEN $c = '' THEN ''
+       |  WHEN NOT (upper($c)[1:1] BETWEEN 'A' AND 'Z') THEN $c
+       |  ELSE rpad(substr(split_part(
+       |    list_reduce(
+       |      [upper($c)[1:1] || '|' || ${code(s"upper($c)[1:1]")}]
+       |      || list_transform(range(2, length($c)+1), i -> upper($c)[i:i]),
+       |      (acc, ch) -> CASE
+       |        WHEN length(split_part(acc,'|',1)) >= 4 THEN acc
+       |        WHEN NOT (ch BETWEEN 'A' AND 'Z')
+       |          THEN split_part(acc,'|',1) || '|0'
+       |        WHEN ${code("ch")} = '7' THEN acc
+       |        WHEN ${code("ch")} <> '0'
+       |         AND ${code("ch")} <> split_part(acc,'|',2)
+       |          THEN split_part(acc,'|',1) || ${code("ch")}
+       |               || '|' || ${code("ch")}
+       |        ELSE split_part(acc,'|',1) || '|' || ${code("ch")}
+       |      END),
+       |    '|', 1), 1, 4), 4, '0')
+       |END""".stripMargin
+      // single line: this expression interpolates into f9Sql BEFORE
+      // f9Sql's own stripMargin runs, which would re-strip any line
+      // here whose first non-blank char is '|' (e.g. a leading '||')
+      .linesIterator.map(_.trim).mkString(" ")
+  }
+
+  val f9Sql: String =
+    s"""SELECT p_partkey, ${duckSoundex("tok")} AS soundex
+       |FROM (
+       |  SELECT p_partkey,
+       |    unnest(list_filter(string_split(${duckFp("p_name")}, ' '),
+       |      x -> x <> '')) AS tok
+       |  FROM part
+       |)""".stripMargin
+
   /** f10 — Double Metaphone codes of name-fingerprint tokens
     * (phonetic.py:47-49 `get_metaphone` → the `metaphone` package's
     * `doublemetaphone`, feeding fpx algorithms metaphone1/metaphone2).
-    * Rows-only at the driver; exact values spec-tested against
+    * Rows-only at the driver, PERMANENTLY DOCUMENTED (r15): Double
+    * Metaphone has no tractable pure-SQL form (unlike f9's soundex,
+    * oracle-gated since r15 via a list_reduce fold), and the
+    * reference package cannot run here (not installed, no egress) to
+    * produce a checked-in fixture; exact values spec-tested against
     * published algorithm vectors. Uses the native codegen'd
     * [[graft.functions.DoubleMetaphoneExpression]] — one compiled
     * encode per token yields BOTH codes (secondary = '' when no
@@ -2800,23 +2863,43 @@ object Queries {
     * Two bounded hash aggregates: (user, type) grain, then user grain,
     * both with map-side combine.
     *
-    * Exactness bound (the lattice MAGNITUDE rule at the object doc):
-    * Σ c·L(c) ≤ n_events·L(max c) ≤ n_events·64·10⁹, so the BIGINT
-    * fold is exact while a user's total event count stays below
-    * ~1.4·10⁸ (2⁶³ / 64·10⁹); past that Spark wraps where DuckDB
-    * widens — route c and the products through DECIMAL(38,0) in both
-    * engines if a single user can exceed 140 M events.
+    * Exactness bound (the lattice MAGNITUDE rule at the object doc),
+    * STRUCTURAL since r15: Σ c·L(c) ≤ n_events·L(max c) ≤
+    * n_events·64·10⁹, so the BIGINT fold is exact while a user's
+    * total event count stays below ~1.4·10⁸ (2⁶³ / 64·10⁹); past that
+    * Spark would wrap where DuckDB widens. [[entropyOf]] REFUSES
+    * loudly on such a user ([[graft.functions.Lattice.checked]] on
+    * the post-aggregate n_events — sound because every c·L(c) term is
+    * non-negative, so no partial sum exceeds the true total the bound
+    * covers, and n_events itself is a row count that cannot wrap).
+    * Route c and the products through DECIMAL(38,0) in both engines
+    * if a single user legitimately exceeds 140 M events.
     */
-  def q35Entropy(s: SparkSession, dir: String): DataFrame = {
+  def q35Entropy(s: SparkSession, dir: String): DataFrame =
+    entropyOf(t(s, dir, "events"))
+
+  /** The guarded entropy fold behind [[q35Entropy]], callable on any
+    * (user_id, event_type) frame — factored out so the overflow guard
+    * is spec-testable on a synthetic over-bound user without writing
+    * 140 M rows of parquet.
+    */
+  private[graft] val entropyMaxGroup = 140000000L // 2^63 / 64e9, floored
+
+  private[graft] def entropyOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
-    t(s, dir, "events")
+    events
       .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
       .groupBy($"user_id")
       .agg(sum($"c").as("n_events"),
         count(lit(1)).as("n_types"),
         sum($"c" * nanobits($"c")).as("s_nb"))
-      .select($"user_id", $"n_events", $"n_types",
+      .select($"user_id",
+        graft.functions.Lattice.checked($"n_events", entropyMaxGroup,
+          "q35 entropy: per-user event count, Σ c·L(c) < 2^63")
+          .as("n_events"),
+        $"n_types",
         (($"n_events" * nanobits($"n_events") - $"s_nb").cast("double") /
           ($"n_events" * 1e9)).as("entropy"))
   }
@@ -2956,6 +3039,7 @@ object Queries {
     "f6_fpx_table" -> f6Sql,
     "f7_fpx_freq" -> f7Sql,
     "f8_xref_block" -> f8Sql,
+    "f9_soundex" -> f9Sql,
     "f11_canonical_lookup" -> f11Sql,
     "f12_entity_query" -> f12Sql,
     "f13_adjacent" -> f13Sql,

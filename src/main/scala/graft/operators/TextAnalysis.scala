@@ -257,13 +257,18 @@ object TextAnalysis {
     * signed long — corpus-LOG, not corpus-linear — so the numerator
     * idf_nb·22·tf·avgl stays under 2⁶³ while tf·avgl < ~6.5·10⁶
     * (e.g. tf ≤ 6 500 at avgl = 1 000). That is a DOCUMENT-scale
-    * bound, independent of corpus size; a pathological single
-    * document (tf in the millions) would wrap in Spark where DuckDB
-    * widens — cap tf or widen through DECIMAL if ingesting unbounded
-    * single-document term counts. Plan: one tokenize scan → (doc, term) tf
+    * bound, independent of corpus size, and STRUCTURAL since r15: a
+    * pathological single document (tf in the millions) REFUSES loudly
+    * ([[graft.functions.Lattice.checkedProduct]] on tf·avgl, an
+    * overflow-free division-form check inside the same codegen stage)
+    * instead of wrapping where DuckDB widens — cap tf or widen
+    * through DECIMAL if ingesting unbounded single-document term
+    * counts. Plan: one tokenize scan → (doc, term) tf
     * aggregate; df and the two corpus totals are term-grain /
     * 1-row — both broadcast; final doc-grain sum.
     */
+  private[graft] val bm25MaxTfAvgl = 6500000L // 2^63 / (22 * 64e9)
+
   def bm25(documents: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     def nanobits(c: Column): Column = round(log(2.0, c) * 1e9).cast("long")
@@ -285,6 +290,11 @@ object TextAnalysis {
       .withColumn("idf_nb",
         nanobits(lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) -
           nanobits(lit(2) * col("df") + lit(1)))
+      // refuse-loudly magnitude guard: idf_nb·22·tf·avgl must stay
+      // under 2^63, i.e. tf·avgl < ~6.5e6 (idf_nb ≤ 64e9 structurally)
+      .withColumn("tf", graft.functions.Lattice.checkedProduct(
+        col("tf"), col("avgl"), bm25MaxTfAvgl,
+        "t17 bm25: tf*avgl, idf_nb*22*tf*avgl < 2^63"))
       .withColumn("term_nb", expr(
         "(idf_nb * 22 * tf * avgl) DIV (10 * tf * avgl + 3 * avgl + 9 * len)"))
       .groupBy(col("doc_id"))

@@ -67,15 +67,25 @@ object BloomSkip {
               val stats = chunk.getEncodingStats
               val fullyDict = stats != null &&
                 !stats.hasNonDictionaryEncodedPages()
+              // probe-value type vs the column's PHYSICAL type, checked
+              // up front: a String probe on an INT64 column (or any
+              // unknown value type) must yield the documented
+              // conservative answer — covered but unproven — not a
+              // ClassCastException out of parquet's hash/decode
+              // internals
+              import org.apache.parquet.schema.PrimitiveType.{PrimitiveTypeName => P}
+              val ptype = schema.getColumnDescription(
+                chunk.getPath.toArray).getPrimitiveType.getPrimitiveTypeName
               if (bloom != null) {
                 covered += 1
-                val h = value match {
-                  case s: String => bloom.hash(Binary.fromString(s))
-                  case l: Long => bloom.hash(l)
-                  case i: Int => bloom.hash(i)
-                  case other => bloom.hash(other)
+                val h: Option[Long] = (value, ptype) match {
+                  case (s: String, P.BINARY) =>
+                    Some(bloom.hash(Binary.fromString(s)))
+                  case (l: Long, P.INT64) => Some(bloom.hash(l))
+                  case (i: Int, P.INT32) => Some(bloom.hash(i))
+                  case _ => None // type mismatch: cannot prove absent
                 }
-                if (!bloom.findHash(h)) skippable += 1
+                if (h.exists(x => !bloom.findHash(x))) skippable += 1
               } else if (fullyDict) {
                 covered += 1
                 val desc = schema.getColumnDescription(
@@ -92,15 +102,15 @@ object BloomSkip {
                     case e => e.initDictionary(desc, page)
                   }
                   val n = dict.getMaxId
-                  val found = value match {
-                    case s: String =>
+                  val found = (value, ptype) match {
+                    case (s: String, P.BINARY) =>
                       val b = Binary.fromString(s)
                       (0 to n).exists(i => dict.decodeToBinary(i) == b)
-                    case l: Long => (0 to n).exists(i =>
+                    case (l: Long, P.INT64) => (0 to n).exists(i =>
                       dict.decodeToLong(i) == l)
-                    case i0: Int => (0 to n).exists(i =>
+                    case (i0: Int, P.INT32) => (0 to n).exists(i =>
                       dict.decodeToInt(i) == i0)
-                    case _ => true // unknown type: cannot prove absent
+                    case _ => true // type mismatch: cannot prove absent
                   }
                   if (!found) skippable += 1
                 }

@@ -34,6 +34,18 @@ import graft.operators.{LabelProp, PageRank, Triangles}
   *                       per-node triangle support, derived from the
   *                       SAME per-edge census the truss filter pays
   *                       (Σ incident support = 2 · triangles).
+  *   - `<table>_support` — (a, b, support, as_of) — the per-EDGE
+  *                       triangle census at the last refresh, the
+  *                       stored snapshot the r15 INCREMENTAL census
+  *                       patches on append-only ticks (see [[refresh]])
+  *                       and the source both cohesion and the truss
+  *                       filter derive from.
+  *   - `<table>_kcore` — (node, core_degree, as_of) — f29's k-core
+  *                       membership + in-core degree at the last
+  *                       refresh (r15): the fourth cohesion face
+  *                       behind the summary-store fence — the peel
+  *                       cascade runs once per refresh cadence, never
+  *                       per question.
   *
   * AS-OF semantics, stated: serves answer from the LAST refresh —
   * appends and pops between refreshes change [[edges]] immediately
@@ -73,6 +85,10 @@ object GraphStore {
   /** Append an edge batch (columns `src`, `dst`; anything extra is
     * dropped). `ver` stamps the batch for staleness accounting —
     * monotone per caller (a stream's batch id, an ingest counter).
+    * `buckets` applies only when the table is CREATED by this call;
+    * an existing table's creation bucket count wins (the st16b rule —
+    * appending a mismatched count would write file bucket ids the
+    * table spec disowns and fail with an AnalysisException).
     */
   def append(
       edges: DataFrame, table: String, ver: Long,
@@ -82,7 +98,10 @@ object GraphStore {
     val spark = edges.sparkSession
     if (!spark.catalog.tableExists(table))
       writeEdges(rows, table, buckets, SaveMode.ErrorIfExists)
-    else writeEdges(rows, table, buckets, SaveMode.Append)
+    else {
+      val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+      writeEdges(rows, table, b, SaveMode.Append)
+    }
   }
 
   /** Entity takedown: tombstone a node — every incident edge vanishes
@@ -132,11 +151,26 @@ object GraphStore {
     * never block; then the edge table itself is rewritten FINAL
     * (duplicates and tombstoned nodes dropped physically) and the
     * tombstones retire if no new pop landed mid-refresh.
+    *
+    * INCREMENTAL census (r15): the per-edge triangle support — the
+    * refresh's dominant cost at scale (the census's wedge join) — is
+    * persisted in `<table>_support` (a, b, support, as_of) and, when
+    * the tick is APPEND-ONLY (no tombstones pending and a support
+    * snapshot exists), updated by [[Triangles.perEdgeDeltaDiff]]
+    * against only the edges appended since the snapshot (`ver >
+    * support.as_of` — the FINAL rewrite stamps every surviving row
+    * with the refresh's ver, so the split is exact under the
+    * documented monotone-ver append contract). A pending takedown
+    * removes triangles, which the delta does not model → full census.
+    * `deltaCensus = false` forces the full path (probe baseline).
+    * Cohesion and the truss filter derive from the stored support
+    * either way, so the serve contracts are unchanged.
     */
   def refresh(
       spark: SparkSession, table: String, iters: Int = 10,
       minSupport: Long = 2L, lpRounds: Int = 10,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16, kcoreK: Long = 3L, kcoreRounds: Int = 10,
+      deltaCensus: Boolean = true): Unit = {
     val delsSnap =
       if (spark.catalog.tableExists(s"${table}_dels"))
         spark.table(s"${table}_dels").inputFiles.toSet
@@ -152,9 +186,16 @@ object GraphStore {
     }
     val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
 
-    val ranks = PageRank.ranks(e, iters)
-      .withColumn("as_of", lit(asOf))
+    // each summary frame is fully consumed by its stageSwap write, so
+    // its final checkpoint blocks are released as soon as the write
+    // lands — a long-running telemetry stream's refresh ticks pin
+    // nothing between cadences (r14 advisor finding: ranks/labels/
+    // census finals leaked one node-grain generation per tick)
+    val (ranks, rankBlocks) = checkpointDiff(spark.sparkContext) {
+      PageRank.ranks(e, iters).withColumn("as_of", lit(asOf))
+    }
     stageSwap(spark, s"${table}_ranks", b, "id")(ranks)
+    release(spark.sparkContext, rankBlocks)
 
     // ONE census pays for two summaries: the per-edge support feeds
     // the truss filter below, and the per-NODE triangle count (f26's
@@ -162,10 +203,33 @@ object GraphStore {
     // a triangle meets exactly TWO of its edges, so
     // Σ support(incident edges) = 2 · triangles(node). No second
     // wedge join.
-    // perEdge returns an eagerly-checkpointed edge-grain frame (its
-    // own single-generation blocks) — both consumers below read those
-    // blocks directly
-    val support = Triangles.perEdge(e)
+    // perEdgeDiff/perEdgeDeltaDiff hand this call OWNERSHIP of the
+    // census result blocks (never the shared per-face generation — a
+    // refresh tick must not release an interactive f26/f28 frame);
+    // all consumers below read those blocks, released after the last
+    // write
+    val supportAsOf: Option[Long] =
+      if (!spark.catalog.tableExists(s"${table}_support")) None
+      else {
+        spark.catalog.refreshTable(s"${table}_support")
+        val r = spark.table(s"${table}_support")
+          .agg(max(col("as_of"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val (support, supportBlocks) = supportAsOf match {
+      case Some(snapVer) if deltaCensus && delsSnap.isEmpty =>
+        // append-only tick: batch-bounded delta against the snapshot
+        val rows = spark.table(table)
+        val oldE = rows.filter(col("ver") <= snapVer)
+          .select(col("src"), col("dst"))
+        val newE = rows.filter(col("ver") > snapVer)
+          .select(col("src"), col("dst"))
+        Triangles.perEdgeDeltaDiff(
+          oldE, spark.table(s"${table}_support"), newE)
+      case _ => Triangles.perEdgeDiff(e)
+    }
+    stageSwap(spark, s"${table}_support", b, "a")(
+      support.withColumn("as_of", lit(asOf)))
     val cohesion = support
       .select(explode(array(
         struct(col("a").as("node"), col("support")),
@@ -177,10 +241,26 @@ object GraphStore {
     val kept = support
       .filter(col("support") >= minSupport)
       .select(col("a").as("src"), col("b").as("dst"))
-    val comm = LabelProp.minLabelRounds(kept, lpRounds)
-      .select(col("node"), col("label").as("community"))
-      .withColumn("as_of", lit(asOf))
+    val (comm, commBlocks) = checkpointDiff(spark.sparkContext) {
+      LabelProp.minLabelRounds(kept, lpRounds)
+        .select(col("node"), col("label").as("community"))
+        .withColumn("as_of", lit(asOf))
+    }
     stageSwap(spark, s"${table}_communities", b, "node")(comm)
+    release(spark.sparkContext, commBlocks)
+    release(spark.sparkContext, supportBlocks)
+
+    // f29's k-core at the same cadence (r15): the peel runs on the
+    // full live edge set (NOT the truss-filtered one — k-core and
+    // truss are different density screens and must not contaminate
+    // each other), result released once its table write lands
+    val (core, coreBlocks) = checkpointDiff(spark.sparkContext) {
+      graft.operators.KCore.membership(e, kcoreK, kcoreRounds)
+        .select(col("node"), col("d").as("core_degree"))
+        .withColumn("as_of", lit(asOf))
+    }
+    stageSwap(spark, s"${table}_kcore", b, "node")(core)
+    release(spark.sparkContext, coreBlocks)
 
     // FINAL rewrite of the edge set: dedup + tombstone scrub durable
     val tmp = TableSwap.stageName(spark, table)
@@ -251,6 +331,21 @@ object GraphStore {
   def cohesion(spark: SparkSession, table: String): DataFrame = {
     spark.catalog.refreshTable(s"${table}_cohesion")
     val base = spark.table(s"${table}_cohesion")
+    dels(spark, table) match {
+      case None => base
+      case Some(d) =>
+        base.join(broadcast(d).withColumnRenamed("id", "node"),
+          Seq("node"), "left_anti")
+    }
+  }
+
+  /** Served k-core membership (node, core_degree, as_of) — f29's
+    * density screen, maintained at [[refresh]] (peel parameters fixed
+    * at refresh time); tombstone-masked like [[ranks]].
+    */
+  def kcore(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(s"${table}_kcore")
+    val base = spark.table(s"${table}_kcore")
     dels(spark, table) match {
       case None => base
       case Some(d) =>

@@ -45,6 +45,52 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** st4 — the incremental stats view: per (dataset, schema) entity
+    * and statement counts over a statement STREAM — the streaming face
+    * of the reference's stats materialized view (engine.py:204-220,
+    * `uniqState(canonical_id)` + counts maintained on insert). Entity
+    * cardinality rides `approx_count_distinct` (the HLL state is the
+    * mergeable, bounded-size summary a ClickHouse uniqState is — an
+    * exact distinct would hold every id in stream state forever);
+    * statement counts are exact. Write in update/complete mode — each
+    * micro-batch revises only the (dataset, schema) rows it touched.
+    */
+  def statsView(statements: DataFrame): DataFrame =
+    statements.groupBy(col("dataset"), col("schema"))
+      .agg(approx_count_distinct(col("canonical_id")).as("entities"),
+        count(lit(1)).as("statements"))
+
+  /** st5 — streaming statement ingest through Spark's NATIVE file
+    * sink (no foreachBatch): each micro-batch lands append-only in a
+    * parquet table with the sink's own exactly-once file manifest, and
+    * upsert semantics apply AT READ —
+    * [[graft.operators.ReplacingMerge.latestByKey]] over the
+    * statement key collapses replayed/duplicate rows to max last_seen,
+    * exactly the reference's ReplacingMergeTree contract
+    * (engine.py:130-166: the table absorbs raw inserts, FINAL dedups).
+    * The caller sets `checkpointLocation` and calls `.toTable(name)`.
+    * The stored-store twin with the fpx double insert is st8
+    * ([[ingestStatements]]); this face is the minimal native-sink
+    * path — append-only writes, merge-on-read.
+    */
+  def statementFileIngest(statements: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    statements.writeStream.format("parquet").outputMode("append")
+
+  /** st6 — the incremental fpx_freq view: blocking-token frequencies
+    * over a statement STREAM — the streaming face of the reference's
+    * fpx_freq materialized view (engine.py:222-236). The fpx
+    * derivation ([[graft.operators.Fpx.fromStatements]]) is STATELESS
+    * (filter + explode), so it lifts to streaming unchanged; the freq
+    * aggregation is an update-mode grouped count whose state is one
+    * row per distinct token — the same bound the stored view has.
+    */
+  def fpxFreqView(
+      statements: DataFrame,
+      algorithms: Seq[String] = Seq("fingerprint")): DataFrame =
+    graft.operators.Fpx.freq(
+      graft.operators.Fpx.fromStatements(statements, algorithms))
+
   /** st7 — continuous xref candidate generation: a statement STREAM
     * joined against the STORED fpx table. Each incoming name statement
     * yields its blocking tokens (the same stateless fpx derivation as
@@ -678,14 +724,15 @@ object Streams {
     */
   def graphTelemetry(
       edges: DataFrame, table: String, refreshEvery: Int = 0,
-      iters: Int = 10, minSupport: Long = 2L, lpRounds: Int = 10)
+      iters: Int = 10, minSupport: Long = 2L, lpRounds: Int = 10,
+      kcoreK: Long = 3L, kcoreRounds: Int = 10)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ingestInto(edges) { (batch, batchId) =>
       val spark = batch.sparkSession
       graft.sources.GraphStore.append(batch, table, batchId)
       if (refreshEvery > 0 && batchId % refreshEvery == refreshEvery - 1)
         graft.sources.GraphStore.refresh(spark, table, iters, minSupport,
-          lpRounds)
+          lpRounds, kcoreK = kcoreK, kcoreRounds = kcoreRounds)
     }
 
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at

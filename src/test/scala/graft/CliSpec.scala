@@ -430,7 +430,8 @@ class CliSpec extends AnyFunSuite {
   test("cli graph: ingest, refresh, rank/community lookups, pop, staleness") {
     import spark.implicits._
     clean("cli_graph", "cli_graph_dels", "cli_graph_ranks",
-      "cli_graph_communities", "cli_graph_cohesion")
+      "cli_graph_communities", "cli_graph_cohesion", "cli_graph_kcore",
+      "cli_graph_support")
     def cli(args: String*): String = {
       val out = new java.io.ByteArrayOutputStream()
       Console.withOut(out) { Cli.run(spark, args.toList) }
@@ -440,13 +441,17 @@ class CliSpec extends AnyFunSuite {
       ("x", "z"), ("c", "x")).toDF("src", "dst")
       .write.mode("overwrite").parquet("/tmp/graft_cli_graph_b1")
     cli("graph", "cli_graph", "ingest", "/tmp/graft_cli_graph_b1", "1")
-    assert(cli("graph", "cli_graph", "refresh", "1").contains("refreshed"))
+    assert(cli("graph", "cli_graph", "refresh", "1", "2")
+      .contains("refreshed"))
     // point lookups from the STORED tables
     val ra = cli("graph", "cli_graph", "rank", "a").trim.split("\t")
     assert(ra(0) == "a" && ra(1).toLong >= 150000L, ra.toSeq.toString)
     assert(cli("graph", "cli_graph", "community", "z").trim
       .split("\t").take(2).toSeq == Seq("z", "x"))
     assert(cli("graph", "cli_graph", "staleness").contains("fresh"))
+    // the r15 fourth face: k-core point lookup from the stored table
+    val ka = cli("graph", "cli_graph", "kcore", "a").trim.split("\t")
+    assert(ka(0) == "a" && ka(1).toLong == 2L, ka.toSeq.toString)
     // a second batch makes the serve stale — visibly
     Seq(("z", "w")).toDF("src", "dst")
       .write.mode("overwrite").parquet("/tmp/graft_cli_graph_b2")
@@ -455,8 +460,10 @@ class CliSpec extends AnyFunSuite {
     // takedown masks immediately; refresh scrubs and catches up
     cli("graph", "cli_graph", "pop", "a")
     assert(!cli("graph", "cli_graph", "rank").contains("a\t"))
-    cli("graph", "cli_graph", "refresh", "1")
+    cli("graph", "cli_graph", "refresh", "1", "2")
     assert(cli("graph", "cli_graph", "staleness").contains("fresh"))
     assert(cli("graph", "cli_graph", "rank", "w").trim.nonEmpty)
+    assert(!cli("graph", "cli_graph", "kcore").contains("a\t"),
+      "popped node must be scrubbed from the served k-core")
   }
 }

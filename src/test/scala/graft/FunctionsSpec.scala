@@ -847,6 +847,21 @@ class FunctionsSpec extends AnyFunSuite {
         |FROM funnel_in GROUP BY user_id""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == got)
+    // 5-arg strict form must accept an INT window literal like the
+    // 4-arg form does (r14 advisor: `100` parses as Int, not Long, and
+    // the strict case only matched Long) — strict=false ≡ 4-arg result
+    val viaSqlIntWin = spark.sql(
+      """SELECT user_id, graft_window_funnel(ts_us, step, 3, 100, false) AS d
+        |FROM funnel_in GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSqlIntWin == got, "Int window literal in the 5-arg form")
+    // and the tie-chain user loses depth under strict_increase, proving
+    // the strict flag actually reached the aggregate
+    val viaSqlStrict = spark.sql(
+      """SELECT user_id, graft_window_funnel(ts_us, step, 3, 100, true) AS d
+        |FROM funnel_in GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSqlStrict(3L) < 3L, "strict mode must break the tie chain")
   }
 
   test("graft_top_k_merge: folded stored summaries == one-pass topK (exact regime)") {

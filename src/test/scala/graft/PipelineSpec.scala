@@ -371,6 +371,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 bm25: over-bound tf*avgl REFUSES loudly (no silent BIGINT wrap)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // tf·avgl past ~6.5e6 would wrap idf_nb·22·tf·avgl in BIGINT where
+    // DuckDB widens — the guard must fail the job with its message,
+    // never return a wrapped score. doc1: tf=4000 of the query term;
+    // doc2 pads avgl to 8000 → tf·avgl = 3.2e7 > 6.5e6.
+    val docs = Seq(
+      (1L, Array.fill(4000)("x").mkString(" ")),
+      (2L, Array.fill(12000)("y").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.bm25(docs, Seq("x")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("lattice overflow guard")),
+      s"expected the refuse-loudly guard, got: ${chain(e).mkString(" | ")}")
+    // in-bound corpus passes through the guard with the exact lattice
+    // score (hand recompute: tf=100, len=4000, avgl from both docs)
+    val okDocs = Seq(
+      (1L, (Array.fill(100)("x") ++ Array.fill(3900)("z")).mkString(" ")),
+      (2L, Array.fill(12000)("y").mkString(" "))).toDF("doc_id", "text")
+    def nb(x: Long): Long =
+      math.round(math.log(x.toDouble) / math.log(2.0) * 1e9)
+    val avgl = 16000L / 2
+    val idf = nb(2 * 2 - 2 * 1 + 1) - nb(2 * 1 + 1)
+    val want = idf * 22 * 100 * avgl / (10 * 100 * avgl + 3 * avgl + 9 * 4000)
+    val got = TextAnalysis.bm25(okDocs, Seq("x")).collect()
+    assert(got.length == 1 && got(0).getLong(2) == want,
+      "guarded in-bound bm25 must equal the exact lattice recompute")
+  }
+
   test("s2 window-lag dedup == distinct + single-window reference plan") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, Similarity}

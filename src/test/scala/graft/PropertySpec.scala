@@ -637,6 +637,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
   // r14 graph operators on randomized small graphs: each against an
+  // r15: the incremental census must equal the from-scratch census
+  // after EVERY append in a randomized chain — the f20b
+  // incremental≡batch discipline applied to the triangle support
+  // table. Also gates replay immunity (re-appending a seen batch is
+  // the identity) and multi-new-edge triangles (batches overlap).
+  test("r15 delta census chain == full census after every batch") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    val rnd = new scala.util.Random(47)
+    def supMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .filter(_._2 > 0).toMap
+    for (trial <- 1 to 12) {
+      val n = 5 + rnd.nextInt(8)
+      def randBatch(m: Int) = Seq.fill(m)(
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      var accum = randBatch(4 + rnd.nextInt(8))
+      var accumDf = accum.toDF("src", "dst")
+      var support = Triangles.perEdge(accumDf)
+      for (step <- 1 to 3) {
+        val batch = randBatch(2 + rnd.nextInt(6))
+        val batchDf = batch.toDF("src", "dst")
+        val updated = Triangles.perEdgeDelta(accumDf, support, batchDf)
+        val allDf = (accum ++ batch).toDF("src", "dst")
+        val want = supMap(Triangles.perEdge(allDf))
+        assert(supMap(updated) == want,
+          s"trial $trial step $step: delta ${supMap(updated)} != full $want")
+        // replay: re-appending the same batch must be the identity
+        val replay = Triangles.perEdgeDelta(allDf, updated, batchDf)
+        assert(supMap(replay) == want,
+          s"trial $trial step $step: replay moved the support table")
+        accum = accum ++ batch
+        accumDf = allDf
+        support = replay
+      }
+    }
+  }
+
   // independent driver-side model (not the operator's own machinery)
   test("r14 graph trio == driver models on random graphs") {
     import spark.implicits._

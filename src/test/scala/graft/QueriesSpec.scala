@@ -469,6 +469,29 @@ class QueriesSpec extends AnyFunSuite {
       "entropy out of [0, log2(types)] range")
   }
 
+  test("q35 entropy: over-bound user REFUSES loudly (no silent BIGINT wrap)") {
+    import org.apache.spark.sql.functions._
+    // a user past the documented Σ c·L(c) < 2^63 magnitude bound
+    // (~1.4e8 events) must fail with the guard's message, never return
+    // a silently-wrapped entropy — the engines would diverge there
+    // (DuckDB widens to HUGEINT, Spark wraps)
+    val over = spark.range(Queries.entropyMaxGroup + 5000000L)
+      .select(lit(1L).as("user_id"),
+        (col("id") % 5).cast("string").as("event_type"))
+    val e = intercept[Exception] { Queries.entropyOf(over).collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("lattice overflow guard")),
+      s"expected the refuse-loudly guard, got: ${chain(e).mkString(" | ")}")
+    // in-bound frames pass through the guard untouched (exact lattice)
+    import spark.implicits._
+    val ok = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"))
+      .toDF("user_id", "event_type")
+    val r = Queries.entropyOf(ok).collect()
+    assert(r.length == 1 && math.abs(r(0).getDouble(3) - 1.0) < 1e-12,
+      "guarded in-bound entropy should be exactly 1 bit for a 2/2 split")
+  }
+
   test("f26 triangles: hand graphs + brute-force census on sf0.001") {
     import spark.implicits._
     import graft.operators.Triangles

@@ -1218,6 +1218,13 @@ class SourcesSpec extends AnyFunSuite {
       s"present id should skip >= 75%: $present")
     assert(present._1 < present._2,
       "the id's own row groups must survive the probe")
+    // (5) probe-type vs column-physical-type mismatch (r14 advisor):
+    // a Long probe on the BINARY canonical_id column must return the
+    // documented conservative answer — covered but unproven — never
+    // throw from parquet hash/decode internals
+    val mismatch = BloomSkip.skippableRowGroups(zdir, "canonical_id", 42L)
+    assert(mismatch._1 == 0 && mismatch._2 == mismatch._3,
+      s"type mismatch must be covered-but-unproven: $mismatch")
   }
 
   // GraphStore (r14): the summary-store fence applied to whole-graph
@@ -1233,14 +1240,16 @@ class SourcesSpec extends AnyFunSuite {
     import graft.operators.PageRank
     import graft.sources.GraphStore
     Seq("gstore", "gstore_dels", "gstore_ranks", "gstore_communities",
-      "gstore_cohesion").foreach(dropTable)
+      "gstore_cohesion", "gstore_kcore", "gstore_support")
+      .foreach(dropTable)
     def rankMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.select(col("id"), col("r")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val b1 = Seq(("a", "b"), ("b", "c"), ("a", "c"),
       ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")).toDF("src", "dst")
     GraphStore.append(b1, "gstore", ver = 1, buckets = 2)
-    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2,
+      kcoreK = 2L)
     val served1 = rankMap(GraphStore.ranks(spark, "gstore"))
     assert(served1 == rankMap(PageRank.ranks(
       GraphStore.edges(spark, "gstore"))), "served rank != recompute")
@@ -1258,6 +1267,16 @@ class SourcesSpec extends AnyFunSuite {
         .perNode(GraphStore.edges(spark, "gstore"))
         .select(col("node"), col("n_triangles"))),
       "served cohesion != census recompute")
+    // k-core (r15): the fourth cohesion face, served ≡ a peel recompute
+    def coreMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("node"), df.columns.filter(c => c == "core_degree"
+        || c == "d").map(col).head).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(coreMap(GraphStore.kcore(spark, "gstore")) ==
+      coreMap(graft.operators.KCore.membership(
+        GraphStore.edges(spark, "gstore"), k = 2L, rounds = 10)),
+      "served kcore != peel recompute")
+    assert(coreMap(GraphStore.kcore(spark, "gstore")).nonEmpty)
     assert(GraphStore.staleness(spark, "gstore") == ((1L, 1L)))
     // appends change the EDGES immediately but serves only at refresh
     val b2 = Seq(("z", "w"), ("y", "w")).toDF("src", "dst")
@@ -1269,6 +1288,22 @@ class SourcesSpec extends AnyFunSuite {
     val served2 = rankMap(GraphStore.ranks(spark, "gstore"))
     assert(served2 == rankMap(PageRank.ranks(
       GraphStore.edges(spark, "gstore"))), "post-refresh serve != recompute")
+    // this tick was APPEND-ONLY → the r15 DELTA census path ran (b2's
+    // z-w/y-w edges close a NEW triangle (w,y,z) through the old y-z
+    // edge); the patched support table and the cohesion derived from
+    // it must equal from-scratch recomputes
+    assert(spark.table("gstore_support")
+      .select(col("a"), col("b"), col("support")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      graft.operators.Triangles.perEdge(GraphStore.edges(spark, "gstore"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      "delta-patched support != full census")
+    assert(cohMap(GraphStore.cohesion(spark, "gstore")) ==
+      cohMap(graft.operators.Triangles
+        .perNode(GraphStore.edges(spark, "gstore"))
+        .select(col("node"), col("n_triangles"))),
+      "delta-tick cohesion != census recompute")
     assert(served2.contains("w") && served2 != served1)
     assert(GraphStore.staleness(spark, "gstore") == ((2L, 2L)))
     // replayed batch: the edge set absorbs it structurally — the
@@ -1290,12 +1325,19 @@ class SourcesSpec extends AnyFunSuite {
       .exists(_.getString(0) == "x"))
     assert(!GraphStore.cohesion(spark, "gstore").collect()
       .exists(_.getString(0) == "x"))
-    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    assert(!GraphStore.kcore(spark, "gstore").collect()
+      .exists(_.getString(0) == "x"))
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2,
+      kcoreK = 2L)
     assert(!spark.catalog.tableExists("gstore_dels"),
       "tombstones must retire at refresh")
     val served3 = rankMap(GraphStore.ranks(spark, "gstore"))
     assert(!served3.contains("x"))
     assert(served3 == rankMap(PageRank.ranks(
       GraphStore.edges(spark, "gstore"))), "post-pop serve != recompute")
+    assert(coreMap(GraphStore.kcore(spark, "gstore")) ==
+      coreMap(graft.operators.KCore.membership(
+        GraphStore.edges(spark, "gstore"), k = 2L, rounds = 10)),
+      "post-pop served kcore != peel recompute")
   }
 }

@@ -66,11 +66,7 @@ class StreamingSpec extends AnyFunSuite {
     // the streaming face of the reference's stats MV (engine.py:204)
     val in = MemoryStream[(String, String, String)]
     val df = in.toDF().toDF("dataset", "schema", "canonical_id")
-    val agg = df.groupBy($"dataset", $"schema")
-      .agg(org.apache.spark.sql.functions.approx_count_distinct($"canonical_id")
-        .as("entities"),
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("statements"))
+    val agg = Streams.statsView(df)
     val q = agg.writeStream.format("memory").queryName("st4_out")
       .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
     try {
@@ -99,7 +95,7 @@ class StreamingSpec extends AnyFunSuite {
       String, String, Timestamp)]
     val df = in.toDF().toDF("id", "entity_id", "canonical_id", "prop",
       "prop_type", "schema", "value", "dataset", "last_seen")
-    val q = df.writeStream.format("parquet")
+    val q = Streams.statementFileIngest(df)
       .option("checkpointLocation", "/tmp/graft_warehouse/st5_ckpt_" +
         System.nanoTime())
       .toTable("st5_stmts")
@@ -129,9 +125,7 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(String, String, String, String, String, String, String)]
     val stmts = in.toDF().toDF("entity_id", "canonical_id", "schema",
       "dataset", "prop", "prop_type", "value")
-    val freq = graft.operators.Fpx.freq(
-      graft.operators.Fpx.fromStatements(stmts,
-        algorithms = Seq("fingerprint")))
+    val freq = Streams.fpxFreqView(stmts)
     val q = freq.writeStream.format("memory").queryName("st6_out")
       .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
     try {
@@ -1830,7 +1824,8 @@ class StreamingSpec extends AnyFunSuite {
     import graft.sources.GraphStore
     val table = "st25_graph"
     Seq(table, s"${table}_dels", s"${table}_ranks",
-      s"${table}_communities", s"${table}_cohesion")
+      s"${table}_communities", s"${table}_cohesion", s"${table}_kcore",
+      s"${table}_support")
       .foreach(graft.Probes.dropManaged(spark, _))
     def served(): Map[String, Long] =
       GraphStore.ranks(spark, table).collect()
@@ -1840,7 +1835,7 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val in = MemoryStream[(String, String)]
     val q = Streams.graphTelemetry(in.toDF().toDF("src", "dst"), table,
-      refreshEvery = 2, minSupport = 1L)
+      refreshEvery = 2, minSupport = 1L, kcoreK = 2L)
       .option("checkpointLocation",
         "/tmp/graft_warehouse/st25_ckpt_" + System.nanoTime())
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
@@ -1861,6 +1856,15 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(comm == Map("a" -> "a", "b" -> "a", "c" -> "a",
         "x" -> "x", "y" -> "x", "z" -> "x"), s"communities: $comm")
+      // the r15 fourth face: k-core served from the same tick
+      def coreServed(): Map[String, Long] =
+        GraphStore.kcore(spark, table).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(coreServed() == graft.operators.KCore.membership(
+          GraphStore.edges(spark, table), k = 2L, rounds = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+        "tick kcore serve != peel recompute")
+      assert(coreServed().nonEmpty)
       // batch 2: appends land in the edge set immediately but the
       // serves hold their as-of snapshot; staleness reports the lag
       in.addData(("z", "w"))

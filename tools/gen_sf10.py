@@ -104,10 +104,64 @@ def embeddings2m():
         "label": labels})
 
 
+def relational():
+    """r15: the sf10 RELATIONAL + events + judgement-graph decade for
+    the heavy-query column (f8 part/customer fpx blocking, f20/f20b
+    judgement components, f22-f30 lineitem co-occurrence graph, q25/
+    q29/q34 events). Reuses gen_sf1's generators verbatim at SCALE=100
+    (10x sf1 KEYS at constant per-key density — same growth
+    philosophy), writing only the tables gen_sf10 does not already
+    own (documents/embeddings keep their r11/r12 corpora so the
+    pinned BASELINE decades stay comparable)."""
+    import importlib.util
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf1", os.path.join(os.path.dirname(__file__), "gen_sf1.py"))
+    g1 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g1)
+    g1.SCALE = 100
+    g1.rng = np.random.default_rng(421)  # fresh stream at the new scale
+    odf = g1.orders()
+    for name, df in [("region", g1.region()), ("nation", g1.nation()),
+                     ("supplier", g1.supplier()), ("orders", odf),
+                     ("lineitem", g1.lineitem(odf))]:
+        table = pa.Table.from_pandas(df, preserve_index=False)
+        for field in ("o_orderdate", "l_shipdate"):
+            idx = table.schema.get_field_index(field)
+            if idx >= 0:
+                table = table.set_column(
+                    idx, field, table.column(field).cast(pa.timestamp("us")))
+        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"),
+                       version="2.6")
+        print(f"wrote {OUT}/{name}.parquet ({len(df)} rows)")
+        del df, table
+    for name, fn in [("part", g1.part), ("customer", g1.customer),
+                     ("judgements_base", lambda: g1.judgement_graph(1)),
+                     ("judgements", lambda: g1.judgement_graph(100))]:
+        df = fn()
+        df.to_parquet(os.path.join(OUT, f"{name}.parquet"), index=False)
+        print(f"wrote {OUT}/{name}.parquet ({len(df)} rows)")
+        del df
+    # events: parquet TIMESTAMP(NANOS), the driver's encoding
+    # (Tables.load reads ts as a nanosecond LONG under nanosAsLong)
+    df = g1.events()
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        idx, "ts", table.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(table, os.path.join(OUT, "events.parquet"),
+                   store_schema=False, coerce_timestamps=None,
+                   version="2.6")
+    print(f"wrote {OUT}/events.parquet ({len(df)} rows)")
+
+
 if __name__ == "__main__":
     import sys
     os.makedirs(OUT, exist_ok=True)
     which = sys.argv[1:] or ["documents", "embeddings"]
+    if "relational" in which:
+        relational()
     if "embeddings2m" in which:
         # separate dir so probes taking a `dir/embeddings.parquet`
         # contract can point at it; 64 shards (~31k rows each)
