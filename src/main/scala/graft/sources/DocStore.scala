@@ -45,18 +45,39 @@ object DocStore {
   // one file per non-empty bucket per write, regardless of how many
   // splits the incoming frame has — see BucketedLayout's finding.
   private def writeDocRows(
-      df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
-    BucketedLayout(df, buckets, Seq("doc_id")).write
+      df: DataFrame, target: String, buckets: Int, mode: SaveMode,
+      zorder: Option[(Seq[String], Int)] = None,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
+    // z-ordered stores sort each bucket file by a stored __z Morton
+    // key instead of doc_id (StatementStore.write rationale: write-
+    // local bounds, __z never compared across files, row-group pruning
+    // reads the ORIGINAL columns' min/max which z-clustering tightens).
+    // Input __z (delta rows re-read from a z store's own files) is
+    // recomputed, never trusted across writes.
+    val (rows, sortCols) = zorder match {
+      case None => (df, Seq("doc_id"))
+      case Some((zc, bits)) =>
+        val in = df.drop("__z")
+        val (mins, maxs) = ZOrderLayout.bounds(in, zc)
+        (in.withColumn("__z",
+          ZOrderLayout.zValue(zc.map(col), mins, maxs, bits)),
+          Seq("__z"))
+    }
+    BucketedLayout(rows, buckets, Seq("doc_id")).write
       .mode(mode)
       .bucketBy(buckets, "doc_id")
-      .sortBy("doc_id")
+      .sortBy(sortCols.head, sortCols.tail: _*)
       // split-block bloom filter on the id (StatementStore.bloomOpts
       // rationale): point lookups skip value-free row groups from the
-      // footer even where min/max cannot serve them
+      // footer even where min/max cannot serve them — on a z store the
+      // files are never doc_id-sorted, so the bloom is the ONLY
+      // point-lookup index
       .option("parquet.bloom.filter.enabled#doc_id", "true")
       .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .options(writerOptions)
       .format("parquet")
       .saveAsTable(target)
+  }
 
   private def writeBandRows(
       df: DataFrame, target: String, buckets: Int, mode: SaveMode): Unit =
@@ -83,14 +104,28 @@ object DocStore {
       table: String,
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64,
+      zorder: Option[(Seq[String], Int)] = None,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     val spark = docs.sparkSession
+    // appends to an EXISTING store honor the creation bucket count and
+    // creation z-order declaration (the GraphStore.append / st16b
+    // rule) — a caller-parameter mismatch would leave file bucket ids
+    // the table spec disowns, or files the recorded layout disclaims
+    val existing = spark.catalog.tableExists(table)
+    val b =
+      if (existing) TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+      else buckets
+    val layout = if (existing) ZOrderLayout.layoutOf(spark, table) else zorder
     if (hasAnchors(spark, table))
       writeAnchorRows(anchorRows(docs, anchorK(spark, table)),
-        s"${table}_anchors", buckets, SaveMode.Append)
+        s"${table}_anchors", b, SaveMode.Append)
     writeBandRows(bandKeys(docs, numHashes, rowsPerBand),
-      s"${table}_bands", buckets, SaveMode.Append)
-    writeDocRows(docs, table, buckets, SaveMode.Append)
+      s"${table}_bands", b, SaveMode.Append)
+    writeDocRows(docs, table, b, SaveMode.Append, layout, writerOptions)
+    if (!existing) layout.foreach { case (zc, bits) =>
+      ZOrderLayout.declare(spark, table, zc, bits)
+    }
   }
 
   /** The ONE band-key projection all faces of the store share. */
@@ -178,7 +213,10 @@ object DocStore {
     * moves.
     */
   def readFinal(spark: SparkSession, table: String): DataFrame =
-    minusDels(spark, table, read(spark, table)).dropDuplicates("doc_id")
+    // __z is the physical z-order sort key of laid-out stores — pure
+    // placement metadata, never part of the corpus
+    minusDels(spark, table, read(spark, table).drop("__z"))
+      .dropDuplicates("doc_id")
 
   /** Take down documents — the corpus-store delete the statement
     * store's tombstones ([[StatementStore.pop]]) already have: the ids
@@ -429,6 +467,7 @@ object DocStore {
     // a caller-parameter mismatch would leave file bucket ids the
     // table spec disowns, silently dropped by bucketed reads
     val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+    val layout = ZOrderLayout.layoutOf(spark, table)
     val docsTmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
     TableSwap.dropAllStages(spark, s"${table}_bands")
@@ -441,7 +480,7 @@ object DocStore {
         spark.table(s"${table}_dels").inputFiles.toSet
       else Set.empty[String]
     writeDocRows(readFinal(spark, table), docsTmp, b,
-      SaveMode.Overwrite)
+      SaveMode.Overwrite, layout)
     val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
     writeBandRows(bandKeys(spark.table(docsTmp), numHashes, rowsPerBand),
       bandsTmp, b, SaveMode.Overwrite)
@@ -475,12 +514,13 @@ object DocStore {
       rowsPerBand: Int = 2,
       buckets: Int = 64): Unit = {
     val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+    val layout = ZOrderLayout.layoutOf(spark, table)
     val delta = spark.table(table).inputFiles.toSet -- st.snapFiles
     if (delta.nonEmpty) {
       val deltaRows = minusDels(spark, table,
-        spark.read.format("parquet").load(delta.toSeq: _*))
+        spark.read.format("parquet").load(delta.toSeq: _*).drop("__z"))
         .localCheckpoint()
-      writeDocRows(deltaRows, st.docsTmp, b, SaveMode.Append)
+      writeDocRows(deltaRows, st.docsTmp, b, SaveMode.Append, layout)
       writeBandRows(bandKeys(deltaRows, numHashes, rowsPerBand),
         st.bandsTmp, b, SaveMode.Append)
       st.anchorsTmp.foreach(t => writeAnchorRows(
@@ -488,7 +528,7 @@ object DocStore {
         SaveMode.Append))
     }
     TableSwap.swapIn(spark, st.docsTmp, table, partitioned = false)(df =>
-      writeDocRows(df, table, b, SaveMode.Append))
+      writeDocRows(df, table, b, SaveMode.Append, layout))
     TableSwap.swapIn(spark, st.bandsTmp, s"${table}_bands",
       partitioned = false)(df =>
       writeBandRows(df, s"${table}_bands", b, SaveMode.Append))
@@ -510,15 +550,17 @@ object DocStore {
       table: String,
       numHashes: Int = 12,
       rowsPerBand: Int = 2,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     val b = TableSwap.bucketsOf(spark, table).getOrElse(buckets)
+    val layout = ZOrderLayout.layoutOf(spark, table)
     val docsTmp = TableSwap.stageName(spark, table)
     TableSwap.dropAllStages(spark, table)
     TableSwap.dropAllStages(spark, s"${table}_bands")
     writeDocRows(readFinal(spark, table), docsTmp, b,
-      SaveMode.Overwrite)
+      SaveMode.Overwrite, layout, writerOptions)
     TableSwap.swapIn(spark, docsTmp, table, partitioned = false)(df =>
-      writeDocRows(df, table, b, SaveMode.Append))
+      writeDocRows(df, table, b, SaveMode.Append, layout, writerOptions))
     val bandsTmp = TableSwap.stageName(spark, s"${table}_bands")
     writeBandRows(bandKeys(read(spark, table), numHashes, rowsPerBand),
       bandsTmp, b, SaveMode.Overwrite)

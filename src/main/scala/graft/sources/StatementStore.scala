@@ -73,20 +73,11 @@ object StatementStore {
     * ORDER BY declaration every later write must honor.
     */
   def zLayoutOf(spark: SparkSession, table: String)
-      : Option[(Seq[String], Int)] = {
-    val props = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .properties
-    props.get("graft.zorder.cols").map { cols =>
-      (cols.split(",").toSeq, props.getOrElse("graft.zorder.bits", "16").toInt)
-    }
-  }
+      : Option[(Seq[String], Int)] = ZOrderLayout.layoutOf(spark, table)
 
   private def setZProps(
       spark: SparkSession, table: String, zc: Seq[String], bits: Int): Unit =
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
-      s"'graft.zorder.cols'='${zc.mkString(",")}'," +
-      s"'graft.zorder.bits'='$bits')")
+    ZOrderLayout.declare(spark, table, zc, bits)
 
   /** The one physical layout: dataset partitions, canonical_id buckets,
     * sorted files. Every write path (append, compact stage) goes

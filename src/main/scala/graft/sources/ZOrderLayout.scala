@@ -111,6 +111,32 @@ object ZOrderLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** The creation-time z-order declaration of a managed store, read
+    * back from table properties (None = the store's canonical key
+    * sort). Shared by every store that offers a z layout
+    * ([[StatementStore]], [[DocStore]]) so their append/compact paths
+    * resolve the SAME recorded layout and can never diverge from it.
+    */
+  def layoutOf(spark: org.apache.spark.sql.SparkSession, table: String)
+      : Option[(Seq[String], Int)] = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties
+    props.get("graft.zorder.cols").map { cols =>
+      (cols.split(",").toSeq, props.getOrElse("graft.zorder.bits", "16").toInt)
+    }
+  }
+
+  /** Record a creation-time z-order declaration on `table` — the
+    * MergeTree ORDER BY analogue (engine.py:130): fixed at creation,
+    * honored by every later write.
+    */
+  def declare(spark: org.apache.spark.sql.SparkSession, table: String,
+      zc: Seq[String], bits: Int): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.zorder.cols'='${zc.mkString(",")}'," +
+      s"'graft.zorder.bits'='$bits')")
+
   /** Per-row-group INT64 min/max stats for `cols`, straight from the
     * parquet footers — the exact metadata a scan's row-group pruning
     * reads, exposed so layout quality is MEASURABLE (the spec and

@@ -1227,6 +1227,97 @@ class SourcesSpec extends AnyFunSuite {
       s"type mismatch must be covered-but-unproven: $mismatch")
   }
 
+  // DocStore z-order (r15, verdict item 9): the creation-time layout
+  // declaration extended from the statement store to the corpus store,
+  // for the "recent high-quality docs" read shape — a time box AND a
+  // score range, neither of which a doc_id sort can prune. Same
+  // contract as the statement-store test above: declared once at
+  // creation, recorded in table properties, honored by every append
+  // and compact; FINAL semantics and the near-dup index unaffected.
+  test("doc store z-order layout: FINAL unchanged, probe intact, row groups prune >= 4x") {
+    import graft.sources.{DocStore, ZOrderLayout}
+    Seq("zdocs", "zdocs_bands", "zdocs_plain", "zdocs_plain_bands")
+      .foreach(dropTable)
+    // 3 appends x 40k docs; ingest ts and quality score are INDEPENDENT
+    // pseudo-random spreads over one year / [0, 100k) so neither dim
+    // orders the other
+    val base = 1700000000L
+    // per-doc-unique words: no shingle is shared across docs, so the
+    // band index stays one-candidate-per-probe (hot-key flooding would
+    // test the cutoff, not the layout)
+    def batch(k: Int) = spark.range(40000)
+      .select(
+        (col("id") + k * 40000L).as("doc_id"),
+        concat(
+          lit("a"), col("id") + k * 40000L,
+          lit(" b"), col("id") + k * 40000L,
+          lit(" c"), col("id") + k * 40000L,
+          lit(" d"), col("id") + k * 40000L).as("text"),
+        lit(s"src$k").as("source"),
+        timestamp_seconds(lit(base) +
+          pmod(col("id") * 2654435761L + k, lit(31536000L))).as("ts"),
+        pmod(col("id") * 40503L + k * 7919L, lit(100000L)).as("score"))
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    (0 until 3).foreach { k =>
+      DocStore.append(batch(k), "zdocs", buckets = 2,
+        zorder = Some((Seq("ts", "score"), 16)), writerOptions = opts)
+      DocStore.append(batch(k), "zdocs_plain", buckets = 2,
+        writerOptions = opts)
+    }
+    // the declaration is recorded at creation and only there
+    assert(ZOrderLayout.layoutOf(spark, "zdocs")
+      .contains((Seq("ts", "score"), 16)))
+    assert(ZOrderLayout.layoutOf(spark, "zdocs_plain").isEmpty)
+    // (1) FINAL parity: same logical corpus, no __z anywhere
+    def finalSet(t: String) = DocStore.readFinal(spark, t)
+      .collect().map(_.toSeq).toSet
+    assert(!DocStore.readFinal(spark, "zdocs").columns.contains("__z"))
+    assert(finalSet("zdocs") == finalSet("zdocs_plain"),
+      "z layout changed FINAL semantics")
+    // (2) footer-measured pruning on a ~6-week time box x a 10% score
+    // slice (ts files are TIMESTAMP_MICROS)
+    def dirOf(t: String): String = {
+      val f = spark.table(t).inputFiles.head
+      new java.io.File(new java.net.URI(f)).getParent
+    }
+    val lo = (base + 100 * 86400L) * 1000000L
+    val hi = (base + 142 * 86400L) * 1000000L
+    val box = Map("ts" -> ((lo, hi)), "score" -> ((20000L, 30000L)))
+    val zHit = ZOrderLayout.matchingRowGroups(dirOf("zdocs"), box)
+    val pHit = ZOrderLayout.matchingRowGroups(dirOf("zdocs_plain"), box)
+    assert(zHit._2 >= 8 && pHit._2 >= 8,
+      s"need multiple row groups to measure: $zHit $pHit")
+    info(s"doc-store box pruning: z=${zHit._1}/${zHit._2} " +
+      s"plain=${pHit._1}/${pHit._2} row groups")
+    assert(pHit._1 * 1L >= 4L * zHit._1.max(1),
+      s"z pruning under 4x: z=$zHit plain=$pHit")
+    // (3) the near-dup index is layout-independent: a re-delivered
+    // copy of a stored doc is flagged identically by both stores
+    val probe = batch(0).filter(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(999999L))
+    def cand(t: String) = DocStore.nearDupCandidates(spark, t, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand("zdocs") == Set((7L, 999999L)))
+    assert(cand("zdocs") == cand("zdocs_plain"))
+    // (4) the layout survives compact (corpus-global re-layout) and
+    // appends keep honoring it without the caller re-passing it
+    DocStore.compact(spark, "zdocs", buckets = 2, writerOptions = opts)
+    assert(ZOrderLayout.layoutOf(spark, "zdocs")
+      .contains((Seq("ts", "score"), 16)))
+    assert(finalSet("zdocs") == finalSet("zdocs_plain"),
+      "compact broke FINAL on the z doc store")
+    val zHit2 = ZOrderLayout.matchingRowGroups(dirOf("zdocs"), box)
+    assert(zHit2._1 * 4L <= zHit2._2,
+      s"post-compact layout lost its pruning: $zHit2")
+    // (5) point lookups still have an index on the z store: doc_id is
+    // scattered by the z sort, so the id bloom is load-bearing
+    import graft.sources.BloomSkip
+    val absent = BloomSkip.skippableRowGroups(
+      dirOf("zdocs"), "doc_id", 123456789L)
+    assert(absent._1 * 100 >= absent._2 * 95,
+      s"absent id should skip ~everything: $absent")
+  }
+
   // GraphStore (r14): the summary-store fence applied to whole-graph
   // analytics — ranks/communities maintained at a refresh cadence and
   // SERVED from node-grain tables with the staleness VISIBLE. Gates:
