@@ -8,14 +8,26 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Local-mode builder. `cpus` sizes both the master and the shuffle
-    * partitions: on a real cluster set `spark.sql.shuffle.partitions`
-    * ≈ 2-3× total cores and let AQE coalesce.
+  /** Local-mode builder. `cpus` sizes the master and, by default, the
+    * shuffle partitions: on a real cluster set
+    * `spark.sql.shuffle.partitions` ≈ 2-3× total cores and let AQE
+    * coalesce.
+    *
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` overrides the partition count
+    * WITHOUT changing parallelism — the scale knob the prompt's
+    * "size shuffle partitions so partitions fit in executor memory at
+    * the target SF" discipline needs: at sf10 the graph heavies'
+    * hash-aggregate state per task outgrows a 32-partition layout
+    * (f28 died with AGGREGATE_OUT_OF_MEMORY in the r15 sf10 column),
+    * and the fix is more, smaller partitions (AQE coalesces the
+    * queries that don't need them), not more heap.
     */
   def local(cpus: Int, aqe: Boolean = true): SparkSession = {
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -139,9 +139,15 @@ object Queries {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")
     val nation = t(s, dir, "nation")
+    // nation is a FIXED-cardinality dim (25 rows at every SF) —
+    // broadcast unconditionally. customer SCALES with the data, so its
+    // join strategy is left to the planner: at spec scale the
+    // statistics pick a broadcast anyway, at 100 TB customer is
+    // terabytes and must shuffle (r15 — pinning broadcast on a
+    // data-sized side is the f24 sf10 failure mode).
     lineitem
       .join(orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
@@ -1177,11 +1183,18 @@ object Queries {
     val names = statements(s, dir)
       .filter($"prop_type" === "name")
       .groupBy($"entity_id").agg(min($"value").as("name"))
+    // the name table is ENTITY-grain — it scales with the data, so it
+    // must ride a shuffle join, never a broadcast. Without the merge
+    // hint the static estimator under-sizes the aggregate and plans a
+    // broadcast that works at spec scale and collects a >1 GiB
+    // relation to the driver at sf10 (maxResultSize abort — the r15
+    // sf10 column caught it). The hint makes the 100 TB plan
+    // unconditional; the pair side is f8's bounded blocking output.
     f8XrefBlock(s, dir)
-      .join(names.select($"entity_id".as("left_id"), $"name".as("ln")),
-        Seq("left_id"))
-      .join(names.select($"entity_id".as("right_id"), $"name".as("rn")),
-        Seq("right_id"))
+      .join(names.select($"entity_id".as("left_id"), $"name".as("ln"))
+        .hint("merge"), Seq("left_id"))
+      .join(names.select($"entity_id".as("right_id"), $"name".as("rn"))
+        .hint("merge"), Seq("right_id"))
       .withColumn("lev_dist", levenshtein($"ln", $"rn", 16))
       .filter($"lev_dist" >= 0) // −1 = past the band: pruned pre-division
       .withColumn("name_sim", round(

@@ -54,10 +54,13 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("f2_entity_assembly", maxShuffles = 1),
     Shape("f6_fpx_table", maxShuffles = 0),
     Shape("f8_xref_block", maxShuffles = 4, minBroadcasts = 1),
-    // r13: f24 = f8's 4 + the entity-grain name aggregation + one
-    // pair-grain name attach (the other rides a broadcast); the
-    // bounded levenshtein runs scan-local on the joined pair stream
-    Shape("f24_name_editdist", maxShuffles = 6, minBroadcasts = 1),
+    // r13: f24 = f8's 4 + the entity-grain name aggregation + the two
+    // pair-grain name attaches. r15: the attaches are PINNED to merge
+    // joins — the name table is entity-grain (data-sized), and the
+    // statically under-estimated broadcast the planner used to pick
+    // collected a >1 GiB relation to the driver at sf10. The broadcast
+    // floor is f8's internal probe-set broadcast.
+    Shape("f24_name_editdist", maxShuffles = 9, minBroadcasts = 1),
     Shape("f11_canonical_lookup", maxShuffles = 3),
     Shape("f12_entity_query", maxShuffles = 3),
     Shape("t1_lang_id", maxShuffles = 0),
