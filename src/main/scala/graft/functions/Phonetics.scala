@@ -61,8 +61,10 @@ object Phonetics {
 
   /** Classic Metaphone (Lawrence Philips, 1990) — the reference attaches
     * metaphone1/metaphone2 codes per token via the `metaphone` package
-    * (phonetic.py:43-45). Pure Scala; exposed as a UDF-backed column via
-    * [[metaphoneUdf]] since it is genuinely imperative.
+    * (phonetic.py:43-45). Pure Scala; the QUERY path rides the codegen'd
+    * [[graft.functions.MetaphoneExpression]] — this imperative form is
+    * the differential-spec reference twin (FunctionsSpec wraps it in a
+    * test-scoped UDF; no UDF ships in main source).
     */
   def metaphone(word: String): String = {
     val w = word.toUpperCase.filter(ch => ch >= 'A' && ch <= 'Z')
@@ -146,7 +148,4 @@ object Phonetics {
     sb.toString
   }
 
-  /** Column form of [[metaphone]]. */
-  val metaphoneUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => if (s == null) null else metaphone(s))
 }

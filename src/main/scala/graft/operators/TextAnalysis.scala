@@ -388,6 +388,20 @@ object TextAnalysis {
       }
       .groupBy(col("value")).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // The bound that licenses this collect, enforced AT the collect: a
+    // greedy-merge encoder emits only single characters or trained merge
+    // outputs, so |vocab| ≤ |alphabet| + |merges| — model-sized, never
+    // corpus-sized. A violating token means the encoder contract broke;
+    // refuse loudly rather than ship an unbounded driver-side map.
+    locally {
+      val mergeOuts = merges.iterator.map { case (a, b) => a + b }.toSet
+      val rogue = counts.iterator
+        .map(_._1).find(t => t.length > 1 && !mergeOuts.contains(t))
+      require(rogue.isEmpty,
+        s"bpeTokenize vocab bound violated: token '${rogue.get}' is " +
+          "neither a single character nor a trained merge output " +
+          s"(|vocab|=${counts.length}, |merges|=${merges.length})")
+    }
     val ids: Map[String, Long] = counts
       .sortBy { case (tok, n) => (-n, tok) }
       .zipWithIndex.map { case ((tok, _), i) => tok -> i.toLong }

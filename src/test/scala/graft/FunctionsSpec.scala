@@ -68,13 +68,17 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("native expression == UDF on real part names (codegen path)") {
     import spark.implicits._
+    // test-scoped UDF twin of the imperative reference implementation
+    // (the query path is the codegen'd expression; no UDF in main source)
+    val metaphoneUdf = udf((s: String) =>
+      if (s == null) null else Phonetics.metaphone(s))
     val toks = Tables.load(spark, sf, "part")
       .select(explode(split(Phonetics.fingerprint(col("p_name")), " "))
         .as("tok"))
     val diff = toks
       .select(col("tok"),
         MetaphoneExpression.metaphone(col("tok")).as("native"),
-        Phonetics.metaphoneUdf(col("tok")).as("viaUdf"))
+        metaphoneUdf(col("tok")).as("viaUdf"))
       .filter(col("native") =!= col("viaUdf"))
     assert(diff.count() == 0)
   }
