@@ -13,9 +13,13 @@ import graft.sources.GraphStore
   * edges, the realistic tick shape) and times:
   *
   *   - `refresh_delta_sec` — the r15 append-only tick: the census is
-  *     [[graft.operators.Triangles.perEdgeDeltaDiff]] over only the
-  *     appended edges (PageRank/LP/k-core still run full — the census
-  *     was the dominant term, r14 verdict item 2);
+  *     [[graft.operators.Triangles.perEdgeDeltaDiff]] and the k-core
+  *     is [[graft.operators.KCore.membershipDeltaDiff]] over only the
+  *     appended edges (PageRank/LP still run full — fixed-round
+  *     iterations from a uniform start have no exact warm delta);
+  *   - `kcore_delta_sec` / `kcore_full_sec` — the r15-continuation
+  *     k-core patch in isolation (Δ-seeded region BFS + region peel
+  *     vs the whole-graph peel);
   *   - `refresh_full_sec`  — the same tick with `deltaCensus = false`
   *     (the r14 behavior: full wedge join every tick);
   *   - `census_delta_sec` / `census_full_sec` — the census terms in
@@ -70,6 +74,23 @@ object GraphDeltaProbe {
       require(nDelta == nFull,
         s"delta census row count $nDelta != full $nFull")
 
+      // k-core terms in isolation (r15 continuation): the Δ-seeded
+      // region patch vs the full peel, same tick inputs
+      val storedCore = spark.table(s"${t}_kcore")
+        .select(col("node"), col("core_degree").as("d"))
+      val (kcoreDelta, nCoreDelta) = Probes.timed {
+        val (df, blocks) = graft.operators.KCore
+          .membershipDeltaDiff(oldE, storedCore, newE, 3L)
+        val n = df.queryExecution.toRdd.count()
+        release(spark.sparkContext, blocks); n
+      }
+      val (kcoreFull, nCoreFull) = Probes.timed {
+        graft.operators.KCore.membership(GraphStore.edges(spark, t), 3L, 64)
+          .queryExecution.toRdd.count()
+      }
+      require(nCoreDelta == nCoreFull,
+        s"delta kcore row count $nCoreDelta != full $nCoreFull")
+
       // whole-tick wall times, both paths (delta first — it consumes
       // the ver<=1 snapshot; then reset the snapshot and force full)
       val (tickDelta, _) = Probes.timed {
@@ -83,6 +104,8 @@ object GraphDeltaProbe {
         s""""birth_refresh_sec":$birthSec,""" +
         s""""census_delta_sec":$censusDelta,"census_full_sec":$censusFull,""" +
         s""""support_rows":$nFull,""" +
+        s""""kcore_delta_sec":$kcoreDelta,"kcore_full_sec":$kcoreFull,""" +
+        s""""kcore_rows":$nCoreFull,""" +
         s""""refresh_delta_sec":$tickDelta,"refresh_full_sec":$tickFull}""")
     }
     spark.stop()

@@ -81,4 +81,269 @@ object KCore {
     release(sc, eBlocks)
     out
   }
+
+  /** EXACT incremental k-core for an APPEND-ONLY edge batch — the tick
+    * twin of [[membership]], the census `perEdgeDeltaDiff` discipline
+    * at node grain. Returns `(newCore, checkpointBlocks)`; the caller
+    * OWNS the result's checkpoint blocks (the per-face generation rule:
+    * a store tick must never release an interactive query's frame).
+    *
+    * Why a delta is exact here: edge INSERTION is monotone for a fixed
+    * k — the k-core only grows, so every old member stays a member —
+    * and every connected component of (newCore \ oldCore), induced,
+    * must contain an endpoint of a genuinely-new edge (otherwise that
+    * component plus the old core had min-degree ≥ k in the OLD graph,
+    * contradicting the old core's maximality). So the only nodes whose
+    * membership can change are non-members reachable from Δ endpoints
+    * through non-members of union-degree ≥ k — a Δ-seeded region, not
+    * the corpus. The delta:
+    *
+    *   1. folds E ∪ Δ with an age tag in ONE aggregate (replayed
+    *      batches become the identity — the set-algebra immunity);
+    *   2. BFS over ELIGIBLE non-members (union degree ≥ k; nodes below
+    *      k can never join) from the Δ endpoints — per round one
+    *      broadcast-probed adjacency scan and one eligible-set scan,
+    *      the corpus side never shuffles; the region is capped at
+    *      `maxRegion` and a blowout FALLS BACK to the full peel
+    *      (honest: a region that large means the answer itself changed
+    *      at corpus scale, the d15 auto-route discipline);
+    *   3. peels ONLY the candidate region to a fixed point — member
+    *      support (`degO`) is static through the peel because members
+    *      never leave, so each cascade round joins region-bounded
+    *      frames only;
+    *   4. patches in-core degrees: joiners get degO + in-region degree;
+    *      old members get +1 per J-incident edge and per Δ
+    *      member–member edge (exactly the edges absent from the old
+    *      in-core count), merged with the broadcast anti/semi split so
+    *      the stored node-grain table never shuffles.
+    *
+    * Equals `membership(old ∪ new, k, rounds)` whenever that peel
+    * converges (it early-exits at the fixed point; the f29 spec gates
+    * convergence) — property-gated over randomized append chains.
+    *
+    * `oldCore`: (node, d) rows — the previous CONVERGED membership
+    * with in-core degrees, exactly [[membership]]'s output.
+    */
+  def membershipDeltaDiff(
+      oldEdges: DataFrame, oldCore: DataFrame, newEdges: DataFrame,
+      k: Long, fallbackRounds: Int = 64, maxRegion: Long = 2000000L,
+      src: String = "src", dst: String = "dst"): (DataFrame, Set[Int]) = {
+    require(k >= 1, s"kcore delta: k must be >= 1, got $k")
+    val spark = oldEdges.sparkSession
+    val sc = spark.sparkContext
+    import Components.{checkpointDiff, release}
+    val ser = StorageLevel.MEMORY_AND_DISK_SER
+    def canon(df: DataFrame, s: String, d: String) = df
+      .select(least(col(s), col(d)).as("a"),
+        greatest(col(s), col(d)).as("b"))
+      .filter(col("a") =!= col("b"))
+    // E ∪ Δ with the age tag in one aggregate (the perEdgeDeltaDiff
+    // fold): an edge is new iff NO old row produced it, so replayed
+    // batches are structurally absorbed. Consumed by the degree
+    // aggregate, every BFS scan and the region edge extraction.
+    val (all, allBlocks) = checkpointDiff(sc) {
+      canon(oldEdges, src, dst).withColumn("is_new", lit(false))
+        .unionAll(canon(newEdges, src, dst).withColumn("is_new", lit(true)))
+        .groupBy("a", "b").agg(bool_and(col("is_new")).as("is_new"))
+        .localCheckpoint(true, ser)
+    }
+    def fullPeel(): (DataFrame, Set[Int]) = {
+      val (out, outBlocks) = checkpointDiff(sc) {
+        membership(all.select(col("a"), col("b")), k, fallbackRounds,
+          "a", "b")
+      }
+      release(sc, allBlocks)
+      (out, outBlocks)
+    }
+    val delta = all.filter(col("is_new")).select(col("a"), col("b"))
+    val deltaNodes = delta.select(col("a").as("node"))
+      .unionAll(delta.select(col("b").as("node"))).distinct()
+    if (deltaNodes.isEmpty) { // pure replay: edge set unchanged
+      val (out, outBlocks) = checkpointDiff(sc) {
+        oldCore.select(col("node"), col("d")).localCheckpoint()
+      }
+      release(sc, allBlocks)
+      return (out, outBlocks)
+    }
+    // eligible non-members: union degree ≥ k (one corpus degree
+    // aggregate + one node-grain anti against the old membership) —
+    // nodes below k can never join, members never need to
+    val (cand0, cand0Blocks) = checkpointDiff(sc) {
+      all.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("du"))
+        .filter(col("du") >= k).select(col("node"))
+        .join(oldCore.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true, ser)
+    }
+    val adj = all.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(all.select(col("b").as("x"), col("a").as("y")))
+    // Δ-seeded BFS through the eligible set
+    var (visited, vBlocks) = checkpointDiff(sc) {
+      cand0.join(broadcast(deltaNodes), Seq("node"), "left_semi")
+        .localCheckpoint(true, ser)
+    }
+    var frontier = visited
+    var fBlocks = Set.empty[Int]
+    var nVisited = visited.count()
+    var frontierEmpty = nVisited == 0
+    while (!frontierEmpty) {
+      // boundary-sized distinct (the round's one exchange); counted
+      // BEFORE broadcasting so a hub frontier can never broadcast a
+      // corpus-sized set — it falls back instead
+      val (nbrs, nbrBlocks) = checkpointDiff(sc) {
+        adj.join(broadcast(frontier.select(col("node").as("x"))),
+            Seq("x"), "left_semi")
+          .select(col("y").as("node")).distinct()
+          .localCheckpoint(true, ser)
+      }
+      val nNbrs = nbrs.count()
+      if (nVisited + nNbrs > maxRegion) {
+        release(sc, vBlocks); release(sc, fBlocks)
+        release(sc, nbrBlocks); release(sc, cand0Blocks)
+        return fullPeel()
+      }
+      val (next, nextBlocks) = checkpointDiff(sc) {
+        cand0.join(broadcast(nbrs), Seq("node"), "left_semi")
+          .join(broadcast(visited), Seq("node"), "left_anti")
+          .localCheckpoint(true, ser)
+      }
+      release(sc, nbrBlocks)
+      val nNext = next.count()
+      if (nNext == 0) {
+        release(sc, nextBlocks)
+        frontierEmpty = true
+      } else {
+        val (nv, nvBlocks) = checkpointDiff(sc) {
+          visited.unionAll(next).localCheckpoint(true, ser)
+        }
+        release(sc, vBlocks); release(sc, fBlocks)
+        visited = nv; vBlocks = nvBlocks
+        frontier = next; fBlocks = nextBlocks
+        nVisited += nNext
+      }
+    }
+    release(sc, fBlocks)
+    release(sc, cand0Blocks)
+    if (nVisited == 0) { // no eligible node near Δ: membership is
+      // unchanged; only member–member Δ edges can bump in-core degrees
+      val (out, outBlocks) = checkpointDiff(sc) {
+        val deltaMM = delta
+          .join(oldCore.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(oldCore.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("inc"))
+        val untouched = oldCore.select(col("node"), col("d"))
+          .join(broadcast(deltaMM.select(col("node"))),
+            Seq("node"), "left_anti")
+        untouched.unionAll(
+          oldCore.select(col("node"), col("d"))
+            .join(broadcast(deltaMM), Seq("node"))
+            .select(col("node"), (col("d") + col("inc")).as("d")))
+          .localCheckpoint()
+      }
+      release(sc, vBlocks); release(sc, allBlocks)
+      return (out, outBlocks)
+    }
+    // region edges, classified once: x ∈ C always; y tagged member /
+    // candidate. degO (member-side support) is static through the peel.
+    val (bEdgesM, bmBlocks) = checkpointDiff(sc) {
+      adj.join(broadcast(visited.select(col("node").as("x"))),
+          Seq("x"), "left_semi")
+        .join(oldCore.select(col("node").as("y")), Seq("y"), "left_semi")
+        .select(col("x"), col("y"))
+        .localCheckpoint(true, ser)
+    }
+    val (degO, degOBlocks) = checkpointDiff(sc) {
+      bEdgesM.groupBy(col("x").as("node"))
+        .agg(count(lit(1)).as("dgo")).localCheckpoint(true, ser)
+    }
+    val (eCC, eCCBlocks) = checkpointDiff(sc) {
+      all.select(col("a"), col("b"))
+        .join(broadcast(visited.select(col("node").as("a"))),
+          Seq("a"), "left_semi")
+        .join(broadcast(visited.select(col("node").as("b"))),
+          Seq("b"), "left_semi")
+        .localCheckpoint(true, ser)
+    }
+    // cascade peel of the region only — members never leave, so each
+    // round is region-bounded: in-region degree + static degO vs k
+    def degCC(av: DataFrame): DataFrame = eCC
+      .join(broadcast(av.select(col("node").as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(av.select(col("node").as("b"))), Seq("b"), "left_semi")
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("dcc"))
+    var alive = visited
+    var aBlocks = vBlocks
+    var nAlive = nVisited
+    var done = false
+    while (!done && nAlive > 0) {
+      val (keep, keepBlocks) = checkpointDiff(sc) {
+        alive.join(degCC(alive), Seq("node"), "left_outer")
+          .join(degO, Seq("node"), "left_outer")
+          .filter(coalesce(col("dcc"), lit(0L)) +
+            coalesce(col("dgo"), lit(0L)) >= k)
+          .select(col("node")).localCheckpoint(true, ser)
+      }
+      val nKeep = keep.count()
+      done = nKeep == nAlive
+      if (done) release(sc, keepBlocks)
+      else {
+        release(sc, aBlocks)
+        alive = keep; aBlocks = keepBlocks; nAlive = nKeep
+      }
+    }
+    // joiners with their in-core degrees; old members patched by the
+    // broadcast anti/semi split (the support-merge discipline — the
+    // stored node-grain side never shuffles)
+    val (out, outBlocks) = checkpointDiff(sc) {
+      val jRows = alive.join(degCC(alive), Seq("node"), "left_outer")
+        .join(degO, Seq("node"), "left_outer")
+        .select(col("node"), (coalesce(col("dcc"), lit(0L)) +
+          coalesce(col("dgo"), lit(0L))).as("d"))
+      val incFromJ = bEdgesM
+        .join(broadcast(alive.select(col("node").as("x"))),
+          Seq("x"), "left_semi")
+        .select(col("y").as("node"))
+      val deltaMM = delta
+        .join(oldCore.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(oldCore.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(explode(array(col("a"), col("b"))).as("node"))
+      val incs = incFromJ.unionAll(deltaMM)
+        .groupBy("node").agg(count(lit(1)).as("inc"))
+      val untouched = oldCore.select(col("node"), col("d"))
+        .join(broadcast(incs.select(col("node"))), Seq("node"), "left_anti")
+      untouched
+        .unionAll(oldCore.select(col("node"), col("d"))
+          .join(broadcast(incs), Seq("node"))
+          .select(col("node"), (col("d") + col("inc")).as("d")))
+        .unionAll(jRows)
+        .localCheckpoint()
+    }
+    release(sc, aBlocks)
+    if (aBlocks != vBlocks) release(sc, vBlocks)
+    release(sc, bmBlocks); release(sc, degOBlocks); release(sc, eCCBlocks)
+    release(sc, allBlocks)
+    (out, outBlocks)
+  }
+
+  // one result generation per face (the Triangles slot discipline): a
+  // convenience caller's previous frame is released on the NEXT call,
+  // never someone else's — owners needing block custody use
+  // membershipDeltaDiff directly (GraphStore.refresh does)
+  private val lastResultBlocks =
+    scala.collection.mutable.Map.empty[String, Set[Int]]
+
+  /** Caller-friendly face of [[membershipDeltaDiff]]. */
+  def membershipDelta(
+      oldEdges: DataFrame, oldCore: DataFrame, newEdges: DataFrame,
+      k: Long, fallbackRounds: Int = 64, maxRegion: Long = 2000000L,
+      src: String = "src", dst: String = "dst"): DataFrame =
+    synchronized {
+      val (out, outBlocks) = membershipDeltaDiff(
+        oldEdges, oldCore, newEdges, k, fallbackRounds, maxRegion, src, dst)
+      Components.release(out.sparkSession.sparkContext,
+        lastResultBlocks.getOrElse("membershipDelta", Set.empty))
+      lastResultBlocks("membershipDelta") = outBlocks
+      out
+    }
 }

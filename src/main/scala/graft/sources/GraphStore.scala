@@ -165,6 +165,17 @@ object GraphStore {
     * `deltaCensus = false` forces the full path (probe baseline).
     * Cohesion and the truss filter derive from the stored support
     * either way, so the serve contracts are unchanged.
+    *
+    * INCREMENTAL k-core (r15 continuation): the same tick discipline
+    * for the fourth cohesion face — an append-only tick whose stored
+    * `_kcore` carries the SAME k (the `graft.kcore.k` creation
+    * property; a k change refuses into the full peel) patches the
+    * membership by [[graft.operators.KCore.membershipDeltaDiff]]
+    * (Δ-seeded region BFS + region-bounded cascade — exact because
+    * insertion is monotone for fixed k). PageRank and label
+    * propagation still recompute fully: fixed-round iterations from a
+    * uniform start have no exact warm delta, and their round cost is
+    * edge-linear, not the census's m^1.5.
     */
   def refresh(
       spark: SparkSession, table: String, iters: Int = 10,
@@ -253,13 +264,52 @@ object GraphStore {
     // f29's k-core at the same cadence (r15): the peel runs on the
     // full live edge set (NOT the truss-filtered one — k-core and
     // truss are different density screens and must not contaminate
-    // each other), result released once its table write lands
-    val (core, coreBlocks) = checkpointDiff(spark.sparkContext) {
-      graft.operators.KCore.membership(e, kcoreK, kcoreRounds)
-        .select(col("node"), col("d").as("core_degree"))
-        .withColumn("as_of", lit(asOf))
+    // each other), result released once its table write lands.
+    // INCREMENTAL (r15 continuation): an append-only tick with a
+    // stored membership at the SAME k patches via
+    // [[graft.operators.KCore.membershipDelta]] (Δ-seeded region BFS
+    // + region peel — exact because insertion is monotone for fixed
+    // k); pending tombstones, a k change (guarded by the
+    // `graft.kcore.k` table property, the layoutOf re-derive rule) or
+    // a region blowout fall back to the full peel.
+    val kcoreSnap: Option[(Long, Long)] =
+      if (!spark.catalog.tableExists(s"${table}_kcore")) None
+      else {
+        spark.catalog.refreshTable(s"${table}_kcore")
+        val storedK = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst
+            .TableIdentifier(s"${table}_kcore"))
+          .properties.get("graft.kcore.k").map(_.toLong)
+        val r = spark.table(s"${table}_kcore")
+          .agg(max(col("as_of"))).collect()(0)
+        if (r.isNullAt(0)) None
+        else storedK.map(sk => (r.getLong(0), sk))
+      }
+    val (core, coreBlocks) = kcoreSnap match {
+      case Some((snapVer, storedK))
+          if deltaCensus && delsSnap.isEmpty && storedK == kcoreK =>
+        val rows = spark.table(table)
+        val (c, blocks) = graft.operators.KCore.membershipDeltaDiff(
+          rows.filter(col("ver") <= snapVer).select(col("src"), col("dst")),
+          spark.table(s"${table}_kcore")
+            .select(col("node"), col("core_degree").as("d")),
+          rows.filter(col("ver") > snapVer).select(col("src"), col("dst")),
+          kcoreK)
+        (c.select(col("node"), col("d").as("core_degree"))
+          .withColumn("as_of", lit(asOf)), blocks)
+      case _ =>
+        checkpointDiff(spark.sparkContext) {
+          graft.operators.KCore.membership(e, kcoreK, kcoreRounds)
+            .select(col("node"), col("d").as("core_degree"))
+            .withColumn("as_of", lit(asOf))
+        }
     }
     stageSwap(spark, s"${table}_kcore", b, "node")(core)
+    // the creation-k declaration: a later refresh at a different k
+    // must never patch against an incompatible membership (it refuses
+    // into the full-peel branch above instead)
+    spark.sql(s"ALTER TABLE ${table}_kcore SET TBLPROPERTIES(" +
+      s"'graft.kcore.k'='$kcoreK')")
     release(spark.sparkContext, coreBlocks)
 
     // FINAL rewrite of the edge set: dedup + tombstone scrub durable

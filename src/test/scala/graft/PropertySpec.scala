@@ -676,6 +676,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // r15 continuation: the incremental k-core must equal the full peel
+  // after EVERY append in a randomized chain (the census-delta
+  // discipline at node grain), including in-core DEGREES; plus replay
+  // identity and the region-cap fallback path.
+  test("r15 delta kcore chain == full peel after every batch") {
+    import spark.implicits._
+    import graft.operators.KCore
+    val rnd = new scala.util.Random(53)
+    def coreMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (trial <- 1 to 12) {
+      val n = 5 + rnd.nextInt(9)
+      val k = 2L + rnd.nextInt(2) // k in {2, 3}
+      def randBatch(m: Int) = Seq.fill(m)(
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      var accum = randBatch(4 + rnd.nextInt(8))
+      var accumDf = accum.toDF("src", "dst")
+      // results are CONSUMED to maps before the next delta call: the
+      // slotted convenience face owns exactly one result generation
+      // (the Triangles discipline), so a held frame must not outlive
+      // the next call
+      var core = coreMap(KCore.membership(accumDf, k, rounds = 50))
+      def coreDf(m: Map[String, Long]) = m.toSeq.toDF("node", "d")
+      for (step <- 1 to 3) {
+        val batch = randBatch(2 + rnd.nextInt(6))
+        val batchDf = batch.toDF("src", "dst")
+        val updated = coreMap(
+          KCore.membershipDelta(accumDf, coreDf(core), batchDf, k))
+        val allDf = (accum ++ batch).toDF("src", "dst")
+        val want = coreMap(KCore.membership(allDf, k, rounds = 50))
+        assert(updated == want,
+          s"trial $trial step $step k=$k: delta $updated != full $want")
+        // replay: re-appending the same batch must be the identity
+        val replay = coreMap(
+          KCore.membershipDelta(allDf, coreDf(updated), batchDf, k))
+        assert(replay == want,
+          s"trial $trial step $step k=$k: replay moved the membership")
+        // region-cap fallback must agree too (maxRegion = 1 forces it
+        // whenever any candidate exists)
+        val viaFallback = coreMap(KCore.membershipDelta(
+          accumDf, coreDf(core), batchDf, k, maxRegion = 1L))
+        assert(viaFallback == want,
+          s"trial $trial step $step k=$k: fallback path diverged")
+        accum = accum ++ batch
+        accumDf = allDf
+        core = replay
+      }
+    }
+  }
+
   // independent driver-side model (not the operator's own machinery)
   test("r14 graph trio == driver models on random graphs") {
     import spark.implicits._

@@ -1375,7 +1375,8 @@ class SourcesSpec extends AnyFunSuite {
     assert(rankMap(GraphStore.ranks(spark, "gstore")) == served1,
       "serve moved before refresh")
     assert(GraphStore.staleness(spark, "gstore") == ((1L, 2L)))
-    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2,
+      kcoreK = 2L)
     val served2 = rankMap(GraphStore.ranks(spark, "gstore"))
     assert(served2 == rankMap(PageRank.ranks(
       GraphStore.edges(spark, "gstore"))), "post-refresh serve != recompute")
@@ -1395,15 +1396,30 @@ class SourcesSpec extends AnyFunSuite {
         .perNode(GraphStore.edges(spark, "gstore"))
         .select(col("node"), col("n_triangles"))),
       "delta-tick cohesion != census recompute")
+    // ... and the r15-continuation DELTA K-CORE path ran on the same
+    // tick (stored k == kcoreK, no tombstones): w joins the 2-core
+    // through the new w-y/w-z edges; the patched membership and
+    // in-core degrees must equal a full peel
+    assert(coreMap(GraphStore.kcore(spark, "gstore")) ==
+      coreMap(graft.operators.KCore.membership(
+        GraphStore.edges(spark, "gstore"), k = 2L, rounds = 10)),
+      "delta-tick kcore != peel recompute")
+    assert(coreMap(GraphStore.kcore(spark, "gstore")).contains("w"),
+      "the joiner w must be served from the patched kcore")
     assert(served2.contains("w") && served2 != served1)
     assert(GraphStore.staleness(spark, "gstore") == ((2L, 2L)))
     // replayed batch: the edge set absorbs it structurally — the
     // refreshed ranks are bit-identical
     GraphStore.append(b2, "gstore", ver = 3, buckets = 2)
     assert(GraphStore.edges(spark, "gstore").count() == 9)
-    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2)
+    GraphStore.refresh(spark, "gstore", minSupport = 1L, buckets = 2,
+      kcoreK = 2L)
     assert(rankMap(GraphStore.ranks(spark, "gstore")) == served2,
       "replayed batch moved the rank vector")
+    assert(coreMap(GraphStore.kcore(spark, "gstore")) ==
+      coreMap(graft.operators.KCore.membership(
+        GraphStore.edges(spark, "gstore"), k = 2L, rounds = 10)),
+      "replayed batch moved the kcore membership")
     // takedown: the popped node vanishes from EVERY face immediately
     // (edges, ranks, communities — even though the snapshots predate
     // the pop), refresh scrubs physically and retires the tombstones
