@@ -355,6 +355,17 @@ object Cli {
               minSupport = ms.headOption.map(_.toLong).getOrElse(2L),
               kcoreK = ms.lift(1).map(_.toLong).getOrElse(3L))
             println(s"graph: refreshed $table analytics")
+          case "tick" :: ms if ms.length <= 2 =>
+            // summary-only refresh: no edge rewrite (the r15
+            // decoupling) — pair with an occasional `compact`
+            GraphStore.refresh(spark, table,
+              minSupport = ms.headOption.map(_.toLong).getOrElse(2L),
+              kcoreK = ms.lift(1).map(_.toLong).getOrElse(3L),
+              compactEdges = false)
+            println(s"graph: ticked $table analytics (no compaction)")
+          case "compact" :: Nil =>
+            GraphStore.compact(spark, table)
+            println(s"graph: compacted $table edges")
           case "rank" :: idArg if idArg.length <= 1 =>
             val r = GraphStore.ranks(spark, table)
             val sel = idArg.headOption
@@ -388,8 +399,9 @@ object Cli {
             println(s"$asOf\t$cur\t${if (asOf == cur) "fresh" else "stale"}")
           case other =>
             sys.error("usage: graph <table> ingest <parquet> <ver> | " +
-              s"refresh [minSupport] | rank [id] | community [id] | " +
-              s"cohesion [id] | kcore [id] | pop <id> | staleness, got: $other")
+              s"refresh [minSupport] | tick [minSupport] | compact | " +
+              s"rank [id] | community [id] | cohesion [id] | kcore [id] " +
+              s"| pop <id> | staleness, got: $other")
         }
 
       // telemetry <base> <verb> … — the operational face of the three

@@ -59,7 +59,12 @@ import graft.operators.{LabelProp, PageRank, Triangles}
   * are node-grain scans or bucket-pruned point lookups that never
   * touch the edge set; refresh is the one corpus-grain face and runs
   * OFF the serving path (stage + swap, reads stay live throughout —
-  * the DocStore.compactStage discipline).
+  * the DocStore.compactStage discipline). Physical compaction of the
+  * edge table is DECOUPLED from the summary cadence (r15
+  * continuation): a `compactEdges = false` tick computes summaries
+  * without rewriting a single edge file, [[compact]] is the explicit
+  * corpus-rewrite face on its own cadence, and no-op / pure-replay
+  * ticks short-circuit before any iteration runs (see [[refresh]]).
   */
 object GraphStore {
 
@@ -138,11 +143,35 @@ object GraphStore {
     }
   }
 
+  private def prop(
+      spark: SparkSession, table: String, key: String): Option[String] =
+    spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(key)
+
+  private def setProp(
+      spark: SparkSession, table: String, key: String, value: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('$key'='$value')")
+
   private def maxVer(spark: SparkSession, table: String): Long = {
     spark.catalog.refreshTable(table) // cloned-session staleness: SketchStore doc
     val r = spark.table(table).agg(max(col("ver"))).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    val rowsMax = if (r.isNullAt(0)) 0L else r.getLong(0)
+    // compaction preserves each edge's FIRST-SEEN ver (so the delta
+    // splits stay exact across rewrites), which can shrink the row-side
+    // max; the compact watermark keeps the logical version monotone
+    val compactVer = prop(spark, table, "graft.graph.compact_ver")
+      .map(_.toLong).getOrElse(0L)
+    math.max(rowsMax, compactVer)
   }
+
+  // batches at-or-before this ver predate the last physical takedown
+  // scrub: a census/k-core snapshot older than it describes a graph
+  // whose reconstruction (ver <= snapshot) can no longer be read back
+  // from the rows, so the delta paths refuse it into the full recompute
+  private def scrubVer(spark: SparkSession, table: String): Long =
+    prop(spark, table, "graft.graph.scrub_ver").map(_.toLong).getOrElse(0L)
 
   /** Recompute the served analytics from the LIVE edge set — the one
     * corpus-grain face, run at the compact cadence, off the serving
@@ -176,17 +205,95 @@ object GraphStore {
     * propagation still recompute fully: fixed-round iterations from a
     * uniform start have no exact warm delta, and their round cost is
     * edge-linear, not the census's m^1.5.
+    *
+    * DECOUPLED COMPACTION (r15 continuation): the FINAL rewrite of the
+    * edge table is corpus-grain WRITE work a summary tick does not
+    * need — an append-only tick's summaries read the live set either
+    * way, and at 100 TB rewriting the whole edge table per cadence is
+    * the bottleneck, not the (now delta-patched) summaries. With
+    * `compactEdges = false` the tick leaves the edge files untouched
+    * (duplicates keep collapsing at read; tombstones, if any, keep
+    * masking) and physical compaction moves to its own cadence via
+    * [[compact]]. Tombstone RETIREMENT stays exclusively on the
+    * compacting-refresh path: retiring requires both the physical
+    * scrub and summaries rebuilt without the popped nodes in the same
+    * breath, else a later serve would resurrect the popped entity
+    * (standalone [[compact]] scrubs but never retires for the same
+    * reason). Two tick fast paths fall out of the decoupling, both
+    * guarded by a stored-parameters match (`graft.graph.params` on the
+    * ranks table — a tick asked to produce different iters/rounds must
+    * never serve a restamped old answer):
+    *
+    *   - NO-OP tick: nothing appended or popped since the last refresh
+    *     → return immediately.
+    *   - PURE-REPLAY tick: batches landed but every edge already
+    *     exists (the at-least-once stream's common case), detected by
+    *     ONE narrow broadcast-probed corpus scan (the new slice is
+    *     counted BEFORE broadcasting — the k-core frontier
+    *     discipline); the edge SET is unchanged, so the stored
+    *     summaries are already exact and only their node-grain
+    *     `as_of` stamps are rewritten. Skips all twenty edge-grain
+    *     iteration rounds; the edge-grain support table keeps its own
+    *     snapshot stamp (its as_of is the census split point, not a
+    *     freshness claim).
     */
   def refresh(
       spark: SparkSession, table: String, iters: Int = 10,
       minSupport: Long = 2L, lpRounds: Int = 10,
       buckets: Int = 16, kcoreK: Long = 3L, kcoreRounds: Int = 10,
-      deltaCensus: Boolean = true): Unit = {
+      deltaCensus: Boolean = true, compactEdges: Boolean = true): Unit = {
     val delsSnap =
       if (spark.catalog.tableExists(s"${table}_dels"))
         spark.table(s"${table}_dels").inputFiles.toSet
       else Set.empty[String]
     val asOf = maxVer(spark, table)
+    val sv = scrubVer(spark, table)
+    val params = s"$iters,$minSupport,$lpRounds,$kcoreK,$kcoreRounds"
+    val allSummaries = Seq("_ranks", "_communities", "_cohesion",
+      "_kcore", "_support").forall(s => spark.catalog.tableExists(table + s))
+    val ranksAsOf: Option[Long] =
+      if (!allSummaries) None
+      else {
+        spark.catalog.refreshTable(s"${table}_ranks")
+        val r = spark.table(s"${table}_ranks")
+          .agg(max(col("as_of"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val paramsMatch = allSummaries &&
+      prop(spark, s"${table}_ranks", "graft.graph.params").contains(params)
+    if (paramsMatch && delsSnap.isEmpty && ranksAsOf.contains(asOf))
+      return // NO-OP tick: nothing changed since the last refresh
+    if (paramsMatch && delsSnap.isEmpty &&
+        ranksAsOf.exists(a => a < asOf && a >= sv)) {
+      val snap = ranksAsOf.get
+      val rows = spark.table(table)
+      val newD = rows.filter(col("ver") > snap)
+        .select(col("src"), col("dst")).distinct()
+      val nNew = newD.count()
+      if (nNew > 0 && nNew <= replayProbeMax) {
+        val matched = rows.filter(col("ver") <= snap)
+          .select(col("src"), col("dst"))
+          .join(broadcast(newD), Seq("src", "dst"), "left_semi")
+          .distinct().count()
+        if (matched == nNew) { // PURE-REPLAY tick: set unchanged —
+          // restamp the node-grain summaries' as_of and stop
+          val kProp = prop(spark, s"${table}_kcore", "graft.kcore.k")
+          def restamp(t: String, keyCol: String): Unit = {
+            spark.catalog.refreshTable(t)
+            stageSwap(spark, t, buckets, keyCol)(
+              spark.table(t).withColumn("as_of", lit(asOf)))
+          }
+          restamp(s"${table}_ranks", "id")
+          setProp(spark, s"${table}_ranks", "graft.graph.params", params)
+          restamp(s"${table}_communities", "node")
+          restamp(s"${table}_cohesion", "node")
+          restamp(s"${table}_kcore", "node")
+          kProp.foreach(k =>
+            setProp(spark, s"${table}_kcore", "graft.kcore.k", k))
+          return
+        }
+      }
+    }
     // the live edge set feeds three consumers (ranks, census, FINAL
     // rewrite) — materialized once, released when the refresh is done
     // (the Components discipline; refresh is off the serving path, so
@@ -206,6 +313,12 @@ object GraphStore {
       PageRank.ranks(e, iters).withColumn("as_of", lit(asOf))
     }
     stageSwap(spark, s"${table}_ranks", b, "id")(ranks)
+    // the stored-parameters declaration: a later NO-OP/REPLAY fast
+    // path must never restamp summaries computed under different
+    // iteration parameters (re-set after every swap — the fallback
+    // DROP+RENAME swap path loses properties, and a lost property
+    // only disables the fast paths, never correctness)
+    setProp(spark, s"${table}_ranks", "graft.graph.params", params)
     release(spark.sparkContext, rankBlocks)
 
     // ONE census pays for two summaries: the per-edge support feeds
@@ -228,7 +341,8 @@ object GraphStore {
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
     val (support, supportBlocks) = supportAsOf match {
-      case Some(snapVer) if deltaCensus && delsSnap.isEmpty =>
+      case Some(snapVer) if deltaCensus && delsSnap.isEmpty &&
+          snapVer >= sv =>
         // append-only tick: batch-bounded delta against the snapshot
         val rows = spark.table(table)
         val oldE = rows.filter(col("ver") <= snapVer)
@@ -287,7 +401,8 @@ object GraphStore {
       }
     val (core, coreBlocks) = kcoreSnap match {
       case Some((snapVer, storedK))
-          if deltaCensus && delsSnap.isEmpty && storedK == kcoreK =>
+          if deltaCensus && delsSnap.isEmpty && storedK == kcoreK &&
+            snapVer >= sv =>
         val rows = spark.table(table)
         val (c, blocks) = graft.operators.KCore.membershipDeltaDiff(
           rows.filter(col("ver") <= snapVer).select(col("src"), col("dst")),
@@ -312,19 +427,74 @@ object GraphStore {
       s"'graft.kcore.k'='$kcoreK')")
     release(spark.sparkContext, coreBlocks)
 
-    // FINAL rewrite of the edge set: dedup + tombstone scrub durable
-    val tmp = TableSwap.stageName(spark, table)
-    TableSwap.dropAllStages(spark, table)
-    writeEdges(e.withColumn("ver", lit(asOf)), tmp, b, SaveMode.Overwrite)
-    TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
-      writeEdges(df, table, b, SaveMode.Append))
-    val delsNow =
+    release(spark.sparkContext, eBlocks)
+    // physical compaction rides the tick only when asked (default
+    // preserves the original contract); retirement is gated on the
+    // tombstone snapshot taken BEFORE the summaries — a pop landing
+    // mid-refresh was not excluded from them and must stay masked
+    if (compactEdges) compactImpl(spark, table, b, Some(delsSnap))
+  }
+
+  // bound on the broadcast side of the pure-replay probe: a bulk load
+  // larger than this skips the check and takes the normal tick
+  private val replayProbeMax = 1000000L
+
+  /** Physical compaction of the edge table — the corpus-REWRITE face,
+    * decoupled (r15 continuation) from the summary cadence so an
+    * append-only [[refresh]] tick never pays it: collapses duplicate
+    * rows, drops tombstoned nodes' edges physically, and preserves
+    * each surviving edge's FIRST-SEEN `ver` (min over its rows — the
+    * invariant that keeps the delta-census/k-core splits `ver <=
+    * snapshot` exact across rewrites; a uniform restamp would make a
+    * replayed old edge look new and double-count its triangles). The
+    * compact watermark (`graft.graph.compact_ver`) keeps [[staleness]]
+    * monotone, and a takedown scrub records `graft.graph.scrub_ver`
+    * so summary snapshots that predate it refuse into the full
+    * recompute. NEVER retires tombstones: retirement requires
+    * summaries rebuilt without the popped nodes in the same operation
+    * (the compacting-refresh path), else a stale rank table would
+    * resurrect the popped entity the moment the mask disappears.
+    */
+  def compact(spark: SparkSession, table: String, buckets: Int = 16): Unit =
+    compactImpl(spark, table,
+      TableSwap.bucketsOf(spark, table).getOrElse(buckets), None)
+
+  private def compactImpl(
+      spark: SparkSession, table: String, buckets: Int,
+      retireIfUnchangedSince: Option[Set[String]]): Unit = {
+    val delsSnap =
       if (spark.catalog.tableExists(s"${table}_dels"))
         spark.table(s"${table}_dels").inputFiles.toSet
       else Set.empty[String]
-    if (delsNow == delsSnap && delsNow.nonEmpty)
-      graft.Probes.dropManaged(spark, s"${table}_dels")
-    release(spark.sparkContext, eBlocks)
+    val asOf = maxVer(spark, table)
+    val base = spark.table(table).groupBy(col("src"), col("dst"))
+      .agg(min(col("ver")).as("ver")) // first-seen ver: see [[compact]]
+    val rows = dels(spark, table) match {
+      case None => base
+      case Some(d) =>
+        base
+          .join(broadcast(d).withColumnRenamed("id", "src"),
+            Seq("src"), "left_anti")
+          .join(broadcast(d).withColumnRenamed("id", "dst"),
+            Seq("dst"), "left_anti")
+    }
+    val tmp = TableSwap.stageName(spark, table)
+    TableSwap.dropAllStages(spark, table)
+    writeEdges(rows.select(col("src"), col("dst"), col("ver")),
+      tmp, buckets, SaveMode.Overwrite)
+    TableSwap.swapIn(spark, tmp, table, partitioned = false)(df =>
+      writeEdges(df, table, buckets, SaveMode.Append))
+    setProp(spark, table, "graft.graph.compact_ver", asOf.toString)
+    if (delsSnap.nonEmpty)
+      setProp(spark, table, "graft.graph.scrub_ver", asOf.toString)
+    retireIfUnchangedSince.foreach { snap =>
+      val delsNow =
+        if (spark.catalog.tableExists(s"${table}_dels"))
+          spark.table(s"${table}_dels").inputFiles.toSet
+        else Set.empty[String]
+      if (delsNow == snap && delsNow.nonEmpty)
+        graft.Probes.dropManaged(spark, s"${table}_dels")
+    }
   }
 
   private def stageSwap(

@@ -725,14 +725,24 @@ object Streams {
   def graphTelemetry(
       edges: DataFrame, table: String, refreshEvery: Int = 0,
       iters: Int = 10, minSupport: Long = 2L, lpRounds: Int = 10,
-      kcoreK: Long = 3L, kcoreRounds: Int = 10)
+      kcoreK: Long = 3L, kcoreRounds: Int = 10, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ingestInto(edges) { (batch, batchId) =>
       val spark = batch.sparkSession
       graft.sources.GraphStore.append(batch, table, batchId)
-      if (refreshEvery > 0 && batchId % refreshEvery == refreshEvery - 1)
+      if (refreshEvery > 0 && batchId % refreshEvery == refreshEvery - 1) {
+        // an append-only tick never rewrites the edge table (the r15
+        // decoupling — summaries read the live set either way); the
+        // rewrite runs when a takedown is pending (scrub + retire is
+        // the st16 contract) or on the explicit compactEvery cadence
+        // (duplicate-row collapse, the st13 compaction discipline)
+        val delsPending = spark.catalog.tableExists(s"${table}_dels")
+        val compactTick =
+          compactEvery > 0 && batchId % compactEvery == compactEvery - 1
         graft.sources.GraphStore.refresh(spark, table, iters, minSupport,
-          lpRounds, kcoreK = kcoreK, kcoreRounds = kcoreRounds)
+          lpRounds, kcoreK = kcoreK, kcoreRounds = kcoreRounds,
+          compactEdges = delsPending || compactTick)
+      }
     }
 
   /** st17 — streaming windowed ATTRIBUTION: q24's interval join at

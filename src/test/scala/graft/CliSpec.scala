@@ -465,5 +465,19 @@ class CliSpec extends AnyFunSuite {
     assert(cli("graph", "cli_graph", "rank", "w").trim.nonEmpty)
     assert(!cli("graph", "cli_graph", "kcore").contains("a\t"),
       "popped node must be scrubbed from the served k-core")
+    // the r15 decoupled faces: `tick` refreshes summaries without
+    // touching the edge files; `compact` is the explicit rewrite
+    Seq(("w", "v")).toDF("src", "dst")
+      .write.mode("overwrite").parquet("/tmp/graft_cli_graph_b3")
+    cli("graph", "cli_graph", "ingest", "/tmp/graft_cli_graph_b3", "3")
+    val edgeFiles = spark.table("cli_graph").inputFiles.toSet
+    assert(cli("graph", "cli_graph", "tick", "1", "2").contains("ticked"))
+    assert(spark.table("cli_graph").inputFiles.toSet == edgeFiles,
+      "tick must not rewrite the edge table")
+    assert(cli("graph", "cli_graph", "staleness").contains("fresh"))
+    assert(cli("graph", "cli_graph", "rank", "v").trim.nonEmpty)
+    assert(cli("graph", "cli_graph", "compact").contains("compacted"))
+    assert(cli("graph", "cli_graph", "rank", "v").trim.nonEmpty,
+      "serves must survive the compaction")
   }
 }

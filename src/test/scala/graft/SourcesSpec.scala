@@ -1447,4 +1447,128 @@ class SourcesSpec extends AnyFunSuite {
         GraphStore.edges(spark, "gstore"), k = 2L, rounds = 10)),
       "post-pop served kcore != peel recompute")
   }
+
+  // Decoupled compaction (r15 continuation): an append-only tick
+  // computes summaries WITHOUT rewriting a single edge file; compact()
+  // is the explicit corpus-rewrite face and preserves each edge's
+  // FIRST-SEEN ver (the invariant that keeps the delta splits exact
+  // across rewrites); no-op and pure-replay ticks short-circuit before
+  // any iteration round; a parameter change defeats the fast paths;
+  // and a standalone compact with a pending takedown scrubs physically
+  // but NEVER retires the tombstone (no resurrection window).
+  test("graph store: decoupled compaction — file-stable ticks, replay/no-op fast paths, first-seen vers, scrub-never-retires") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    import graft.sources.GraphStore
+    val t = "gstore2"
+    Seq(t, s"${t}_dels", s"${t}_ranks", s"${t}_communities",
+      s"${t}_cohesion", s"${t}_kcore", s"${t}_support").foreach(dropTable)
+    def rankMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("id"), col("r")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def supportAsOf(): Long = spark.table(s"${t}_support")
+      .agg(max(col("as_of"))).collect()(0).getLong(0)
+    val b1 = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"))
+      .toDF("src", "dst")
+    GraphStore.append(b1, t, ver = 1, buckets = 2)
+    val edgeFiles1 = spark.table(t).inputFiles.toSet
+    GraphStore.refresh(spark, t, minSupport = 1L, buckets = 2,
+      kcoreK = 2L, compactEdges = false)
+    assert(spark.table(t).inputFiles.toSet == edgeFiles1,
+      "a summary tick must not rewrite edge files")
+    assert(rankMap(GraphStore.ranks(spark, t)) ==
+      rankMap(PageRank.ranks(GraphStore.edges(spark, t))),
+      "tick serve != recompute")
+    assert(GraphStore.staleness(spark, t) == ((1L, 1L)))
+    // NO-OP tick: nothing changed — summaries untouched too
+    val rankFiles1 = spark.table(s"${t}_ranks").inputFiles.toSet
+    GraphStore.refresh(spark, t, minSupport = 1L, buckets = 2,
+      kcoreK = 2L, compactEdges = false)
+    assert(spark.table(s"${t}_ranks").inputFiles.toSet == rankFiles1,
+      "a no-op tick must not rewrite the summaries")
+    // PURE-REPLAY tick: a batch lands but every edge already exists —
+    // as_of catches up with no iteration rounds; the edge-grain
+    // support table keeps its own snapshot stamp
+    GraphStore.append(b1, t, ver = 2, buckets = 2)
+    val sAsOf1 = supportAsOf()
+    GraphStore.refresh(spark, t, minSupport = 1L, buckets = 2,
+      kcoreK = 2L, compactEdges = false)
+    assert(GraphStore.staleness(spark, t) == ((2L, 2L)),
+      "a replay tick must catch the as_of up")
+    assert(supportAsOf() == sAsOf1,
+      "a replay tick must not rewrite the edge-grain support table")
+    assert(rankMap(GraphStore.ranks(spark, t)) ==
+      rankMap(PageRank.ranks(GraphStore.edges(spark, t))),
+      "replay-tick serve != recompute")
+    // a REAL batch takes the normal delta tick (support restamped)
+    val b2 = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    GraphStore.append(b2, t, ver = 3, buckets = 2)
+    GraphStore.refresh(spark, t, minSupport = 1L, buckets = 2,
+      kcoreK = 2L, compactEdges = false)
+    assert(supportAsOf() == 3L)
+    assert(rankMap(GraphStore.ranks(spark, t)) ==
+      rankMap(PageRank.ranks(GraphStore.edges(spark, t))),
+      "delta-tick serve != recompute")
+    // physical rows accumulated (b1 twice + b2); compact collapses
+    // them, PRESERVES first-seen vers, keeps the watermark monotone
+    assert(spark.table(t).count() == 11)
+    GraphStore.compact(spark, t)
+    assert(spark.table(t).count() == 7,
+      "compact must collapse duplicate rows")
+    val vers = spark.table(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(vers(("a", "b")) == 1L && vers(("x", "y")) == 3L,
+      s"first-seen vers must survive compaction: $vers")
+    assert(GraphStore.staleness(spark, t) == ((3L, 3L)),
+      "the compact watermark must keep maxVer monotone")
+    // the delta paths survive the rewrite: a post-compact batch still
+    // ticks delta and equals the from-scratch recomputes
+    val b3 = Seq(("z", "w"), ("y", "w")).toDF("src", "dst")
+    GraphStore.append(b3, t, ver = 4, buckets = 2)
+    GraphStore.refresh(spark, t, minSupport = 1L, buckets = 2,
+      kcoreK = 2L, compactEdges = false)
+    assert(spark.table(s"${t}_support")
+      .select(col("a"), col("b"), col("support")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      graft.operators.Triangles.perEdge(GraphStore.edges(spark, t))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      "post-compact delta support != full census")
+    assert(rankMap(GraphStore.ranks(spark, t)) ==
+      rankMap(PageRank.ranks(GraphStore.edges(spark, t))))
+    // a parameter change defeats the replay fast path: replayed batch
+    // + different iters must RECOMPUTE at the new params, not restamp
+    GraphStore.append(b3, t, ver = 5, buckets = 2)
+    GraphStore.refresh(spark, t, iters = 5, minSupport = 1L,
+      buckets = 2, kcoreK = 2L, compactEdges = false)
+    assert(rankMap(GraphStore.ranks(spark, t)) ==
+      rankMap(PageRank.ranks(GraphStore.edges(spark, t), iters = 5)),
+      "a changed-params tick must recompute at the new params")
+    // standalone compact with a pending takedown: scrubs physically,
+    // NEVER retires (a stale rank table must stay masked); the next
+    // COMPACTING refresh retires, and the scrub marker forces it full
+    GraphStore.pop(spark, t, Seq("x").toDF("id"))
+    GraphStore.compact(spark, t)
+    assert(!spark.table(t).collect()
+      .exists(r => r.getString(0) == "x" || r.getString(1) == "x"),
+      "compact must scrub popped edges physically")
+    assert(spark.catalog.tableExists(s"${t}_dels"),
+      "standalone compact must not retire tombstones")
+    assert(!GraphStore.ranks(spark, t).collect()
+      .exists(_.getString(0) == "x"), "popped node must stay masked")
+    GraphStore.refresh(spark, t, iters = 5, minSupport = 1L,
+      buckets = 2, kcoreK = 2L)
+    assert(!spark.catalog.tableExists(s"${t}_dels"),
+      "the compacting refresh must retire the tombstones")
+    assert(rankMap(GraphStore.ranks(spark, t)) ==
+      rankMap(PageRank.ranks(GraphStore.edges(spark, t), iters = 5)),
+      "post-scrub full tick serve != recompute")
+    assert(spark.table(s"${t}_support")
+      .select(col("a"), col("b"), col("support")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      graft.operators.Triangles.perEdge(GraphStore.edges(spark, t))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      "post-scrub support != full census")
+  }
 }

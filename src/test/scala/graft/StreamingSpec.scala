@@ -1846,6 +1846,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(!spark.catalog.tableExists(s"${table}_ranks"),
         "no refresh should have fired yet")
+      val filesBatch0 = spark.table(table).inputFiles.toSet
       // batch 1: refresh tick — served analytics appear and match the
       // batch recompute on everything ingested so far
       in.addData(("x", "y"), ("y", "z"), ("x", "z"))
@@ -1865,6 +1866,10 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
         "tick kcore serve != peel recompute")
       assert(coreServed().nonEmpty)
+      // the r15 decoupling: an append-only tick computes its summaries
+      // without rewriting the edge table — batch 0's files survive
+      assert(filesBatch0.subsetOf(spark.table(table).inputFiles.toSet),
+        "append-only tick must not rewrite the edge table")
       // batch 2: appends land in the edge set immediately but the
       // serves hold their as-of snapshot; staleness reports the lag
       in.addData(("z", "w"))
