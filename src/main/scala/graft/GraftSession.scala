@@ -25,6 +25,11 @@ object GraftSession {
   def local(cpus: Int, aqe: Boolean = true): SparkSession = {
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt).getOrElse(cpus)
+    // measurement escape hatch (SPARK_GRAFT_AQE=0/1): lets a probe
+    // isolate AQE's replan overhead vs its coalescing wins without a
+    // code edit; unset = the caller's default (on everywhere)
+    val aqeOn = sys.env.get("SPARK_GRAFT_AQE")
+      .map(_ == "1").getOrElse(aqe)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -37,7 +42,7 @@ object GraftSession {
       // skip-index power (the ZOrderLayout pruning story) and are the
       // modern interchange type; INT96 is deprecated upstream.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.adaptive.enabled", aqeOn.toString)
       // The default 100-entry codegen cache thrashes on a suite of 65+
       // queries (several whole-stage/expression classes each): every
       // re-execution Janino-recompiles and the JVM re-JITs the same

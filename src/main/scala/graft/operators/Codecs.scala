@@ -273,7 +273,13 @@ object Codecs {
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // MemoryCache explicitly: ImageIO.createImageOutputStream honors
+    // ImageIO.getUseCache (default TRUE) and returns a
+    // FileCacheImageOutputStream — a temp file created, written and
+    // deleted per encoded image. At one frame per document that is a
+    // disk round-trip per row on the hot decode path; the memory-cached
+    // stream is pure heap and byte-identical output.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
@@ -307,7 +313,10 @@ object Codecs {
     val reader = jpegReader.get()
     val img =
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCache explicitly (the encode-side rationale): the
+        // ImageIO factory's default is a FileCache stream — one temp
+        // file per decoded image.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           reader.setInput(iis, true, true)

@@ -46,9 +46,11 @@ object KCore {
         .distinct()
         .localCheckpoint(true, ser)
     }
+    // explode instead of unionAll: one scan of the serialized edge
+    // checkpoint per degree pass instead of two (r15 — the Triangles
+    // census rationale; this runs EVERY peel round)
     def degrees(ed: DataFrame): DataFrame =
-      ed.select(col("a").as("node"))
-        .unionAll(ed.select(col("b").as("node")))
+      ed.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
     var i = 0
     var nEdges = e.count() // cached blocks — an O(partitions) read

@@ -21,18 +21,30 @@ import org.apache.spark.storage.StorageLevel
   * f28 face asserts convergence on the gated datasets by comparing
   * round R to round R+1 in its spec.
   *
-  * Scale shape: each round is ONE equi-join of the (symmetrized) edge
-  * set against the node-grain label table plus ONE min-aggregate with
-  * map-side combine — the f25 PageRank round shape exactly, and the
-  * same 100 TB argument: nothing broadcast, both sides scale with the
-  * data, rounds are lineage-broken with eager localCheckpoints and
-  * superseded label snapshots released (the Components.checkpointDiff
-  * discipline), so R rounds cost R bounded jobs, not one R-deep plan.
-  * Min-label needs O(diameter) rounds where Components' alternating
-  * star needs O(log n) — use [[Components.connected]] when the graph
-  * can contain long chains; use THIS when the round count must be
-  * fixed and engine-portable (the oracle cannot express alternating
-  * stars, but R chained min-rounds are plain SQL).
+  * Scale shape: each round is ONE equi-join of the (symmetrized,
+  * self-looped) edge set against the node-grain label table plus ONE
+  * min-aggregate with map-side combine — the f25 PageRank round shape
+  * exactly, and the same 100 TB argument: nothing broadcast, both
+  * sides scale with the data.
+  *
+  * The round chain is LAZY (r15 optimization, the PageRank form). The
+  * textbook round references lab_{i-1} twice (itself ∪ neighbor
+  * labels), which would blow a lazy plan up 2^R — the reason the
+  * DuckDB twin needs MATERIALIZED CTEs. Appending SELF-LOOPS to the
+  * checkpointed edge set once makes the closed-neighborhood min a
+  * plain neighbor min — lab_i = min over und'(u,v) of lab_{i-1}(v)
+  * with (u,u) ∈ und' — so each round references lab_{i-1} exactly
+  * ONCE and the composed R-round plan is LINEAR and executes as one
+  * pipelined job: no per-round driver synchronization or checkpoint
+  * jobs, and the identical und'-by-key exchange subtree of every
+  * round collapses into one shuffle via ReuseExchange instead of
+  * re-shuffling the edge set R times across R separate jobs. The
+  * single terminal localCheckpoint bounds the caller's lineage as
+  * before. Min-label needs O(diameter) rounds where Components'
+  * alternating star needs O(log n) — use [[Components.connected]]
+  * when the graph can contain long chains; use THIS when the round
+  * count must be fixed and engine-portable (the oracle cannot express
+  * alternating stars, but R chained min-rounds are plain SQL).
   */
 object LabelProp {
 
@@ -47,32 +59,30 @@ object LabelProp {
     require(rounds >= 1, s"labelprop: rounds must be >= 1, got $rounds")
     val sc = edges.sparkSession.sparkContext
     import Components.{checkpointDiff, release}
+    // symmetrized edges PLUS a self-loop per node: the closed
+    // neighborhood as plain edges, so a round reads `lab` once (the
+    // lazy-chain precondition — see the class doc)
     val (und, uBlocks) = checkpointDiff(sc) {
       val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
-      fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v")))
+      val sym = fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v")))
+      sym
+        .unionAll(sym.select(col("u")).distinct()
+          .select(col("u"), col("u").as("v")))
         .distinct()
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
-    var (lab, lBlocks) = checkpointDiff(sc) {
-      und.select(col("u").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint()
-    }
+    var lab = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
     var i = 0
     while (i < rounds) {
-      val (next, nBlocks) = checkpointDiff(sc) {
-        lab
-          .unionAll(und.join(lab.withColumnRenamed("node", "v"), Seq("v"))
-            .select(col("u").as("node"), col("label")))
-          .groupBy("node").agg(min(col("label")).as("label"))
-          .localCheckpoint()
-      }
-      release(sc, lBlocks)
-      lab = next
-      lBlocks = nBlocks
+      lab = und.join(lab.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("label")).as("label"))
       i += 1
     }
+    // ONE terminal materialization: the lazy chain executes here as a
+    // single pipelined job; callers own node-grain result blocks only.
+    val (out, _) = checkpointDiff(sc) { lab.localCheckpoint() }
     release(sc, uBlocks)
-    lab
+    out
   }
 }

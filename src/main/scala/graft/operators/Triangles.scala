@@ -147,8 +147,10 @@ object Triangles {
         .distinct()
         .localCheckpoint(true, ser)
     }
-    val deg = e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node")))
+    // explode instead of unionAll: one scan of the serialized e
+    // checkpoint instead of two (each union branch re-reads and
+    // re-deserializes every block; the generator pays neither)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
     // orient a→b when (d(a), a) < (d(b), b); a < b already, so the
     // tie case keeps the canonical direction
