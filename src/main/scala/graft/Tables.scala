@@ -41,34 +41,6 @@ object Tables {
     if (name == "events") normalizeTs(df) else normalizeNtz(df)
   }
 
-  /** Scale-adaptive scan fan-out (optimization guide §2.2/§6): raise a
-    * scan's parallelism to the session's core count WHEN AND ONLY WHEN
-    * the file layout under-parallelizes it. The testdata parquet is one
-    * row group per table, and a row group is parquet's parallelism unit
-    * — every scan is ONE task regardless of split count, so per-row CPU
-    * ahead of the first exchange (tokenize+hash, shingling, codec
-    * encode/decode, vector math) runs serially on a 32-core executor.
-    *
-    * The decision is derived from the ACTUAL scan layout, not a
-    * constant: at production scale (many files / many row groups) the
-    * scan already has ≥ cores partitions and this is the identity — no
-    * exchange is added to a 100 TB plan. When it does fire, the
-    * round-robin exchange carries the scan's raw rows once (the
-    * documents table here is KB–MB grain) and every downstream
-    * per-row stage fans out to the full executor.
-    *
-    * Results are unchanged: round-robin repartition preserves row
-    * multiset, all consumers are order-insensitive (aggregates, joins,
-    * windows with explicit total orders), and Spark's
-    * sort-before-repartition keeps the placement deterministic under
-    * retry.
-    */
-  def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
-  }
-
   /** Normalize an `events`-shaped frame's `ts` column to TIMESTAMP,
     * whatever physical encoding the parquet carried (see [[load]]):
     * a nanosecond LONG `ts` gets the micros conversion; anything else

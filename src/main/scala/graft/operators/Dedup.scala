@@ -66,12 +66,11 @@ object Dedup {
     * operators ([[ngramJaccard]], [[containmentPairs]]) so their
     * token semantics cannot drift apart.
     */
-  private def tokenSets(documents: DataFrame): DataFrame =
-    graft.Tables.fanOut(documents)
-      .select(col("doc_id"), col("source"),
-        graft.functions.TokenHashesExpression.tokenHashes(
-          words(col("text")), seed = 0).as("hs"))
-      .withColumn("n", size(col("hs")).cast("long"))
+  private def tokenSets(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), col("source"),
+      graft.functions.TokenHashesExpression.tokenHashes(
+        words(col("text")), seed = 0).as("hs"))
+    .withColumn("n", size(col("hs")).cast("long"))
 
   /** d2 — exact n-gram (word-set) Jaccard pairs within a blocking key
     * (`source` mirrors how a production pipeline shards exact-Jaccard

@@ -155,7 +155,7 @@ object Fpx {
     val blocks = boundedMemberSets(
       fpx, Seq("value"), "entity_id", minEntities, maxEntities,
       inputClustered)
-    distinctPairs(expandSortedSets(blocks))
+    distinctPairs(expandSortedSets(blocks, spread = true))
   }
 
   /** `groupBy(keys).agg(sort_array(collect_set(member)))` with the
@@ -239,25 +239,50 @@ object Fpx {
     * Shared by xref blocking and MinHash-LSH bucket expansion; callers
     * apply `.distinct()` for cross-block repeats.
     */
+  /** `spread`: repartition the block rows BEFORE the descriptor
+    * explodes. The member-set aggregate's output is tiny relative to
+    * the descriptor stream ((n/C)² rows per n-member block), so AQE
+    * coalesces it down — to ONE task at bench scale — and descriptor
+    * generation serializes there. Callers whose blocks carry real mass
+    * (fingerprint blocking: up to 1000-member sets, measured 1.2s of
+    * single-task descriptor serialization on f8 at sf0.1) pass true;
+    * callers whose sets are structurally tiny (MinHash band buckets —
+    * near-duplicate groups of a handful of docs) pass false and skip
+    * the extra exchange. Explicit partition count: AQE must not
+    * re-coalesce the fan-out (the count is the session's scale knob,
+    * not a constant).
+    */
   private[operators] def expandSortedSets(
-      blocks: DataFrame, chunk: Int = 128): DataFrame = {
+      blocks: DataFrame, chunk: Int = 128,
+      spread: Boolean = false): DataFrame = {
     val C = chunk
+    val P = blocks.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val nChunks = ceil(size(col("ids")).cast("double") / C).cast("int")
-    blocks
+    (if (spread) blocks.repartition(P, col("ids")) else blocks)
       .select(col("ids"),
         explode(sequence(lit(0), nChunks - 1)).as("ci"),
         (nChunks - 1).as("maxc"))
       .select(col("ids"), col("ci"),
         explode(sequence(col("ci"), col("maxc"))).as("cj"))
-      .repartition(col("ids"), col("ci"), col("cj"))
-      .select(col("ids"), col("cj"),
-        posexplode(expr(s"slice(ids, ci * $C + 1, $C)"))
-          .as(Seq("li", "left_id")),
-        col("ci"))
+      // slice each descriptor to the TWO chunks it expands before the
+      // balancing exchange — the full ids array rode the shuffle
+      // (n/C)² times (8 KB per descriptor for a 1000-member block);
+      // the chunk pair is ≤ 2·C members (r15: 35.6 MB → ~11 MB of
+      // descriptor shuffle on f8 at sf0.1). Same-chunk descriptors
+      // (ci = cj) carry a null right chunk and expand the ordered
+      // half of the left chunk.
+      .select(
+        expr(s"slice(ids, ci * $C + 1, $C)").as("lc"),
+        when(col("ci") === col("cj"), lit(null))
+          .otherwise(expr(s"slice(ids, cj * $C + 1, $C)")).as("rc"))
+      .repartition(P, col("lc"), col("rc"))
+      .select(col("lc"), col("rc"),
+        posexplode(col("lc")).as(Seq("li", "left_id")))
       .select(col("left_id"),
-        explode(when(col("ci") === col("cj"),
-          expr(s"slice(ids, ci * $C + li + 2, $C - li - 1)"))
-          .otherwise(expr(s"slice(ids, cj * $C + 1, $C)"))).as("right_id"))
+        explode(when(col("rc").isNull,
+          expr("slice(lc, li + 2, size(lc) - li - 1)"))
+          .otherwise(col("rc"))).as("right_id"))
   }
 
   /** The xref judgement store semantics (engine.py:181-203): candidate

@@ -34,13 +34,15 @@ import org.apache.spark.storage.StorageLevel
   * checkpointed edge set once makes the closed-neighborhood min a
   * plain neighbor min — lab_i = min over und'(u,v) of lab_{i-1}(v)
   * with (u,u) ∈ und' — so each round references lab_{i-1} exactly
-  * ONCE and the composed R-round plan is LINEAR and executes as one
-  * pipelined job: no per-round driver synchronization or checkpoint
-  * jobs, and the identical und'-by-key exchange subtree of every
-  * round collapses into one shuffle via ReuseExchange instead of
-  * re-shuffling the edge set R times across R separate jobs. The
-  * single terminal localCheckpoint bounds the caller's lineage as
-  * before. Min-label needs O(diameter) rounds where Components'
+  * ONCE and the composed plan is LINEAR, executing in pipelined
+  * 5-round SEGMENTS: inside a segment there is no per-round driver
+  * synchronization or checkpoint job, and the identical und'-by-key
+  * exchange subtree of the segment's rounds collapses into one
+  * shuffle via ReuseExchange instead of re-shuffling the edge set
+  * once per round across separate jobs; the segment-boundary
+  * checkpoint keeps any single plan shallow (a full R-deep plan
+  * measured slower under suite load) and bounds the caller's lineage
+  * as before. Min-label needs O(diameter) rounds where Components'
   * alternating star needs O(log n) — use [[Components.connected]]
   * when the graph can contain long chains; use THIS when the round
   * count must be fixed and engine-portable (the oracle cannot express
@@ -73,16 +75,29 @@ object LabelProp {
     }
     var lab = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    // Lazy in SEGMENTS of 5 rounds: a segment pipelines its joins in
+    // one job (no per-round driver sync/checkpoint), while the segment
+    // boundary checkpoint keeps any single plan shallow — the full
+    // R-deep mega-plan measured faster isolated but slower in-suite
+    // (planning + fresh-codegen cost of one 20-stage DAG under the
+    // bench's JIT load outweighed the saved round syncs).
+    var segBlocks = Set.empty[Int]
     var i = 0
     while (i < rounds) {
-      lab = und.join(lab.withColumnRenamed("node", "v"), Seq("v"))
-        .groupBy(col("u").as("node")).agg(min(col("label")).as("label"))
-      i += 1
+      val seg = math.min(5, rounds - i)
+      var j = 0
+      while (j < seg) {
+        lab = und.join(lab.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u").as("node")).agg(min(col("label")).as("label"))
+        j += 1
+      }
+      val (next, nBlocks) = checkpointDiff(sc) { lab.localCheckpoint() }
+      release(sc, segBlocks)
+      lab = next
+      segBlocks = nBlocks
+      i += seg
     }
-    // ONE terminal materialization: the lazy chain executes here as a
-    // single pipelined job; callers own node-grain result blocks only.
-    val (out, _) = checkpointDiff(sc) { lab.localCheckpoint() }
     release(sc, uBlocks)
-    out
+    lab
   }
 }

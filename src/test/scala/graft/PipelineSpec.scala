@@ -267,11 +267,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("d5 worst-task pair bound: expansion is chunk-balanced in the plan") {
     // the quadratic expansion must go through the chunk-descriptor
-    // rebalance (repartition on (ids, ci, cj)) so no single task
-    // streams a whole block's n² pairs — the same shape f8/d3 pin
+    // rebalance (r15 form: descriptors sliced to their two chunks and
+    // repartitioned on (lc, rc)) so no single task streams a whole
+    // block's n² pairs — the same shape f8/d3 pin
     val plan = PipelineQueries.d5DedupEmbedding(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(ids"),
+    assert(plan.contains("hashpartitioning(lc"),
       s"d5 must rebalance chunk descriptors before expanding:\n$plan")
   }
 
