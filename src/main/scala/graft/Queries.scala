@@ -1498,11 +1498,24 @@ object Queries {
       element_at(lit(Array("order-", "part-", "supplier-", "?")),
         (pmod(c, lit(4)) + 1).cast("int")),
       shiftright(c, 2))
-    val kept = graft.operators.Triangles.perEdge(edges)
-      .filter($"support" >= 2)
-      .select(decode($"a").as("src"), decode($"b").as("dst"))
-    graft.operators.LabelProp.minLabelRounds(kept, rounds = 10)
+    // materialize the truss-filtered decoded edges ONCE: LabelProp's
+    // symmetrize+self-loop build reads its input four ways, and each
+    // read would otherwise re-deserialize the 1.86M-row census
+    // checkpoint and re-decode the string ids (measured ~0.7s of
+    // redundant derivation at sf0.1); released as soon as LabelProp
+    // returns (its result is eagerly materialized — nothing downstream
+    // reads kept again)
+    import graft.operators.Components.{checkpointDiff, release}
+    val (kept, keptBlocks) = checkpointDiff(s.sparkContext) {
+      graft.operators.Triangles.perEdge(edges)
+        .filter($"support" >= 2)
+        .select(decode($"a").as("src"), decode($"b").as("dst"))
+        .localCheckpoint()
+    }
+    val out = graft.operators.LabelProp.minLabelRounds(kept, rounds = 10)
       .select($"node".as("entity_id"), $"label".as("community"))
+    release(s.sparkContext, keptBlocks)
+    out
   }
 
   // MATERIALIZED is load-bearing: each lab_i reads lab_{i-1} TWICE, so
