@@ -53,7 +53,11 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("s7_ann_ivf_tree", maxShuffles = 2, minBroadcasts = 1),
     Shape("f2_entity_assembly", maxShuffles = 1),
     Shape("f6_fpx_table", maxShuffles = 0),
-    Shape("f8_xref_block", maxShuffles = 4, minBroadcasts = 1),
+    // r15: +1 shuffle — the deliberate block-grain spread exchange
+    // before the chunk-descriptor explodes (expandSortedSets
+    // spread=true): it moves the member-set rows once so descriptor
+    // generation is not serialized into one AQE-coalesced task
+    Shape("f8_xref_block", maxShuffles = 5, minBroadcasts = 1),
     // r13: f24 = f8's 4 + the entity-grain name aggregation + the two
     // pair-grain name attaches. r15: the attaches are PINNED to merge
     // joins — the name table is entity-grain (data-sized), and the
@@ -108,8 +112,10 @@ class PlanShapeSpec extends AnyFunSuite {
     Shape("d6_dedup_clusters", maxShuffles = 2),
     // f18/f19: FINAL-window dedup + attr enrichment; the three dim
     // joins must stay broadcast
-    Shape("f18_xref_judgements", maxShuffles = 7, minBroadcasts = 3),
-    Shape("f19_xref_reverse", maxShuffles = 7, minBroadcasts = 3),
+    // r15: +1 each — the f8 spread exchange rides into every
+    // blocking-pair consumer
+    Shape("f18_xref_judgements", maxShuffles = 8, minBroadcasts = 3),
+    Shape("f19_xref_reverse", maxShuffles = 8, minBroadcasts = 3),
     // f20: judgement filter + component labels + canonical min
     Shape("f20_resolver_canonical", maxShuffles = 3),
     // q16: ONE sort window feeding all three quantiles + broadcast
