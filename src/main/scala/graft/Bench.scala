@@ -78,10 +78,18 @@ object Bench {
       .filter(p => p.getName.contains("CodeHeap") ||
         p.getName.contains("Code Cache"))
       .map(_.getUsage.getUsed).sum
+    // r16: count JANINO compilations (codegen-cache misses) per timed
+    // call — the discriminator between "the generated-class corpus
+    // outgrew spark.sql.codegen.cache.maxEntries and passes re-miss"
+    // (janino_n stays high every pass) and "plans embed per-pass-unique
+    // source" (same signature). Histogram count = one per compile.
+    def janinoCount(): Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val diagRows = scala.collection.mutable.ArrayBuffer.empty[String]
     def timed(name: String, pass: Int): (Double, Long) = {
       val g0 = gcMillis()
       val j0 = if (diag) jitMillis() else 0L
+      val jn0 = if (diag) janinoCount() else 0L
       val rdds0 = if (diag) spark.sparkContext.getPersistentRDDs.size else 0
       val t0 = System.nanoTime()
       exec(name)
@@ -90,6 +98,7 @@ object Bench {
       if (diag) diagRows += {
         s"""{"pass":$pass,"query":"$name","wall_sec":$wall,""" +
           s""""gc_ms":$gc,"jit_ms":${jitMillis() - j0},""" +
+          s""""janino_n":${janinoCount() - jn0},""" +
           s""""code_cache_mb":${codeCacheUsed() / (1024 * 1024)},""" +
           s""""classes":${
             ManagementFactory.getClassLoadingMXBean.getLoadedClassCount},""" +

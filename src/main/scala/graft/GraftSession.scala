@@ -25,11 +25,18 @@ object GraftSession {
   def local(cpus: Int, aqe: Boolean = true): SparkSession = {
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt).getOrElse(cpus)
-    // measurement escape hatch (SPARK_GRAFT_AQE=0/1): lets a probe
-    // isolate AQE's replan overhead vs its coalescing wins without a
-    // code edit; unset = the caller's default (on everywhere)
-    val aqeOn = sys.env.get("SPARK_GRAFT_AQE")
-      .map(_ == "1").getOrElse(aqe)
+    // measurement escape hatch (SPARK_GRAFT_AQE=0/1 or true/false):
+    // lets a probe isolate AQE's replan overhead vs its coalescing wins
+    // without a code edit; unset = the caller's default (on
+    // everywhere). Any other value fails LOUDLY — r15 ADVICE: the old
+    // `_ == "1"` parse silently turned SPARK_GRAFT_AQE=true into
+    // AQE-OFF and would have skewed a probe without a trace.
+    val aqeOn = sys.env.get("SPARK_GRAFT_AQE").map {
+      case "1" | "true" => true
+      case "0" | "false" => false
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_AQE must be 1/true/0/false, got '$other'")
+    }.getOrElse(aqe)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -50,12 +57,20 @@ object GraftSession {
       // (BENCH_DIAG.json: 131s of JIT during 154s of timed wall) and
       // stealing cores from the 32-thread executor pool exactly when a
       // heavy query saturates them — measured as f8's 2× in-suite vs
-      // isolated spread that gc_ms had already ruled out as GC. At
-      // 2000 entries the generated-class corpus of a whole workload
-      // fits, so repeat executions reuse compiled+JITed classes
-      // (metaspace cost is tens of MB per JVM — cheap next to the
+      // isolated spread that gc_ms had already ruled out as GC. The
+      // r8 fix sized it at 2000 for a 65-query workload; by r15 the
+      // registry reached 142 queries (~2600 distinct codegen units,
+      // BENCH_DIAG janino_n) and the LRU evicted ~550 units per
+      // interleaved pass — ~100 s of JIT-compiler-thread time PER PASS
+      // re-JITting classes the previous pass had already compiled (the
+      // r15 verdict's top item). 8000 fits the whole corpus with
+      // growth headroom; the cache never holds more than the workload
+      // actually generates, so the cost is bounded by the corpus
+      // (~3k units ≈ tens of MB of metaspace per JVM — cheap next to
       // recompile churn on driver AND executors of a real cluster).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Env-overridable for measurement (SPARK_GRAFT_CODEGEN_CACHE).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))

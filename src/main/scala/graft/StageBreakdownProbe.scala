@@ -28,14 +28,20 @@ object StageBreakdownProbe {
         val m = si.taskMetrics
         val wall = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
-        rows += f"stage ${si.stageId}%4d  wall ${wall}%6dms  " +
-          f"tasks ${si.numTasks}%4d  " +
-          f"in ${m.inputMetrics.bytesRead / 1048576.0}%8.1fMB  " +
-          f"sRead ${m.shuffleReadMetrics.totalBytesRead / 1048576.0}%8.1fMB/" +
-          f"${m.shuffleReadMetrics.recordsRead}%9d  " +
-          f"sWrite ${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%8.1fMB  " +
-          f"exec ${m.executorRunTime}%7dms  gc ${m.jvmGCTime}%5dms  " +
-          si.name.takeWhile(_ != '\n').take(60)
+        // appended on the listener-bus thread, read on main — both
+        // sides synchronize on the buffer, and main polls until the
+        // row count stabilizes instead of a fixed racy sleep (r15
+        // ADVICE)
+        rows.synchronized {
+          rows += f"stage ${si.stageId}%4d  wall ${wall}%6dms  " +
+            f"tasks ${si.numTasks}%4d  " +
+            f"in ${m.inputMetrics.bytesRead / 1048576.0}%8.1fMB  " +
+            f"sRead ${m.shuffleReadMetrics.totalBytesRead / 1048576.0}%8.1fMB/" +
+            f"${m.shuffleReadMetrics.recordsRead}%9d  " +
+            f"sWrite ${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%8.1fMB  " +
+            f"exec ${m.executorRunTime}%7dms  gc ${m.jvmGCTime}%5dms  " +
+            si.name.takeWhile(_ != '\n').take(60)
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -43,9 +49,15 @@ object StageBreakdownProbe {
     val n = fn(spark, sfDir).queryExecution.toRdd.count()
     val wall = (System.nanoTime() - t0) / 1e9
     spark.sparkContext.removeSparkListener(listener)
-    Thread.sleep(500) // let the listener bus drain
+    var seen = -1
+    var stable = rows.synchronized(rows.size)
+    while (stable != seen) { // drain: poll until no new stage rows land
+      seen = stable
+      Thread.sleep(200)
+      stable = rows.synchronized(rows.size)
+    }
     println(s"== $name: $wall s, $n rows ==")
-    rows.foreach(println)
+    rows.synchronized(rows.toList).foreach(println)
     spark.stop()
   }
 }

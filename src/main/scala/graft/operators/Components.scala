@@ -51,6 +51,19 @@ object Components {
     blocks.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+  /** `spark.sql.shuffle.partitions` as an Int — the session scale knob
+    * the explicit repartitions read (Fpx.expandSortedSets, LabelProp's
+    * edge exchange). GraftSession always sets an integer, but a session
+    * configured with a non-numeric value (Spark accepts "auto" with
+    * some catalogs) would otherwise throw NumberFormatException at
+    * plan-build time; fall back to the scheduler's default parallelism
+    * (r15 ADVICE).
+    */
+  private[operators] def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+
   /** `edges`: directed (src, dst) rows, any element type with a total
     * order (string ids, long ids); symmetrized and deduplicated
     * internally. Returns (id, label) for every vertex that appears in
@@ -86,16 +99,21 @@ object Components {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         .select(col("src").as("id"), col("nlabel"))
-      // EAGER checkpoint, then a count over the cached blocks: a lazy
-      // checkpoint materialized by the count risks caching the count's
-      // pruned evaluation and recomputing the join next round
+      // ONE driver action per round (r16): a LAZY checkpoint whose
+      // materializing action IS the convergence count. The persist
+      // hooks the RDD iterator below Catalyst, so whatever query runs
+      // on top, the blocks cache the checkpoint RDD's FULL rows — the
+      // count's plan-level pruning cannot reach inside the RDD
+      // boundary — and the count visits every partition, so the whole
+      // snapshot is materialized in the same job (the old form paid a
+      // checkpoint job PLUS a count job per round).
       val (updated, newBlocks) = checkpointDiff(sc) {
         labels.join(nbr, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label")))
               .as("label"),
             (col("nlabel") < col("label")).as("__chg"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       changed = updated.filter(col("__chg")).count()
       // previous round's checkpoint is superseded — release its blocks
@@ -183,14 +201,18 @@ object Components {
     }
 
     var (e, eBlocks) = checkpointDiff(sc) {
-      orig.filter(col("src") =!= col("dst")).localCheckpoint()
+      orig.filter(col("src") =!= col("dst")).localCheckpoint(false)
     }
     var sig = signature(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // lazy checkpoint + the signature aggregate as its materializing
+      // action: one driver action per round instead of two (the
+      // minLabel rationale above — the RDD-level persist caches full
+      // rows regardless of what the signature's plan prunes)
       val (next, newBlocks) = checkpointDiff(sc) {
-        smallStar(largeStar(e)).localCheckpoint()
+        smallStar(largeStar(e)).localCheckpoint(false)
       }
       val nextSig = signature(next)
       release(sc, eBlocks)

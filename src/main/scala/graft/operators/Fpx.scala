@@ -256,8 +256,7 @@ object Fpx {
       blocks: DataFrame, chunk: Int = 128,
       spread: Boolean = false): DataFrame = {
     val C = chunk
-    val P = blocks.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val P = Components.shufflePartitions(blocks)
     val nChunks = ceil(size(col("ids")).cast("double") / C).cast("int")
     (if (spread) blocks.repartition(P, col("ids")) else blocks)
       .select(col("ids"),

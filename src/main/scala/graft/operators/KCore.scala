@@ -55,15 +55,19 @@ object KCore {
     var i = 0
     var nEdges = e.count() // cached blocks — an O(partitions) read
     while (i < rounds) {
+      // lazy checkpoint + the surviving-edge count as its materializing
+      // action: one driver action per peel round instead of two (the
+      // Components.minLabel rationale — the RDD-level persist caches
+      // full rows whatever the count's plan prunes)
       val (next, nBlocks) = checkpointDiff(sc) {
         val keep = degrees(e).filter(col("d") >= k).select(col("node"))
         e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .select(col("a"), col("b"))
-          .localCheckpoint(true, ser)
+          .localCheckpoint(false, ser)
       }
-      release(sc, eBlocks)
       val nNext = next.count()
+      release(sc, eBlocks)
       e = next
       eBlocks = nBlocks
       i += 1

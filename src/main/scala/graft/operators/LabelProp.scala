@@ -82,9 +82,7 @@ object LabelProp {
     // segment: one und shuffle per segment instead of five. Explicit N
     // (the session scale knob) keeps AQE from re-coalescing it and
     // keeps the output partitioning join-compatible.
-    val undByV = und.repartition(
-      und.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      col("v"))
+    val undByV = und.repartition(Components.shufflePartitions(und), col("v"))
     var lab = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     // Lazy in SEGMENTS of 5 rounds: a segment pipelines its joins in

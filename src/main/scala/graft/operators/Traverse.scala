@@ -82,6 +82,13 @@ object Traverse {
     var emptied = maxHops == 0
     while (!emptied && h <= maxHops) {
       val frontier = visited.filter(col("hops") === h - 1)
+      // ONE driver action per round (r16): the checkpoint is LAZY and
+      // the frontier-growth count is its materializing action — the
+      // RDD-level persist caches the full visited snapshot regardless
+      // of the count's plan (the Components.minLabel rationale), so
+      // the old eager-checkpoint job + isEmpty job collapse into one.
+      // The early-exit CONTRACT is unchanged: the count is exactly the
+      // new-hop row count the isEmpty tested.
       val (nv, nvBlocks) = Components.checkpointDiff(sc) {
         val next = frontier
           .select((col("id").as("src") +: carry.map(col)): _*)
@@ -89,9 +96,9 @@ object Traverse {
           .select((col("dst").as("id") +: carry.map(col)): _*).distinct()
           .join(visited, "id" +: carry, "left_anti")
           .withColumn("hops", lit(h).cast("int"))
-        visited.union(next).localCheckpoint()
+        visited.union(next).localCheckpoint(false)
       }
-      emptied = nv.filter(col("hops") === h).isEmpty
+      emptied = nv.filter(col("hops") === h).count() == 0
       Components.release(sc, visitedBlocks)
       visited = nv
       visitedBlocks = nvBlocks
