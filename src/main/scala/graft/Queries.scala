@@ -1494,26 +1494,71 @@ object Queries {
     val edges = li.select($"o".as("src"), $"p".as("dst"))
       .unionAll(li.select($"p".as("src"), $"sp".as("dst")))
       .unionAll(li.select($"o".as("src"), $"sp".as("dst")))
-    def decode(c: Column): Column = concat(
-      element_at(lit(Array("order-", "part-", "supplier-", "?")),
-        (pmod(c, lit(4)) + 1).cast("int")),
-      shiftright(c, 2))
-    // materialize the truss-filtered decoded edges ONCE: LabelProp's
+    // The oracle's labels are MIN over the DECODED STRING order
+    // ("order-10" < "order-2" < "part-1": lexicographic), which the
+    // tagged-long order does not match — the r13 fix decoded edges to
+    // strings BEFORE propagation. But min(string) is not an UnsafeRow-
+    // mutable aggregate, so every one of LabelProp's 10 rounds planned
+    // a SORT-aggregate (a full sort of the edge-grain join output per
+    // round) over ~16-char string shuffles. r16: propagate an ORDER-
+    // ISOMORPHIC LONG surrogate instead — guide §2.3 "narrower types"
+    // plus hash-aggregability — and decode back only at the end.
+    //
+    //   skey(c) = tag·2^55 + (id·10^(15−len)·16 + len)
+    //
+    // with tag = c mod 4 (the prefixes "order-" < "part-" <
+    // "supplier-" sort exactly like tags 0 < 1 < 2), id = c >> 2, and
+    // len = digits(id). The middle term is the classic decimal-lex
+    // packing: padding id RIGHT to 15 digits compares like the digit
+    // string (first differing digit dominates any tail), and the
+    // appended length breaks the pad tie exactly like "1" < "10"
+    // (shorter-prefix-first). skey is injective and strictly monotone
+    // w.r.t. the decoded-string order, so min-label propagation over
+    // surrogates yields EXACTLY the surrogate of the string-order
+    // label — same communities, same hash, 8-byte HashAggregate
+    // rounds instead of string SortAggregate rounds. Ids past 15
+    // digits (corpora beyond ~10^15 rows) fail loudly rather than
+    // mis-sort.
+    def skey(c: Column): Column = {
+      val id = shiftright(c, 2)
+      val len = length(id.cast("string"))
+      val pad = id * pow(lit(10.0), (lit(15) - len).cast("double"))
+        .cast("long")
+      when(len > 15, raise_error(concat(
+          lit("f28 surrogate key: id overflows 15 digits: "),
+          id.cast("string"))))
+        .otherwise(shiftleft(pmod(c, lit(4)), 55) + pad * 16 + len)
+    }
+    def sdecode(k: Column): Column = {
+      val tag = shiftright(k, 55).cast("int")
+      val body = k.bitwiseAND(lit((1L << 55) - 1))
+      val len = body.bitwiseAND(lit(15L))
+      // pad = id·10^(15−len): both < 2^53, quotient an exact integer,
+      // so the double division is exact
+      val id = floor(shiftright(body, 4) /
+        pow(lit(10.0), (lit(15L) - len).cast("double"))).cast("long")
+      concat(
+        element_at(lit(Array("order-", "part-", "supplier-", "?")),
+          tag + 1),
+        id.cast("string"))
+    }
+    // materialize the truss-filtered surrogate edges ONCE: LabelProp's
     // symmetrize+self-loop build reads its input four ways, and each
     // read would otherwise re-deserialize the 1.86M-row census
-    // checkpoint and re-decode the string ids (measured ~0.7s of
-    // redundant derivation at sf0.1); released as soon as LabelProp
-    // returns (its result is eagerly materialized — nothing downstream
-    // reads kept again)
+    // checkpoint and re-derive the keys (measured ~0.7s of redundant
+    // derivation at sf0.1); released as soon as LabelProp returns (its
+    // result is eagerly materialized — nothing downstream reads kept
+    // again)
     import graft.operators.Components.{checkpointDiff, release}
     val (kept, keptBlocks) = checkpointDiff(s.sparkContext) {
       graft.operators.Triangles.perEdge(edges)
         .filter($"support" >= 2)
-        .select(decode($"a").as("src"), decode($"b").as("dst"))
+        .select(skey($"a").as("src"), skey($"b").as("dst"))
         .localCheckpoint()
     }
     val out = graft.operators.LabelProp.minLabelRounds(kept, rounds = 10)
-      .select($"node".as("entity_id"), $"label".as("community"))
+      .select(sdecode($"node").as("entity_id"),
+        sdecode($"label").as("community"))
     release(s.sparkContext, keptBlocks)
     out
   }

@@ -117,28 +117,61 @@ object PageRank {
             .localCheckpoint()
       }
     }
+    // ONE reusable exchange per checkpointed side (r16, the LabelProp
+    // undByV discipline): the checkpoints erase partitioning metadata,
+    // so every round of the lazy chain would re-shuffle the edge set
+    // (join key src) and the node set (join key id) from the cached
+    // blocks — 2 exchanges × rounds. An explicit hash repartition on
+    // the join key, the SAME object referenced by every round, is an
+    // identical exchange subtree, so ReuseExchange plans each ONCE per
+    // segment. By-COLUMN (not by-num): the canonicalized exchange is
+    // still identical across rounds (reusable), but AQE keeps the
+    // right to coalesce each round's join read to sized partitions —
+    // a pinned N froze every tiny bench-scale round at the full
+    // partition count (measured +1.5s on f25 at sf0.1) while the
+    // by-column form scales the same at data scale.
+    val eBySrc = e.repartition(col("src"))
+    val nodesById = nodes.repartition(col("id"))
     val r0 =
       if (seeds.isEmpty) lit(scale)
       else when(col("tele") > 0, lit(scale)).otherwise(lit(0L))
-    var ranks = nodes.select(col("id"), r0.as("r"))
+    var ranks = nodesById.select(col("id"), r0.as("r"))
+    // SEGMENTED lazy chain (r15 ADVICE): the chain is linear in the
+    // round count, but analysis/codegen of one mega-plan grows
+    // super-linearly, so a caller passing iters = 100 would pay a
+    // planning cliff the public API never warned about. Rounds pipeline
+    // lazily in segments of up to 10 (the declared queries' iters —
+    // their plan is EXACTLY the former single chain, one terminal
+    // checkpoint job, bit-identical results) with a checkpoint at each
+    // segment boundary bounding any single plan's depth (the LabelProp
+    // segmentation rationale).
+    var segBlocks = Set.empty[Int]
     var i = 0
     while (i < iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"),
-          expr(s"($dampNum * r) DIV ($dampDen * d)").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (col("tele") + coalesce(col("c"), lit(0L))).as("r"))
-      i += 1
+      val seg = math.min(10, iters - i)
+      var j = 0
+      while (j < seg) {
+        val contrib = eBySrc
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"),
+            expr(s"($dampNum * r) DIV ($dampDen * d)").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        ranks = nodesById.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (col("tele") + coalesce(col("c"), lit(0L))).as("r"))
+        j += 1
+      }
+      val (next, nBlk) = checkpointDiff(sc) { ranks.localCheckpoint() }
+      release(sc, segBlocks)
+      ranks = next
+      segBlocks = nBlk
+      i += seg
     }
-    // ONE terminal materialization: the lazy chain executes here as a
-    // single pipelined job; the caller owns only node-grain result
-    // blocks and the e/nodes checkpoints are safe to release.
-    val (out, _) = checkpointDiff(sc) { ranks.localCheckpoint() }
+    // the caller owns only node-grain result blocks; the e/nodes
+    // checkpoints are safe to release once the terminal segment is
+    // materialized.
     release(sc, eBlocks)
     release(sc, nBlocks)
-    out
+    ranks
   }
 }

@@ -437,9 +437,16 @@ object Similarity {
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
     // a persisted codebook ([[trainPqCodebook]] / VecStore `_pq`) skips
     // the in-query train — the production lifecycle: train once, reuse
-    // per query, RETRAIN on drift (PqDriftProbe measures when)
+    // per query, RETRAIN on drift (PqDriftProbe measures when).
+    // The in-query train is referenced TWICE (encode + the ADC table),
+    // so it is checkpointed: the train subtree's stages run once and
+    // both consumers read the numSub·codebookK-row result (structurally
+    // bounded — 128 rows at the defaults — so the pinned blocks are
+    // bytes, the f20b mapping-checkpoint precedent) instead of
+    // replaying the train's final aggregates per consumer (r16,
+    // guide §2.4 / §3.3 plan-truncation).
     val codebook0 = codebook.getOrElse(
-      pqCodebook(corpusV, numSub, subDim, codebookK))
+      pqCodebook(corpusV, numSub, subDim, codebookK).localCheckpoint())
     val codes = pqEncode(subsAll, codebook0)
     // ADC lookup table: query subvector · codeword, numSub·codebookK
     // rows per query — bounded by the probe set, broadcast
@@ -639,8 +646,10 @@ object Similarity {
     val corpusLists0 = corpusLists.getOrElse(lists(corpusV, "vec_id", 1))
     val probeLists = lists(queriesV, "query_id", nProbe)
     val subsAll = subVectors(corpusV, "vec_id", numSub, subDim)
+    // checkpointed for the same two-consumer reason as [[pqTopK]]'s
+    // in-query train (structurally bounded — 128 rows at the defaults)
     val codebook0 = codebook.getOrElse(
-      pqCodebook(corpusV, numSub, subDim, codebookK))
+      pqCodebook(corpusV, numSub, subDim, codebookK).localCheckpoint())
     // narrow (vec_id, sub, code) rows pick up their list id — ints
     // only, never the vectors
     val codes = pqEncode(subsAll, codebook0)
